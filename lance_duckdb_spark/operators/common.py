@@ -1,0 +1,67 @@
+"""Cross-engine numeric discipline shared by all operators.
+
+The driver hash-compares our Spark results against DuckDB running
+the ``oracle_sql()`` strings on the same parquet, so float outputs
+must be *bit-identical*, not merely close. Two rules make that hold:
+
+1. Money/rate columns in the test data are exactly 2-decimal
+   quantized doubles (verified for l_extendedprice, l_quantity,
+   l_discount, l_tax, o_totalprice, c_acctbal, events.value). Cast
+   each INPUT to a decimal of its natural scale (unambiguous — the
+   double sits within ulps of the clean value, never near a .005
+   tie), then do all arithmetic in decimal: products and sums are
+   exact and associative in both engines. Never round a *computed*
+   double to decimal — product ties at .xx5 are common with
+   quantized inputs and Spark/DuckDB break them differently.
+2. Emit decimals as DOUBLE (deterministic conversion), and express
+   averages as decimal-sum / count (double division of identical
+   operands). Ratio outputs that cannot be exact are ROUND()ed to a
+   fixed scale on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,2)"  # prices, balances, values
+RATE = "decimal(4,2)"  # discount/tax and (1 ± x) factors
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def money(col: Column | str) -> Column:
+    return _c(col).cast(MONEY)
+
+
+def rate(col: Column | str) -> Column:
+    return _c(col).cast(RATE)
+
+
+def dsum(expr: Column | str, alias: str) -> Column:
+    """Exact decimal sum emitted as double. ``expr`` must already be
+    decimal-typed (see money()/rate())."""
+    return F.sum(_c(expr)).cast("double").alias(alias)
+
+
+def davg(expr: Column | str, alias: str) -> Column:
+    """Exact decimal sum / count, emitted as double."""
+    return (F.sum(_c(expr)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+def revenue_dec() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal."""
+    return money("l_extendedprice") * rate(F.lit(1) - F.col("l_discount"))
+
+
+def charge_dec() -> Column:
+    """revenue * (1 + l_tax), exact decimal."""
+    return revenue_dec() * rate(F.lit(1) + F.col("l_tax"))
+
+
+# Oracle-side building blocks (keep in lockstep with the helpers
+# above; both sides must do the identical decimal arithmetic).
+SQL_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+SQL_CHARGE = f"{SQL_REV} * CAST(1 + l_tax AS DECIMAL(4,2))"

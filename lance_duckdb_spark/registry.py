@@ -1,0 +1,26 @@
+"""Central registry: merges every operator module's QUERIES/ORACLE.
+
+Import failures in optional modules are not tolerated — every module
+listed here is part of the declared SURVEY.md §2 surface.
+"""
+
+from __future__ import annotations
+
+from .operators import tpch
+
+_MODULES = [tpch]
+
+
+def _merge(attr: str) -> dict:
+    merged: dict = {}
+    for mod in _MODULES:
+        entries = getattr(mod, attr, {})
+        overlap = merged.keys() & entries.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        merged.update(entries)
+    return merged
+
+
+QUERY_REGISTRY = _merge("QUERIES")
+ORACLE_REGISTRY = _merge("ORACLE")
