@@ -1,0 +1,290 @@
+"""Window / rollup / percentile / pivot analytics (SURVEY.md §2.B9-B14,
+B17, B19).
+
+These cover the DuckDB SQL surface a lance-duckdb user gets beyond
+plain joins+aggs: window functions, GROUPING SETS, ordered-set
+aggregates, PIVOT, statistical aggregates.
+
+Scale notes: the only global-ordering windows here (B10 running
+totals) operate on *post-aggregation* daily rows — cardinality is
+days, not facts — so the single-partition window is fine at any
+input scale. Per-key windows (B9) partition by their key and
+shuffle once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .common import MONEY, dsum, money
+
+
+def top_revenue_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("rev_dec"))
+    )
+    joined = cust.join(rev, cust.c_custkey == rev.o_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("rev_dec"), F.asc("c_custkey")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "rnk",
+        )
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+TOP_REVENUE_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, c_custkey, CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT c_mktsegment, c_custkey, rev_dec,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY rev_dec DESC, c_custkey ASC) AS rnk
+  FROM customer
+  JOIN (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+    FROM orders GROUP BY o_custkey
+  ) r ON c_custkey = o_custkey
+)
+WHERE rnk <= 3
+ORDER BY c_mktsegment, rnk
+"""
+
+
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(money("o_totalprice")).alias("rev_dec"))
+    )
+    w_cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_ma = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "d",
+            F.col("rev_dec").cast("double").alias("day_rev"),
+            F.sum("rev_dec").over(w_cum).cast("double").alias("cum_rev"),
+            (
+                F.sum("rev_dec").over(w_ma).cast("double")
+                / F.count(F.lit(1)).over(w_ma)
+            ).alias("ma7"),
+        )
+        .orderBy("d")
+    )
+
+
+RUNNING_TOTALS_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders GROUP BY 1
+)
+SELECT d,
+  CAST(rev_dec AS DOUBLE) AS day_rev,
+  CAST(SUM(rev_dec) OVER (ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev,
+  CAST(SUM(rev_dec) OVER (ORDER BY d
+       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(*) OVER (ORDER BY d
+       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+FROM daily
+ORDER BY d
+"""
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice"), "total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DISTINCT_COUNTS_SQL = """
+SELECT o_orderstatus,
+  COUNT(DISTINCT o_custkey) AS n_cust,
+  COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("o_year"),
+            money("o_totalprice").alias("price_dec"),
+        )
+    )
+    return (
+        base.rollup("n_name", "o_year")
+        .agg(dsum("price_dec", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.asc_nulls_first("n_name"), F.asc_nulls_first("o_year")
+        )
+    )
+
+
+ROLLUP_REVENUE_SQL = """
+SELECT n_name, o_year,
+  CAST(SUM(price_dec) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM (
+  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+GROUP BY ROLLUP (n_name, o_year)
+ORDER BY n_name ASC NULLS FIRST, o_year ASC NULLS FIRST
+"""
+
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("p50_acctbal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.9)), 6).alias("p90_acctbal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.99)), 6).alias("p99_acctbal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT c_mktsegment,
+  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 6) AS p50_acctbal,
+  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal), 6) AS p90_acctbal,
+  ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY c_acctbal), 6) AS p99_acctbal,
+  COUNT(*) AS n_cust
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_MOMENTS_SQL = """
+SELECT l_returnflag,
+  ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+  ROUND(var_samp(l_quantity), 6) AS var_qty,
+  ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # ts_ns is int64 nanoseconds (tables.load_events); derive the
+    # calendar day tz-independently via exact integer division (a
+    # double divide would lose precision above 2^53 µs).
+    day = F.date_from_unix_date(
+        F.expr("CAST(ts_us DIV 86400000000 AS INT)")
+    ).alias("d")
+    pivoted = (
+        ev.groupBy(day)
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(money("value")).cast("double"))
+    )
+    return pivoted.select(
+        "d", *[F.col(k).alias(f"{k}_sum") for k in EVENT_TYPES]
+    ).orderBy("d")
+
+
+_pivot_cols = ",\n  ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{k}' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS {k}_sum"
+    for k in EVENT_TYPES
+)
+PIVOT_EVENTS_SQL = f"""
+SELECT DATE '1970-01-01' + CAST(epoch_us(ts) // 86400000000 AS INT) AS d,
+  {_pivot_cols}
+FROM events
+GROUP BY 1
+ORDER BY d
+"""
+
+
+def approx_quantiles_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (approx_percentile sketches are engine-specific)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_exact"),
+        F.approx_count_distinct("o_custkey").alias("n_cust_approx"),
+        F.countDistinct("o_custkey").alias("n_cust_exact"),
+    )
+
+
+QUERIES = {
+    "top_revenue_per_segment": top_revenue_per_segment,
+    "running_totals": running_totals,
+    "distinct_counts": distinct_counts,
+    "rollup_revenue": rollup_revenue,
+    "percentiles": percentiles,
+    "stats_moments": stats_moments,
+    "pivot_events": pivot_events,
+    "approx_quantiles_vs_exact": approx_quantiles_vs_exact,
+}
+
+ORACLE = {
+    "top_revenue_per_segment": TOP_REVENUE_PER_SEGMENT_SQL,
+    "running_totals": RUNNING_TOTALS_SQL,
+    "distinct_counts": DISTINCT_COUNTS_SQL,
+    "rollup_revenue": ROLLUP_REVENUE_SQL,
+    "percentiles": PERCENTILES_SQL,
+    "stats_moments": STATS_MOMENTS_SQL,
+    "pivot_events": PIVOT_EVENTS_SQL,
+}

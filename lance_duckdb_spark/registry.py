@@ -6,9 +6,9 @@ listed here is part of the declared SURVEY.md §2 surface.
 
 from __future__ import annotations
 
-from .operators import tpch
+from .operators import analytics, joins, tpch
 
-_MODULES = [tpch]
+_MODULES = [tpch, analytics, joins]
 
 
 def _merge(attr: str) -> dict:
