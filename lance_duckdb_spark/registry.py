@@ -6,9 +6,9 @@ listed here is part of the declared SURVEY.md §2 surface.
 
 from __future__ import annotations
 
-from .operators import analytics, joins, tpch
+from .operators import analytics, dedup, joins, similarity, text, tpch
 
-_MODULES = [tpch, analytics, joins]
+_MODULES = [tpch, analytics, joins, text, similarity, dedup]
 
 
 def _merge(attr: str) -> dict:
