@@ -6,9 +6,29 @@ listed here is part of the declared SURVEY.md §2 surface.
 
 from __future__ import annotations
 
-from .operators import analytics, dedup, joins, similarity, text, tpch
+from .operators import (
+    analytics,
+    dedup,
+    joins,
+    lance_ops,
+    multimodal,
+    similarity,
+    text,
+    tpch,
+)
+from .streaming import jobs as streaming_jobs
 
-_MODULES = [tpch, analytics, joins, text, similarity, dedup]
+_MODULES = [
+    tpch,
+    analytics,
+    joins,
+    text,
+    similarity,
+    dedup,
+    lance_ops,
+    multimodal,
+    streaming_jobs,
+]
 
 
 def _merge(attr: str) -> dict:

@@ -1,0 +1,316 @@
+"""Spark Python DataSource exposing the Lance dataset model
+(SURVEY.md §2.A): ``spark.read.format("lance")``, batch writes with
+append/overwrite + atomic manifest commit, ``version`` time travel,
+and a micro-batch stream reader/writer over fragments.
+
+Reference parity map:
+- lance_scan table function (src/lance_scan.cpp, rust/scanner.rs) →
+  ``LanceScanReader``: one Spark InputPartition per fragment, arrow
+  RecordBatch output, column pruning + predicate pushdown into the
+  fragment read.
+- lance_open_dataset / schema introspection (rust/lib.rs:26-144,
+  rust/types.rs) → manifest-backed ``LanceDataSource.schema()``.
+- writer (rust/writer.rs, rust/lib.rs:341-393) →
+  ``LanceArrowWriter``: fragments written per-task from arrow
+  batches, version committed atomically on the driver.
+- stream scan (rust/lib.rs:148-188) → ``LanceStreamReader``: each
+  micro-batch covers fragments appended since the last offset.
+
+Scale: partitions() returns fragment-granular splits (100 TB table
+= ~200k fragments of ~512 MB), so scan parallelism == cluster
+width; pushed filters and pruned columns reach pyarrow's parquet
+reader (row-group skipping + column selection), the same plan shape
+a native connector would produce.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from . import lance_format as lf
+
+if TYPE_CHECKING:
+    import pyarrow as pa
+
+
+@dataclass
+class FragmentPartition(InputPartition):
+    root: str
+    file: str
+    num_rows: int
+
+
+@dataclass
+class LanceCommitMessage(WriterCommitMessage):
+    file: str
+    num_rows: int
+
+
+def _to_arrow_filter(filters: list[Filter]):
+    """Convert pushed Spark filters to a pyarrow compute expression.
+    Only single-segment column paths; caller keeps unsupported ones."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset  # noqa: F401  (registers field/scalar exprs)
+
+    expr = None
+    for f in filters:
+        col = pc.field(f.attribute[0])
+        if isinstance(f, EqualTo):
+            e = col == f.value
+        elif isinstance(f, GreaterThan):
+            e = col > f.value
+        elif isinstance(f, GreaterThanOrEqual):
+            e = col >= f.value
+        elif isinstance(f, LessThan):
+            e = col < f.value
+        elif isinstance(f, LessThanOrEqual):
+            e = col <= f.value
+        elif isinstance(f, In):
+            e = col.isin(list(f.value))
+        elif isinstance(f, IsNull):
+            e = col.is_null()
+        elif isinstance(f, IsNotNull):
+            e = ~col.is_null()
+        else:  # pragma: no cover
+            continue
+        expr = e if expr is None else expr & e
+    return expr
+
+
+_SUPPORTED = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNull,
+    IsNotNull,
+)
+
+
+class LanceScanReader(DataSourceReader):
+    def __init__(self, root: str, schema: StructType, version: int | None):
+        self.root = root
+        self.schema = schema
+        self.manifest = lf.read_manifest(root, version)
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, _SUPPORTED) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            else:
+                yield f  # Spark keeps evaluating these
+
+    def partitions(self):
+        return [
+            FragmentPartition(self.root, f.file, f.num_rows)
+            for f in self.manifest.fragments
+        ]
+
+    def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
+        columns = self.schema.fieldNames()
+        filter_expr = _to_arrow_filter(self.pushed)
+        table = lf.read_fragment(
+            partition.root,
+            lf.Fragment(-1, partition.file, partition.num_rows),
+            columns=columns or None,
+            filter_expr=filter_expr,
+        )
+        yield from table.to_batches()
+
+
+class LanceArrowWriter(DataSourceArrowWriter):
+    """Per-task fragment writes + driver-side atomic version commit
+    (the reference's create_writer/write_batch/finish protocol,
+    rust/writer.rs)."""
+
+    def __init__(self, root: str, schema: StructType, overwrite: bool):
+        self.root = root
+        self.schema = schema
+        self.overwrite = overwrite
+        os.makedirs(root, exist_ok=True)
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> LanceCommitMessage:
+        import pyarrow as pa
+
+        batches = list(iterator)
+        if not batches:
+            return LanceCommitMessage(file="", num_rows=0)
+        table = pa.Table.from_batches(batches)
+        frag = lf.write_fragment(self.root, table)
+        return LanceCommitMessage(file=frag.file, num_rows=frag.num_rows)
+
+    def commit(self, messages):
+        frags = [
+            lf.Fragment(-1, m.file, m.num_rows)
+            for m in messages
+            if m is not None and m.file
+        ]
+        lf.commit(
+            self.root,
+            self.schema.json(),
+            frags,
+            mode="overwrite" if self.overwrite else "append",
+        )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self.root, m.file))
+                except OSError:
+                    pass
+
+
+class LanceStreamReader(DataSourceStreamReader):
+    """Micro-batch scan: each batch covers fragments appended since
+    the last committed offset (reference's stream scan,
+    rust/lib.rs:148-188, generalized to a resumable offset)."""
+
+    def __init__(self, root: str, schema: StructType):
+        self.root = root
+        self.schema = schema
+
+    def _frags(self) -> list[lf.Fragment]:
+        try:
+            return lf.read_manifest(self.root).fragments
+        except lf.LanceDatasetError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"frag_count": 0}
+
+    def latestOffset(self) -> dict:
+        return {"frag_count": len(self._frags())}
+
+    def partitions(self, start: dict, end: dict):
+        frags = self._frags()[start["frag_count"] : end["frag_count"]]
+        return [
+            FragmentPartition(self.root, f.file, f.num_rows) for f in frags
+        ]
+
+    def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
+        table = lf.read_fragment(
+            partition.root,
+            lf.Fragment(-1, partition.file, partition.num_rows),
+            columns=self.schema.fieldNames() or None,
+        )
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class LanceStreamWriter(DataSourceStreamWriter):
+    """writeStream sink: one fragment per task per epoch, one
+    dataset version committed per epoch."""
+
+    def __init__(self, root: str, schema: StructType):
+        self.root = root
+        self.schema = schema
+        os.makedirs(root, exist_ok=True)
+
+    def write(self, iterator) -> LanceCommitMessage:
+        import pyarrow as pa
+
+        rows = list(iterator)
+        if not rows:
+            return LanceCommitMessage(file="", num_rows=0)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema)
+        cols = {
+            f.name: [r[i] for r in rows]
+            for i, f in enumerate(self.schema.fields)
+        }
+        table = pa.Table.from_pydict(cols, schema=arrow_schema)
+        frag = lf.write_fragment(self.root, table)
+        return LanceCommitMessage(file=frag.file, num_rows=frag.num_rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        frags = [
+            lf.Fragment(-1, m.file, m.num_rows)
+            for m in messages
+            if m is not None and m.file
+        ]
+        lf.commit(self.root, self.schema.json(), frags, mode="append")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self.root, m.file))
+                except OSError:
+                    pass
+
+
+class LanceDataSource(DataSource):
+    """``spark.read.format("lance").option("version", N).load(path)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lance"
+
+    def _root(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise lf.LanceDatasetError("lance: 'path' is required")
+        return path
+
+    def _version(self) -> int | None:
+        v = self.options.get("version")
+        return int(v) if v is not None else None
+
+    def schema(self) -> StructType:
+        manifest = lf.read_manifest(self._root(), self._version())
+        import json
+
+        return StructType.fromJson(json.loads(manifest.schema_json))
+
+    def reader(self, schema: StructType) -> LanceScanReader:
+        return LanceScanReader(self._root(), schema, self._version())
+
+    def writer(self, schema: StructType, overwrite: bool) -> LanceArrowWriter:
+        return LanceArrowWriter(self._root(), schema, overwrite)
+
+    def streamReader(self, schema: StructType) -> LanceStreamReader:
+        return LanceStreamReader(self._root(), schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> LanceStreamWriter:
+        return LanceStreamWriter(self._root(), schema)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the 'lance' format on a session."""
+    registered = getattr(spark, "_lance_duckdb_spark_registered", False)
+    if not registered:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(LanceDataSource)
+        spark._lance_duckdb_spark_registered = True

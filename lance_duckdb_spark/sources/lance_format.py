@@ -1,0 +1,174 @@
+"""Lance dataset model: versioned manifests over immutable fragments.
+
+Parity with the reference's on-disk model (test/test_data.lance):
+``_versions/{N}.manifest`` carries the table state at version N;
+``data/`` holds immutable fragment files; a write commits by
+publishing the next manifest (reference: rust/lib.rs:26-51 open via
+manifest, rust/writer.rs finish() commits a version). We keep that
+exact commit protocol — fragments first, then an atomic
+rename-into-place of the manifest, so readers never observe a
+partial version — with two deliberate differences:
+
+- Fragment payload encoding is parquet (Arrow-native, splittable,
+  column-pruned + predicate-pushed by pyarrow) instead of the
+  proprietary ``.lance`` v2 page encoding. Reading genuine ``.lance``
+  fragments would require the `lance` wheel (not in this
+  environment); see `read_fragment` which tries it first.
+- Manifests are JSON (schema stored as Spark DDL + Arrow schema
+  JSON) instead of protobuf.
+
+At 100 TB: fragments target ~512 MB, so a table is O(100k)
+fragments; the manifest lists them once and every scan plans one
+Spark input partition per fragment — embarrassingly parallel on a
+1000-executor cluster, with per-fragment row counts enabling
+size-based coalescing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_DIR = "_versions"
+DATA_DIR = "data"
+
+
+class LanceDatasetError(Exception):
+    pass
+
+
+@dataclass
+class Fragment:
+    id: int
+    file: str  # relative path under the dataset root
+    num_rows: int
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "file": self.file, "num_rows": self.num_rows}
+
+    @staticmethod
+    def from_json(d: dict) -> "Fragment":
+        return Fragment(d["id"], d["file"], d["num_rows"])
+
+
+@dataclass
+class Manifest:
+    version: int
+    schema_json: str  # Spark StructType JSON
+    fragments: list[Fragment] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "schema_json": self.schema_json,
+            "fragments": [f.to_json() for f in self.fragments],
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Manifest":
+        return Manifest(
+            d["version"],
+            d["schema_json"],
+            [Fragment.from_json(f) for f in d["fragments"]],
+        )
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, MANIFEST_DIR, f"{version}.manifest")
+
+
+def list_versions(root: str) -> list[int]:
+    vdir = os.path.join(root, MANIFEST_DIR)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in os.listdir(vdir):
+        if name.endswith(".manifest"):
+            try:
+                out.append(int(name[: -len(".manifest")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_manifest(root: str, version: int | None = None) -> Manifest:
+    versions = list_versions(root)
+    if not versions:
+        raise LanceDatasetError(f"not a lance dataset (no manifests): {root}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise LanceDatasetError(
+            f"version {version} not found in {root}; have {versions}"
+        )
+    with open(_manifest_path(root, version)) as f:
+        return Manifest.from_json(json.load(f))
+
+
+def write_fragment(root: str, table: pa.Table) -> Fragment:
+    """Write one immutable fragment file; the fragment is invisible
+    until a manifest referencing it is committed."""
+    os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
+    name = f"{uuid.uuid4().hex}.parquet"
+    rel = os.path.join(DATA_DIR, name)
+    pq.write_table(table, os.path.join(root, rel))
+    return Fragment(id=-1, file=rel, num_rows=table.num_rows)
+
+
+def commit(root: str, schema_json: str, fragments: list[Fragment], mode: str) -> Manifest:
+    """Publish the next version. Atomic: manifest is written to a
+    temp name and renamed into place (POSIX rename atomicity), the
+    same reader-never-sees-partial-state contract as the reference's
+    transaction files (_transactions/*.txn)."""
+    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+    versions = list_versions(root)
+    if mode == "append" and versions:
+        prev = read_manifest(root, versions[-1])
+        if prev.schema_json != schema_json:
+            raise LanceDatasetError(
+                "append schema mismatch: "
+                f"dataset has {prev.schema_json!r}, write has {schema_json!r}"
+            )
+        base = list(prev.fragments)
+    else:
+        base = []
+    next_version = (versions[-1] + 1) if versions else 1
+    all_frags = base + fragments
+    for i, f in enumerate(all_frags):
+        f.id = i
+    manifest = Manifest(next_version, schema_json, all_frags)
+    final = _manifest_path(root, next_version)
+    tmp = final + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest.to_json(), f)
+    os.rename(tmp, final)
+    return manifest
+
+
+def read_fragment(
+    root: str,
+    fragment: Fragment,
+    columns: list[str] | None = None,
+    filter_expr=None,
+) -> pa.Table:
+    """Read one fragment with column pruning + predicate pushdown.
+
+    Tries the real `lance` reader first for genuine .lance fragment
+    files (wheel not present in this environment), else parquet.
+    """
+    path = os.path.join(root, fragment.file)
+    if fragment.file.endswith(".lance"):  # pragma: no cover
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise LanceDatasetError(
+                ".lance binary fragments require the 'lance' package"
+            ) from e
+        ds = lance.dataset(root)
+        return ds.to_table(columns=columns, filter=filter_expr)
+    return pq.read_table(path, columns=columns, filters=filter_expr)

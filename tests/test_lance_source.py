@@ -1,0 +1,141 @@
+"""Lance connector tests (SURVEY.md §2.A, §5): roundtrip, schema,
+time travel, append atomicity, pruning/pushdown, error cases —
+mirroring the reference's test/sql/lance.test (scan + error
+handling) plus the versioning semantics its format implies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_duckdb_spark.sources import lance_format as lf
+from lance_duckdb_spark.sources.datasource import register
+from lance_duckdb_spark.tables import load
+
+
+@pytest.fixture()
+def tmp_ds(tmp_path):
+    return str(tmp_path / "ds.lance")
+
+
+def test_roundtrip_and_schema(spark, sf_dir, tmp_ds):
+    register(spark)
+    cust = load(spark, sf_dir, "customer")
+    cust.write.format("lance").mode("overwrite").save(tmp_ds)
+
+    back = spark.read.format("lance").load(tmp_ds)
+    assert back.schema == cust.schema
+    assert back.count() == cust.count()
+    assert sorted(r.c_custkey for r in back.collect()) == sorted(
+        r.c_custkey for r in cust.collect()
+    )
+    # layout parity with the reference dataset model
+    assert os.path.isdir(os.path.join(tmp_ds, "_versions"))
+    assert os.path.isdir(os.path.join(tmp_ds, "data"))
+
+
+def test_append_and_time_travel(spark, sf_dir, tmp_ds):
+    register(spark)
+    orders = load(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    new = orders.where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+    old.write.format("lance").mode("overwrite").save(tmp_ds)
+    new.write.format("lance").mode("append").save(tmp_ds)
+
+    assert lf.list_versions(tmp_ds) == [1, 2]
+    v1 = spark.read.format("lance").option("version", 1).load(tmp_ds)
+    v2 = spark.read.format("lance").load(tmp_ds)
+    assert v1.count() == old.count()
+    assert v2.count() == orders.count()
+
+
+def test_append_schema_mismatch_rejected(spark, sf_dir, tmp_ds):
+    register(spark)
+    load(spark, sf_dir, "customer").write.format("lance").mode("overwrite").save(tmp_ds)
+    with pytest.raises(Exception, match="schema mismatch"):
+        load(spark, sf_dir, "nation").write.format("lance").mode("append").save(
+            tmp_ds
+        )
+    # failed append must not have published a new version
+    assert lf.list_versions(tmp_ds) == [1]
+
+
+def test_missing_dataset_errors(spark, tmp_path):
+    # reference: lance_scan('dummy_path.lance') errors cleanly
+    register(spark)
+    with pytest.raises(Exception, match="not a lance dataset"):
+        spark.read.format("lance").load(str(tmp_path / "nope.lance")).collect()
+
+
+def test_bad_version_errors(spark, sf_dir, tmp_ds):
+    register(spark)
+    load(spark, sf_dir, "nation").write.format("lance").mode("overwrite").save(tmp_ds)
+    with pytest.raises(Exception, match="version 9 not found"):
+        spark.read.format("lance").option("version", 9).load(tmp_ds).collect()
+
+
+def test_filter_pushdown_reaches_reader(spark, sf_dir, tmp_ds):
+    register(spark)
+    load(spark, sf_dir, "customer").write.format("lance").mode("overwrite").save(tmp_ds)
+    df = (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(F.col("c_custkey") < 10)
+        .select("c_custkey", "c_name")
+    )
+    rows = df.collect()
+    assert rows and all(r.c_custkey < 10 for r in rows)
+    # the pushed predicate is consumed by the source: no Filter node
+    # remains above the BatchScan in the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert "BatchScan lance" in plan, plan
+    assert not re.search(r"\bFilter \(", plan), f"filter not pushed:\n{plan}"
+    # a non-pushable predicate must stay in the plan
+    df2 = (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(F.length("c_name") > 3)
+    )
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"\bFilter \(", plan2), plan2
+
+
+def test_fragment_parallelism(spark, sf_dir, tmp_ds):
+    register(spark)
+    cust = load(spark, sf_dir, "customer").repartition(4)
+    cust.write.format("lance").mode("overwrite").save(tmp_ds)
+    manifest = lf.read_manifest(tmp_ds)
+    assert len(manifest.fragments) == 4
+    back = spark.read.format("lance").load(tmp_ds)
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == cust.count()
+
+
+def test_query_over_lance_matches_parquet(spark, sf_dir, tmp_ds):
+    register(spark)
+    li = load(spark, sf_dir, "lineitem")
+    li.write.format("lance").mode("overwrite").save(tmp_ds)
+    lance_li = spark.read.format("lance").load(tmp_ds)
+    for df in (li, lance_li):
+        df.createOrReplaceTempView("li_cmp")
+        spark.catalog.dropTempView("li_cmp")
+    a = (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    b = (
+        lance_li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted((r.l_returnflag, r.n) for r in a) == sorted(
+        (r.l_returnflag, r.n) for r in b
+    )

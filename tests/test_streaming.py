@@ -1,0 +1,124 @@
+"""Streaming tests (SURVEY.md §2.D): lance stream source feeding a
+windowed aggregation must equal the batch twin; the lance stream
+sink appends one version per micro-batch; stateful sessionization
+matches the batch sessionizer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_duckdb_spark.sources import lance_format as lf
+from lance_duckdb_spark.sources.datasource import register
+from lance_duckdb_spark.streaming import jobs
+from lance_duckdb_spark.tables import load
+
+
+@pytest.fixture()
+def events_lance(spark, sf_dir, tmp_path):
+    """events table written into a lance dataset as 3 appended
+    versions (simulating arrival over time)."""
+    register(spark)
+    root = str(tmp_path / "events.lance")
+    ev = load(spark, sf_dir, "events")
+    n = ev.count()
+    b1 = ev.where(F.col("event_id") % 3 == 0)
+    b2 = ev.where(F.col("event_id") % 3 == 1)
+    b3 = ev.where(F.col("event_id") % 3 == 2)
+    b1.write.format("lance").mode("overwrite").save(root)
+    b2.write.format("lance").mode("append").save(root)
+    b3.write.format("lance").mode("append").save(root)
+    assert lf.list_versions(root) == [1, 2, 3]
+    return root, n
+
+
+def test_stream_windowed_counts_equals_batch(spark, sf_dir, events_lance, tmp_path):
+    root, _ = events_lance
+    stream = spark.readStream.format("lance").load(root)
+    agg = jobs.windowed_counts_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    expected_df = (
+        jobs.with_event_time(load(spark, sf_dir, "events"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in expected_df.collect()
+    }
+    assert got == expected
+
+
+def test_lance_stream_sink_appends_versions(spark, sf_dir, events_lance, tmp_path):
+    root, n = events_lance
+    out_root = str(tmp_path / "out.lance")
+    stream = spark.readStream.format("lance").load(root)
+    q = (
+        stream.writeStream.format("lance")
+        .option("path", out_root)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert lf.list_versions(out_root), "sink committed no versions"
+    back = spark.read.format("lance").load(out_root)
+    assert back.count() == n
+
+
+def test_stateful_sessions_match_batch(spark, sf_dir, events_lance, tmp_path):
+    from lance_duckdb_spark.operators.joins import sessionize_events
+
+    root, _ = events_lance
+    stream = spark.readStream.format("lance").load(root)
+    sess = jobs.stateful_sessions_stream(stream)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last update per user is the final state
+    final = (
+        spark.sql(
+            """
+            select user_id, max_by(n_sessions, upd) as n_sessions,
+                   max_by(n_events, upd) as n_events
+            from (select *, monotonically_increasing_id() as upd from sessions)
+            group by user_id
+            """
+        )
+        .collect()
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in final}
+    batch = (
+        sessionize_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_idx").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    )
+    expected = {r.user_id: (r.n_sessions, r.n_events) for r in batch}
+    assert got == expected
