@@ -13,6 +13,7 @@ from .operators import (
     lance_ops,
     multimodal,
     similarity,
+    sql_surface,
     text,
     tpch,
 )
@@ -27,6 +28,7 @@ _MODULES = [
     dedup,
     lance_ops,
     multimodal,
+    sql_surface,
     streaming_jobs,
 ]
 
