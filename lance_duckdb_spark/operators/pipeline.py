@@ -1,0 +1,141 @@
+"""Corpus-curation pipeline operators (SURVEY.md §2.C13-C15):
+deterministic sampling, multi-criteria filtering, and
+keep-best-duplicate resolution — the glue stages between dedup /
+scoring and a final training set.
+
+All deterministic (hash-threshold sampling, explicit tie-breaks),
+all JVM-side, all oracle-checked. At 100 TB each is a linear scan
+or a single keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+SAMPLE_PCT = 20  # per-stratum sample rate (percent)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample per (lang) stratum via md5-hash
+    thresholding — reproducible across engines and runs (no RNG),
+    the property that matters when a 100 TB corpus must be
+    re-materialized identically."""
+    docs = load(spark, sf_dir, "documents")
+    # first 4 hex chars of md5(doc_id) → 16 bits → threshold
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    sampled = docs.where(bucket % 100 < SAMPLE_PCT)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, COUNT(*) AS n_sampled,
+  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+  MIN(doc_id) AS first_doc
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < {SAMPLE_PCT}
+GROUP BY lang
+ORDER BY lang
+"""
+
+MIN_CHARS = 150
+MAX_CHARS = 900
+MIN_WORDS = 30
+
+
+def filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-criteria quality gate with per-rule attrition counts —
+    the observability a curation pipeline needs (how many docs each
+    rule removed), computed in one scan."""
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), " "))
+    too_short = F.col("n_chars") < MIN_CHARS
+    too_long = F.col("n_chars") > MAX_CHARS
+    too_few_words = n_words < MIN_WORDS
+    passed = ~too_short & ~too_long & ~too_few_words
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(too_short.cast("int")).cast("long").alias("n_too_short"),
+            F.sum(too_long.cast("int")).cast("long").alias("n_too_long"),
+            F.sum(too_few_words.cast("int")).cast("long").alias("n_too_few_words"),
+            F.sum(passed.cast("int")).cast("long").alias("n_passed"),
+        )
+        .orderBy("source")
+    )
+
+
+FILTER_PIPELINE_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN n_chars < {MIN_CHARS} THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+  CAST(SUM(CASE WHEN n_chars > {MAX_CHARS} THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+  CAST(SUM(CASE WHEN len(string_split(trim(text), ' ')) < {MIN_WORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_too_few_words,
+  CAST(SUM(CASE WHEN n_chars >= {MIN_CHARS} AND n_chars <= {MAX_CHARS}
+              AND len(string_split(trim(text), ' ')) >= {MIN_WORDS}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: cluster by normalized-text
+    fingerprint, keep the 'best' doc per cluster (longest, then
+    lowest doc_id) — the canonical argmax-per-group pattern, one
+    shuffle on the fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "))
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.withColumn("fp", fp).withColumn("rnk", F.row_number().over(w))
+    kept = ranked.where(F.col("rnk") == 1)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.min("doc_id").alias("first_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept,
+  CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+  MIN(doc_id) AS first_kept
+FROM ranked WHERE rnk = 1
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = {
+    "stratified_sample": stratified_sample,
+    "filter_pipeline": filter_pipeline,
+    "dedup_keep_best": dedup_keep_best,
+}
+
+ORACLE = {
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "filter_pipeline": FILTER_PIPELINE_SQL,
+    "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+}

@@ -12,6 +12,7 @@ from .operators import (
     joins,
     lance_ops,
     multimodal,
+    pipeline,
     similarity,
     sql_surface,
     text,
@@ -28,6 +29,7 @@ _MODULES = [
     dedup,
     lance_ops,
     multimodal,
+    pipeline,
     sql_surface,
     streaming_jobs,
 ]

@@ -50,7 +50,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     exact_set = {(r.probe_id, r.neighbor_id) for r in exact}
     approx_set = {(r.probe_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.5, f"ann_ivf recall {recall}"
+    assert recall >= 0.9, f"ann_ivf recall {recall}"
 
 
 def test_simhash_pairs_are_near_dups(spark, sf_dir):
