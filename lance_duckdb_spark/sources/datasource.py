@@ -260,7 +260,15 @@ class LanceStreamWriter(DataSourceStreamWriter):
             for m in messages
             if m is not None and m.file
         ]
-        lf.commit(self.root, self.schema.json(), frags, mode="append")
+        # idempotent under checkpoint replay: a re-committed epoch is
+        # dropped, so restarts cannot double-append
+        lf.commit(
+            self.root,
+            self.schema.json(),
+            frags,
+            mode="append",
+            stream_batch_id=batchId,
+        )
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -61,12 +61,16 @@ class Manifest:
     version: int
     schema_json: str  # Spark StructType JSON
     fragments: list[Fragment] = field(default_factory=list)
+    # highest streaming epoch committed into this dataset; makes the
+    # stream sink's commit idempotent under micro-batch replay
+    stream_batch_id: int | None = None
 
     def to_json(self) -> dict:
         return {
             "version": self.version,
             "schema_json": self.schema_json,
             "fragments": [f.to_json() for f in self.fragments],
+            "stream_batch_id": self.stream_batch_id,
         }
 
     @staticmethod
@@ -75,6 +79,7 @@ class Manifest:
             d["version"],
             d["schema_json"],
             [Fragment.from_json(f) for f in d["fragments"]],
+            d.get("stream_batch_id"),
         )
 
 
@@ -120,15 +125,38 @@ def write_fragment(root: str, table: pa.Table) -> Fragment:
     return Fragment(id=-1, file=rel, num_rows=table.num_rows)
 
 
-def commit(root: str, schema_json: str, fragments: list[Fragment], mode: str) -> Manifest:
+def commit(
+    root: str,
+    schema_json: str,
+    fragments: list[Fragment],
+    mode: str,
+    stream_batch_id: int | None = None,
+) -> Manifest:
     """Publish the next version. Atomic: manifest is written to a
     temp name and renamed into place (POSIX rename atomicity), the
     same reader-never-sees-partial-state contract as the reference's
-    transaction files (_transactions/*.txn)."""
+    transaction files (_transactions/*.txn).
+
+    ``stream_batch_id``: for streaming-sink commits — if the dataset
+    already committed this epoch (checkpoint replay after restart),
+    the commit is a no-op and the replayed fragments are dropped, so
+    the sink is effectively exactly-once."""
     os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
     versions = list_versions(root)
-    if mode == "append" and versions:
-        prev = read_manifest(root, versions[-1])
+    prev = read_manifest(root, versions[-1]) if versions else None
+    if (
+        stream_batch_id is not None
+        and prev is not None
+        and prev.stream_batch_id is not None
+        and stream_batch_id <= prev.stream_batch_id
+    ):
+        for f in fragments:  # drop the replayed duplicates
+            try:
+                os.remove(os.path.join(root, f.file))
+            except OSError:
+                pass
+        return prev
+    if mode == "append" and prev is not None:
         if prev.schema_json != schema_json:
             raise LanceDatasetError(
                 "append schema mismatch: "
@@ -141,7 +169,7 @@ def commit(root: str, schema_json: str, fragments: list[Fragment], mode: str) ->
     all_frags = base + fragments
     for i, f in enumerate(all_frags):
         f.id = i
-    manifest = Manifest(next_version, schema_json, all_frags)
+    manifest = Manifest(next_version, schema_json, all_frags, stream_batch_id)
     final = _manifest_path(root, next_version)
     tmp = final + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:

@@ -122,3 +122,43 @@ def test_stateful_sessions_match_batch(spark, sf_dir, events_lance, tmp_path):
     )
     expected = {r.user_id: (r.n_sessions, r.n_events) for r in batch}
     assert got == expected
+
+
+def test_stream_sink_restart_is_exactly_once(spark, sf_dir, events_lance, tmp_path):
+    """Re-running the stream with the same checkpoint must not
+    double-append (commit is idempotent per batchId)."""
+    root, n = events_lance
+    out_root = str(tmp_path / "out2.lance")
+    ckpt = str(tmp_path / "ckpt_restart")
+    for _ in range(2):  # second start replays from the checkpoint
+        q = (
+            spark.readStream.format("lance")
+            .load(root)
+            .writeStream.format("lance")
+            .option("path", out_root)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    back = spark.read.format("lance").load(out_root)
+    assert back.count() == n, "restart duplicated rows"
+
+
+def test_stream_sink_direct_replay_commit_is_noop(spark, sf_dir, tmp_path):
+    """Unit-level: committing the same batchId twice keeps one
+    version and removes the replayed fragments."""
+    import pyarrow as pa
+
+    from lance_duckdb_spark.sources import lance_format as lf2
+
+    root = str(tmp_path / "replay.lance")
+    schema_json = '{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}'
+    t = pa.table({"x": [1, 2, 3]})
+    f1 = lf2.write_fragment(root, t)
+    lf2.commit(root, schema_json, [f1], "append", stream_batch_id=0)
+    f2 = lf2.write_fragment(root, t)
+    m = lf2.commit(root, schema_json, [f2], "append", stream_batch_id=0)
+    assert m.version == 1
+    assert lf2.list_versions(root) == [1]
+    assert len(lf2.read_manifest(root).fragments) == 1
