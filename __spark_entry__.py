@@ -9,11 +9,19 @@ their registries.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lance_duckdb_spark.registry import ORACLE_REGISTRY, QUERY_REGISTRY
+# the driver may import this file from any cwd — make the package
+# resolvable relative to this file
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from lance_duckdb_spark.registry import ORACLE_REGISTRY, QUERY_REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

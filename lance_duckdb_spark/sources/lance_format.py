@@ -169,6 +169,10 @@ def commit(
     all_frags = base + fragments
     for i, f in enumerate(all_frags):
         f.id = i
+    # a batch append must not reset the streaming epoch high-water
+    # mark — preserve it unless this commit advances it
+    if stream_batch_id is None and mode == "append" and prev is not None:
+        stream_batch_id = prev.stream_batch_id
     manifest = Manifest(next_version, schema_json, all_frags, stream_batch_id)
     final = _manifest_path(root, next_version)
     tmp = final + f".tmp.{uuid.uuid4().hex}"
@@ -200,3 +204,27 @@ def read_fragment(
         ds = lance.dataset(root)
         return ds.to_table(columns=columns, filter=filter_expr)
     return pq.read_table(path, columns=columns, filters=filter_expr)
+
+
+def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
+    """Fragment compaction: rewrite small fragments into ~target_rows
+    fragments and commit the result as a NEW version — data is
+    unchanged, old versions still time-travelable (the maintenance
+    operation Lance calls optimize/compact_files). At 100 TB this
+    runs as a distributed job per fragment group; here the driver
+    loop is fine for the manifest sizes tests use."""
+    manifest = read_manifest(root)
+    small = [f for f in manifest.fragments if f.num_rows < target_rows]
+    if len(small) <= 1:
+        return manifest
+    keep = [f for f in manifest.fragments if f.num_rows >= target_rows]
+    tables, new_frags, batch_rows = [], [], 0
+    for f in small:
+        tables.append(read_fragment(root, f))
+        batch_rows += f.num_rows
+        if batch_rows >= target_rows:
+            new_frags.append(write_fragment(root, pa.concat_tables(tables)))
+            tables, batch_rows = [], 0
+    if tables:
+        new_frags.append(write_fragment(root, pa.concat_tables(tables)))
+    return commit(root, manifest.schema_json, keep + new_frags, mode="overwrite")

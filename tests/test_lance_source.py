@@ -139,3 +139,21 @@ def test_query_over_lance_matches_parquet(spark, sf_dir, tmp_ds):
     assert sorted((r.l_returnflag, r.n) for r in a) == sorted(
         (r.l_returnflag, r.n) for r in b
     )
+
+
+def test_compaction_preserves_data_and_versions(spark, sf_dir, tmp_ds):
+    register(spark)
+    li = load(spark, sf_dir, "lineitem").repartition(8)
+    li.write.format("lance").mode("overwrite").save(tmp_ds)
+    assert len(lf.read_manifest(tmp_ds).fragments) == 8
+    before = spark.read.format("lance").load(tmp_ds).count()
+
+    lf.compact(tmp_ds, target_rows=10**9)  # everything into one
+    m = lf.read_manifest(tmp_ds)
+    assert m.version == 2
+    assert len(m.fragments) == 1
+    after_df = spark.read.format("lance").load(tmp_ds)
+    assert after_df.count() == before
+    # old version still readable (time travel across compaction)
+    v1 = spark.read.format("lance").option("version", 1).load(tmp_ds)
+    assert v1.count() == before
