@@ -157,3 +157,36 @@ def test_compaction_preserves_data_and_versions(spark, sf_dir, tmp_ds):
     # old version still readable (time travel across compaction)
     v1 = spark.read.format("lance").option("version", 1).load(tmp_ds)
     assert v1.count() == before
+
+
+def test_type_fidelity_roundtrip(spark, tmp_ds):
+    """Type-map parity with the reference (rust/types.rs:3-48):
+    every type the reference round-trips — bool, int8..64, float32/
+    float64, string, binary, date, timestamp, decimal128, list,
+    struct — must survive lance write->read with schema intact."""
+    import datetime
+    from decimal import Decimal
+
+    register(spark)
+    df = spark.createDataFrame(
+        [
+            (
+                True, 1, 2, 3, 4, 1.5, 2.5, "s", bytearray(b"\x01\x02"),
+                datetime.date(2024, 1, 2),
+                datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+                Decimal("12345.67"),
+                [1.0, 2.0],
+                {"a": 7, "b": "x"},
+            )
+        ],
+        schema=(
+            "b boolean, i8 tinyint, i16 smallint, i32 int, i64 bigint, "
+            "f float, d double, s string, bin binary, dt date, "
+            "ts timestamp_ntz, dec decimal(18,2), lst array<double>, "
+            "st struct<a:int,b:string>"
+        ),
+    )
+    df.write.format("lance").mode("overwrite").save(tmp_ds)
+    back = spark.read.format("lance").load(tmp_ds)
+    assert back.schema == df.schema
+    assert back.collect() == df.collect()
