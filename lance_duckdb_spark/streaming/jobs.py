@@ -146,10 +146,63 @@ def stateful_sessions_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE gap-session operator (F.session_window) — the
+    built-in expression of what joins.sessionize_events does with
+    window functions. Session bounds are emitted as integer µs
+    (unix_micros is timezone-independent) so the DuckDB oracle can
+    reproduce them exactly: start = min(ts), end = max(ts) + gap.
+
+    In streaming this same groupBy(session_window(...)) is
+    incrementally maintained with watermark-based state eviction —
+    the batch/stream unification is the point of using the native
+    operator."""
+    ev = with_event_time(load(spark, sf_dir, "events"))
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+SESSION_WINDOW_NATIVE_SQL = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+)
+SELECT user_id, MIN(ts_us) AS start_us,
+       MAX(ts_us) + 1800000000 AS end_us,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, session_idx
+ORDER BY user_id, start_us
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": batch_windowed_counts,
+    "session_window_native": session_window_native,
 }
 
 ORACLE = {
     "stream_windowed_counts": BATCH_WINDOWED_COUNTS_SQL,
+    "session_window_native": SESSION_WINDOW_NATIVE_SQL,
 }

@@ -87,3 +87,34 @@ def test_no_collect_in_fact_queries(spark, sf_dir):
     QUERY_REGISTRY["dedup_minhash_lsh"](spark, sf_dir)  # reads 1 table
     after = tracker.getJobIdsForGroup(None)
     assert len(after) - len(before) <= 2, "operator construction ran Spark jobs"
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """§6: bucketing both fact tables on the join key pre-partitions
+    the data so the join needs NO Exchange — the co-located-join
+    strategy for repeated fact-fact joins at scale."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
