@@ -10,27 +10,26 @@ import re
 from pyspark.sql import functions as F
 
 from lance_duckdb_spark.operators import dedup, joins, tpch
+from lance_duckdb_spark.plans.checks import (
+    assert_no_quadratic_join,
+    executed_plan as _plan,
+    pushed_filters,
+    read_schema,
+)
 from lance_duckdb_spark.tables import load
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
 def test_q6_filter_pushdown_reaches_parquet(spark, sf_dir):
-    plan = _plan(tpch.tpch_q6(spark, sf_dir))
-    assert "PushedFilters:" in plan
-    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    pushed = pushed_filters(tpch.tpch_q6(spark, sf_dir))
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
 
 
 def test_q6_column_pruning(spark, sf_dir):
-    plan = _plan(tpch.tpch_q6(spark, sf_dir))
-    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    rs = read_schema(tpch.tpch_q6(spark, sf_dir))
     # only the four needed columns are read from an 11-column table
-    assert "l_extendedprice" in read_schema
-    assert "l_returnflag" not in read_schema
-    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in rs
+    assert "l_returnflag" not in rs
+    assert "l_orderkey" not in rs
 
 
 def test_dim_joins_are_broadcast(spark, sf_dir):
@@ -60,9 +59,7 @@ def test_q1_wholestage_codegen(spark, sf_dir):
 def test_asof_join_single_shuffle(spark, sf_dir):
     # the asof implementation must shuffle on user_id exactly once
     # (union + one window), never a nested-loop join
-    plan = _plan(joins.asof_join_events_orders(spark, sf_dir))
-    assert "NestedLoop" not in plan
-    assert "CartesianProduct" not in plan
+    assert_no_quadratic_join(joins.asof_join_events_orders(spark, sf_dir))
 
 
 def test_minhash_band_join_is_equijoin(spark, sf_dir):
