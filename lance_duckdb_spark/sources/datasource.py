@@ -112,6 +112,16 @@ _SUPPORTED = (
 
 
 class LanceScanReader(DataSourceReader):
+    """NOTE (Spark 4.1 Python-DS limitation): Spark plans a python
+    data source scan lazily ONCE per relation node and caches the
+    resulting partitions+read function — so a single ``load()``ed
+    DataFrame reused across actions with *different* filters will
+    replay the first action's pushed filters. Always take a fresh
+    ``spark.read.format("lance").load(path)`` per logical query (all
+    our operators do; regression-tested in
+    tests/test_lance_source.py::test_fresh_load_per_query_pattern).
+    """
+
     def __init__(self, root: str, schema: StructType, version: int | None):
         self.root = root
         self.schema = schema
@@ -119,10 +129,16 @@ class LanceScanReader(DataSourceReader):
         self.pushed: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        # assign, never append: Spark may reuse this reader across
+        # plannings of DataFrames derived from one load(); appending
+        # would accumulate filters from earlier queries
+        self.pushed = [
+            f
+            for f in filters
+            if isinstance(f, _SUPPORTED) and len(f.attribute) == 1
+        ]
         for f in filters:
-            if isinstance(f, _SUPPORTED) and len(f.attribute) == 1:
-                self.pushed.append(f)
-            else:
+            if not (isinstance(f, _SUPPORTED) and len(f.attribute) == 1):
                 yield f  # Spark keeps evaluating these
 
     def partitions(self):

@@ -228,3 +228,25 @@ def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
     if tables:
         new_frags.append(write_fragment(root, pa.concat_tables(tables)))
     return commit(root, manifest.schema_json, keep + new_frags, mode="overwrite")
+
+
+def delete_where(root: str, predicate) -> Manifest:
+    """Row deletion: rewrite each fragment without the rows matching
+    ``predicate`` (a pyarrow.compute expression) and commit a new
+    version — old versions remain time-travelable. The Lance format
+    proper uses deletion vectors to avoid the rewrite; rewriting is
+    the semantically-equivalent portable choice, and at 100 TB it
+    distributes as one task per affected fragment (untouched
+    fragments are carried over by reference, zero IO)."""
+    import pyarrow.compute as pc
+
+    manifest = read_manifest(root)
+    new_frags: list[Fragment] = []
+    for f in manifest.fragments:
+        table = read_fragment(root, f)
+        kept = table.filter(~predicate if not isinstance(predicate, bool) else pc.scalar(not predicate))
+        if kept.num_rows == f.num_rows:
+            new_frags.append(f)  # untouched: carry over by reference
+        elif kept.num_rows > 0:
+            new_frags.append(write_fragment(root, kept))
+    return commit(root, manifest.schema_json, new_frags, mode="overwrite")

@@ -190,3 +190,57 @@ def test_type_fidelity_roundtrip(spark, tmp_ds):
     back = spark.read.format("lance").load(tmp_ds)
     assert back.schema == df.schema
     assert back.collect() == df.collect()
+
+
+def test_delete_where(spark, sf_dir, tmp_ds):
+    import pyarrow.compute as pc
+
+    register(spark)
+    load(spark, sf_dir, "nation").write.format("lance").mode("overwrite").save(tmp_ds)
+    lf.delete_where(tmp_ds, pc.field("n_regionkey") == 0)
+
+    def fresh():  # see LanceScanReader docstring: fresh load per query
+        return spark.read.format("lance").load(tmp_ds)
+
+    assert fresh().where(F.col("n_regionkey") == 0).count() == 0
+    assert fresh().count() == 20  # 25 nations, 5 per region
+    # pre-delete version still intact
+    v1 = spark.read.format("lance").option("version", 1).load(tmp_ds)
+    assert v1.count() == 25
+
+
+def test_fresh_load_per_query_pattern(spark, sf_dir, tmp_ds):
+    """Documents the Spark 4.1 python-datasource planning-cache
+    limitation: a reused DataFrame replays the first action's pushed
+    filters. Fresh load() per query is the supported pattern. If
+    this test ever FAILS on the first assertion, upstream fixed the
+    caching and the docstring/note can be dropped."""
+    register(spark)
+    load(spark, sf_dir, "nation").write.format("lance").mode("overwrite").save(tmp_ds)
+    shared = spark.read.format("lance").load(tmp_ds)
+    assert shared.where(F.col("n_regionkey") == 0).count() == 5
+    assert shared.count() == 5  # <- stale pushdown; upstream behavior
+    assert spark.read.format("lance").load(tmp_ds).count() == 25  # fresh is correct
+
+
+def test_upsert_replaces_and_appends(spark, sf_dir, tmp_ds):
+    from lance_duckdb_spark.sources.maintenance import upsert
+
+    register(spark)
+    nation = load(spark, sf_dir, "nation")
+    nation.write.format("lance").mode("overwrite").save(tmp_ds)
+    updates = spark.createDataFrame(
+        [(0, "NATION_0_RENAMED", 9), (99, "NATION_99_NEW", 9)],
+        schema=nation.schema,
+    )
+    upsert(spark, tmp_ds, updates, key="n_nationkey")
+    back = spark.read.format("lance").load(tmp_ds)
+    assert back.count() == 26
+    got = {r.n_nationkey: r.n_name for r in back.collect()}
+    assert got[0] == "NATION_0_RENAMED"
+    assert got[99] == "NATION_99_NEW"
+    assert got[1] == "NATION_1"
+    # single new version, and the old state is one version back
+    assert lf.list_versions(tmp_ds)[-1] == 2
+    v1 = spark.read.format("lance").option("version", 1).load(tmp_ds)
+    assert v1.count() == 25
