@@ -17,11 +17,13 @@ from .operators import (
     sql_surface,
     text,
     tpch,
+    tpch2,
 )
 from .streaming import jobs as streaming_jobs
 
 _MODULES = [
     tpch,
+    tpch2,
     analytics,
     joins,
     text,
