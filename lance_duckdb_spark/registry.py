@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from .operators import (
     analytics,
+    behavior,
     dedup,
     joins,
     lance_ops,
@@ -25,6 +26,7 @@ _MODULES = [
     tpch,
     tpch2,
     analytics,
+    behavior,
     joins,
     text,
     similarity,
