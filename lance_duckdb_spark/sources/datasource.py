@@ -164,10 +164,17 @@ class LanceArrowWriter(DataSourceArrowWriter):
     (the reference's create_writer/write_batch/finish protocol,
     rust/writer.rs)."""
 
-    def __init__(self, root: str, schema: StructType, overwrite: bool):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        overwrite: bool,
+        compression: str = "snappy",
+    ):
         self.root = root
         self.schema = schema
         self.overwrite = overwrite
+        self.compression = compression
         os.makedirs(root, exist_ok=True)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> LanceCommitMessage:
@@ -177,7 +184,7 @@ class LanceArrowWriter(DataSourceArrowWriter):
         if not batches:
             return LanceCommitMessage(file="", num_rows=0)
         table = pa.Table.from_batches(batches)
-        frag = lf.write_fragment(self.root, table)
+        frag = lf.write_fragment(self.root, table, compression=self.compression)
         return LanceCommitMessage(file=frag.file, num_rows=frag.num_rows)
 
     def commit(self, messages):
@@ -322,7 +329,13 @@ class LanceDataSource(DataSource):
         return LanceScanReader(self._root(), schema, self._version())
 
     def writer(self, schema: StructType, overwrite: bool) -> LanceArrowWriter:
-        return LanceArrowWriter(self._root(), schema, overwrite)
+        # .option("compression", "zstd"|"snappy"|"gzip"|"none")
+        return LanceArrowWriter(
+            self._root(),
+            schema,
+            overwrite,
+            compression=self.options.get("compression", "snappy"),
+        )
 
     def streamReader(self, schema: StructType) -> LanceStreamReader:
         return LanceStreamReader(self._root(), schema)

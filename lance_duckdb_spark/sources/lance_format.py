@@ -115,13 +115,15 @@ def read_manifest(root: str, version: int | None = None) -> Manifest:
         return Manifest.from_json(json.load(f))
 
 
-def write_fragment(root: str, table: pa.Table) -> Fragment:
+def write_fragment(
+    root: str, table: pa.Table, compression: str = "snappy"
+) -> Fragment:
     """Write one immutable fragment file; the fragment is invisible
     until a manifest referencing it is committed."""
     os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
     name = f"{uuid.uuid4().hex}.parquet"
     rel = os.path.join(DATA_DIR, name)
-    pq.write_table(table, os.path.join(root, rel))
+    pq.write_table(table, os.path.join(root, rel), compression=compression)
     return Fragment(id=-1, file=rel, num_rows=table.num_rows)
 
 

@@ -244,3 +244,21 @@ def test_upsert_replaces_and_appends(spark, sf_dir, tmp_ds):
     assert lf.list_versions(tmp_ds)[-1] == 2
     v1 = spark.read.format("lance").option("version", 1).load(tmp_ds)
     assert v1.count() == 25
+
+
+def test_compression_option(spark, sf_dir, tmp_path):
+    register(spark)
+    li = load(spark, sf_dir, "lineitem")
+    roots = {}
+    for comp in ("none", "zstd"):
+        root = str(tmp_path / f"{comp}.lance")
+        li.write.format("lance").option("compression", comp).mode(
+            "overwrite"
+        ).save(root)
+        size = sum(
+            os.path.getsize(os.path.join(root, "data", f))
+            for f in os.listdir(os.path.join(root, "data"))
+        )
+        roots[comp] = (root, size)
+        assert spark.read.format("lance").load(root).count() == li.count()
+    assert roots["zstd"][1] < roots["none"][1]
