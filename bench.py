@@ -39,6 +39,12 @@ HEADLINE = [
     # join family
     "asof_join_events_orders",
     "sessionize_events",
+    "tpch_q7",
+    "tpch_q13",
+    # events analytics
+    "cohort_retention",
+    "funnel_steps",
+    "stream_windowed_counts",
     # training-data pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -46,6 +52,8 @@ HEADLINE = [
     "embedding_neardup",
     "ann_topk_bruteforce",
     "token_count",
+    "lang_id",
+    "quality_score",
     # connector (includes write+read roundtrip)
     "lance_roundtrip",
 ]

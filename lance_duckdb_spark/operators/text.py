@@ -190,11 +190,64 @@ ORDER BY doc_id
 """
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — a cheap
+    perplexity proxy for quality filtering (low-entropy docs are
+    repetitive/boilerplate). Rounded to 6 (log arithmetic is not
+    order-exact across engines)."""
+    docs = load(spark, sf_dir, "documents")
+    chars = F.explode(
+        F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+    ).alias("c")
+    counts = (
+        docs.select("doc_id", "source", chars)
+        .groupBy("doc_id", "source", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("doc_id", "source").agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total")
+    per_doc = (
+        counts.join(totals, ["doc_id", "source"])
+        .groupBy("doc_id", "source")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.round(F.min("entropy"), 6).alias("min_entropy"),
+            F.round(F.max("entropy"), 6).alias("max_entropy"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(text) + 1),
+                               i -> substr(text, i, 1))) AS c
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source, ROUND(entropy(c), 6) AS e
+  FROM chars GROUP BY doc_id, source
+)
+SELECT source, ROUND(MIN(e), 6) AS min_entropy,
+       ROUND(MAX(e), 6) AS max_entropy,
+       COUNT(*) AS n_docs
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "char_entropy": char_entropy,
 }
 
 ORACLE = {
@@ -202,4 +255,5 @@ ORACLE = {
     "quality_score": QUALITY_SCORE_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "char_entropy": CHAR_ENTROPY_SQL,
 }
