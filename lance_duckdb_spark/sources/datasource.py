@@ -66,6 +66,7 @@ class FragmentPartition(InputPartition):
 class LanceCommitMessage(WriterCommitMessage):
     file: str
     num_rows: int
+    stats: dict | None = None
 
 
 def _to_arrow_filter(filters: list[Filter]):
@@ -111,6 +112,34 @@ _SUPPORTED = (
 )
 
 
+def _fragment_may_match(fragment, pushed: list[Filter]) -> bool:
+    """Zone-map check: False only when a pushed filter provably
+    excludes every row of the fragment. Conservative: unknown
+    columns/stats/types keep the fragment."""
+    stats = fragment.stats or {}
+    for f in pushed:
+        rng = stats.get(f.attribute[0]) if f.attribute else None
+        if not rng:
+            continue
+        mn, mx = rng
+        try:
+            if isinstance(f, EqualTo) and (f.value < mn or f.value > mx):
+                return False
+            if isinstance(f, GreaterThan) and mx <= f.value:
+                return False
+            if isinstance(f, GreaterThanOrEqual) and mx < f.value:
+                return False
+            if isinstance(f, LessThan) and mn >= f.value:
+                return False
+            if isinstance(f, LessThanOrEqual) and mn > f.value:
+                return False
+            if isinstance(f, In) and all(v < mn or v > mx for v in f.value):
+                return False
+        except TypeError:
+            continue  # incomparable types (e.g. timestamp vs str): keep
+    return True
+
+
 class LanceScanReader(DataSourceReader):
     """NOTE (Spark 4.1 Python-DS limitation): Spark plans a python
     data source scan lazily ONCE per relation node and caches the
@@ -142,12 +171,25 @@ class LanceScanReader(DataSourceReader):
                 yield f  # Spark keeps evaluating these
 
     def partitions(self):
-        return [
-            FragmentPartition(self.root, f.file, f.num_rows)
+        # fragment-level data skipping: drop fragments whose zone map
+        # ([min,max] per column, recorded at write time) proves the
+        # pushed filters can never match — at 100 TB this turns a
+        # range query over a sorted/partitioned table into a scan of
+        # only the overlapping fragments, before any IO is issued.
+        kept = [
+            f
             for f in self.manifest.fragments
+            if _fragment_may_match(f, self.pushed)
         ]
+        if not kept:
+            # everything pruned: one sentinel empty partition (Spark
+            # calls read(None) if the partition list is empty)
+            return [FragmentPartition(self.root, "", 0)]
+        return [FragmentPartition(self.root, f.file, f.num_rows) for f in kept]
 
     def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
+        if not partition.file:  # sentinel: all fragments pruned
+            return
         columns = self.schema.fieldNames()
         filter_expr = _to_arrow_filter(self.pushed)
         table = lf.read_fragment(
@@ -185,11 +227,13 @@ class LanceArrowWriter(DataSourceArrowWriter):
             return LanceCommitMessage(file="", num_rows=0)
         table = pa.Table.from_batches(batches)
         frag = lf.write_fragment(self.root, table, compression=self.compression)
-        return LanceCommitMessage(file=frag.file, num_rows=frag.num_rows)
+        return LanceCommitMessage(
+            file=frag.file, num_rows=frag.num_rows, stats=frag.stats
+        )
 
     def commit(self, messages):
         frags = [
-            lf.Fragment(-1, m.file, m.num_rows)
+            lf.Fragment(-1, m.file, m.num_rows, getattr(m, "stats", None))
             for m in messages
             if m is not None and m.file
         ]
@@ -275,11 +319,13 @@ class LanceStreamWriter(DataSourceStreamWriter):
         }
         table = pa.Table.from_pydict(cols, schema=arrow_schema)
         frag = lf.write_fragment(self.root, table)
-        return LanceCommitMessage(file=frag.file, num_rows=frag.num_rows)
+        return LanceCommitMessage(
+            file=frag.file, num_rows=frag.num_rows, stats=frag.stats
+        )
 
     def commit(self, messages, batchId: int) -> None:
         frags = [
-            lf.Fragment(-1, m.file, m.num_rows)
+            lf.Fragment(-1, m.file, m.num_rows, getattr(m, "stats", None))
             for m in messages
             if m is not None and m.file
         ]

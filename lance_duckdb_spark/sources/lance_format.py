@@ -47,13 +47,23 @@ class Fragment:
     id: int
     file: str  # relative path under the dataset root
     num_rows: int
+    # zone map: {col: [min, max]} for primitive columns, computed at
+    # write time from the arrow data — lets the scan planner drop
+    # whole fragments against pushed range/equality filters before
+    # any IO. JSON-safe values only (numbers/strings/bools).
+    stats: dict | None = None
 
     def to_json(self) -> dict:
-        return {"id": self.id, "file": self.file, "num_rows": self.num_rows}
+        return {
+            "id": self.id,
+            "file": self.file,
+            "num_rows": self.num_rows,
+            "stats": self.stats,
+        }
 
     @staticmethod
     def from_json(d: dict) -> "Fragment":
-        return Fragment(d["id"], d["file"], d["num_rows"])
+        return Fragment(d["id"], d["file"], d["num_rows"], d.get("stats"))
 
 
 @dataclass
@@ -115,6 +125,37 @@ def read_manifest(root: str, version: int | None = None) -> Manifest:
         return Manifest.from_json(json.load(f))
 
 
+def _json_safe(v):
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return None  # timestamps/decimals etc: skip from zone map
+
+
+def _column_stats(table: pa.Table) -> dict:
+    """Per-column [min, max] zone map for primitive columns."""
+    import pyarrow.compute as pc
+    import pyarrow.types as pat
+
+    stats: dict = {}
+    for field in table.schema:
+        t = field.type
+        if not (
+            pat.is_integer(t)
+            or pat.is_floating(t)
+            or pat.is_string(t)
+            or pat.is_boolean(t)
+        ):
+            continue
+        col = table.column(field.name)
+        if col.null_count == len(col):
+            continue
+        mn = _json_safe(pc.min(col).as_py())
+        mx = _json_safe(pc.max(col).as_py())
+        if mn is not None and mx is not None:
+            stats[field.name] = [mn, mx]
+    return stats
+
+
 def write_fragment(
     root: str, table: pa.Table, compression: str = "snappy"
 ) -> Fragment:
@@ -124,7 +165,9 @@ def write_fragment(
     name = f"{uuid.uuid4().hex}.parquet"
     rel = os.path.join(DATA_DIR, name)
     pq.write_table(table, os.path.join(root, rel), compression=compression)
-    return Fragment(id=-1, file=rel, num_rows=table.num_rows)
+    return Fragment(
+        id=-1, file=rel, num_rows=table.num_rows, stats=_column_stats(table)
+    )
 
 
 def commit(

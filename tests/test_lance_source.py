@@ -262,3 +262,47 @@ def test_compression_option(spark, sf_dir, tmp_path):
         roots[comp] = (root, size)
         assert spark.read.format("lance").load(root).count() == li.count()
     assert roots["zstd"][1] < roots["none"][1]
+
+
+def test_zone_map_fragment_skipping(spark, sf_dir, tmp_ds):
+    """Range filters on a range-partitioned write must scan only the
+    overlapping fragments (manifest-level data skipping, no IO for
+    the rest)."""
+    register(spark)
+    li = load(spark, sf_dir, "lineitem").repartitionByRange(8, "l_orderkey")
+    li.write.format("lance").mode("overwrite").save(tmp_ds)
+    m = lf.read_manifest(tmp_ds)
+    assert len(m.fragments) == 8
+    assert all(f.stats and "l_orderkey" in f.stats for f in m.fragments)
+
+    lo, hi = 10, 50  # narrow key range -> 1-2 fragments
+    df = (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
+    )
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts <= 2, f"zone map did not skip fragments: {n_parts} partitions"
+    expected = (
+        load(spark, sf_dir, "lineitem")
+        .where((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") <= hi))
+        .count()
+    )
+    assert df.count() == expected
+
+
+def test_zone_map_string_equality_skipping(spark, sf_dir, tmp_ds):
+    register(spark)
+    li = load(spark, sf_dir, "lineitem").repartitionByRange(3, "l_returnflag")
+    li.write.format("lance").mode("overwrite").save(tmp_ds)
+    df = (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(F.col("l_returnflag") == "R")
+    )
+    total_frags = len(lf.read_manifest(tmp_ds).fragments)
+    assert df.rdd.getNumPartitions() < total_frags
+    expected = (
+        load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").count()
+    )
+    assert df.count() == expected
