@@ -61,7 +61,15 @@ def charge_dec() -> Column:
     return revenue_dec() * rate(F.lit(1) + F.col("l_tax"))
 
 
+def text_fingerprint(col: Column | str = "text") -> Column:
+    """Normalized-text md5: case-folded, whitespace-collapsed — the
+    ONE cluster identity shared by dedup_exact, dedup_keep_best and
+    doc_fingerprint (keep in lockstep with SQL_FINGERPRINT)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(_c(col))), "\\s+", " "))
+
+
 # Oracle-side building blocks (keep in lockstep with the helpers
 # above; both sides must do the identical decimal arithmetic).
 SQL_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
 SQL_CHARGE = f"{SQL_REV} * CAST(1 + l_tax AS DECIMAL(4,2))"
+SQL_FINGERPRINT = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"

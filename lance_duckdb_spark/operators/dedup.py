@@ -26,14 +26,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
+from .common import text_fingerprint
 
 # ---------------------------------------------------------------- C1
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
-    hashed = docs.select("doc_id", "source", F.md5(normalized).alias("h"))
+    hashed = docs.select("doc_id", "source", text_fingerprint().alias("h"))
     clusters = hashed.groupBy("h").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id")
     )

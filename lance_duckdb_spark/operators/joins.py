@@ -208,9 +208,9 @@ WITH cnt AS (
 )
 SELECT n_name,
   COUNT(CASE WHEN cnt.c > 0 THEN 1 END) AS n_active,
-  COUNT(CASE WHEN cnt.c IS NULL THEN 1 END) AS n_inactive
+  COUNT(CASE WHEN c_custkey IS NOT NULL AND cnt.c IS NULL THEN 1 END) AS n_inactive
 FROM nation
-JOIN customer ON c_nationkey = n_nationkey
+LEFT JOIN customer ON c_nationkey = n_nationkey
 LEFT JOIN cnt ON o_custkey = c_custkey
 GROUP BY n_name
 ORDER BY n_name

@@ -128,14 +128,55 @@ ORDER BY l_returnflag
 """
 
 
+def lance_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 introspection as a checked query: write part with a fixed
+    fragment layout, read the dataset metadata back (version,
+    fragment count, per-manifest row total, field count) — equal to
+    ground truth iff open/manifest/schema introspection is correct
+    (reference: lance_open_dataset + lance_get_schema +
+    lance_schema_num_fields, rust/lib.rs:26-144)."""
+    from ..sources import lance_format as lf
+
+    register(spark)
+    root = _fresh_root(sf_dir, "stats")
+    load(spark, sf_dir, "part").repartition(4).write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    manifest = lf.read_manifest(root)
+    import json as _json
+
+    n_fields = len(_json.loads(manifest.schema_json)["fields"])
+    row = [
+        (
+            manifest.version,
+            len(manifest.fragments),
+            sum(f.num_rows for f in manifest.fragments),
+            n_fields,
+        )
+    ]
+    return spark.createDataFrame(
+        row, schema="version int, n_fragments int, total_rows long, n_fields int"
+    )
+
+
+LANCE_DATASET_STATS_SQL = """
+SELECT CAST(1 AS INTEGER) AS version,
+       CAST(4 AS INTEGER) AS n_fragments,
+       (SELECT COUNT(*) FROM part) AS total_rows,
+       CAST(6 AS INTEGER) AS n_fields
+"""
+
+
 QUERIES = {
     "lance_roundtrip": lance_roundtrip,
     "lance_time_travel": lance_time_travel,
     "lance_pushdown_scan": lance_pushdown_scan,
+    "lance_dataset_stats": lance_dataset_stats,
 }
 
 ORACLE = {
     "lance_roundtrip": LANCE_ROUNDTRIP_SQL,
     "lance_time_travel": LANCE_TIME_TRAVEL_SQL,
     "lance_pushdown_scan": LANCE_PUSHDOWN_SQL,
+    "lance_dataset_stats": LANCE_DATASET_STATS_SQL,
 }

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
+from .common import text_fingerprint
 
 SAMPLE_PCT = 20  # per-stratum sample rate (percent)
 
@@ -96,7 +97,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest doc_id) — the canonical argmax-per-group pattern, one
     shuffle on the fingerprint."""
     docs = load(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " "))
+    fp = text_fingerprint()
     w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     ranked = docs.withColumn("fp", fp).withColumn("rnk", F.row_number().over(w))
     kept = ranked.where(F.col("rnk") == 1)

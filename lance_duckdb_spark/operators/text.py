@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
+from .common import text_fingerprint
 
 # Small disjoint stopword marker lists (real-language markers; 'a'
 # and 'the' intentionally included since the synthetic corpus is
@@ -174,11 +175,10 @@ ORDER BY source
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
     return docs.select(
         "doc_id",
         "source",
-        F.md5(normalized).alias("fingerprint"),
+        text_fingerprint().alias("fingerprint"),
     ).orderBy("doc_id")
 
 

@@ -138,8 +138,12 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= _ts("2001-01-01")
     )
+    # decimal-sum / count: bit-identical threshold in both engines
+    # (plain double avg is summation-order-dependent; common.py)
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).where(
         F.col("c_acctbal") > F.col("avg_bal")
@@ -159,7 +163,8 @@ TPCH_Q22_SQL = """
 SELECT c_mktsegment, COUNT(*) AS numcust,
   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY c_mktsegment

@@ -275,9 +275,22 @@ class LanceStreamReader(DataSourceStreamReader):
         return {"frag_count": len(self._frags())}
 
     def partitions(self, start: dict, end: dict):
-        frags = self._frags()[start["frag_count"] : end["frag_count"]]
+        # offsets are positions into an APPEND-ONLY fragment list —
+        # the same contract as Spark's file-stream source. If the
+        # dataset shrank underneath a running stream (compact /
+        # delete_where / overwrite), fail loudly rather than silently
+        # skipping or replaying wrong fragments.
+        frags = self._frags()
+        if start["frag_count"] > len(frags) or end["frag_count"] > len(frags):
+            raise lf.LanceDatasetError(
+                "lance stream source: dataset was compacted/overwritten "
+                "under a running stream (fragment list shrank below the "
+                "committed offset); restart the query with a fresh "
+                "checkpoint against the current version"
+            )
+        window = frags[start["frag_count"] : end["frag_count"]]
         return [
-            FragmentPartition(self.root, f.file, f.num_rows) for f in frags
+            FragmentPartition(self.root, f.file, f.num_rows) for f in window
         ]
 
     def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:

@@ -190,7 +190,10 @@ def commit(
     versions = list_versions(root)
     prev = read_manifest(root, versions[-1]) if versions else None
     if (
-        stream_batch_id is not None
+        mode == "append"  # replay detection: stream sink epochs only
+        # (maintenance ops commit mode='overwrite' and pass the
+        # previous watermark through to preserve it)
+        and stream_batch_id is not None
         and prev is not None
         and prev.stream_batch_id is not None
         and stream_batch_id <= prev.stream_batch_id
@@ -215,7 +218,8 @@ def commit(
     for i, f in enumerate(all_frags):
         f.id = i
     # a batch append must not reset the streaming epoch high-water
-    # mark — preserve it unless this commit advances it
+    # mark — preserve it unless this commit advances it (maintenance
+    # ops pass the previous manifest's value explicitly)
     if stream_batch_id is None and mode == "append" and prev is not None:
         stream_batch_id = prev.stream_batch_id
     manifest = Manifest(next_version, schema_json, all_frags, stream_batch_id)
@@ -272,7 +276,13 @@ def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
             tables, batch_rows = [], 0
     if tables:
         new_frags.append(write_fragment(root, pa.concat_tables(tables)))
-    return commit(root, manifest.schema_json, keep + new_frags, mode="overwrite")
+    return commit(
+        root,
+        manifest.schema_json,
+        keep + new_frags,
+        mode="overwrite",
+        stream_batch_id=manifest.stream_batch_id,
+    )
 
 
 def delete_where(root: str, predicate) -> Manifest:
@@ -289,9 +299,20 @@ def delete_where(root: str, predicate) -> Manifest:
     new_frags: list[Fragment] = []
     for f in manifest.fragments:
         table = read_fragment(root, f)
-        kept = table.filter(~predicate if not isinstance(predicate, bool) else pc.scalar(not predicate))
+        # delete only rows where the predicate is definitely TRUE:
+        # a NULL predicate result must KEEP the row (SQL DELETE
+        # semantics), and filter() drops null-mask rows, so coalesce
+        # the inverted mask to true
+        keep_mask = pc.coalesce(~predicate, pa.scalar(True))
+        kept = table.filter(keep_mask)
         if kept.num_rows == f.num_rows:
             new_frags.append(f)  # untouched: carry over by reference
         elif kept.num_rows > 0:
             new_frags.append(write_fragment(root, kept))
-    return commit(root, manifest.schema_json, new_frags, mode="overwrite")
+    return commit(
+        root,
+        manifest.schema_json,
+        new_frags,
+        mode="overwrite",
+        stream_batch_id=manifest.stream_batch_id,
+    )

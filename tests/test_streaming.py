@@ -162,3 +162,44 @@ def test_stream_sink_direct_replay_commit_is_noop(spark, sf_dir, tmp_path):
     assert m.version == 1
     assert lf2.list_versions(root) == [1]
     assert len(lf2.read_manifest(root).fragments) == 1
+
+
+def test_maintenance_preserves_stream_epoch_watermark(spark, tmp_path):
+    """compact/delete must not reset the stream sink's epoch
+    watermark — a replayed epoch after maintenance is still a
+    no-op (review finding r1)."""
+    import pyarrow as pa
+
+    from lance_duckdb_spark.sources import lance_format as lf2
+
+    root = str(tmp_path / "wm.lance")
+    schema_json = '{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}'
+    t = pa.table({"x": list(range(10))})
+    f1 = lf2.write_fragment(root, t)
+    lf2.commit(root, schema_json, [f1], "append", stream_batch_id=5)
+    lf2.compact(root, target_rows=5)  # maintenance overwrite
+    assert lf2.read_manifest(root).stream_batch_id == 5
+    # replay of epoch 5 after compaction must still be dropped
+    f2 = lf2.write_fragment(root, t)
+    m = lf2.commit(root, schema_json, [f2], "append", stream_batch_id=5)
+    assert sum(fr.num_rows for fr in m.fragments) == 10
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE semantics: rows where the predicate is NULL are NOT
+    deleted (review finding r1)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lance_duckdb_spark.sources import lance_format as lf2
+
+    root = str(tmp_path / "nulls.lance")
+    schema_json = '{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}'
+    t = pa.table({"x": [0, 1, None]})
+    f1 = lf2.write_fragment(root, t)
+    lf2.commit(root, schema_json, [f1], "append")
+    lf2.delete_where(root, pc.field("x") == 0)
+    remaining = lf2.read_fragment(
+        root, lf2.read_manifest(root).fragments[0]
+    )["x"].to_pylist()
+    assert remaining == [1, None]
