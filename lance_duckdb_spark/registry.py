@@ -14,6 +14,7 @@ from .operators import (
     lance_ops,
     multimodal,
     pipeline,
+    retrieval,
     similarity,
     sql_surface,
     text,
@@ -34,6 +35,7 @@ _MODULES = [
     lance_ops,
     multimodal,
     pipeline,
+    retrieval,
     sql_surface,
     streaming_jobs,
 ]
