@@ -20,6 +20,7 @@ from .operators import (
     text,
     tpch,
     tpch2,
+    window_funcs,
 )
 from .streaming import jobs as streaming_jobs
 
@@ -37,6 +38,7 @@ _MODULES = [
     pipeline,
     retrieval,
     sql_surface,
+    window_funcs,
     streaming_jobs,
 ]
 
