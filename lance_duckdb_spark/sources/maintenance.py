@@ -1,27 +1,85 @@
 """Spark-level table maintenance over lance datasets: upsert/merge.
 
 Beyond the reference's scan+write surface, but required for "switch
-your tables to this connector" completeness. Upsert = anti-join the
-current version against the new keys, union the new rows, commit as
-one new version — a single distributed join, no driver materialization.
+your tables to this connector" completeness.
+
+``upsert`` is fragment-pruned: using the per-fragment zone maps, it
+only rewrites fragments whose key range overlaps the update keys —
+untouched fragments are carried into the new version by reference
+(zero IO). At 100 TB, an upsert touching one day of a
+date-fragmented table rewrites that day's fragments only. The
+rewrite itself is one distributed anti-join + union through the
+lance writer; the final commit publishes carried + rewritten
+fragments as ONE new version (readers see pre- or post-merge state,
+never a mix).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
+from . import lance_format as lf
 from .datasource import register
+
+
+def _overlaps(fragment: lf.Fragment, key: str, lo, hi) -> bool:
+    rng = (fragment.stats or {}).get(key)
+    if not rng:
+        return True  # no stats: must assume overlap
+    mn, mx = rng
+    try:
+        return not (hi < mn or lo > mx)
+    except TypeError:
+        return True
 
 
 def upsert(
     spark: SparkSession, root: str, updates: DataFrame, key: str
 ) -> None:
     """Merge ``updates`` into the dataset at ``root`` by ``key``:
-    rows with matching keys are replaced, others appended. Commits
-    exactly one new version (readers see pre- or post-merge state,
-    never a mix)."""
+    rows with matching keys are replaced, others appended."""
     register(spark)
-    current = spark.read.format("lance").load(root)
-    survivors = current.join(updates.select(key), on=key, how="left_anti")
-    merged = survivors.unionByName(updates)
-    merged.write.format("lance").mode("overwrite").save(root)
+    manifest = lf.read_manifest(root)
+    bounds = updates.selectExpr(f"min({key}) lo", f"max({key}) hi").collect()[0]
+    affected = [
+        f for f in manifest.fragments if _overlaps(f, key, bounds.lo, bounds.hi)
+    ]
+    carried = [f for f in manifest.fragments if f not in affected]
+
+    # rewrite only the affected fragments: survivors ∪ updates go
+    # through the lance writer into a staging dataset, then the
+    # staged fragment files are adopted into this dataset's data/
+    if affected:
+        paths = [os.path.join(root, f.file) for f in affected]
+        current = spark.read.parquet(*paths)
+    else:
+        current = None
+    staging = f"{root}.upsert-{uuid.uuid4().hex}"
+    try:
+        if current is not None:
+            survivors = current.join(updates.select(key), on=key, how="left_anti")
+            merged = survivors.unionByName(updates)
+        else:
+            merged = updates
+        merged.write.format("lance").mode("overwrite").save(staging)
+        staged = lf.read_manifest(staging)
+        new_frags: list[lf.Fragment] = []
+        for f in staged.fragments:
+            src = os.path.join(staging, f.file)
+            rel = os.path.join(lf.DATA_DIR, f"{uuid.uuid4().hex}.parquet")
+            os.makedirs(os.path.join(root, lf.DATA_DIR), exist_ok=True)
+            shutil.move(src, os.path.join(root, rel))
+            new_frags.append(lf.Fragment(-1, rel, f.num_rows, f.stats))
+        lf.commit(
+            root,
+            manifest.schema_json,
+            carried + new_frags,
+            mode="overwrite",
+            stream_batch_id=manifest.stream_batch_id,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -306,3 +306,36 @@ def test_zone_map_string_equality_skipping(spark, sf_dir, tmp_ds):
         load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R").count()
     )
     assert df.count() == expected
+
+
+def test_upsert_is_fragment_pruned(spark, sf_dir, tmp_ds):
+    """Zone maps make upsert rewrite only overlapping fragments —
+    the others are carried into the new version by file reference."""
+    from lance_duckdb_spark.sources.maintenance import upsert
+
+    register(spark)
+    li = load(spark, sf_dir, "lineitem").repartitionByRange(8, "l_orderkey")
+    li.write.format("lance").mode("overwrite").save(tmp_ds)
+    before = {f.file for f in lf.read_manifest(tmp_ds).fragments}
+
+    # touch a single narrow key range
+    updates = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey").between(10, 20))
+        .withColumn("l_quantity", F.lit(99.0))
+    )
+    n_updates = updates.count()
+    assert n_updates > 0
+    upsert(spark, tmp_ds, updates, key="l_orderkey")
+
+    after_manifest = lf.read_manifest(tmp_ds)
+    after = {f.file for f in after_manifest.fragments}
+    carried = before & after
+    assert len(carried) >= 6, f"only {len(carried)} of 8 fragments carried"
+
+    back = spark.read.format("lance").load(tmp_ds)
+    assert back.count() == li.count()
+    changed = spark.read.format("lance").load(tmp_ds).where(
+        F.col("l_quantity") == 99.0
+    )
+    assert changed.count() == n_updates
