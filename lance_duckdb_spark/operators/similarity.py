@@ -263,8 +263,82 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 6 bands x 3 bits: at cos>=0.4 (theta~66deg, per-bit agreement
+# ~0.63) expected recall = 1-(1-0.63^3)^6 ~ 0.82; higher similarity
+# thresholds recall near 1.0. More bits/band (and more bands) trade
+# candidate volume for recall at scale.
+LSH_PLANES = 18
+LSH_BANDS = 6
+
+
+def _lsh_projections(dim: int = DIM, planes: int = LSH_PLANES):
+    """Deterministic random hyperplanes (seeded), shared by executors."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    return rng.standard_normal((planes, dim))
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for C5 (*rows-only*; recall vs the exact pair scan
+    asserted in tests): sign-random-projection signatures, banded
+    bucketing, candidates only from bucket collisions — O(collisions)
+    not O(N²) — then exact cosine verification. At a billion vectors
+    this is the only affordable shape; the bucket join is an
+    equi-join Spark shuffles on (band, bucket)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _lsh_projections()
+    bc = spark.sparkContext.broadcast(planes)
+    emb = load(spark, sf_dir, "embeddings")
+
+    def signatures(batches):
+        P = bc.value
+        bits_per_band = LSH_PLANES // LSH_BANDS
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float32).astype(np.float64)
+            signs = (X @ P.T) >= 0  # (n, planes) sign bits
+            rows = {"vec_id": [], "band": [], "bucket": []}
+            for b in range(LSH_BANDS):
+                seg = signs[:, b * bits_per_band : (b + 1) * bits_per_band]
+                bucket = np.zeros(len(X), dtype=np.int64)
+                for i in range(seg.shape[1]):
+                    bucket = bucket * 2 + seg[:, i]
+                rows["vec_id"].extend(pdf["vec_id"].tolist())
+                rows["band"].extend([b] * len(X))
+                rows["bucket"].extend(bucket.tolist())
+            yield pd.DataFrame(rows)
+
+    sigs = emb.mapInPandas(signatures, schema="vec_id long, band int, bucket long")
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    verified = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+    )
+    return verified.orderBy("vec_a", "vec_b")
+
+
 QUERIES = {
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_ivf": ann_ivf,
 }

@@ -57,3 +57,20 @@ def test_simhash_pairs_are_near_dups(spark, sf_dir):
     pairs = dedup.dedup_simhash(spark, sf_dir).collect()
     for r in pairs:
         assert r.hamming <= dedup.HAMMING_T
+
+
+def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_neardup(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_neardup_lsh(spark, sf_dir).collect()
+    }
+    assert exact, "no exact near-dup pairs; weak test"
+    # LSH must be a subset (same verification threshold) with
+    # reasonable recall on the cos>=0.4 pairs
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.65, f"embedding LSH recall {recall}"
