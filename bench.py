@@ -70,11 +70,16 @@ def main() -> None:
     cold_total = 0.0
     total = 0.0
     fresh_total = 0.0
+    errors: dict[str, str] = {}
     for name in names:
         fn = QUERY_REGISTRY[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)  # fresh plan
-        df.collect()  # cold: analysis + codegen + execute
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)  # fresh plan
+            df.collect()  # cold: analysis + codegen + execute
+        except Exception as e:  # record and keep benchmarking the rest
+            errors[name] = str(e)[:200]
+            continue
         cold_total += time.perf_counter() - t0
         # fresh-plan repeats: full replan + full recompute each time
         fresh = float("inf")
@@ -105,6 +110,7 @@ def main() -> None:
                 "cold_total_sec": round(cold_total, 4),
                 "fresh_plan_total_sec": round(fresh_total, 4),
                 "n_queries": len(names),
+                **({"errors": errors} if errors else {}),
             }
         )
     )
