@@ -1,0 +1,51 @@
+"""Registry invariants: the driver contract must stay internally
+consistent as modules are added."""
+
+from __future__ import annotations
+
+from lance_duckdb_spark.registry import ORACLE_REGISTRY, QUERY_REGISTRY
+from lance_duckdb_spark.tables import TABLES
+
+
+def test_every_oracle_has_a_query():
+    missing = set(ORACLE_REGISTRY) - set(QUERY_REGISTRY)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+def test_rows_only_queries_are_the_documented_ones():
+    rows_only = set(QUERY_REGISTRY) - set(ORACLE_REGISTRY)
+    assert rows_only == {
+        "ann_ivf",
+        "approx_quantiles_vs_exact",
+        "embedding_neardup_lsh",
+    }, f"undocumented rows-only queries: {rows_only}"
+
+
+def test_oracle_sql_references_known_tables_only():
+    import re
+
+    known = set(TABLES)
+    for name, sql in ORACLE_REGISTRY.items():
+        for m in re.finditer(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql):
+            tbl = m.group(1)
+            # CTE names and subquery aliases are lowercase too — only
+            # flag identifiers that look like base tables but aren't
+            # registered views or declared CTEs/aliases in this SQL
+            if tbl in known:
+                continue
+            assert (
+                re.search(rf"\b{tbl}\b\s+AS\s*\(", sql, re.IGNORECASE)
+                or re.search(rf"WITH\s+{tbl}\b", sql, re.IGNORECASE)
+                or re.search(rf"\)\s*(AS\s+)?{tbl}\b", sql, re.IGNORECASE)
+                or re.search(rf",\s*{tbl}\s+AS\s*\(", sql, re.IGNORECASE)
+                or re.search(rf"{tbl}\s*\(", sql)  # function call
+                or tbl in ("unnest",)
+            ), f"{name}: unknown table reference '{tbl}'"
+
+
+def test_query_callables_have_docstrings_or_module_docs():
+    import inspect
+
+    for name, fn in QUERY_REGISTRY.items():
+        mod = inspect.getmodule(fn)
+        assert fn.__doc__ or mod.__doc__, f"{name} lacks documentation"

@@ -203,3 +203,69 @@ def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
         root, lf2.read_manifest(root).fragments[0]
     )["x"].to_pylist()
     assert remaining == [1, None]
+
+
+def test_append_mode_across_triggers_matches_batch(spark, sf_dir, tmp_path):
+    """Append-mode windowed aggregation over data arriving in two
+    triggers (the second hours 'late') must equal the batch result
+    over ALL data, with every window emitted exactly once. (Spark's
+    watermark bounds state eviction; for state still present or
+    re-creatable, late rows are aggregated correctly — this asserts
+    the end-to-end exactly-once outcome, which is the contract a
+    pipeline consumer relies on.)"""
+    register(spark)
+    root = str(tmp_path / "late.lance")
+    ev = load(spark, sf_dir, "events")
+    max_us = ev.agg(F.max("ts_us")).collect()[0][0]
+    six_h = 6 * 3600 * 1_000_000
+    recent = ev.where(F.col("ts_us") > max_us - six_h)
+    late = ev.where(F.col("ts_us") <= max_us - six_h).limit(50)
+    recent.write.format("lance").mode("overwrite").save(root)
+
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run_trigger():
+        stream = spark.readStream.format("lance").load(root)
+        agg = jobs.windowed_counts_stream(stream)
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_trigger()
+    late.write.format("lance").mode("append").save(root)
+    run_trigger()
+    run_trigger()  # extra no-new-data trigger flushes remaining windows
+
+    emitted = spark.read.parquet(out).collect()
+    keys = [(r.window_start, r.event_type) for r in emitted]
+    assert len(keys) == len(set(keys)), "window emitted more than once"
+    batch = (
+        jobs.with_event_time(recent.unionByName(late))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .collect()
+    )
+    # append mode can only finalize windows whose END is below the
+    # final watermark (max event time - 10 min); the last open
+    # window is legitimately unemitted
+    import datetime
+
+    final_wm = datetime.datetime.utcfromtimestamp((max_us - 600_000_000) / 1e6)
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch
+        if r.window_start + datetime.timedelta(hours=1) <= final_wm
+    }
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in emitted}
+    assert got == expected
