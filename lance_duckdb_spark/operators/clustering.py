@@ -1,0 +1,100 @@
+"""Duplicate-cluster resolution via connected components
+(SURVEY.md §2.C19): pairwise near-dup evidence (MinHash-LSH pairs)
+→ transitive clusters with a canonical id (min doc_id reachable).
+
+Spark side: min-label propagation — the Pregel-lite loop (labels
+join edges, take the min neighbor label, repeat until fixpoint).
+Each iteration is one shuffle on the node id; convergence needs
+O(diameter) iterations, and near-dup cluster diameters are tiny.
+This is the canonical iterative-algorithm shape Catalyst cannot
+express in one query — the driver loop controls iteration, every
+step stays declarative and distributed.
+
+Oracle side: the SAME clusters via a recursive CTE (DuckDB
+WITH RECURSIVE) — transitive closure, then min reachable peer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
+
+MAX_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).distinct()
+    labels = edges.select(F.col("doc_a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    edges = edges.cache()
+    for _ in range(MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("n2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("n2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("node").alias("max_member"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_PAIRS_SQL = DEDUP_MINHASH_SQL.replace("ORDER BY doc_a, doc_b", "")
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE minhash_pairs AS (
+{_PAIRS_SQL}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM minhash_pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM minhash_pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS peer FROM edges
+  UNION
+  SELECT r.node, e.b AS peer
+  FROM reach r JOIN edges e ON e.a = r.peer
+)
+SELECT peer_min AS cluster_id, COUNT(*) AS n_members,
+       MAX(node) AS max_member
+FROM (
+  SELECT node, MIN(peer) AS peer_min FROM reach GROUP BY node
+)
+GROUP BY peer_min
+ORDER BY cluster_id
+"""
+
+
+QUERIES = {"dedup_clusters": dedup_clusters}
+ORACLE = {"dedup_clusters": DEDUP_CLUSTERS_SQL}

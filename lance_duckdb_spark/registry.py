@@ -9,6 +9,7 @@ from __future__ import annotations
 from .operators import (
     analytics,
     behavior,
+    clustering,
     dedup,
     joins,
     lance_ops,
@@ -33,6 +34,7 @@ _MODULES = [
     text,
     similarity,
     dedup,
+    clustering,
     lance_ops,
     multimodal,
     pipeline,
