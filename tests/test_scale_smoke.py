@@ -49,3 +49,49 @@ def test_minhash_scales_and_finds_planted_dups(spark, amplified_dir):
     assert family0 <= got, "planted duplicate family not fully recovered"
     for r in pairs:
         assert r.jaccard >= MINHASH_JACCARD_T
+
+
+def test_tpch_agg_at_10x_scale(spark, tmp_path_factory):
+    """Amplify lineitem sf0.1 x10 (~6M rows, TPC-H sf1-ish) and run
+    the q1-shaped aggregation — runtime must stay in the
+    seconds-not-minutes regime (partial agg + tiny shuffle), the
+    empirical check that the plan scales linearly with input."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.operators.common import (
+        charge_dec,
+        dsum,
+        money,
+        revenue_dec,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    copies = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("copy")
+    big = (
+        li.select("*", copies)
+        .withColumn("l_orderkey", F.col("l_orderkey") * 10 + F.col("copy"))
+        .drop("copy")
+    )
+    out = str(tmp_path_factory.mktemp("sf1")) + "/lineitem.parquet"
+    big.write.mode("overwrite").parquet(out)
+
+    big2 = spark.read.parquet(out)
+    n = big2.count()
+    assert n >= 5_000_000
+    df = (
+        big2.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity"), "sum_qty"),
+            dsum(revenue_dec(), "sum_disc_price"),
+            dsum(charge_dec(), "sum_charge"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    df.collect()  # warm plan
+    t0 = time.perf_counter()
+    rows = df.collect()
+    dt = time.perf_counter() - t0
+    assert rows and sum(r.n for r in rows) == n
+    assert dt < 30, f"q1-shaped agg over {n} rows took {dt}s"
