@@ -221,6 +221,47 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
+def robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation (MAD) per segment — the two-pass
+    robust-statistics shape: group medians, then the median of
+    absolute deviations from them. Outlier-resistant counterpart to
+    stats_moments; both passes are exact percentiles, rounded 6."""
+    cust = load(spark, sf_dir, "customer")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.5)).alias("med_bal")
+    )
+    dev = cust.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.abs(F.col("c_acctbal") - F.col("med_bal")).alias("adev"),
+        "med_bal",
+    )
+    return (
+        dev.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.first("med_bal"), 6).alias("median_bal"),
+            F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ROBUST_STATS_SQL = """
+WITH med AS (
+  SELECT c_mktsegment,
+    percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS med_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment AS c_mktsegment,
+  ROUND(MIN(med_bal), 6) AS median_bal,
+  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(c_acctbal - med_bal)), 6) AS mad_bal,
+  COUNT(*) AS n_cust
+FROM customer c JOIN med ON c.c_mktsegment = med.c_mktsegment
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -275,6 +316,7 @@ QUERIES = {
     "rollup_revenue": rollup_revenue,
     "percentiles": percentiles,
     "stats_moments": stats_moments,
+    "robust_stats": robust_stats,
     "pivot_events": pivot_events,
     "approx_quantiles_vs_exact": approx_quantiles_vs_exact,
 }
@@ -286,5 +328,6 @@ ORACLE = {
     "rollup_revenue": ROLLUP_REVENUE_SQL,
     "percentiles": PERCENTILES_SQL,
     "stats_moments": STATS_MOMENTS_SQL,
+    "robust_stats": ROBUST_STATS_SQL,
     "pivot_events": PIVOT_EVENTS_SQL,
 }
