@@ -81,21 +81,25 @@ def main() -> None:
             errors[name] = str(e)[:200]
             continue
         cold_total += time.perf_counter() - t0
-        # fresh-plan repeats: full replan + full recompute each time
-        fresh = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            fresh = min(fresh, time.perf_counter() - t0)
-        fresh_total += fresh
-        # steady state: re-execute the built plan (a warm engine
-        # serving a repeated/prepared query; Spark may reuse
-        # exchange outputs here, as a cluster would)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.collect()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            # fresh-plan repeats: full replan + full recompute each time
+            fresh = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                fresh = min(fresh, time.perf_counter() - t0)
+            fresh_total += fresh
+            # steady state: re-execute the built plan (a warm engine
+            # serving a repeated/prepared query; Spark may reuse
+            # exchange outputs here, as a cluster would)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.collect()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as e:
+            errors[name] = str(e)[:200]
+            continue
         timings[name] = round(best, 4)
         total += best
 

@@ -35,6 +35,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("node")
     )
     edges = edges.cache()
+    converged = False
     for _ in range(MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
@@ -50,6 +51,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
+        # truncate lineage each iteration: without this, iteration i
+        # replays all previous join rounds (O(iters^2) recompute)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -58,7 +62,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"label propagation did not converge in {MAX_ITERS} iterations "
+            "(cluster diameter exceeds the cap); raise MAX_ITERS"
+        )
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(

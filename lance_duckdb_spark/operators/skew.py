@@ -24,6 +24,7 @@ skew (e.g. a first-stage groupBy with an exploding key).
 
 from __future__ import annotations
 
+import uuid
 from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -47,9 +48,10 @@ def salted_agg(
     the salt is hash(salt_col) % n_salts — deterministic, so results
     are reproducible.
     """
-    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
-    partial = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs())
-    return partial.groupBy(*key_cols).agg(*final_aggs())
+    salt = f"_salt_{uuid.uuid4().hex[:8]}"  # collision-proof temp col
+    salted = df.withColumn(salt, F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
+    partial = salted.groupBy(*key_cols, salt).agg(*partial_aggs())
+    return partial.drop(salt).groupBy(*key_cols).agg(*final_aggs())
 
 
 def replicate_salted_join(
@@ -62,9 +64,10 @@ def replicate_salted_join(
     """big ⋈ medium equi-join with the big side's hot keys split
     across ``n_salts`` reducers; the medium side is replicated
     n_salts times. Join output is identical to the plain join."""
-    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
+    salt = f"_salt_{uuid.uuid4().hex[:8]}"  # collision-proof temp col
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias(salt)
     medium_rep = medium.select("*", salts)
     big_salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(big_unique_col)), F.lit(n_salts))
+        salt, F.pmod(F.xxhash64(F.col(big_unique_col)), F.lit(n_salts))
     )
-    return big_salted.join(medium_rep, [key, "_salt"]).drop("_salt")
+    return big_salted.join(medium_rep, [key, salt]).drop(salt)

@@ -195,7 +195,10 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity proxy for quality filtering (low-entropy docs are
     repetitive/boilerplate). Rounded to 6 (log arithmetic is not
     order-exact across engines)."""
-    docs = load(spark, sf_dir, "documents")
+    # empty docs: Spark's sequence(1, 0) DESCENDS ([1, 0]) while
+    # DuckDB's range(1, 1) is empty — exclude zero-length text
+    # explicitly on both sides
+    docs = load(spark, sf_dir, "documents").where(F.length("text") >= 1)
     chars = F.explode(
         F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
     ).alias("c")
@@ -228,6 +231,7 @@ WITH chars AS (
          unnest(list_transform(range(1, len(text) + 1),
                                i -> substr(text, i, 1))) AS c
   FROM documents
+  WHERE len(text) >= 1
 ),
 per_doc AS (
   SELECT doc_id, source, ROUND(entropy(c), 6) AS e

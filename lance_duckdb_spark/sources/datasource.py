@@ -269,25 +269,36 @@ class LanceStreamReader(DataSourceStreamReader):
             return []
 
     def initialOffset(self) -> dict:
-        return {"frag_count": 0}
+        return {"frag_count": 0, "last_file": None}
 
     def latestOffset(self) -> dict:
-        return {"frag_count": len(self._frags())}
+        frags = self._frags()
+        return {
+            "frag_count": len(frags),
+            "last_file": frags[-1].file if frags else None,
+        }
 
     def partitions(self, start: dict, end: dict):
         # offsets are positions into an APPEND-ONLY fragment list —
-        # the same contract as Spark's file-stream source. If the
-        # dataset shrank underneath a running stream (compact /
-        # delete_where / overwrite), fail loudly rather than silently
-        # skipping or replaying wrong fragments.
+        # the same contract as Spark's file-stream source — and carry
+        # the IDENTITY of the last consumed fragment. If the dataset
+        # was compacted/overwritten under a running stream (fragment
+        # list shrank OR positions now name different files), fail
+        # loudly rather than silently skipping or replaying wrong
+        # fragments.
         frags = self._frags()
-        if start["frag_count"] > len(frags) or end["frag_count"] > len(frags):
-            raise lf.LanceDatasetError(
-                "lance stream source: dataset was compacted/overwritten "
-                "under a running stream (fragment list shrank below the "
-                "committed offset); restart the query with a fresh "
-                "checkpoint against the current version"
-            )
+        rewrite_msg = (
+            "lance stream source: dataset was compacted/overwritten "
+            "under a running stream; restart the query with a fresh "
+            "checkpoint against the current version"
+        )
+        for off in (start, end):
+            n = off["frag_count"]
+            if n > len(frags):
+                raise lf.LanceDatasetError(rewrite_msg)
+            expected = off.get("last_file")
+            if n > 0 and expected is not None and frags[n - 1].file != expected:
+                raise lf.LanceDatasetError(rewrite_msg)
         window = frags[start["frag_count"] : end["frag_count"]]
         return [
             FragmentPartition(self.root, f.file, f.num_rows) for f in window
@@ -310,11 +321,29 @@ class LanceStreamReader(DataSourceStreamReader):
 
 class LanceStreamWriter(DataSourceStreamWriter):
     """writeStream sink: one fragment per task per epoch, one
-    dataset version committed per epoch."""
+    dataset version committed per epoch.
 
-    def __init__(self, root: str, schema: StructType):
+    Exactly-once: epoch replay detection is keyed on (txn_id,
+    batchId). Pass a stable ``.option("txnAppId", ...)`` to get
+    dedup across query restarts from the same checkpoint (the Delta
+    txnAppId pattern); without it each started query gets a fresh
+    txn id — replays within the run are deduped, and a NEW query
+    writing to the same dataset can never have its data silently
+    discarded."""
+
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        txn_id: str | None = None,
+        compression: str = "snappy",
+    ):
+        import uuid as _uuid
+
         self.root = root
         self.schema = schema
+        self.txn_id = txn_id or _uuid.uuid4().hex
+        self.compression = compression
         os.makedirs(root, exist_ok=True)
 
     def write(self, iterator) -> LanceCommitMessage:
@@ -331,7 +360,7 @@ class LanceStreamWriter(DataSourceStreamWriter):
             for i, f in enumerate(self.schema.fields)
         }
         table = pa.Table.from_pydict(cols, schema=arrow_schema)
-        frag = lf.write_fragment(self.root, table)
+        frag = lf.write_fragment(self.root, table, compression=self.compression)
         return LanceCommitMessage(
             file=frag.file, num_rows=frag.num_rows, stats=frag.stats
         )
@@ -342,14 +371,15 @@ class LanceStreamWriter(DataSourceStreamWriter):
             for m in messages
             if m is not None and m.file
         ]
-        # idempotent under checkpoint replay: a re-committed epoch is
-        # dropped, so restarts cannot double-append
+        # idempotent under checkpoint replay: a re-committed epoch of
+        # THIS transaction is dropped, so restarts cannot double-append
         lf.commit(
             self.root,
             self.schema.json(),
             frags,
             mode="append",
             stream_batch_id=batchId,
+            stream_txn_id=self.txn_id,
         )
 
     def abort(self, messages, batchId: int) -> None:
@@ -400,7 +430,12 @@ class LanceDataSource(DataSource):
         return LanceStreamReader(self._root(), schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> LanceStreamWriter:
-        return LanceStreamWriter(self._root(), schema)
+        return LanceStreamWriter(
+            self._root(),
+            schema,
+            txn_id=self.options.get("txnappid"),
+            compression=self.options.get("compression", "snappy"),
+        )
 
 
 def register(spark) -> None:

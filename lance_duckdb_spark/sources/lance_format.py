@@ -71,9 +71,14 @@ class Manifest:
     version: int
     schema_json: str  # Spark StructType JSON
     fragments: list[Fragment] = field(default_factory=list)
-    # highest streaming epoch committed into this dataset; makes the
-    # stream sink's commit idempotent under micro-batch replay
+    # streaming-sink transaction watermark: (txn_id, batch_id) of
+    # the highest committed epoch. Replay of the same epoch by the
+    # SAME transaction id is a no-op (exactly-once under checkpoint
+    # recovery when the sink is given a stable txnAppId); a
+    # different txn id always commits (no silent data loss for new
+    # queries).
     stream_batch_id: int | None = None
+    stream_txn_id: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -81,6 +86,7 @@ class Manifest:
             "schema_json": self.schema_json,
             "fragments": [f.to_json() for f in self.fragments],
             "stream_batch_id": self.stream_batch_id,
+            "stream_txn_id": self.stream_txn_id,
         }
 
     @staticmethod
@@ -90,6 +96,7 @@ class Manifest:
             d["schema_json"],
             [Fragment.from_json(f) for f in d["fragments"]],
             d.get("stream_batch_id"),
+            d.get("stream_txn_id"),
         )
 
 
@@ -176,6 +183,8 @@ def commit(
     fragments: list[Fragment],
     mode: str,
     stream_batch_id: int | None = None,
+    stream_txn_id: str | None = None,
+    expected_version: int | None = None,
 ) -> Manifest:
     """Publish the next version. Atomic: manifest is written to a
     temp name and renamed into place (POSIX rename atomicity), the
@@ -189,6 +198,17 @@ def commit(
     os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
     versions = list_versions(root)
     prev = read_manifest(root, versions[-1]) if versions else None
+    if expected_version is not None and (
+        (versions[-1] if versions else None) != expected_version
+    ):
+        # optimistic concurrency for maintenance ops: somebody else
+        # (e.g. a stream-sink epoch) committed since we read the
+        # manifest — fail rather than silently dropping their version
+        raise LanceDatasetError(
+            f"concurrent commit detected: expected version "
+            f"{expected_version}, found {versions[-1] if versions else None}; "
+            "re-run the maintenance operation"
+        )
     if (
         mode == "append"  # replay detection: stream sink epochs only
         # (maintenance ops commit mode='overwrite' and pass the
@@ -197,6 +217,8 @@ def commit(
         and prev is not None
         and prev.stream_batch_id is not None
         and stream_batch_id <= prev.stream_batch_id
+        and stream_txn_id is not None
+        and stream_txn_id == prev.stream_txn_id
     ):
         for f in fragments:  # drop the replayed duplicates
             try:
@@ -219,10 +241,13 @@ def commit(
         f.id = i
     # a batch append must not reset the streaming epoch high-water
     # mark — preserve it unless this commit advances it (maintenance
-    # ops pass the previous manifest's value explicitly)
+    # ops pass the previous manifest's values explicitly)
     if stream_batch_id is None and mode == "append" and prev is not None:
         stream_batch_id = prev.stream_batch_id
-    manifest = Manifest(next_version, schema_json, all_frags, stream_batch_id)
+        stream_txn_id = prev.stream_txn_id
+    manifest = Manifest(
+        next_version, schema_json, all_frags, stream_batch_id, stream_txn_id
+    )
     final = _manifest_path(root, next_version)
     tmp = final + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -282,6 +307,8 @@ def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
         keep + new_frags,
         mode="overwrite",
         stream_batch_id=manifest.stream_batch_id,
+        stream_txn_id=manifest.stream_txn_id,
+        expected_version=manifest.version,
     )
 
 
@@ -315,4 +342,6 @@ def delete_where(root: str, predicate) -> Manifest:
         new_frags,
         mode="overwrite",
         stream_batch_id=manifest.stream_batch_id,
+        stream_txn_id=manifest.stream_txn_id,
+        expected_version=manifest.version,
     )

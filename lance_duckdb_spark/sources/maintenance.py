@@ -27,6 +27,8 @@ from .datasource import register
 
 
 def _overlaps(fragment: lf.Fragment, key: str, lo, hi) -> bool:
+    if lo is None or hi is None:
+        return False  # empty update set overlaps nothing
     rng = (fragment.stats or {}).get(key)
     if not rng:
         return True  # no stats: must assume overlap
@@ -45,6 +47,8 @@ def upsert(
     register(spark)
     manifest = lf.read_manifest(root)
     bounds = updates.selectExpr(f"min({key}) lo", f"max({key}) hi").collect()[0]
+    if bounds.lo is None:  # empty updates: nothing to do
+        return
     affected = [
         f for f in manifest.fragments if _overlaps(f, key, bounds.lo, bounds.hi)
     ]
@@ -80,6 +84,8 @@ def upsert(
             carried + new_frags,
             mode="overwrite",
             stream_batch_id=manifest.stream_batch_id,
+            stream_txn_id=manifest.stream_txn_id,
+            expected_version=manifest.version,
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)

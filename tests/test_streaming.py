@@ -125,8 +125,9 @@ def test_stateful_sessions_match_batch(spark, sf_dir, events_lance, tmp_path):
 
 
 def test_stream_sink_restart_is_exactly_once(spark, sf_dir, events_lance, tmp_path):
-    """Re-running the stream with the same checkpoint must not
-    double-append (commit is idempotent per batchId)."""
+    """Re-running the stream with the same checkpoint AND a stable
+    txnAppId must not double-append (epoch replay detection is keyed
+    on (txn, batchId) — the Delta txnAppId pattern)."""
     root, n = events_lance
     out_root = str(tmp_path / "out2.lance")
     ckpt = str(tmp_path / "ckpt_restart")
@@ -137,12 +138,34 @@ def test_stream_sink_restart_is_exactly_once(spark, sf_dir, events_lance, tmp_pa
             .writeStream.format("lance")
             .option("path", out_root)
             .option("checkpointLocation", ckpt)
+            .option("txnAppId", "restart-test")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(120)
     back = spark.read.format("lance").load(out_root)
     assert back.count() == n, "restart duplicated rows"
+
+
+def test_new_stream_query_data_never_discarded(spark, sf_dir, events_lance, tmp_path):
+    """A NEW streaming query (fresh checkpoint, no txnAppId) whose
+    batchIds restart at 0 must still have its data committed — epoch
+    dedup applies only within one transaction id."""
+    root, n = events_lance
+    out_root = str(tmp_path / "out3.lance")
+    for i in range(2):  # two independent queries, each batchId 0..
+        q = (
+            spark.readStream.format("lance")
+            .load(root)
+            .writeStream.format("lance")
+            .option("path", out_root)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_q{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    back = spark.read.format("lance").load(out_root)
+    assert back.count() == 2 * n, "second query's epochs were discarded"
 
 
 def test_stream_sink_direct_replay_commit_is_noop(spark, sf_dir, tmp_path):
@@ -156,12 +179,17 @@ def test_stream_sink_direct_replay_commit_is_noop(spark, sf_dir, tmp_path):
     schema_json = '{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}'
     t = pa.table({"x": [1, 2, 3]})
     f1 = lf2.write_fragment(root, t)
-    lf2.commit(root, schema_json, [f1], "append", stream_batch_id=0)
+    lf2.commit(root, schema_json, [f1], "append", stream_batch_id=0, stream_txn_id="q1")
     f2 = lf2.write_fragment(root, t)
-    m = lf2.commit(root, schema_json, [f2], "append", stream_batch_id=0)
+    m = lf2.commit(root, schema_json, [f2], "append", stream_batch_id=0, stream_txn_id="q1")
     assert m.version == 1
     assert lf2.list_versions(root) == [1]
     assert len(lf2.read_manifest(root).fragments) == 1
+    # a DIFFERENT transaction replaying batch 0 must commit normally
+    f3 = lf2.write_fragment(root, t)
+    m2 = lf2.commit(root, schema_json, [f3], "append", stream_batch_id=0, stream_txn_id="q2")
+    assert m2.version == 2
+    assert len(m2.fragments) == 2
 
 
 def test_maintenance_preserves_stream_epoch_watermark(spark, tmp_path):
@@ -176,12 +204,13 @@ def test_maintenance_preserves_stream_epoch_watermark(spark, tmp_path):
     schema_json = '{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}'
     t = pa.table({"x": list(range(10))})
     f1 = lf2.write_fragment(root, t)
-    lf2.commit(root, schema_json, [f1], "append", stream_batch_id=5)
+    lf2.commit(root, schema_json, [f1], "append", stream_batch_id=5, stream_txn_id="qa")
     lf2.compact(root, target_rows=5)  # maintenance overwrite
     assert lf2.read_manifest(root).stream_batch_id == 5
-    # replay of epoch 5 after compaction must still be dropped
+    assert lf2.read_manifest(root).stream_txn_id == "qa"
+    # replay of epoch 5 by the same txn after compaction: still dropped
     f2 = lf2.write_fragment(root, t)
-    m = lf2.commit(root, schema_json, [f2], "append", stream_batch_id=5)
+    m = lf2.commit(root, schema_json, [f2], "append", stream_batch_id=5, stream_txn_id="qa")
     assert sum(fr.num_rows for fr in m.fragments) == 10
 
 
