@@ -89,7 +89,11 @@ def _to_arrow_filter(filters: list[Filter]):
         elif isinstance(f, LessThanOrEqual):
             e = col <= f.value
         elif isinstance(f, In):
-            e = col.isin(list(f.value))
+            # Spark SQL: `x IN (..., NULL)` is NULL (row filtered) for
+            # non-matching x — NULL never satisfies the predicate. A
+            # pyarrow set lookup may match null column values, so strip
+            # None from the pushed value list; matches are unaffected.
+            e = col.isin([v for v in f.value if v is not None])
         elif isinstance(f, IsNull):
             e = col.is_null()
         elif isinstance(f, IsNotNull):
@@ -268,24 +272,35 @@ class LanceStreamReader(DataSourceStreamReader):
         except lf.LanceDatasetError:
             return []
 
+    @staticmethod
+    def _prefix_sha(frags: list[lf.Fragment], n: int) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        for f in frags[:n]:
+            h.update(f.file.encode())
+            h.update(b"\n")
+        return h.hexdigest()
+
     def initialOffset(self) -> dict:
-        return {"frag_count": 0, "last_file": None}
+        return {"frag_count": 0, "prefix_sha": self._prefix_sha([], 0)}
 
     def latestOffset(self) -> dict:
         frags = self._frags()
         return {
             "frag_count": len(frags),
-            "last_file": frags[-1].file if frags else None,
+            "prefix_sha": self._prefix_sha(frags, len(frags)),
         }
 
     def partitions(self, start: dict, end: dict):
         # offsets are positions into an APPEND-ONLY fragment list —
         # the same contract as Spark's file-stream source — and carry
-        # the IDENTITY of the last consumed fragment. If the dataset
-        # was compacted/overwritten under a running stream (fragment
-        # list shrank OR positions now name different files), fail
-        # loudly rather than silently skipping or replaying wrong
-        # fragments.
+        # a hash of the ENTIRE consumed fragment-file prefix. If the
+        # dataset was compacted/overwritten/upserted under a running
+        # stream (fragment list shrank, OR any position in the
+        # already-consumed prefix now names a different file — even
+        # with count and last file unchanged), fail loudly rather
+        # than silently skipping or replaying wrong fragments.
         frags = self._frags()
         rewrite_msg = (
             "lance stream source: dataset was compacted/overwritten "
@@ -296,8 +311,12 @@ class LanceStreamReader(DataSourceStreamReader):
             n = off["frag_count"]
             if n > len(frags):
                 raise lf.LanceDatasetError(rewrite_msg)
-            expected = off.get("last_file")
-            if n > 0 and expected is not None and frags[n - 1].file != expected:
+            expected = off.get("prefix_sha")
+            if expected is not None and self._prefix_sha(frags, n) != expected:
+                raise lf.LanceDatasetError(rewrite_msg)
+            # pre-r2 checkpoints carry last_file instead of prefix_sha
+            legacy = off.get("last_file")
+            if n > 0 and legacy is not None and frags[n - 1].file != legacy:
                 raise lf.LanceDatasetError(rewrite_msg)
         window = frags[start["frag_count"] : end["frag_count"]]
         return [

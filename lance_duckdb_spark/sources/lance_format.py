@@ -71,32 +71,52 @@ class Manifest:
     version: int
     schema_json: str  # Spark StructType JSON
     fragments: list[Fragment] = field(default_factory=list)
-    # streaming-sink transaction watermark: (txn_id, batch_id) of
-    # the highest committed epoch. Replay of the same epoch by the
-    # SAME transaction id is a no-op (exactly-once under checkpoint
-    # recovery when the sink is given a stable txnAppId); a
-    # different txn id always commits (no silent data loss for new
-    # queries).
-    stream_batch_id: int | None = None
-    stream_txn_id: str | None = None
+    # streaming-sink transaction watermarks: {txn_id: max committed
+    # batch_id} — one slot PER transaction id (the Delta `txn` action
+    # pattern), so two streaming queries interleaving appends to one
+    # dataset each dedupe replays against their OWN watermark. Replay
+    # of an epoch <= the txn's watermark is a no-op (exactly-once
+    # under checkpoint recovery when the sink has a stable txnAppId);
+    # an unknown txn id always commits.
+    stream_txns: dict = field(default_factory=dict)
+
+    # convenience views used by tests/inspection
+    @property
+    def stream_txn_id(self) -> str | None:
+        if not self.stream_txns:
+            return None
+        return max(self.stream_txns, key=lambda k: self.stream_txns[k])
+
+    @property
+    def stream_batch_id(self) -> int | None:
+        if not self.stream_txns:
+            return None
+        return max(self.stream_txns.values())
 
     def to_json(self) -> dict:
         return {
             "version": self.version,
             "schema_json": self.schema_json,
             "fragments": [f.to_json() for f in self.fragments],
-            "stream_batch_id": self.stream_batch_id,
-            "stream_txn_id": self.stream_txn_id,
+            "stream_txns": self.stream_txns,
         }
 
     @staticmethod
     def from_json(d: dict) -> "Manifest":
+        txns = d.get("stream_txns")
+        if txns is None:
+            # migrate the pre-r2 single-slot watermark
+            txns = (
+                {d["stream_txn_id"]: d["stream_batch_id"]}
+                if d.get("stream_txn_id") is not None
+                and d.get("stream_batch_id") is not None
+                else {}
+            )
         return Manifest(
             d["version"],
             d["schema_json"],
             [Fragment.from_json(f) for f in d["fragments"]],
-            d.get("stream_batch_id"),
-            d.get("stream_txn_id"),
+            dict(txns),
         )
 
 
@@ -191,69 +211,85 @@ def commit(
     same reader-never-sees-partial-state contract as the reference's
     transaction files (_transactions/*.txn).
 
-    ``stream_batch_id``: for streaming-sink commits — if the dataset
-    already committed this epoch (checkpoint replay after restart),
-    the commit is a no-op and the replayed fragments are dropped, so
-    the sink is effectively exactly-once."""
+    ``stream_batch_id``/``stream_txn_id``: for streaming-sink commits
+    — if this txn id already committed this epoch (checkpoint replay
+    after restart), the commit is a no-op and the replayed fragments
+    are dropped, so the sink is effectively exactly-once.
+
+    Publication uses an exclusive-create primitive (``os.link`` of the
+    temp manifest onto the final name, which fails with EEXIST if a
+    concurrent committer won the version): losing a race means we
+    recompute against the new head and retry, so no commit — or the
+    fragments it references — is ever silently overwritten. With
+    ``expected_version`` set (maintenance ops), losing the race raises
+    instead of retrying, making the optimistic-concurrency check
+    genuinely atomic rather than check-then-act."""
     os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
-    versions = list_versions(root)
-    prev = read_manifest(root, versions[-1]) if versions else None
-    if expected_version is not None and (
-        (versions[-1] if versions else None) != expected_version
-    ):
-        # optimistic concurrency for maintenance ops: somebody else
-        # (e.g. a stream-sink epoch) committed since we read the
-        # manifest — fail rather than silently dropping their version
-        raise LanceDatasetError(
-            f"concurrent commit detected: expected version "
-            f"{expected_version}, found {versions[-1] if versions else None}; "
-            "re-run the maintenance operation"
-        )
-    if (
-        mode == "append"  # replay detection: stream sink epochs only
-        # (maintenance ops commit mode='overwrite' and pass the
-        # previous watermark through to preserve it)
-        and stream_batch_id is not None
-        and prev is not None
-        and prev.stream_batch_id is not None
-        and stream_batch_id <= prev.stream_batch_id
-        and stream_txn_id is not None
-        and stream_txn_id == prev.stream_txn_id
-    ):
-        for f in fragments:  # drop the replayed duplicates
-            try:
-                os.remove(os.path.join(root, f.file))
-            except OSError:
-                pass
-        return prev
-    if mode == "append" and prev is not None:
-        if prev.schema_json != schema_json:
+    while True:
+        versions = list_versions(root)
+        head = versions[-1] if versions else None
+        prev = read_manifest(root, head) if versions else None
+        if expected_version is not None and head != expected_version:
+            # optimistic concurrency for maintenance ops: somebody
+            # else (e.g. a stream-sink epoch) committed since we read
+            # the manifest — fail rather than dropping their version
             raise LanceDatasetError(
-                "append schema mismatch: "
-                f"dataset has {prev.schema_json!r}, write has {schema_json!r}"
+                f"concurrent commit detected: expected version "
+                f"{expected_version}, found {head}; "
+                "re-run the maintenance operation"
             )
-        base = list(prev.fragments)
-    else:
-        base = []
-    next_version = (versions[-1] + 1) if versions else 1
-    all_frags = base + fragments
-    for i, f in enumerate(all_frags):
-        f.id = i
-    # a batch append must not reset the streaming epoch high-water
-    # mark — preserve it unless this commit advances it (maintenance
-    # ops pass the previous manifest's values explicitly)
-    if stream_batch_id is None and mode == "append" and prev is not None:
-        stream_batch_id = prev.stream_batch_id
-        stream_txn_id = prev.stream_txn_id
-    manifest = Manifest(
-        next_version, schema_json, all_frags, stream_batch_id, stream_txn_id
-    )
-    final = _manifest_path(root, next_version)
-    tmp = final + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(manifest.to_json(), f)
-    os.rename(tmp, final)
-    return manifest
+        # per-txn replay watermarks carry forward through EVERY
+        # commit (appends and maintenance rewrites alike)
+        txns = dict(prev.stream_txns) if prev is not None else {}
+        if (
+            mode == "append"  # replay detection: stream sink epochs
+            and stream_txn_id is not None
+            and stream_batch_id is not None
+            and stream_txn_id in txns
+            and stream_batch_id <= txns[stream_txn_id]
+        ):
+            for f in fragments:  # drop the replayed duplicates
+                try:
+                    os.remove(os.path.join(root, f.file))
+                except OSError:
+                    pass
+            return prev
+        if stream_txn_id is not None and stream_batch_id is not None:
+            txns[stream_txn_id] = max(
+                stream_batch_id, txns.get(stream_txn_id, stream_batch_id)
+            )
+        if mode == "append" and prev is not None:
+            if prev.schema_json != schema_json:
+                raise LanceDatasetError(
+                    "append schema mismatch: "
+                    f"dataset has {prev.schema_json!r}, "
+                    f"write has {schema_json!r}"
+                )
+            base = list(prev.fragments)
+        else:
+            base = []
+        next_version = (head + 1) if versions else 1
+        all_frags = base + fragments
+        for i, f in enumerate(all_frags):
+            f.id = i
+        manifest = Manifest(next_version, schema_json, all_frags, txns)
+        final = _manifest_path(root, next_version)
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest.to_json(), f)
+        try:
+            os.link(tmp, final)  # exclusive create: EEXIST on race
+        except FileExistsError:
+            os.remove(tmp)
+            if expected_version is not None:
+                raise LanceDatasetError(
+                    f"concurrent commit detected: version {next_version} "
+                    "was published while committing; re-run the "
+                    "maintenance operation"
+                )
+            continue  # lost an append race: recompute against new head
+        os.remove(tmp)
+        return manifest
 
 
 def read_fragment(
@@ -306,8 +342,6 @@ def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
         manifest.schema_json,
         keep + new_frags,
         mode="overwrite",
-        stream_batch_id=manifest.stream_batch_id,
-        stream_txn_id=manifest.stream_txn_id,
         expected_version=manifest.version,
     )
 
@@ -341,7 +375,5 @@ def delete_where(root: str, predicate) -> Manifest:
         manifest.schema_json,
         new_frags,
         mode="overwrite",
-        stream_batch_id=manifest.stream_batch_id,
-        stream_txn_id=manifest.stream_txn_id,
         expected_version=manifest.version,
     )

@@ -46,9 +46,24 @@ def upsert(
     rows with matching keys are replaced, others appended."""
     register(spark)
     manifest = lf.read_manifest(root)
-    bounds = updates.selectExpr(f"min({key}) lo", f"max({key}) hi").collect()[0]
-    if bounds.lo is None:  # empty updates: nothing to do
+    # count alongside min/max: an all-NULL-key batch has lo==hi==None
+    # but n>0 and must NOT be silently dropped (mixed batches would
+    # append their null-key rows; all-null batches previously
+    # returned early — inconsistent). Merge-by-NULL-key is undefined,
+    # so reject loudly.
+    bounds = updates.selectExpr(
+        f"min({key}) lo", f"max({key}) hi", "count(*) n",
+        f"count({key}) n_keyed",
+    ).collect()[0]
+    if bounds.n == 0:  # empty updates: nothing to do
         return
+    if bounds.n_keyed < bounds.n:
+        raise lf.LanceDatasetError(
+            f"upsert updates contain {bounds.n - bounds.n_keyed} rows "
+            f"with NULL merge key {key!r}; NULL never equals a stored "
+            "key, so these rows cannot merge — filter them or choose "
+            "a non-null key"
+        )
     affected = [
         f for f in manifest.fragments if _overlaps(f, key, bounds.lo, bounds.hi)
     ]
@@ -83,8 +98,6 @@ def upsert(
             manifest.schema_json,
             carried + new_frags,
             mode="overwrite",
-            stream_batch_id=manifest.stream_batch_id,
-            stream_txn_id=manifest.stream_txn_id,
             expected_version=manifest.version,
         )
     finally:

@@ -339,3 +339,54 @@ def test_upsert_is_fragment_pruned(spark, sf_dir, tmp_ds):
         F.col("l_quantity") == 99.0
     )
     assert changed.count() == n_updates
+
+
+def test_upsert_null_key_batches(spark, sf_dir, tmp_path):
+    """All-NULL-key and mixed-null-key update batches must fail
+    loudly instead of silently dropping / inconsistently appending
+    (advice r1); an empty updates frame is a clean no-op."""
+    import pytest as _pytest
+
+    from lance_duckdb_spark.sources import lance_format as lf2
+    from lance_duckdb_spark.sources.maintenance import upsert
+
+    register(spark)
+    root = str(tmp_path / "nullkey.lance")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    base.write.format("lance").mode("overwrite").save(root)
+
+    v_before = lf2.read_manifest(root).version
+    empty = spark.createDataFrame([], "k int, v string")
+    upsert(spark, root, empty, key="k")  # no-op, no new version
+    assert lf2.read_manifest(root).version == v_before
+
+    all_null = spark.createDataFrame([(None, "x")], "k int, v string")
+    with _pytest.raises(lf2.LanceDatasetError, match="NULL merge key"):
+        upsert(spark, root, all_null, key="k")
+
+    mixed = spark.createDataFrame([(1, "x"), (None, "y")], "k int, v string")
+    with _pytest.raises(lf2.LanceDatasetError, match="NULL merge key"):
+        upsert(spark, root, mixed, key="k")
+    # dataset unchanged by the failed upserts
+    assert lf2.read_manifest(root).version == v_before
+    got = spark.read.format("lance").load(root).orderBy("k").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "a"), (2, "b")]
+
+
+def test_in_filter_with_null_pushdown(spark, sf_dir, tmp_path):
+    """`x IN (..., NULL)` pushed to the reader must not return rows
+    whose x is NULL (Spark semantics: NULL in-list never matches a
+    null value; advice r1)."""
+    register(spark)
+    root = str(tmp_path / "innull.lance")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "k int, v string"
+    )
+    df.write.format("lance").mode("overwrite").save(root)
+    got = (
+        spark.read.format("lance")
+        .load(root)
+        .filter(F.col("k").isin(1, None))
+        .collect()
+    )
+    assert [(r.k, r.v) for r in got] == [(1, "a")]

@@ -298,3 +298,121 @@ def test_append_mode_across_triggers_matches_batch(spark, sf_dir, tmp_path):
     }
     got = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in emitted}
     assert got == expected
+
+
+def test_interleaved_txn_watermarks_dedupe_independently(spark, tmp_path):
+    """Two streaming queries interleaving appends to ONE dataset each
+    dedupe replays against their OWN watermark (per-txn map, the
+    Delta txn-action pattern) — a replay of q1's epoch after q2
+    committed must still be a no-op (advice finding r1)."""
+    import pyarrow as pa
+
+    from lance_duckdb_spark.sources import lance_format as lf2
+
+    root = str(tmp_path / "interleave.lance")
+    schema_json = '{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}'
+    t = pa.table({"x": [1]})
+    lf2.commit(root, schema_json, [lf2.write_fragment(root, t)], "append",
+               stream_batch_id=0, stream_txn_id="q1")
+    lf2.commit(root, schema_json, [lf2.write_fragment(root, t)], "append",
+               stream_batch_id=0, stream_txn_id="q2")
+    # q1 replays epoch 0 AFTER q2's commit landed in between: must be
+    # dropped (the old single-slot watermark re-appended it)
+    m = lf2.commit(root, schema_json, [lf2.write_fragment(root, t)], "append",
+                   stream_batch_id=0, stream_txn_id="q1")
+    assert len(m.fragments) == 2
+    assert m.stream_txns == {"q1": 0, "q2": 0}
+    # new epochs from both txns still commit
+    m = lf2.commit(root, schema_json, [lf2.write_fragment(root, t)], "append",
+                   stream_batch_id=1, stream_txn_id="q1")
+    m = lf2.commit(root, schema_json, [lf2.write_fragment(root, t)], "append",
+                   stream_batch_id=1, stream_txn_id="q2")
+    assert len(m.fragments) == 4
+    assert m.stream_txns == {"q1": 1, "q2": 1}
+
+
+def test_commit_race_exclusive_create(spark, tmp_path, monkeypatch):
+    """Two committers racing to the same next version: the loser must
+    RETRY against the new head (append) or raise (expected_version),
+    never silently overwrite the winner's manifest (advice r1)."""
+    import pyarrow as pa
+
+    from lance_duckdb_spark.sources import lance_format as lf2
+
+    root = str(tmp_path / "race.lance")
+    schema_json = '{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}'
+    t = pa.table({"x": [1]})
+    lf2.commit(root, schema_json, [lf2.write_fragment(root, t)], "append")
+
+    # simulate a concurrent commit landing between the head read and
+    # the manifest publish: patch list_versions to sneak a competing
+    # version 2 in on first call
+    real_list = lf2.list_versions
+    state = {"raced": False}
+
+    def racing_list(r):
+        versions = real_list(r)
+        if not state["raced"]:
+            state["raced"] = True
+            competing = lf2.Manifest(2, schema_json, [], {})
+            with open(lf2._manifest_path(r, 2), "w") as fh:
+                import json as _json
+                _json.dump(competing.to_json(), fh)
+        return versions
+
+    monkeypatch.setattr(lf2, "list_versions", racing_list)
+    m = lf2.commit(root, schema_json, [lf2.write_fragment(root, t)], "append")
+    monkeypatch.setattr(lf2, "list_versions", real_list)
+    # loser retried: winner's v2 intact (empty), our commit became v3
+    assert m.version == 3
+    assert len(lf2.read_manifest(root, 2).fragments) == 0
+    assert lf2.list_versions(root) == [1, 2, 3]
+
+    # with expected_version set, the same race must raise, not retry
+    state["raced"] = False
+
+    def racing_list2(r):
+        versions = real_list(r)
+        if not state["raced"]:
+            state["raced"] = True
+            competing = lf2.Manifest(4, schema_json, [], {})
+            with open(lf2._manifest_path(r, 4), "w") as fh:
+                import json as _json
+                _json.dump(competing.to_json(), fh)
+        return versions
+
+    monkeypatch.setattr(lf2, "list_versions", racing_list2)
+    import pytest as _pytest
+    with _pytest.raises(lf2.LanceDatasetError, match="concurrent commit"):
+        lf2.commit(root, schema_json, [], "overwrite", expected_version=3)
+
+
+def test_stream_offset_detects_prefix_rewrite(spark, tmp_path):
+    """A rewrite that replaces an EARLIER fragment while keeping the
+    count and the last file identical must be detected by the
+    prefix-hash offset validation (advice r1)."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from lance_duckdb_spark.sources import datasource as ds
+    from lance_duckdb_spark.sources import lance_format as lf2
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "prefix.lance")
+    schema_json = '{"type":"struct","fields":[{"name":"x","type":"long","nullable":true,"metadata":{}}]}'
+    t = pa.table({"x": [1]})
+    for _ in range(3):
+        lf2.commit(root, schema_json, [lf2.write_fragment(root, t)], "append")
+    reader = ds.LanceStreamReader(root, StructType([]))
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert len(reader.partitions(start, end)) == 3
+
+    # rewrite fragment 0 only: same count, same last file
+    m = lf2.read_manifest(root)
+    new_first = lf2.write_fragment(root, pa.table({"x": [99]}))
+    frags = [new_first] + list(m.fragments[1:])
+    lf2.commit(root, m.schema_json, frags, "overwrite")
+    reader2 = ds.LanceStreamReader(root, StructType([]))
+    with _pytest.raises(lf2.LanceDatasetError, match="compacted/overwritten"):
+        reader2.partitions(end, reader2.latestOffset())
