@@ -381,12 +381,21 @@ DEDUP_SIMHASH_SQL = _simhash_sql()
 
 NGRAM_N = 5
 NGRAM_JACCARD_T = 0.3
+# candidate generation self-joins on (source, gram): a gram present
+# in k docs of one source contributes k² join rows, so a single
+# stop-gram (" the ") in every doc makes the join quadratic in the
+# source size. Grams near-universal within a source carry no Jaccard
+# signal — drop any gram with within-source df above this cap BEFORE
+# the join (both from the intersection AND from the doc sizes, so the
+# score stays a true Jaccard over the kept gram space). The oracle
+# mirrors the cap, keeping the comparison hash-exact at any scale.
+NGRAM_DF_CAP = 200
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram Jaccard between same-source doc pairs (source is
-    the blocking key; at scale, blocking is what bounds the pair
-    count)."""
+    the blocking key; at scale, blocking + the per-gram df cap are
+    what bound the pair count)."""
     docs = load(spark, sf_dir, "documents")
     shingled = docs.where(F.length("text") >= NGRAM_N).select(
         "doc_id",
@@ -400,11 +409,20 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingled.select(
+    gram_df = shingled.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("gram_docs")
+    )
+    kept = shingled.join(
+        gram_df.where(F.col("gram_docs") <= NGRAM_DF_CAP).select(
+            "source", "gram"
+        ),
+        ["source", "gram"],
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src"), "gram"
     )
-    b = shingled.select(
+    b = kept.select(
         F.col("doc_id").alias("doc_b"), F.col("source").alias("src"), "gram"
     )
     inter = (
@@ -432,12 +450,20 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id, source, unnest(list_distinct(list_transform(
     range(1, len(text) - {NGRAM_N - 2}),
     i -> substr(text, i, {NGRAM_N})))) AS gram
   FROM documents
   WHERE len(text) >= {NGRAM_N}
+),
+keep AS (
+  SELECT source, gram FROM sh0 GROUP BY source, gram
+  HAVING COUNT(*) <= {NGRAM_DF_CAP}
+),
+sh AS (
+  SELECT sh0.doc_id, sh0.source, sh0.gram
+  FROM sh0 JOIN keep ON sh0.source = keep.source AND sh0.gram = keep.gram
 ),
 sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id

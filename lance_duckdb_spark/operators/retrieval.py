@@ -25,8 +25,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the term→df map grows with the corpus vocabulary (billions of
+    # distinct tokens at 100 TB) — do NOT broadcast it; both sides
+    # are already keyed on `term`, so a shuffled equi-join is the
+    # scale-safe shape and AQE will downgrade to broadcast on its own
+    # when the vocabulary is actually small.
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

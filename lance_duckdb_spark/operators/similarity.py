@@ -55,14 +55,21 @@ def cosine(a: Column, b: Column, dim: int = DIM) -> Column:
 
 NEARDUP_THRESHOLD = 0.4
 
+# embedding_neardup is the O(N²) exactness baseline: it broadcasts
+# the whole corpus to every executor. That is only sane for corpora
+# that fit comfortably in executor memory — beyond this bound the
+# operator REFUSES and points at the LSH scale path instead of
+# OOMing the driver at 100 TB. 1M × 64 dims × 8B ≈ 512 MB broadcast.
+NEARDUP_MAX_CORPUS = 1_000_000
 
-def _load_corpus_matrix(sf_dir: str):
-    """(vec_ids int64[n], matrix float64[n, DIM]) via pyarrow — the
-    broadcast side of the pair scan; no Spark collect involved."""
+
+def _corpus_matrix(emb: DataFrame):
+    """(vec_ids int64[n], matrix float64[n, DIM]) built FROM the
+    loaded DataFrame (arrow transfer), so version/filter semantics of
+    the source can never diverge from what the pair scan sees."""
     import numpy as np
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = emb.select("vec_id", "embedding").toArrow()
     ids = t["vec_id"].to_numpy()
     mat = np.array(t["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
     return ids, mat
@@ -93,10 +100,18 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    ids, corpus = _load_corpus_matrix(sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    if n_corpus > NEARDUP_MAX_CORPUS:
+        raise ValueError(
+            f"embedding_neardup is the exact O(N²) baseline and bounds "
+            f"its broadcast corpus at {NEARDUP_MAX_CORPUS} vectors "
+            f"(got {n_corpus}); use embedding_neardup_lsh, the "
+            "bucketed scale path, for larger corpora"
+        )
+    ids, corpus = _corpus_matrix(emb)
     corpus_norms = _seq_norms(corpus)
     bc = spark.sparkContext.broadcast((ids, corpus, corpus_norms))
-    emb = load(spark, sf_dir, "embeddings")
 
     def score(batches):
         c_ids, C, c_nrm = bc.value
