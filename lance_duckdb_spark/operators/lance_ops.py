@@ -167,11 +167,169 @@ SELECT CAST(1 AS INTEGER) AS version,
 """
 
 
+def lance_native_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wheel-free read of a *genuine* Lance dataset — the reference's
+    own test/test_data.lance, written by Lance 0.32 (protobuf
+    manifests + v2 data files), decoded by sources/lance_native.py
+    (parity: Dataset::open + scanner, rust/lib.rs:26-51,
+    rust/scanner.rs). The oracle is the dataset's known fixed
+    content, so a hash match proves manifest parsing, schema
+    introspection, and page decoding end-to-end."""
+    register(spark)
+    df = spark.read.format("lance").load(
+        "/root/reference/test/test_data.lance"
+    )
+    return df.select("id", "name", "age", "score").orderBy("id")
+
+
+LANCE_NATIVE_READ_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'Alice',   CAST(25 AS BIGINT), CAST(85.5 AS DOUBLE)),
+  (CAST(2 AS BIGINT), 'Bob',     CAST(30 AS BIGINT), CAST(92.0 AS DOUBLE)),
+  (CAST(3 AS BIGINT), 'Charlie', CAST(35 AS BIGINT), CAST(78.5 AS DOUBLE)),
+  (CAST(4 AS BIGINT), 'David',   CAST(40 AS BIGINT), CAST(88.0 AS DOUBLE)),
+  (CAST(5 AS BIGINT), 'Eve',     CAST(45 AS BIGINT), CAST(95.5 AS DOUBLE))
+) t(id, name, age, score) ORDER BY id
+"""
+
+
+def lance_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance parity (sources/maintenance.py:43): write customer
+    as a lance dataset, merge an updates batch (modified balances for
+    every 7th key + brand-new keys), read the post-merge state back.
+    Equal to the oracle's recomputed merge iff fragment-pruned upsert
+    replaces matches, appends novelties, and commits atomically."""
+    from ..sources.maintenance import upsert
+
+    register(spark)
+    root = _fresh_root(sf_dir, "upsert")
+    cust = load(spark, sf_dir, "customer")
+    cust.write.format("lance").mode("overwrite").save(root)
+    upd_a = cust.where(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal",
+        (money("c_acctbal") + F.lit("1000.00").cast("decimal(18,2)")).cast(
+            "double"
+        ),
+    )
+    upd_b = cust.where(F.col("c_custkey") % 13 == 5).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+    )
+    upsert(spark, root, upd_a.unionByName(upd_b), key="c_custkey")
+    merged = spark.read.format("lance").load(root)
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(money("c_acctbal"), "total_bal"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LANCE_UPSERT_SQL = """
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 1000.00 AS DOUBLE) AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 5
+),
+merged AS (
+  SELECT * FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+  UNION ALL
+  SELECT * FROM upd
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  COUNT(DISTINCT c_custkey) AS n_keys
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def lance_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance parity (lance_format.py delete_where): write
+    orders, DELETE WHERE o_totalprice > 150000, read the surviving
+    rows back. SQL NULL-predicate semantics (NULL keeps the row) are
+    exercised by the operator's coalesce path."""
+    import pyarrow.compute as pc
+
+    from ..sources import lance_format as lf
+
+    register(spark)
+    root = _fresh_root(sf_dir, "delete")
+    load(spark, sf_dir, "orders").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lf.delete_where(root, pc.field("o_totalprice") > 150000.0)
+    left = spark.read.format("lance").load(root)
+    return (
+        left.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice"), "revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LANCE_DELETE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders WHERE NOT (o_totalprice > 150000.0)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def lance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance parity (lance_format.py compact): write supplier
+    across 8 small fragments, compact them into one, verify the data
+    is unchanged and the fragment count collapsed — while the
+    pre-compaction version stays time-travelable."""
+    from ..sources import lance_format as lf
+
+    register(spark)
+    root = _fresh_root(sf_dir, "compact")
+    load(spark, sf_dir, "supplier").repartition(8).write.format(
+        "lance"
+    ).mode("overwrite").save(root)
+    before = lf.read_manifest(root)
+    after = lf.compact(root, target_rows=100_000_000)
+    compacted = spark.read.format("lance").load(root)
+    agg = compacted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(money("s_acctbal"), "total_bal"),
+        F.countDistinct("s_suppkey").alias("n_keys"),
+    )
+    meta = spark.createDataFrame(
+        [(len(before.fragments), len(after.fragments))],
+        schema="frags_before int, frags_after int",
+    )
+    return agg.crossJoin(meta)
+
+
+LANCE_COMPACT_SQL = """
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  COUNT(DISTINCT s_suppkey) AS n_keys,
+  CAST(8 AS INTEGER) AS frags_before,
+  CAST(1 AS INTEGER) AS frags_after
+FROM supplier
+"""
+
+
 QUERIES = {
     "lance_roundtrip": lance_roundtrip,
     "lance_time_travel": lance_time_travel,
     "lance_pushdown_scan": lance_pushdown_scan,
     "lance_dataset_stats": lance_dataset_stats,
+    "lance_native_read": lance_native_read,
+    "lance_upsert": lance_upsert,
+    "lance_delete": lance_delete,
+    "lance_compact": lance_compact,
 }
 
 ORACLE = {
@@ -179,4 +337,8 @@ ORACLE = {
     "lance_time_travel": LANCE_TIME_TRAVEL_SQL,
     "lance_pushdown_scan": LANCE_PUSHDOWN_SQL,
     "lance_dataset_stats": LANCE_DATASET_STATS_SQL,
+    "lance_native_read": LANCE_NATIVE_READ_SQL,
+    "lance_upsert": LANCE_UPSERT_SQL,
+    "lance_delete": LANCE_DELETE_SQL,
+    "lance_compact": LANCE_COMPACT_SQL,
 }

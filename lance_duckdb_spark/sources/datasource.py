@@ -50,6 +50,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from . import lance_format as lf
+from . import lance_native as ln
 
 if TYPE_CHECKING:
     import pyarrow as pa
@@ -203,6 +204,72 @@ class LanceScanReader(DataSourceReader):
             filter_expr=filter_expr,
         )
         yield from table.to_batches()
+
+
+@dataclass
+class NativeFragmentPartition(InputPartition):
+    root: str
+    files: tuple  # data-file relative paths for one fragment
+    version: int
+
+
+class NativeScanReader(DataSourceReader):
+    """Fragment-parallel scan of a *genuine* Lance dataset (protobuf
+    manifests + v2 ``.lance`` files), decoded by
+    ``lance_native.read_data_file`` — the reference's
+    ``Dataset::open`` + scanner surface (rust/lib.rs:26-51,
+    rust/scanner.rs:1-38) without requiring the ``lance`` wheel.
+    Column pruning reaches the page decoder (only requested columns'
+    pages are decoded); pushed filters are applied per-batch with the
+    same pyarrow expressions as the JSON-store reader."""
+
+    def __init__(self, root: str, schema: StructType, version: int | None):
+        self.root = root
+        self.schema = schema
+        self.manifest = ln.open_dataset(root, version)
+        self.pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self.pushed = [
+            f
+            for f in filters
+            if isinstance(f, _SUPPORTED) and len(f.attribute) == 1
+        ]
+        for f in filters:
+            if not (isinstance(f, _SUPPORTED) and len(f.attribute) == 1):
+                yield f
+
+    def partitions(self):
+        parts = [
+            NativeFragmentPartition(
+                self.root,
+                tuple(df.path for df in frag.files),
+                self.manifest.version,
+            )
+            for frag in self.manifest.fragments
+        ]
+        return parts or [NativeFragmentPartition(self.root, (), 0)]
+
+    def read(
+        self, partition: NativeFragmentPartition
+    ) -> Iterator["pa.RecordBatch"]:
+        if not partition.files:
+            return
+        man = ln.open_dataset(partition.root, partition.version)
+        arrow_schema = man.arrow_schema()
+        columns = [
+            c for c in self.schema.fieldNames() if c in arrow_schema.names
+        ]
+        filter_expr = _to_arrow_filter(self.pushed)
+        for rel in partition.files:
+            table = ln.read_data_file(
+                os.path.join(partition.root, "data", rel),
+                arrow_schema,
+                columns=columns or None,
+            )
+            if filter_expr is not None:
+                table = table.filter(filter_expr)
+            yield from table.to_batches()
 
 
 class LanceArrowWriter(DataSourceArrowWriter):
@@ -428,15 +495,30 @@ class LanceDataSource(DataSource):
         return int(v) if v is not None else None
 
     def schema(self) -> StructType:
-        manifest = lf.read_manifest(self._root(), self._version())
+        root = self._root()
+        if ln.is_native_dataset(root):
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            man = ln.open_dataset(root, self._version())
+            return from_arrow_schema(man.arrow_schema())
+        manifest = lf.read_manifest(root, self._version())
         import json
 
         return StructType.fromJson(json.loads(manifest.schema_json))
 
-    def reader(self, schema: StructType) -> LanceScanReader:
-        return LanceScanReader(self._root(), schema, self._version())
+    def reader(self, schema: StructType) -> DataSourceReader:
+        root = self._root()
+        if ln.is_native_dataset(root):
+            return NativeScanReader(root, schema, self._version())
+        return LanceScanReader(root, schema, self._version())
 
     def writer(self, schema: StructType, overwrite: bool) -> LanceArrowWriter:
+        if ln.is_native_dataset(self._root()):
+            raise lf.LanceDatasetError(
+                "writing into a dataset created by Lance proper is not "
+                "supported (this connector writes its own JSON-manifest "
+                "store); copy into a new path or use the lance wheel"
+            )
         # .option("compression", "zstd"|"snappy"|"gzip"|"none")
         return LanceArrowWriter(
             self._root(),
@@ -446,6 +528,11 @@ class LanceDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> LanceStreamReader:
+        if ln.is_native_dataset(self._root()):
+            raise lf.LanceDatasetError(
+                "streaming reads of a Lance-proper dataset are not "
+                "supported without the lance wheel; batch reads are"
+            )
         return LanceStreamReader(self._root(), schema)
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> LanceStreamWriter:

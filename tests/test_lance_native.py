@@ -1,0 +1,167 @@
+"""Native (wheel-free) reader for genuine Lance datasets.
+
+Parity target: the reference opens its own ``test/test_data.lance``
+via ``Dataset::open`` (rust/lib.rs:26-51), introspects the schema
+through its type map (rust/types.rs:3-48), and scans record batches
+(rust/scanner.rs).  These tests exercise the same surface against the
+same dataset, plus the documented type-map edge policy.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from lance_duckdb_spark.sources import lance_native as ln
+from lance_duckdb_spark.sources.datasource import register
+
+REF = "/root/reference/test/test_data.lance"
+
+EXPECTED = {
+    "id": [1, 2, 3, 4, 5],
+    "name": ["Alice", "Bob", "Charlie", "David", "Eve"],
+    "age": [25, 30, 35, 40, 45],
+    "score": [85.5, 92.0, 78.5, 88.0, 95.5],
+}
+
+
+def test_detects_native_vs_json_store(tmp_path):
+    assert ln.is_native_dataset(REF)
+    # this repo's own JSON-manifest store must NOT be detected native
+    vdir = tmp_path / "ds" / "_versions"
+    vdir.mkdir(parents=True)
+    (vdir / "1.manifest").write_text("{}")
+    assert not ln.is_native_dataset(str(tmp_path / "ds"))
+
+
+def test_list_versions():
+    assert ln.list_versions(REF) == [1]
+
+
+def test_manifest_fields_match_reference_schema():
+    man = ln.open_dataset(REF)
+    assert man.version == 1
+    assert [(f.name, f.logical_type) for f in man.fields] == [
+        ("id", "int64"),
+        ("name", "string"),
+        ("age", "int64"),
+        ("score", "double"),
+    ]
+    # rust/types.rs:20 maps LargeUtf8→"string"→Utf8; int64/double direct
+    assert man.arrow_schema().types == [
+        pa.int64(),
+        pa.string(),
+        pa.int64(),
+        pa.float64(),
+    ]
+
+
+def test_manifest_fragments_and_writer():
+    man = ln.open_dataset(REF)
+    assert man.num_rows() == 5
+    assert len(man.fragments) == 1
+    df = man.fragments[0].files[0]
+    assert df.path.endswith(".lance")
+    assert (df.file_major, df.file_minor) == (2, 0)
+    assert man.writer_library == "lance"
+
+
+def test_read_dataset_values():
+    t = ln.read_dataset(REF)
+    assert t.to_pydict() == EXPECTED
+
+
+def test_column_pruning_decodes_only_requested():
+    t = ln.read_dataset(REF, columns=["name", "score"])
+    assert t.column_names == ["name", "score"]
+    assert t.to_pydict() == {
+        "name": EXPECTED["name"],
+        "score": EXPECTED["score"],
+    }
+
+
+def test_explicit_and_missing_version():
+    assert ln.open_dataset(REF, version=1).version == 1
+    with pytest.raises(ln.LanceNativeError):
+        ln.open_dataset(REF, version=99)
+
+
+# -- type-map edge policy (rust/types.rs:3-48) ------------------------------
+
+
+@pytest.mark.parametrize(
+    "logical,expected",
+    [
+        # direct mappings
+        ("bool", pa.bool_()),
+        ("int8", pa.int8()),
+        ("int16", pa.int16()),
+        ("int32", pa.int32()),
+        ("int64", pa.int64()),
+        ("float", pa.float32()),
+        ("double", pa.float64()),
+        ("utf8", pa.string()),
+        ("string", pa.string()),  # reference: LargeUtf8 → "string"
+        ("large_string", pa.string()),
+        ("binary", pa.binary()),
+        # unsigned policy: widen to the next lossless signed size;
+        # uint64 → decimal(20,0), the only Spark type holding 2^64-1
+        ("uint8", pa.int16()),
+        ("uint16", pa.int32()),
+        ("uint32", pa.int64()),
+        ("uint64", pa.decimal128(20, 0)),
+        # date policy: both arrow date flavors → calendar date
+        ("date32", pa.date32()),
+        ("date64", pa.date32()),
+        # parameterized
+        ("timestamp:us:-", pa.timestamp("us")),
+        ("timestamp:ns:UTC", pa.timestamp("ns", "UTC")),
+        ("decimal:128:10:2", pa.decimal128(10, 2)),
+        ("fixed_size_list:float:64", pa.list_(pa.float32(), 64)),
+    ],
+)
+def test_logical_type_map(logical, expected):
+    assert ln.logical_to_arrow(logical) == expected
+
+
+def test_unknown_logical_type_fails_loudly():
+    with pytest.raises(ln.LanceNativeUnsupported):
+        ln.logical_to_arrow("frobnicated_quaternion")
+
+
+# -- Spark integration ------------------------------------------------------
+
+
+def test_spark_reads_native_dataset(spark):
+    register(spark)
+    df = spark.read.format("lance").load(REF)
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    assert [r.name for r in rows] == EXPECTED["name"]
+    assert [r.age for r in rows] == EXPECTED["age"]
+    assert df.schema["id"].dataType.simpleString() == "bigint"
+    assert df.schema["score"].dataType.simpleString() == "double"
+
+
+def test_spark_native_pruning_and_filter(spark):
+    register(spark)
+    df = (
+        spark.read.format("lance")
+        .load(REF)
+        .where("age >= 35")
+        .select("name", "score")
+    )
+    got = sorted((r.name, r.score) for r in df.collect())
+    assert got == [("Charlie", 78.5), ("David", 88.0), ("Eve", 95.5)]
+
+
+def test_spark_native_version_option(spark):
+    register(spark)
+    df = spark.read.format("lance").option("version", "1").load(REF)
+    assert df.count() == 5
+
+
+def test_spark_native_write_refused(spark):
+    register(spark)
+    df = spark.range(3)
+    with pytest.raises(Exception, match="[Ll]ance proper|not supported"):
+        df.write.format("lance").mode("append").save(REF)
