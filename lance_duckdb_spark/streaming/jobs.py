@@ -84,8 +84,21 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 def stateful_sessions_stream(events: DataFrame) -> DataFrame:
     """Per-user gap sessionization with explicit state across
-    micro-batches (applyInPandasWithState). Emits one row per closed
-    or in-flight session per update."""
+    micro-batches (applyInPandasWithState) and *watermark-driven
+    state eviction* (EventTimeTimeout).
+
+    Emits one row per CLOSED session — closed either by a later
+    event whose gap exceeds SESSION_GAP_US, or by the event-time
+    timeout firing once the watermark passes ``last_ts + gap`` (the
+    session can no longer be extended, so it is emitted and its
+    state REMOVED). Per-user state is therefore bounded by the
+    *active* user population inside one watermark horizon, not by
+    the all-time user count — the property that keeps this runnable
+    against an unbounded stream at 100 TB/day.
+
+    Session bounds use the same convention as
+    :func:`session_window_native`: ``end = last_ts + gap``.
+    """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
         LongType,
@@ -96,14 +109,15 @@ def stateful_sessions_stream(events: DataFrame) -> DataFrame:
     output_schema = StructType(
         [
             StructField("user_id", LongType()),
-            StructField("n_sessions", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
             StructField("n_events", LongType()),
         ]
     )
     state_schema = StructType(
         [
+            StructField("start_ts", LongType()),
             StructField("last_ts", LongType()),
-            StructField("n_sessions", LongType()),
             StructField("n_events", LongType()),
         ]
     )
@@ -111,37 +125,53 @@ def stateful_sessions_stream(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        ts = []
-        for pdf in pdfs:
-            ts.extend(pdf["ts_us"].tolist())
-        ts.sort()
-        if state.exists:
-            last_ts, n_sessions, n_events = state.get
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: no event can extend
+            # this session any more — emit it and EVICT the state
+            start_ts, last_ts, n_events = state.get
+            closed.append(
+                (key[0], start_ts, last_ts + SESSION_GAP_US, n_events)
+            )
+            state.remove()
         else:
-            last_ts, n_sessions, n_events = None, 0, 0
-        for t in ts:
-            if last_ts is None or t - last_ts > SESSION_GAP_US:
-                n_sessions += 1
-            last_ts = t
-            n_events += 1
-        state.update((last_ts, n_sessions, n_events))
+            ts = []
+            for pdf in pdfs:
+                ts.extend(pdf["ts_us"].tolist())
+            ts.sort()
+            if state.exists:
+                start_ts, last_ts, n_events = state.get
+            else:
+                start_ts, last_ts, n_events = None, None, 0
+            for t in ts:
+                if last_ts is not None and t - last_ts > SESSION_GAP_US:
+                    closed.append(
+                        (key[0], start_ts, last_ts + SESSION_GAP_US, n_events)
+                    )
+                    start_ts, n_events = None, 0
+                if start_ts is None:
+                    start_ts = t
+                last_ts = t
+                n_events += 1
+            state.update((start_ts, last_ts, n_events))
+            # timeout is in MILLIS of event time; fires once the
+            # watermark passes the instant the session's gap expires
+            state.setTimeoutTimestamp((last_ts + SESSION_GAP_US) // 1000)
         yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [n_events],
-            }
+            closed, columns=["user_id", "start_us", "end_us", "n_events"]
         )
 
     return (
-        events.select("user_id", "ts_us")
+        with_event_time(events)
+        .withWatermark("ts", WATERMARK)
+        .select("user_id", "ts_us", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
             outputStructType=output_schema,
             stateStructType=state_schema,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -197,12 +227,188 @@ ORDER BY user_id, start_us
 """
 
 
+_STREAM_WORKDIR = "/tmp/lance_duckdb_spark/streams"
+
+
+def _fresh_stream_root(sf_dir: str, name: str) -> str:
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_STREAM_WORKDIR, tag, f"{name}.lance")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + ".ckpt", ignore_errors=True)
+    os.makedirs(os.path.dirname(root), exist_ok=True)
+    return root
+
+
+def _time_splits(ev: DataFrame, n_splits: int = 3) -> list[DataFrame]:
+    """events partitioned into ``n_splits`` contiguous event-time
+    ranges (arrival simulated in event-time order, so watermark
+    semantics behave as they would live)."""
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    step = (hi - lo) // n_splits + 1
+    return [
+        ev.where(
+            (F.col("ts_us") >= lo + i * step)
+            & (F.col("ts_us") < lo + (i + 1) * step)
+        )
+        for i in range(n_splits)
+    ]
+
+
+def staged_session_run(spark: SparkSession, sf_dir: str, name: str):
+    """Run the stateful sessionizer over ``n`` REAL micro-batches.
+
+    Spark's Python stream source does not implement AvailableNow, so
+    a single start() would consume every pending fragment in ONE
+    batch (no cross-batch state, no watermark movement). Instead we
+    stage arrivals: append one time-ordered slice per pass and run
+    an availableNow pass against the SAME checkpoint each time — the
+    watermark and per-user state persist in the checkpoint, so this
+    is exactly the live multi-batch execution, just driven from
+    outside. Returns (emitted DataFrame, last StreamingQuery) — the
+    query object exposes state-store metrics for eviction asserts.
+    """
+    import shutil
+
+    from ..sources.datasource import register
+
+    register(spark)
+    root = _fresh_stream_root(sf_dir, name)
+    out = root + ".out"
+    shutil.rmtree(out, ignore_errors=True)
+    splits = _time_splits(load(spark, sf_dir, "events"))
+    q = None
+    for i, part in enumerate(splits):
+        mode = "overwrite" if i == 0 else "append"
+        # one fragment per slice keeps each pass to one micro-batch
+        part.coalesce(1).write.format("lance").mode(mode).save(root)
+        stream = spark.readStream.format("lance").load(root)
+        q = (
+            stateful_sessions_stream(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", root + ".ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    return spark.read.parquet(out), q
+
+
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 as a driver-checkable query: run the REAL stateful
+    streaming sessionizer (EventTimeTimeout state eviction) over a
+    lance stream of time-ordered micro-batches, then keep each
+    user's *completed* sessions (the chronologically-last session
+    may still be in flight when the finite stream ends, so it is
+    excluded on both sides). Equal to the batch sessionizer's
+    non-final sessions iff streaming state transitions, gap closure,
+    and timeout-driven emission are all correct."""
+    emitted, _q = staged_session_run(spark, sf_dir, "sessionization")
+    umax = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts_us").alias("max_ts"))
+    )
+    return (
+        emitted.join(umax, "user_id")
+        # the final session's end is always max_ts + gap; whether the
+        # stream emitted it (timeout fired) or not (still in flight)
+        # is a shutdown-timing artifact, so drop it on both sides
+        .where(F.col("end_us") != F.col("max_ts") + F.lit(SESSION_GAP_US))
+        .select("user_id", "start_us", "end_us", "n_events")
+        .orderBy("user_id", "start_us")
+    )
+
+
+STREAM_SESSIONIZATION_SQL = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+),
+sess AS (
+  SELECT user_id, MIN(ts_us) AS start_us,
+         MAX(ts_us) + 1800000000 AS end_us,
+         COUNT(*) AS n_events
+  FROM s GROUP BY user_id, session_idx
+),
+umax AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS max_ts FROM events GROUP BY user_id
+)
+SELECT sess.user_id AS user_id, start_us, end_us, n_events
+FROM sess JOIN umax ON sess.user_id = umax.user_id
+WHERE end_us != max_ts + 1800000000
+ORDER BY sess.user_id, start_us
+"""
+
+
+def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 as a driver-checkable query: lance stream source → lance
+    stream SINK (exactly-once via per-txn watermarks) → batch
+    read-back. Equal to the same aggregate over the raw events iff
+    every micro-batch committed exactly once and the sink's
+    fragments scan losslessly."""
+    from ..sources.datasource import register
+
+    register(spark)
+    src = _fresh_stream_root(sf_dir, "sinksrc")
+    dst = _fresh_stream_root(sf_dir, "sinkdst")
+    for i, part in enumerate(_time_splits(load(spark, sf_dir, "events"))):
+        mode = "overwrite" if i == 0 else "append"
+        part.coalesce(1).write.format("lance").mode(mode).save(src)
+        q = (
+            spark.readStream.format("lance")
+            .load(src)
+            .writeStream.format("lance")
+            .option("checkpointLocation", dst + ".ckpt")
+            .option("txnappid", "sink_roundtrip")
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination(180)
+    sunk = spark.read.format("lance").load(dst)
+    return (
+        sunk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_SINK_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  COUNT(DISTINCT event_id) AS n_ids
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": batch_windowed_counts,
     "session_window_native": session_window_native,
+    "stream_sessionization": stream_sessionization,
+    "stream_sink_roundtrip": stream_sink_roundtrip,
 }
 
 ORACLE = {
     "stream_windowed_counts": BATCH_WINDOWED_COUNTS_SQL,
     "session_window_native": SESSION_WINDOW_NATIVE_SQL,
+    "stream_sessionization": STREAM_SESSIONIZATION_SQL,
+    "stream_sink_roundtrip": STREAM_SINK_ROUNDTRIP_SQL,
 }

@@ -83,45 +83,88 @@ def test_lance_stream_sink_appends_versions(spark, sf_dir, events_lance, tmp_pat
     assert back.count() == n
 
 
-def test_stateful_sessions_match_batch(spark, sf_dir, events_lance, tmp_path):
-    from lance_duckdb_spark.operators.joins import sessionize_events
-
-    root, _ = events_lance
-    stream = spark.readStream.format("lance").load(root)
-    sess = jobs.stateful_sessions_stream(stream)
-    q = (
-        sess.writeStream.format("memory")
-        .queryName("sessions")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt3"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    # last update per user is the final state
-    final = (
-        spark.sql(
-            """
-            select user_id, max_by(n_sessions, upd) as n_sessions,
-                   max_by(n_events, upd) as n_events
-            from (select *, monotonically_increasing_id() as upd from sessions)
-            group by user_id
-            """
-        )
+def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
+    """Streamed closed sessions (EventTimeTimeout eviction) must
+    equal the native batch sessionizer's completed sessions, and
+    state must actually be EVICTED (bounded by active users inside
+    the watermark horizon, not the all-time user population)."""
+    emitted, q = jobs.staged_session_run(spark, sf_dir, "test_sessions")
+    ev = load(spark, sf_dir, "events")
+    umax = ev.groupBy("user_id").agg(F.max("ts_us").alias("max_ts"))
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in emitted.join(umax, "user_id")
+        .where(F.col("end_us") != F.col("max_ts") + F.lit(jobs.SESSION_GAP_US))
+        .select("user_id", "start_us", "end_us", "n_events")
         .collect()
     )
-    got = {r.user_id: (r.n_sessions, r.n_events) for r in final}
-    batch = (
-        sessionize_events(spark, sf_dir)
-        .groupBy("user_id")
-        .agg(
-            F.max("session_idx").alias("n_sessions"),
-            F.sum("n_events").alias("n_events"),
-        )
+    batch = jobs.session_window_native(spark, sf_dir)
+    expected = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in batch.join(umax, "user_id")
+        .where(F.col("end_us") != F.col("max_ts") + F.lit(jobs.SESSION_GAP_US))
+        .select("user_id", "start_us", "end_us", "n_events")
         .collect()
     )
-    expected = {r.user_id: (r.n_sessions, r.n_events) for r in batch}
     assert got == expected
+    assert len(got) > 0, "no completed sessions emitted (weak test)"
+
+
+def test_session_state_eviction_on_timeout(spark, tmp_path):
+    """A user who goes quiet must have their in-flight session
+    emitted by the EventTimeTimeout and their state REMOVED — the
+    property that bounds state by the active population inside the
+    watermark horizon instead of the all-time user count."""
+    register(spark)
+    t0 = 1_600_000_000_000_000  # µs
+    root = str(tmp_path / "evict.lance")
+    out = str(tmp_path / "evict.out")
+    slices = [
+        # slice 1: user 1 bursts then goes quiet; user 2 appears
+        [(1, t0), (1, t0 + 60_000_000), (2, t0 + 100_000_000)],
+        # slice 2: only user 2 — watermark advances past user 1's
+        # gap expiry (t0+60s+30min) once this slice is processed
+        [(2, t0 + 2 * 3_600_000_000)],
+        # slice 3: only user 2 — user 1's timeout fires HERE
+        [(2, t0 + 4 * 3_600_000_000)],
+    ]
+    q = None
+    for i, rows in enumerate(slices):
+        df = spark.createDataFrame(rows, schema="user_id long, ts_us long")
+        mode = "overwrite" if i == 0 else "append"
+        df.coalesce(1).write.format("lance").mode(mode).save(root)
+        q = (
+            jobs.stateful_sessions_stream(
+                spark.readStream.format("lance").load(root)
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "evict.ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    emitted = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # user 1's session was closed by TIMEOUT (no closing event ever
+    # arrived), and user 2's first session closed by gap
+    assert (1, t0, t0 + 60_000_000 + jobs.SESSION_GAP_US, 2) in emitted
+    assert (
+        2,
+        t0 + 100_000_000,
+        t0 + 100_000_000 + jobs.SESSION_GAP_US,
+        1,
+    ) in emitted
+    # and user 1's state row is GONE: only user 2 remains in store
+    progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert progresses, "no state-operator progress recorded"
+    final_rows = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_rows == 1, (
+        f"state holds {final_rows} rows; expected 1 (user 1 evicted)"
+    )
 
 
 def test_stream_sink_restart_is_exactly_once(spark, sf_dir, events_lance, tmp_path):
