@@ -1,0 +1,349 @@
+"""Training-data curation operators, round 2 (beyond SURVEY §2.C13-15):
+benchmark contamination check, intra-doc repetition filtering,
+training-sequence packing, domain mixture rebalancing, and
+cross-source duplicate overlap.
+
+These are the remaining stages a 100 TB pretraining pipeline runs
+between raw crawl and tokenized shards. Scale shapes:
+- contamination / overlap: equi-joins keyed on gram/fingerprint —
+  candidates are hash-bounded, never O(N²);
+- repetition / packing: per-document (narrow) or per-source
+  (applyInPandas) work, linear scans;
+- domain mix: one tiny per-lang aggregate joined back (AQE
+  broadcasts it on its own).
+
+All except nothing are oracle-checked: even the greedy packer has an
+exact DuckDB twin (recursive CTE), because determinism — same input,
+same packed sequences, on any engine — is itself a property worth
+testing in a pipeline that must be re-runnable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+# -- contamination ----------------------------------------------------------
+
+CONTAM_N = 7  # word n-gram size
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 → "benchmark" member
+
+
+def _word_ngrams(words, n: int):
+    """n-grams of a words array column as space-joined strings."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: which corpus docs share a word
+    7-gram with a held-out benchmark set (here: every 97th doc,
+    standing in for an eval benchmark)? The standard pre-training
+    hygiene scan (e.g. GPT-3's 13-gram dedup against its evals).
+
+    Candidate generation is an equi-join on the gram string — at
+    100 TB the benchmark side is tiny and broadcastable, the corpus
+    side streams; no pair enumeration ever happens."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_word_ngrams(words, CONTAM_N))).alias(
+            "gram"
+        ),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_doc"), "gram")
+        .distinct()
+    )
+    hits = (
+        grams.join(bench, "gram")
+        .where(F.col("doc_id") != F.col("bench_doc"))
+        .select("doc_id", "source", "gram")
+        .distinct()
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("contaminated_docs"),
+            F.count(F.lit(1)).alias("contaminated_grams"),
+        )
+        .orderBy("source")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split(trim(text), ' ')) - {CONTAM_N - 2}, 1)),
+    i -> array_to_string(string_split(trim(text), ' ')[i:i+{CONTAM_N - 1}], ' ')
+  ))) AS gram
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT doc_id AS bench_doc, gram FROM grams
+  WHERE doc_id % {BENCH_MOD} = 0
+),
+hits AS (
+  SELECT DISTINCT g.doc_id, g.source, g.gram
+  FROM grams g JOIN bench b ON g.gram = b.gram
+  WHERE g.doc_id != b.bench_doc
+)
+SELECT source, COUNT(DISTINCT doc_id) AS contaminated_docs,
+       COUNT(*) AS contaminated_grams
+FROM hits GROUP BY source ORDER BY source
+"""
+
+# -- repetition filter ------------------------------------------------------
+
+REP_N = 2  # bigrams: word-salad corpora repeat these measurably
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: fraction of duplicate word
+    bigrams inside each doc. The flag threshold (dup fraction > 0.2)
+    is evaluated in INTEGER arithmetic — ``(total - distinct)*5 >
+    total`` — so there is no float boundary to disagree on between
+    engines. One narrow scan; per-doc work only."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    grams = _word_ngrams(words, REP_N)
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(grams).alias("total"),
+        F.size(F.array_distinct(grams)).alias("distinct_"),
+    ).where(F.col("total") > 0)
+    flagged = (F.col("total") - F.col("distinct_")) * 5 > F.col("total")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged.cast("long")).alias("n_flagged"),
+            F.sum("total").cast("long").alias("total_grams"),
+            F.sum("distinct_").cast("long").alias("distinct_grams"),
+        )
+        .orderBy("source")
+    )
+
+
+REPETITION_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+    len(string_split(trim(text), ' ')) - {REP_N - 1} AS total,
+    len(list_distinct(list_transform(
+      range(1, len(string_split(trim(text), ' ')) - {REP_N - 2}),
+      i -> array_to_string(string_split(trim(text), ' ')[i:i+{REP_N - 1}], ' ')
+    ))) AS distinct_
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) - {REP_N - 1} > 0
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN (total - distinct_) * 5 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(SUM(total) AS BIGINT) AS total_grams,
+  CAST(SUM(distinct_) AS BIGINT) AS distinct_grams
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+# -- sequence packing -------------------------------------------------------
+
+PACK_BUDGET = 1024  # tokens per training sequence
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit packing of documents into fixed-budget
+    training sequences (context-window packing), per source, in
+    doc_id order: a doc goes into the current sequence if it fits,
+    else it opens a new one (oversize docs get their own).
+
+    The greedy fold is inherently sequential PER SOURCE, so it runs
+    as ``applyInPandas`` over source groups — each group is one
+    Arrow batch on one executor; sources parallelize across the
+    cluster. Deterministic: same input → same packing, any engine —
+    which is why it can be oracle-checked at all (DuckDB recursive
+    CTE computes the identical fold)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        seq_idx, fill = 0, None
+        seqs = []
+        for tok in pdf["tok"]:
+            if fill is None or fill + tok > PACK_BUDGET:
+                seq_idx += 1
+                fill = tok
+            else:
+                fill += tok
+            seqs.append(seq_idx)
+        out = pdf.assign(seq_idx=seqs)
+        agg = out.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "count"),
+            n_sequences=("seq_idx", "max"),
+            total_tokens=("tok", "sum"),
+        )
+        return agg
+
+    return (
+        toks.groupBy("source")
+        .applyInPandas(
+            pack,
+            schema="source string, n_docs long, n_sequences long, "
+            "total_tokens long",
+        )
+        .orderBy("source")
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH RECURSIVE docs_o AS (
+  SELECT source, doc_id,
+    len(string_split(trim(text), ' ')) AS tok,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT source, rn, tok, 1 AS seq_idx, tok AS fill
+  FROM docs_o WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.tok,
+    CASE WHEN p.fill + d.tok <= {PACK_BUDGET} THEN p.seq_idx
+         ELSE p.seq_idx + 1 END,
+    CASE WHEN p.fill + d.tok <= {PACK_BUDGET} THEN p.fill + d.tok
+         ELSE d.tok END
+  FROM docs_o d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(MAX(seq_idx) AS BIGINT) AS n_sequences,
+  CAST(SUM(tok) AS BIGINT) AS total_tokens
+FROM packed GROUP BY source ORDER BY source
+"""
+
+# -- domain mixture ---------------------------------------------------------
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the language mixture by deterministic downsampling:
+    every language is sampled down toward the SMALLEST language's
+    count. The per-lang keep-threshold is computed in integer
+    arithmetic (bp out of 10000), and membership is the same
+    md5-hash rule as stratified_sample — reproducible across engines
+    and re-runs, the property a re-materializable 100 TB corpus
+    needs. One tiny per-lang aggregate (AQE broadcasts it), one
+    scan."""
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    min_n = per_lang.agg(F.min("n_lang").alias("min_n"))
+    rates = per_lang.crossJoin(min_n).select(
+        "lang",
+        (F.lit(10_000) * F.col("min_n") / F.col("n_lang"))
+        .cast("long")
+        .alias("keep_bp"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    kept = (
+        docs.join(rates, "lang")
+        .where(bucket % 10_000 < F.col("keep_bp"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOMAIN_MIX_SQL = """
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+    CAST(10000 * (SELECT MIN(n_lang) FROM per_lang) / n_lang AS BIGINT)
+      AS keep_bp
+  FROM per_lang
+)
+SELECT d.lang AS lang, COUNT(*) AS n_kept,
+  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+      % 10000 < r.keep_bp
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+# -- cross-source overlap ---------------------------------------------------
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance dedup matrix: for each PAIR of sources, how many
+    bag-of-words fingerprints (md5 of the sorted distinct word set)
+    they share — where a crawl pipeline finds mirror sites and
+    templated boilerplate re-crawled under different hosts. Keyed
+    equi-join on the md5 fingerprint: work is bounded by duplicate
+    groups, never pairwise over docs."""
+    bow_fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), " "))
+            ),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "source", bow_fp.alias("fp")
+    ).distinct()
+    a = docs.select(F.col("source").alias("src_a"), "fp")
+    b = docs.select(F.col("source").alias("src_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = """
+WITH fps AS (
+  SELECT DISTINCT source,
+    md5(array_to_string(list_sort(list_distinct(
+      string_split(lower(trim(text)), ' '))), ' ')) AS fp
+  FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source ORDER BY src_a, src_b
+"""
+
+
+QUERIES = {
+    "contamination_check": contamination_check,
+    "repetition_filter": repetition_filter,
+    "sequence_packing": sequence_packing,
+    "domain_mix": domain_mix,
+    "cross_source_overlap": cross_source_overlap,
+}
+
+ORACLE = {
+    "contamination_check": CONTAMINATION_SQL,
+    "repetition_filter": REPETITION_SQL,
+    "sequence_packing": SEQUENCE_PACKING_SQL,
+    "domain_mix": DOMAIN_MIX_SQL,
+    "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
+}

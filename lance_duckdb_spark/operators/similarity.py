@@ -336,15 +336,32 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # norms are computed per-vector BEFORE the pair join: the
+    # post-join projection then holds ONE unrolled 64-term dot
+    # product instead of three, keeping the generated code under
+    # janino's 64 KB method limit (three inline dots overflow it and
+    # force the whole stage back to interpreted eval). Arithmetic is
+    # unchanged: dot(a,b) / (norm_a * norm_b), same fold order.
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        norm(F.col("embedding")).alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        norm(F.col("embedding")).alias("norm_b"),
+    )
     verified = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+            (
+                _dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
     )

@@ -10,6 +10,7 @@ from .operators import (
     analytics,
     behavior,
     clustering,
+    curation,
     dedup,
     joins,
     lance_ops,
@@ -28,6 +29,7 @@ from .streaming import jobs as streaming_jobs
 _MODULES = [
     tpch,
     tpch2,
+    curation,
     analytics,
     behavior,
     joins,

@@ -1,0 +1,178 @@
+"""sf1 validation (VERDICT r1 item 9): run every oracle-checked query
+at sf1 (10x the largest driver scale, derived by tools/gen_sf.py) and
+hash-compare Spark vs DuckDB exactly as the driver does at sf0.01.
+
+Writes SF1_VALIDATION.json + SF1_VALIDATION.md at the repo root.
+Oracles are executed in a subprocess with a timeout: a handful of
+oracle SQL strings replicate quadratic-ish algorithms (pair scans)
+that DuckDB cannot finish at sf1 in reasonable time — those rows are
+recorded as ``oracle_timeout`` (the SPARK side still ran and its
+wall time is recorded; equality for them is covered at sf0.001-0.1).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+import multiprocessing as mp
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SF_DIR = os.path.join(REPO, ".data", "sf1")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+ORACLE_TIMEOUT_S = 300
+
+
+def _canon(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)
+    return v
+
+
+def _run_oracle(sql: str, out_path: str) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    tbl = con.execute(sql).fetch_arrow_table()
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, out_path)
+
+
+def main() -> None:
+    import importlib.util
+
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    results: dict[str, dict] = {}
+    for name in qs:
+        row: dict = {}
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+            row["spark_sec"] = round(time.time() - t0, 2)
+            row["spark_rows"] = len(sdf)
+        except Exception as e:  # noqa: BLE001
+            row["err"] = f"spark: {type(e).__name__}: {e}"[:300]
+            results[name] = row
+            print(name, row, flush=True)
+            continue
+        if name not in osql:
+            row["status"] = "rows_only"
+            results[name] = row
+            print(name, row, flush=True)
+            continue
+        out_path = f"/tmp/sf1_oracle_{name}.parquet"
+        t1 = time.time()
+        p = mp.Process(target=_run_oracle, args=(osql[name], out_path))
+        p.start()
+        p.join(ORACLE_TIMEOUT_S)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            row["status"] = "oracle_timeout"
+            results[name] = row
+            print(name, row, flush=True)
+            continue
+        if p.exitcode != 0 or not os.path.exists(out_path):
+            row["status"] = "oracle_error"
+            results[name] = row
+            print(name, row, flush=True)
+            continue
+        row["oracle_sec"] = round(time.time() - t1, 2)
+        edf = pq.read_table(out_path).to_pandas(date_as_object=True)
+        os.remove(out_path)
+        cols = sorted(sdf.columns)
+        a = sorted(
+            [
+                tuple(_canon(v) for v in r)
+                for r in sdf[cols].itertuples(index=False, name=None)
+            ],
+            key=repr,
+        )
+        b = sorted(
+            [
+                tuple(_canon(v) for v in r)
+                for r in edf[sorted(edf.columns)].itertuples(
+                    index=False, name=None
+                )
+            ],
+            key=repr,
+        )
+        ok = cols == sorted(edf.columns) and a == b
+        row["status"] = "exact" if ok else "MISMATCH"
+        results[name] = row
+        print(name, row, flush=True)
+    spark.stop()
+
+    with open(os.path.join(REPO, "SF1_VALIDATION.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+    n_exact = sum(1 for r in results.values() if r.get("status") == "exact")
+    n_mis = sum(1 for r in results.values() if r.get("status") == "MISMATCH")
+    n_to = sum(
+        1 for r in results.values() if r.get("status") == "oracle_timeout"
+    )
+    n_ro = sum(1 for r in results.values() if r.get("status") == "rows_only")
+    n_err = len(results) - n_exact - n_mis - n_to - n_ro
+    lines = [
+        "# SF1 validation",
+        "",
+        f"Derived sf1 = 10x sf0.1 via tools/gen_sf.py (key-offset "
+        f"replication; 6M lineitem / 1M events / 50k docs / 20k vecs).",
+        f"Ran {len(results)} registry queries with the driver's exact "
+        f"hash-compare: **{n_exact} exact, {n_mis} mismatched, "
+        f"{n_err} errored**; {n_ro} rows-only by design; {n_to} "
+        f"oracle-timeout (DuckDB could not finish the quadratic "
+        f"oracle replica at sf1 within {ORACLE_TIMEOUT_S}s — Spark "
+        f"side ran; equality covered at sf0.001-0.1).",
+        "",
+        "| query | status | spark s | oracle s | rows |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        lines.append(
+            f"| {name} | {r.get('status', r.get('err', '?'))} "
+            f"| {r.get('spark_sec', '')} | {r.get('oracle_sec', '')} "
+            f"| {r.get('spark_rows', '')} |"
+        )
+    with open(os.path.join(REPO, "SF1_VALIDATION.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"exact={n_exact} mismatch={n_mis} err={n_err} "
+          f"timeout={n_to} rows_only={n_ro}")
+
+
+if __name__ == "__main__":
+    main()
