@@ -54,8 +54,16 @@ HEADLINE = [
     "token_count",
     "lang_id",
     "quality_score",
+    # r2 curation additions
+    "char_entropy",
+    "contamination_check",
+    "repetition_filter",
+    "sequence_packing",
+    "domain_mix",
+    "cross_source_overlap",
     # connector (includes write+read roundtrip)
     "lance_roundtrip",
+    "lance_native_read",
 ]
 
 

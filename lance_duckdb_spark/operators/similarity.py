@@ -49,8 +49,17 @@ def norm(a: Column, dim: int = DIM) -> Column:
     return F.sqrt(_dot(a, a, dim))
 
 
+def _clamp1(c: Column) -> Column:
+    """DuckDB's list_cosine_similarity CLAMPS its result to [-1, 1]:
+    an identity pair whose rounded quotient lands at 1.0000000000000002
+    comes back as exactly 1.0 (caught by the sf1 validation's
+    replicated vectors). Mirror the clamp so pair scans stay
+    bit-identical at every scale."""
+    return F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c))
+
+
 def cosine(a: Column, b: Column, dim: int = DIM) -> Column:
-    return _dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    return _clamp1(_dot(a, b, dim) / (norm(a, dim) * norm(b, dim)))
 
 
 NEARDUP_THRESHOLD = 0.4
@@ -124,7 +133,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(C.shape[1]):
                 dot += X[:, i, None] * C[None, :, i]
             x_nrm = _seq_norms(X)
-            cos = dot / (x_nrm[:, None] * c_nrm[None, :])
+            # DuckDB clamps cosine into [-1, 1] — mirror it
+            cos = np.clip(dot / (x_nrm[:, None] * c_nrm[None, :]), -1.0, 1.0)
             ai, bi = np.nonzero(
                 (x_ids[:, None] < c_ids[None, :]) & (cos >= NEARDUP_THRESHOLD)
             )
@@ -136,9 +146,16 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return emb.mapInPandas(
-        score, schema="vec_a long, vec_b long, cos_sim double"
-    ).orderBy("vec_a", "vec_b")
+    # a small parquet file arrives as ONE input partition, which
+    # would serialize the whole O(N·corpus) scan onto one core (925s
+    # at sf1); spread the probe side across the cluster first — the
+    # corpus side is already broadcast, so this shuffle is tiny
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        emb.repartition(n_parts)
+        .mapInPandas(score, schema="vec_a long, vec_b long, cos_sim double")
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 EMBEDDING_NEARDUP_SQL = f"""
@@ -359,8 +376,10 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             (
-                _dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("norm_a") * F.col("norm_b"))
+                _clamp1(
+                    _dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("norm_a") * F.col("norm_b"))
+                )
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
