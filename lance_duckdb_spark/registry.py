@@ -19,6 +19,7 @@ from .operators import (
     retrieval,
     similarity,
     sql_surface,
+    sql_surface2,
     text,
     tpch,
     tpch2,
@@ -42,6 +43,7 @@ _MODULES = [
     pipeline,
     retrieval,
     sql_surface,
+    sql_surface2,
     window_funcs,
     streaming_jobs,
 ]

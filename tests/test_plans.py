@@ -115,3 +115,29 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_contamination_join_is_equijoin(spark, sf_dir):
+    from lance_duckdb_spark.operators import curation
+
+    plan = _plan(curation.contamination_check(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cross_source_overlap_is_equijoin(spark, sf_dir):
+    from lance_duckdb_spark.operators import curation
+
+    plan = _plan(curation.cross_source_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_filter_is_single_scan(spark, sf_dir):
+    # narrow per-doc computation: no join, no window — one scan and
+    # one partial-agg exchange
+    from lance_duckdb_spark.operators import curation
+
+    plan = _plan(curation.repetition_filter(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg + sort

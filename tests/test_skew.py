@@ -57,3 +57,40 @@ def test_replicate_salted_join_equals_plain_join(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_ngram_df_cap_bounds_stop_gram_blowup(spark, tmp_path):
+    """A single boilerplate string shared by EVERY doc of a source
+    would make the (source, gram) self-join quadratic (500 docs →
+    125k candidate pairs per boilerplate gram). The per-source gram
+    df cap must drop those grams BEFORE the join, while a genuinely
+    near-duplicate pair (sharing long UNIQUE text) still comes out.
+    """
+    import uuid as _uuid
+
+    from lance_duckdb_spark.operators.dedup import ngram_jaccard
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(500):
+        unique = f" tail {_uuid.uuid4().hex} {_uuid.uuid4().hex}"
+        rows.append((i, boiler + unique, "en", "srcA", 0))
+    # planted near-dup pair: long shared unique text, tiny suffix diff
+    shared = "zq" + "x".join(_uuid.uuid4().hex for _ in range(20))
+    rows.append((9001, shared + " alpha", "en", "srcA", 0))
+    rows.append((9002, shared + " omega", "en", "srcA", 0))
+    df = spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    data_dir = tmp_path / "stress"
+    data_dir.mkdir()
+    df.coalesce(1).write.parquet(str(data_dir / "documents.parquet"))
+    out = ngram_jaccard(spark, str(data_dir)).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    # the planted near-dup pair survives the cap...
+    assert (9001, 9002) in pairs
+    # ...and NO boilerplate-only pair does: every shared gram among
+    # the 500 boilerplate docs has df=500 > cap and was dropped
+    assert all(a == 9001 and b == 9002 for a, b in pairs), (
+        f"stop-gram pairs leaked through the cap: {sorted(pairs)[:5]}"
+    )
