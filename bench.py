@@ -34,6 +34,8 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q9",
+    "tpch_q21",
     "top_revenue_per_segment",
     "rollup_revenue",
     # join family

@@ -46,6 +46,20 @@ def dsum(expr: Column | str, alias: str) -> Column:
     return F.sum(_c(expr)).cast("double").alias(alias)
 
 
+def dsum2(expr: Column | str, alias: str) -> Column:
+    """Exact decimal sum reduced to money scale (2) IN THE DECIMAL
+    DOMAIN, then emitted as double. Required whenever the summed
+    decimal has scale > 2 (revenue scale 4, charge scale 6): at
+    large SF the scaled significand exceeds 2^53 and decimal->double
+    stops being unambiguous — Spark's BigDecimal.doubleValue and
+    DuckDB's int128/10^scale rounded differently by 1 ulp on
+    tpch_q1 sum_charge at sf1. round(dec, 2) breaks ties
+    half-away-from-zero in BOTH engines (verified empirically;
+    a bare decimal downcast does NOT agree — DuckDB truncates).
+    Oracle twin: CAST(ROUND(SUM(x), 2) AS DOUBLE)."""
+    return F.round(F.sum(_c(expr)), 2).cast("double").alias(alias)
+
+
 def davg(expr: Column | str, alias: str) -> Column:
     """Exact decimal sum / count, emitted as double."""
     return (F.sum(_c(expr)).cast("double") / F.count(F.lit(1))).alias(alias)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .common import SQL_CHARGE, SQL_REV, charge_dec, davg, dsum, money, rate, revenue_dec
+from .common import SQL_CHARGE, SQL_REV, charge_dec, davg, dsum, dsum2, money, rate, revenue_dec
 
 
 def _ts(s: str) -> F.Column:
@@ -35,8 +35,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum(money("l_quantity"), "sum_qty"),
             dsum(money("l_extendedprice"), "sum_base_price"),
-            dsum(revenue_dec(), "sum_disc_price"),
-            dsum(charge_dec(), "sum_charge"),
+            dsum2(revenue_dec(), "sum_disc_price"),
+            dsum2(charge_dec(), "sum_charge"),
             davg(money("l_quantity"), "avg_qty"),
             davg(money("l_extendedprice"), "avg_price"),
             davg(rate("l_discount"), "avg_disc"),
@@ -50,8 +50,8 @@ TPCH_Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM({SQL_REV}) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM({SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM({SQL_CHARGE}), 2) AS DOUBLE) AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
   CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -78,7 +78,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(dsum(revenue_dec(), "revenue"))
+        .agg(dsum2(revenue_dec(), "revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -86,7 +86,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q3_SQL = f"""
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-  CAST(SUM({SQL_REV}) AS DOUBLE) AS revenue
+  CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -164,14 +164,14 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (supp.s_nationkey == dims.n_nationkey),
         )
         .groupBy("n_name")
-        .agg(dsum(revenue_dec(), "revenue"))
+        .agg(dsum2(revenue_dec(), "revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
 TPCH_Q5_SQL = f"""
 SELECT n_name,
-  CAST(SUM({SQL_REV}) AS DOUBLE) AS revenue
+  CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -220,7 +220,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(revenue_dec(), "revenue"))
+        .agg(dsum2(revenue_dec(), "revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -228,7 +228,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q10_SQL = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
-  CAST(SUM({SQL_REV}) AS DOUBLE) AS revenue
+  CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -254,15 +254,15 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
         (
-            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")
+            F.lit(100.0) * F.round(F.sum(promo), 2).cast("double") / F.round(F.sum(rev), 2).cast("double")
         ).alias("promo_revenue_pct")
     )
 
 
 TPCH_Q14_SQL = f"""
-SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_REV}
-                 ELSE CAST(0 AS DECIMAL(18,2)) * CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)
-     / CAST(SUM({SQL_REV}) AS DOUBLE)
+SELECT 100.0 * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {SQL_REV}
+                 ELSE CAST(0 AS DECIMAL(18,2)) * CAST(0 AS DECIMAL(4,2)) END), 2) AS DOUBLE)
+     / CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE)
   AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .common import SQL_REV, dsum, money, rate, revenue_dec
+from .common import SQL_REV, dsum, dsum2, money, rate, revenue_dec
 
 
 def _ts(s: str):
@@ -47,14 +47,14 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(dsum(revenue_dec(), "revenue"))
+        .agg(dsum2(revenue_dec(), "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 TPCH_Q7_SQL = f"""
 SELECT supp_nation, cust_nation, l_year,
-  CAST(SUM(volume) AS DOUBLE) AS revenue
+  CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
     CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -118,12 +118,12 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 15))
     )
     return j.where(cond).agg(
-        dsum(revenue_dec(), "revenue"), F.count(F.lit(1)).alias("n_items")
+        dsum2(revenue_dec(), "revenue"), F.count(F.lit(1)).alias("n_items")
     )
 
 
 TPCH_Q19_SQL = f"""
-SELECT CAST(SUM({SQL_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+SELECT CAST(ROUND(SUM({SQL_REV}), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND l_quantity >= 1 AND l_quantity <= 11 AND p_size <= 15)
    OR (p_brand = 'Brand#2' AND l_quantity >= 10 AND l_quantity <= 20 AND p_size <= 25)

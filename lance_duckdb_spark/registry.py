@@ -23,6 +23,7 @@ from .operators import (
     text,
     tpch,
     tpch2,
+    tpch3,
     window_funcs,
 )
 from .streaming import jobs as streaming_jobs
@@ -44,6 +45,7 @@ _MODULES = [
     retrieval,
     sql_surface,
     sql_surface2,
+    tpch3,
     window_funcs,
     streaming_jobs,
 ]
