@@ -246,11 +246,11 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     min_n = per_lang.agg(F.min("n_lang").alias("min_n"))
+    # integer division end-to-end: double-divide + cast diverges
+    # between engines (Spark truncates, DuckDB rounds) at sf1 ratios
     rates = per_lang.crossJoin(min_n).select(
         "lang",
-        (F.lit(10_000) * F.col("min_n") / F.col("n_lang"))
-        .cast("long")
-        .alias("keep_bp"),
+        F.expr("(10000 * min_n) div n_lang").alias("keep_bp"),
     )
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
@@ -275,8 +275,7 @@ WITH per_lang AS (
 ),
 rates AS (
   SELECT lang,
-    CAST(10000 * (SELECT MIN(n_lang) FROM per_lang) / n_lang AS BIGINT)
-      AS keep_bp
+    (10000 * (SELECT MIN(n_lang) FROM per_lang)) // n_lang AS keep_bp
   FROM per_lang
 )
 SELECT d.lang AS lang, COUNT(*) AS n_kept,

@@ -321,8 +321,55 @@ FROM supplier
 """
 
 
+def lance_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / incremental read (Delta change-data-feed analogue over
+    the Lance version model): ``.option("begin_version", N)`` scans
+    ONLY the fragments appended after version N — the file-name diff
+    of two immutable-fragment manifests is exactly the row diff for
+    append-only history (rewrites in between fail loudly). Here:
+    v1 = orders before 1997, v2 += 1997, v3 += rest; the diff
+    1→latest must equal orders >= 1997-01-01 — at 100 TB an
+    incremental consumer reads only the new data, never the table."""
+    register(spark)
+    root = _fresh_root(sf_dir, "versiondiff")
+    orders = load(spark, sf_dir, "orders")
+    c97 = F.lit("1997-01-01").cast("timestamp_ntz")
+    c99 = F.lit("1999-01-01").cast("timestamp_ntz")
+    orders.where(F.col("o_orderdate") < c97).write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    orders.where(
+        (F.col("o_orderdate") >= c97) & (F.col("o_orderdate") < c99)
+    ).write.format("lance").mode("append").save(root)
+    orders.where(F.col("o_orderdate") >= c99).write.format("lance").mode(
+        "append"
+    ).save(root)
+    changes = (
+        spark.read.format("lance").option("begin_version", 1).load(root)
+    )
+    return (
+        changes.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice"), "revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+LANCE_VERSION_DIFF_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "lance_roundtrip": lance_roundtrip,
+    "lance_version_diff": lance_version_diff,
     "lance_time_travel": lance_time_travel,
     "lance_pushdown_scan": lance_pushdown_scan,
     "lance_dataset_stats": lance_dataset_stats,
@@ -334,6 +381,7 @@ QUERIES = {
 
 ORACLE = {
     "lance_roundtrip": LANCE_ROUNDTRIP_SQL,
+    "lance_version_diff": LANCE_VERSION_DIFF_SQL,
     "lance_time_travel": LANCE_TIME_TRAVEL_SQL,
     "lance_pushdown_scan": LANCE_PUSHDOWN_SQL,
     "lance_dataset_stats": LANCE_DATASET_STATS_SQL,

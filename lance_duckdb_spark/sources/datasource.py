@@ -26,6 +26,7 @@ a native connector would produce.
 from __future__ import annotations
 
 import os
+import dataclasses
 from dataclasses import dataclass
 from typing import TYPE_CHECKING, Iterator
 
@@ -156,10 +157,41 @@ class LanceScanReader(DataSourceReader):
     tests/test_lance_source.py::test_fresh_load_per_query_pattern).
     """
 
-    def __init__(self, root: str, schema: StructType, version: int | None):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        version: int | None,
+        begin_version: int | None = None,
+    ):
         self.root = root
         self.schema = schema
         self.manifest = lf.read_manifest(root, version)
+        if begin_version is not None:
+            # CDC / incremental read: scan only fragments ADDED after
+            # ``begin_version`` (fragments are immutable, appends only
+            # add — so the file-name diff IS the row diff). A rewrite
+            # in between (delete/upsert/compact) breaks append-only
+            # lineage and the diff would be wrong — fail loudly.
+            begin = lf.read_manifest(root, begin_version)
+            new_files = {f.file for f in self.manifest.fragments}
+            gone = [f.file for f in begin.fragments if f.file not in new_files]
+            if gone:
+                raise ValueError(
+                    "begin_version diff requires append-only history: "
+                    f"fragments {gone[:3]} from version {begin_version} "
+                    "were rewritten (delete/upsert/compact ran in "
+                    "between); full-scan the end version instead"
+                )
+            old_files = {f.file for f in begin.fragments}
+            self.manifest = dataclasses.replace(
+                self.manifest,
+                fragments=[
+                    f
+                    for f in self.manifest.fragments
+                    if f.file not in old_files
+                ],
+            )
         self.pushed: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -506,11 +538,22 @@ class LanceDataSource(DataSource):
 
         return StructType.fromJson(json.loads(manifest.schema_json))
 
+    def _begin_version(self) -> int | None:
+        v = self.options.get("begin_version", self.options.get("beginversion"))
+        return None if v is None else int(v)
+
     def reader(self, schema: StructType) -> DataSourceReader:
         root = self._root()
         if ln.is_native_dataset(root):
+            if self._begin_version() is not None:
+                raise lf.LanceDatasetError(
+                    "begin_version incremental reads are not supported "
+                    "on native-encoded lance datasets"
+                )
             return NativeScanReader(root, schema, self._version())
-        return LanceScanReader(root, schema, self._version())
+        return LanceScanReader(
+            root, schema, self._version(), self._begin_version()
+        )
 
     def writer(self, schema: StructType, overwrite: bool) -> LanceArrowWriter:
         if ln.is_native_dataset(self._root()):

@@ -399,11 +399,162 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+_FIVE_MIN_US = 5 * 60 * 1_000_000
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: streaming exactly-once dedup via
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+). Duplicates are
+    INJECTED deterministically — every slice is written twice
+    (within-batch dups) and each later slice is prefixed with the
+    previous slice's trailing 5 minutes (cross-batch dups, inside
+    the 10-min watermark so the dedup state still holds them). The
+    deduped stream equals the raw events table iff within-batch,
+    cross-batch, and state-eviction behavior are all correct. State
+    is O(ids within one watermark horizon), not O(all ids) — the
+    100 TB shape."""
+    import shutil
+
+    from ..sources.datasource import register
+
+    register(spark)
+    root = _fresh_stream_root(sf_dir, "dedupsrc")
+    out = root + ".out"
+    shutil.rmtree(out, ignore_errors=True)
+    splits = _time_splits(load(spark, sf_dir, "events"))
+    prev_tail = None
+    for i, part in enumerate(splits):
+        batch = part.unionAll(part)  # within-batch duplicates
+        if prev_tail is not None:
+            batch = batch.unionAll(prev_tail)  # cross-batch duplicates
+        hi = part.agg(F.max("ts_us")).first()[0]
+        prev_tail = part.where(F.col("ts_us") > hi - _FIVE_MIN_US)
+        mode = "overwrite" if i == 0 else "append"
+        batch.coalesce(1).write.format("lance").mode(mode).save(root)
+        stream = spark.readStream.format("lance").load(root)
+        q = (
+            with_event_time(stream)
+            .withWatermark("ts", WATERMARK)
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "event_type", "value", "ts_us")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", root + ".ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    deduped = spark.read.parquet(out)
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.sum(money("value")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  COUNT(DISTINCT event_id) AS n_ids,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: stream-stream inner join with event-time range bounds —
+    each signup joined to that user's purchases within the following
+    hour, both sides watermarked so Spark bounds the join state by
+    the time constraint (state = one hour + watermark of each side,
+    not the whole history; the only stream-stream join shape that
+    survives unbounded input). Staged micro-batches as in D2/D3;
+    result equals the batch range join."""
+    import shutil
+
+    from ..sources.datasource import register
+
+    register(spark)
+    root = _fresh_stream_root(sf_dir, "ssjoinsrc")
+    out = root + ".out"
+    shutil.rmtree(out, ignore_errors=True)
+    splits = _time_splits(load(spark, sf_dir, "events"))
+    for i, part in enumerate(splits):
+        mode = "overwrite" if i == 0 else "append"
+        part.coalesce(1).write.format("lance").mode(mode).save(root)
+        base = spark.readStream.format("lance").load(root)
+        sign = (
+            with_event_time(base.where(F.col("event_type") == "signup"))
+            .withWatermark("ts", WATERMARK)
+            .select(
+                F.col("event_id").alias("signup_id"),
+                F.col("user_id").alias("s_user"),
+                F.col("ts").alias("s_ts"),
+            )
+        )
+        purch = (
+            with_event_time(base.where(F.col("event_type") == "purchase"))
+            .withWatermark("ts", WATERMARK)
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        q = (
+            sign.join(
+                purch,
+                F.expr(
+                    "s_user = p_user AND p_ts >= s_ts "
+                    "AND p_ts <= s_ts + INTERVAL 1 HOUR"
+                ),
+            )
+            .select(
+                "signup_id",
+                "purchase_id",
+                F.col("s_user").alias("user_id"),
+                (
+                    F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts"))
+                ).alias("lag_us"),
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", root + ".ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    return (
+        spark.read.parquet(out)
+        .select("signup_id", "purchase_id", "user_id", "lag_us")
+        .orderBy("signup_id", "purchase_id")
+    )
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+       s.user_id AS user_id,
+       epoch_us(p.ts) - epoch_us(s.ts) AS lag_us
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts
+ AND p.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+ORDER BY signup_id, purchase_id
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": batch_windowed_counts,
     "session_window_native": session_window_native,
     "stream_sessionization": stream_sessionization,
     "stream_sink_roundtrip": stream_sink_roundtrip,
+    "stream_dedup": stream_dedup,
+    "stream_stream_join": stream_stream_join,
 }
 
 ORACLE = {
@@ -411,4 +562,6 @@ ORACLE = {
     "session_window_native": SESSION_WINDOW_NATIVE_SQL,
     "stream_sessionization": STREAM_SESSIONIZATION_SQL,
     "stream_sink_roundtrip": STREAM_SINK_ROUNDTRIP_SQL,
+    "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_stream_join": STREAM_STREAM_JOIN_SQL,
 }

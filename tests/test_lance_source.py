@@ -390,3 +390,46 @@ def test_in_filter_with_null_pushdown(spark, sf_dir, tmp_path):
         .collect()
     )
     assert [(r.k, r.v) for r in got] == [(1, "a")]
+
+
+def test_begin_version_incremental_read(spark, tmp_path):
+    """CDC read: begin_version scans only fragments appended after
+    the given version; a rewrite in between fails loudly (the
+    file-name diff is only the row diff for append-only history)."""
+    import pyarrow.compute as pc
+
+    from lance_duckdb_spark.sources import lance_format as lf2
+
+    register(spark)
+    root = str(tmp_path / "cdc.lance")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string").write.format(
+        "lance"
+    ).mode("overwrite").save(root)
+    spark.createDataFrame([(3, "c")], "k int, v string").write.format(
+        "lance"
+    ).mode("append").save(root)
+    spark.createDataFrame([(4, "d")], "k int, v string").write.format(
+        "lance"
+    ).mode("append").save(root)
+
+    diff1 = (
+        spark.read.format("lance").option("begin_version", 1).load(root)
+    )
+    assert sorted((r.k, r.v) for r in diff1.collect()) == [(3, "c"), (4, "d")]
+    diff2 = (
+        spark.read.format("lance").option("begin_version", 2).load(root)
+    )
+    assert [(r.k, r.v) for r in diff2.collect()] == [(4, "d")]
+    # begin == end -> empty diff
+    v = lf2.read_manifest(root).version
+    empty = (
+        spark.read.format("lance").option("begin_version", v).load(root)
+    )
+    assert empty.count() == 0
+
+    # rewrite breaks append-only lineage: must raise, not misreport
+    lf2.delete_where(root, pc.field("k") == 1)
+    with pytest.raises(Exception, match="append-only"):
+        spark.read.format("lance").option("begin_version", 1).load(
+            root
+        ).count()
