@@ -28,7 +28,10 @@ from ..tables import load
 # -- contamination ----------------------------------------------------------
 
 CONTAM_N = 7  # word n-gram size
-BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 → "benchmark" member
+BENCH_MOD = 17  # doc_id % BENCH_MOD == 0 → "benchmark" member
+# (17 — not 97 — so the planted dup structure in the synthetic corpus
+# intersects the benchmark set at every SF: an empty hit table would
+# make the check vacuous at the driver's gate scale)
 
 
 def _word_ngrams(words, n: int):

@@ -418,18 +418,62 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["source", "gram"],
     )
+    # materialize once: three consumers below (sizes, both join
+    # sides) would otherwise each re-run the explode + df-cap join —
+    # the dominant cost of the whole query (5x recompute at sf1).
+    # localCheckpoint also truncates lineage, as in dedup_clusters.
+    kept = kept.localCheckpoint(eager=False)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = kept.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("src"), "gram"
+
+    # Pair counting WITHOUT materializing the quadratic join: the
+    # df-capped (source, gram) groups are tiny (≤ NGRAM_DF_CAP docs),
+    # but a gram self-join still emits Σ C(df,2) rows — 222M at sf1 —
+    # through a JVM shuffle + hash-agg. Instead collect each group's
+    # doc list (one keyed shuffle, rows = distinct kept grams) and
+    # expand + partially count the pairs in vectorized numpy inside
+    # mapInPandas; only per-partition distinct pairs (bounded by the
+    # true co-occurrence structure) reach the final sum. Same keyed
+    # shapes, no new blocking key — survives scale-up exactly like
+    # the join did, minus its shuffle volume.
+    import numpy as np
+    import pandas as pd
+
+    def pair_counts(batches):
+        for pdf in batches:
+            a_parts, b_parts = [], []
+            for arr in pdf["docs"]:
+                d = np.sort(np.asarray(arr, dtype=np.int64))
+                if len(d) < 2:
+                    continue
+                ii, jj = np.triu_indices(len(d), k=1)
+                a_parts.append(d[ii])
+                b_parts.append(d[jj])
+            if not a_parts:
+                continue
+            pa = np.concatenate(a_parts)
+            pb = np.concatenate(b_parts)
+            order = np.lexsort((pb, pa))
+            pa, pb = pa[order], pb[order]
+            new = np.r_[True, (pa[1:] != pa[:-1]) | (pb[1:] != pb[:-1])]
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.r_[starts, len(pa)])
+            yield pd.DataFrame(
+                {"doc_a": pa[starts], "doc_b": pb[starts], "pc": cnt}
+            )
+
+    grouped = kept.groupBy("source", "gram").agg(
+        F.collect_list("doc_id").alias("docs")
     )
-    b = kept.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("src"), "gram"
-    )
+    # the grouped table is tiny in BYTES (≤ cap doc-ids per row) but
+    # quadratic in WORK per row — AQE's size-based coalescing would
+    # funnel it into one task; spread rows round-robin instead
+    par = kept.sparkSession.sparkContext.defaultParallelism
     inter = (
-        a.join(b, ["src", "gram"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        grouped.select("docs")
+        .repartition(max(32, par))
+        .mapInPandas(pair_counts, schema="doc_a long, doc_b long, pc long")
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(F.sum("pc").alias("n_inter"))
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))

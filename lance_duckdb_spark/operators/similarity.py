@@ -345,12 +345,42 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     sigs = emb.mapInPandas(signatures, schema="vec_id long, band int, bucket long")
-    a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
-    b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+
+    # Per-BUCKET verification, not per-PAIR: shuffling every bucket
+    # collision as a candidate row then equi-joining the vectors back
+    # twice materializes O(Σ n_bucket²) rows — 153M at sf1, the whole
+    # wall-time. Instead the (band, bucket) groups (one equi-shuffle,
+    # the same keys as before) each run a blocked numpy pairwise
+    # cosine and emit ONLY the pairs that clear the threshold, so
+    # the candidate set lives as vectorized Arrow batches and dies
+    # inside the task. Survivor count is O(true near-dups × bands),
+    # orders of magnitude smaller. Bucket sizes are bounded by the
+    # band width (2^bits buckets/band; tune LSH_PLANES up if a
+    # corpus skews a bucket past executor memory) and the matmul is
+    # row-blocked so peak memory is O(block × n_bucket).
+    def bucket_verify(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        X = np.array(list(pdf["embedding"]), dtype=np.float32).astype(np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        out_a, out_b = [], []
+        blk = 1024
+        for i0 in range(0, len(X), blk):
+            C = X[i0 : i0 + blk] @ X.T
+            C /= nrm[i0 : i0 + blk, None]
+            C /= nrm[None, :]
+            ii, jj = np.nonzero(C >= NEARDUP_THRESHOLD)
+            ii += i0
+            keep = ids[ii] < ids[jj]
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+        )
+
+    withvec = sigs.join(emb.select("vec_id", "embedding"), "vec_id")
     cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        withvec.groupBy("band", "bucket")
+        .applyInPandas(bucket_verify, schema="vec_a long, vec_b long")
         .distinct()
     )
     # norms are computed per-vector BEFORE the pair join: the

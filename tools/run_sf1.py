@@ -78,7 +78,16 @@ def main() -> None:
 
     qs, osql = mod.queries(), mod.oracle_sql()
     results: dict[str, dict] = {}
+    only = None
+    if len(sys.argv) > 1 and sys.argv[1] == "--only":
+        only = set(sys.argv[2].split(","))
+        path = os.path.join(REPO, "SF1_VALIDATION.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                results = json.load(fh)
     for name in qs:
+        if only is not None and name not in only:
+            continue
         row: dict = {}
         t0 = time.time()
         try:
