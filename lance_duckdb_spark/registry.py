@@ -16,6 +16,7 @@ from .operators import (
     lance_ops,
     multimodal,
     pipeline,
+    redaction,
     retrieval,
     similarity,
     sql_surface,
@@ -47,6 +48,7 @@ _MODULES = [
     sql_surface2,
     tpch3,
     window_funcs,
+    redaction,
     streaming_jobs,
 ]
 
