@@ -26,6 +26,12 @@ def get_spark(app_name: str = "lance_duckdb_spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # split-size floor: the 4 MB default caps a 12 MB file at 3
+        # input splits, idling 29 of 32 cores on every small-file
+        # scan. 256 KB lets bytesPerCore drive the split count; at
+        # cluster scale files are large, bytesPerCore >> this floor,
+        # and maxPartitionBytes (128 MB) governs as usual.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
