@@ -64,54 +64,52 @@ def _merge(attr: str) -> dict:
     return merged
 
 
-# The per-round correctness harness records at most ~50 queries, taken as a
-# prefix of dict order (round 1 captured exactly queries 1-50 and dropped the
-# rest).  Rotate the registry so queries with no recorded correctness row yet
-# run first; everything else follows in its natural module order.  Round 1
-# verified queries 1-50 of the old order, so round 2 fronts the 11 that were
-# cut plus the queries added this round.
-_FRONT = [
-    # absent from CORRECTNESS_r01.json (driver 50-entry cap)
-    "events_json_extract",
-    "set_ops",
-    "sql_api_priority_matrix",
-    "string_funcs",
-    "monthly_revenue",
-    "case_buckets",
-    "event_transitions",
+# The per-round correctness harness records exactly the first 50 queries of
+# dict order and drops the rest (observed in rounds 1 and 2).  With >50
+# registered queries, ordering decides which get a driver-verified row this
+# round, so rotate by recency of verification:
+#   1. never driver-verified (new queries, and the 9 that errored in r2 on the
+#      events ts schema change before the tables.py fix),
+#   2. stale — last green in round 1 only (a full round without a check),
+#   3. fresh — green in round 2 (checked most recently).
+# Within each tier the natural module order is kept.  Update these sets each
+# round from CORRECTNESS_r{N}.json so the 50-slot window keeps sweeping.
+_GREEN_R1 = {
+    "ann_topk_bruteforce", "anti_semi_joins", "asof_join_events_orders",
+    "char_entropy", "cohort_retention", "dedup_clusters", "dedup_exact",
+    "dedup_keep_best", "dedup_minhash_lsh", "dedup_simhash", "distinct_counts",
+    "doc_fingerprint", "embedding_neardup", "filter_pipeline", "funnel_steps",
+    "lance_dataset_stats", "lance_pushdown_scan", "lance_roundtrip",
+    "lance_time_travel", "lang_id", "multimodal_pipeline", "ngram_jaccard",
+    "percentiles", "pivot_events", "quality_score", "range_join_events",
+    "robust_stats", "rollup_revenue", "running_totals", "sessionize_events",
+    "stats_moments", "stratified_sample", "tfidf_top_terms", "token_count",
+    "top_revenue_per_segment", "tpch_q1", "tpch_q10", "tpch_q13", "tpch_q14",
+    "tpch_q18", "tpch_q19", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7",
+    # rows-only by design, recorded in r1 (no hash, approximate algorithms)
+    "approx_quantiles_vs_exact", "embedding_neardup_lsh", "ann_ivf",
+}
+_GREEN_R2 = {
+    "array_functions", "case_buckets", "contamination_check",
+    "correlated_subquery", "cross_source_overlap", "cube_revenue",
+    "domain_mix", "exists_correlated", "group_quantile_arrays",
+    "lance_compact", "lance_delete", "lance_native_read", "lance_upsert",
+    "lance_version_diff", "monthly_revenue", "pii_redact",
+    "repetition_filter", "sequence_packing", "set_ops", "string_funcs",
+    "text_normalize", "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q2", "tpch_q20",
+    "tpch_q21", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q8",
+    "tpch_q9", "url_domain_stats", "window_range_frames",
     "window_rank_functions",
-    "array_functions",
-    "stream_windowed_counts",
-    "session_window_native",
-]
+}
 
 
 def _rotate(merged: dict) -> dict:
-    front = {k: merged[k] for k in _FRONT if k in merged}
-    # new queries (added after round 1) also lack correctness rows — front them
-    known_r1 = {
-        "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
-        "tpch_q14", "tpch_q18", "tpch_q7", "tpch_q13", "tpch_q19", "tpch_q22",
-        "top_revenue_per_segment", "running_totals", "distinct_counts",
-        "rollup_revenue", "percentiles", "stats_moments", "robust_stats",
-        "pivot_events", "approx_quantiles_vs_exact", "cohort_retention",
-        "funnel_steps", "asof_join_events_orders", "range_join_events",
-        "sessionize_events", "anti_semi_joins", "lang_id", "quality_score",
-        "token_count", "doc_fingerprint", "char_entropy", "embedding_neardup",
-        "embedding_neardup_lsh", "ann_topk_bruteforce", "ann_ivf",
-        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard",
-        "dedup_clusters", "lance_roundtrip", "lance_time_travel",
-        "lance_pushdown_scan", "lance_dataset_stats", "multimodal_pipeline",
-        "stratified_sample", "filter_pipeline", "dedup_keep_best",
-        "tfidf_top_terms",
-    }
-    for k in merged:
-        if k not in front and k not in known_r1:
-            front[k] = merged[k]
-    for k in merged:
-        if k not in front:
-            front[k] = merged[k]
-    return front
+    never = [k for k in merged if k not in _GREEN_R1 and k not in _GREEN_R2]
+    stale = [k for k in merged if k in _GREEN_R1 and k not in _GREEN_R2]
+    fresh = [k for k in merged if k in _GREEN_R2]
+    return {k: merged[k] for k in never + stale + fresh}
 
 
 QUERY_REGISTRY = _rotate(_merge("QUERIES"))

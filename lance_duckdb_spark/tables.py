@@ -25,19 +25,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects outright — we read it with
-    ``spark.sql.legacy.parquet.nanosAsLong`` as int64 ns. DuckDB
-    (the correctness oracle) truncates the same column to
-    microseconds at read time (its TIMESTAMP is µs), so we expose
-    ``ts_us`` = ns DIV 1000 and keep ALL event-time arithmetic in
-    integer microseconds — exact, timezone-independent, and equal to
-    DuckDB's ``epoch_us(ts)`` bit-for-bit."""
+    """Load events with a normalized integer-microsecond ``ts_us`` column.
+
+    The driver's events.parquet has shipped with two physical types for
+    ``ts``: TIMESTAMP(NANOS) (round 1/2 data — Spark rejects it unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` maps it to int64 ns) and
+    TIMESTAMP(MICROS) without UTC adjustment (round 3+ data — Spark reads
+    TIMESTAMP_NTZ). We detect which we got and expose ``ts_us`` = epoch
+    microseconds either way. DuckDB (the correctness oracle) reads the
+    same column as its µs TIMESTAMP, so ``epoch_us(ts)`` on the oracle
+    side equals ``ts_us`` bit-for-bit: all event-time arithmetic stays in
+    exact, timezone-independent integer microseconds (session tz is UTC,
+    so the NTZ→LTZ cast in ``unix_micros`` is the identity mapping)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts_us", F.expr("ts DIV 1000")).drop("ts")
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        ts_us = F.expr("ts DIV 1000")  # int64 nanoseconds
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return df.withColumn("ts_us", ts_us).drop("ts")
 
 
 US_PER_DAY = 86_400_000_000
