@@ -284,6 +284,62 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def lance_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector delete (lance_format.py delete_where with
+    use_deletion_vectors=True — Lance proper's _deletions files):
+    two successive DELETEs record row positions in side files and
+    rewrite NOTHING — `files_rewritten` counts data files created
+    after the initial write, and must be 0. The surviving-row
+    aggregate equals the oracle's double-NOT filter iff the
+    positional masks merge and apply before value filters. At
+    100 TB this is the only delete shape that stays cheap:
+    O(matching rows) of metadata, zero fragment IO."""
+    import pyarrow.compute as pc
+
+    from ..sources import lance_format as lf
+
+    register(spark)
+    root = _fresh_root(sf_dir, "deletevec")
+    load(spark, sf_dir, "orders").repartition(4).write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    files_v1 = {f.file for f in lf.read_manifest(root).fragments}
+    lf.delete_where(
+        root, pc.field("o_totalprice") > 200000.0, use_deletion_vectors=True
+    )
+    lf.delete_where(
+        root, pc.field("o_orderstatus") == "P", use_deletion_vectors=True
+    )
+    man = lf.read_manifest(root)
+    files_now = {f.file for f in man.fragments}
+    meta = spark.createDataFrame(
+        [
+            (
+                len(files_now - files_v1),  # data files rewritten: 0
+                len(lf.list_versions(root)),  # write + 2 deletes
+            )
+        ],
+        schema="files_rewritten int, n_versions int",
+    )
+    left = spark.read.format("lance").load(root)
+    agg = left.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(money("o_totalprice"), "revenue"),
+    )
+    return agg.crossJoin(meta).orderBy("o_orderstatus")
+
+
+LANCE_DELETE_VECTOR_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  CAST(0 AS INTEGER) AS files_rewritten,
+  CAST(3 AS INTEGER) AS n_versions
+FROM orders
+WHERE NOT (o_totalprice > 200000.0) AND NOT (o_orderstatus = 'P')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def lance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance parity (lance_format.py compact): write supplier
     across 8 small fragments, compact them into one, verify the data
@@ -376,6 +432,7 @@ QUERIES = {
     "lance_native_read": lance_native_read,
     "lance_upsert": lance_upsert,
     "lance_delete": lance_delete,
+    "lance_delete_vector": lance_delete_vector,
     "lance_compact": lance_compact,
 }
 
@@ -388,5 +445,6 @@ ORACLE = {
     "lance_native_read": LANCE_NATIVE_READ_SQL,
     "lance_upsert": LANCE_UPSERT_SQL,
     "lance_delete": LANCE_DELETE_SQL,
+    "lance_delete_vector": LANCE_DELETE_VECTOR_SQL,
     "lance_compact": LANCE_COMPACT_SQL,
 }

@@ -62,6 +62,7 @@ class FragmentPartition(InputPartition):
     root: str
     file: str
     num_rows: int
+    deletion_file: str | None = None
 
 
 @dataclass
@@ -222,7 +223,10 @@ class LanceScanReader(DataSourceReader):
             # everything pruned: one sentinel empty partition (Spark
             # calls read(None) if the partition list is empty)
             return [FragmentPartition(self.root, "", 0)]
-        return [FragmentPartition(self.root, f.file, f.num_rows) for f in kept]
+        return [
+            FragmentPartition(self.root, f.file, f.num_rows, f.deletion_file)
+            for f in kept
+        ]
 
     def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
         if not partition.file:  # sentinel: all fragments pruned
@@ -231,7 +235,12 @@ class LanceScanReader(DataSourceReader):
         filter_expr = _to_arrow_filter(self.pushed)
         table = lf.read_fragment(
             partition.root,
-            lf.Fragment(-1, partition.file, partition.num_rows),
+            lf.Fragment(
+                -1,
+                partition.file,
+                partition.num_rows,
+                deletion_file=partition.deletion_file,
+            ),
             columns=columns or None,
             filter_expr=filter_expr,
         )
@@ -419,13 +428,19 @@ class LanceStreamReader(DataSourceStreamReader):
                 raise lf.LanceDatasetError(rewrite_msg)
         window = frags[start["frag_count"] : end["frag_count"]]
         return [
-            FragmentPartition(self.root, f.file, f.num_rows) for f in window
+            FragmentPartition(self.root, f.file, f.num_rows, f.deletion_file)
+            for f in window
         ]
 
     def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
         table = lf.read_fragment(
             partition.root,
-            lf.Fragment(-1, partition.file, partition.num_rows),
+            lf.Fragment(
+                -1,
+                partition.file,
+                partition.num_rows,
+                deletion_file=partition.deletion_file,
+            ),
             columns=self.schema.fieldNames() or None,
         )
         yield from table.to_batches()

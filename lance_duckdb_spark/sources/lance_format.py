@@ -36,6 +36,7 @@ import pyarrow.parquet as pq
 
 MANIFEST_DIR = "_versions"
 DATA_DIR = "data"
+DELETION_DIR = "_deletions"
 
 
 class LanceDatasetError(Exception):
@@ -46,24 +47,47 @@ class LanceDatasetError(Exception):
 class Fragment:
     id: int
     file: str  # relative path under the dataset root
-    num_rows: int
+    num_rows: int  # PHYSICAL rows in the file (before deletions)
     # zone map: {col: [min, max]} for primitive columns, computed at
     # write time from the arrow data — lets the scan planner drop
     # whole fragments against pushed range/equality filters before
     # any IO. JSON-safe values only (numbers/strings/bools).
     stats: dict | None = None
+    # deletion vector (Lance format's deletion files, _deletions/):
+    # relative path of a file listing deleted row POSITIONS within
+    # this fragment. The fragment file itself is untouched — a
+    # delete is O(matching rows) metadata, not an O(fragment bytes)
+    # rewrite. None = no deletions. Zone maps stay valid (deletion
+    # only removes rows, min/max remain conservative bounds).
+    deletion_file: str | None = None
+    num_deleted: int = 0
+
+    @property
+    def live_rows(self) -> int:
+        return self.num_rows - self.num_deleted
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "id": self.id,
             "file": self.file,
             "num_rows": self.num_rows,
             "stats": self.stats,
         }
+        if self.deletion_file is not None:
+            d["deletion_file"] = self.deletion_file
+            d["num_deleted"] = self.num_deleted
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "Fragment":
-        return Fragment(d["id"], d["file"], d["num_rows"], d.get("stats"))
+        return Fragment(
+            d["id"],
+            d["file"],
+            d["num_rows"],
+            d.get("stats"),
+            d.get("deletion_file"),
+            d.get("num_deleted", 0),
+        )
 
 
 @dataclass
@@ -292,13 +316,48 @@ def commit(
         return manifest
 
 
+def write_deletion_file(root: str, positions: list[int]) -> str:
+    """Persist a deletion vector (sorted row positions) for one
+    fragment. JSON here; a production store would use a roaring
+    bitmap (Lance proper's _deletions/*.arrow), but the contract —
+    immutable side-file, fragment untouched — is identical."""
+    os.makedirs(os.path.join(root, DELETION_DIR), exist_ok=True)
+    rel = os.path.join(DELETION_DIR, f"{uuid.uuid4().hex}.json")
+    tmp = os.path.join(root, rel + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"positions": sorted(positions)}, f)
+    os.rename(tmp, os.path.join(root, rel))
+    return rel
+
+
+def read_deletion_positions(root: str, fragment: Fragment) -> list[int]:
+    if fragment.deletion_file is None:
+        return []
+    with open(os.path.join(root, fragment.deletion_file)) as f:
+        return json.load(f)["positions"]
+
+
+def _apply_deletions(
+    table: pa.Table, positions: list[int]
+) -> pa.Table:
+    import numpy as np
+
+    if not positions:
+        return table
+    mask = np.ones(table.num_rows, dtype=bool)
+    mask[np.asarray(positions, dtype=np.int64)] = False
+    return table.filter(pa.array(mask))
+
+
 def read_fragment(
     root: str,
     fragment: Fragment,
     columns: list[str] | None = None,
     filter_expr=None,
 ) -> pa.Table:
-    """Read one fragment with column pruning + predicate pushdown.
+    """Read one fragment with column pruning + predicate pushdown,
+    applying its deletion vector (positional mask over the physical
+    row order, so it must run BEFORE any value filter).
 
     Tries the real `lance` reader first for genuine .lance fragment
     files (wheel not present in this environment), else parquet.
@@ -313,6 +372,16 @@ def read_fragment(
             ) from e
         ds = lance.dataset(root)
         return ds.to_table(columns=columns, filter=filter_expr)
+    if fragment.deletion_file is not None:
+        # positions index PHYSICAL rows: read unfiltered (columns
+        # pruning keeps row order), mask, then value-filter
+        table = pq.read_table(path, columns=columns)
+        table = _apply_deletions(
+            table, read_deletion_positions(root, fragment)
+        )
+        if filter_expr is not None:
+            table = table.filter(filter_expr)
+        return table
     return pq.read_table(path, columns=columns, filters=filter_expr)
 
 
@@ -324,14 +393,21 @@ def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
     runs as a distributed job per fragment group; here the driver
     loop is fine for the manifest sizes tests use."""
     manifest = read_manifest(root)
-    small = [f for f in manifest.fragments if f.num_rows < target_rows]
-    if len(small) <= 1:
+    # rewrite small fragments AND fragments carrying deletion
+    # vectors (materialize_deletions — Lance compact_files does the
+    # same): compaction is where deferred deletes pay their IO
+    small = [
+        f
+        for f in manifest.fragments
+        if f.num_rows < target_rows or f.deletion_file is not None
+    ]
+    if len(small) <= 1 and not any(f.deletion_file for f in small):
         return manifest
-    keep = [f for f in manifest.fragments if f.num_rows >= target_rows]
+    keep = [f for f in manifest.fragments if f not in small]
     tables, new_frags, batch_rows = [], [], 0
     for f in small:
         tables.append(read_fragment(root, f))
-        batch_rows += f.num_rows
+        batch_rows += f.live_rows
         if batch_rows >= target_rows:
             new_frags.append(write_fragment(root, pa.concat_tables(tables)))
             tables, batch_rows = [], 0
@@ -346,27 +422,70 @@ def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
     )
 
 
-def delete_where(root: str, predicate) -> Manifest:
-    """Row deletion: rewrite each fragment without the rows matching
-    ``predicate`` (a pyarrow.compute expression) and commit a new
-    version — old versions remain time-travelable. The Lance format
-    proper uses deletion vectors to avoid the rewrite; rewriting is
-    the semantically-equivalent portable choice, and at 100 TB it
-    distributes as one task per affected fragment (untouched
-    fragments are carried over by reference, zero IO)."""
+def delete_where(
+    root: str, predicate, use_deletion_vectors: bool = False
+) -> Manifest:
+    """Row deletion, committing a new version either way (old
+    versions remain time-travelable); ``predicate`` is a
+    pyarrow.compute expression. SQL DELETE NULL semantics: a NULL
+    predicate result KEEPS the row.
+
+    Two physical strategies (both in Lance proper):
+    - rewrite (default): each affected fragment is rewritten without
+      the matching rows — one distributed task per affected fragment,
+      untouched fragments carried by reference.
+    - deletion vectors (``use_deletion_vectors=True``): the matching
+      row POSITIONS are recorded in an immutable ``_deletions/`` side
+      file and the fragment file is untouched — O(matching rows) of
+      metadata instead of O(fragment bytes) of IO, the only delete
+      that stays cheap at 100 TB. Scans apply the mask before value
+      filters; repeated deletes merge positions; ``compact``
+      materializes them. Note (streaming): like Delta without CDF,
+      deletes are not change-streamed — a running stream over this
+      dataset keeps its append-only view.
+    """
     import pyarrow.compute as pc
 
     manifest = read_manifest(root)
     new_frags: list[Fragment] = []
     for f in manifest.fragments:
-        table = read_fragment(root, f)
-        # delete only rows where the predicate is definitely TRUE:
-        # a NULL predicate result must KEEP the row (SQL DELETE
-        # semantics), and filter() drops null-mask rows, so coalesce
-        # the inverted mask to true
+        if use_deletion_vectors:
+            import numpy as np
+            import pyarrow.dataset as pads
+
+            # evaluate the predicate positionally: tag physical row
+            # positions, filter (dataset filter keeps rows where the
+            # predicate is definitely TRUE — NULL excluded, which IS
+            # SQL DELETE's keep-on-NULL), collect hit positions
+            table = pq.read_table(os.path.join(root, f.file))
+            table = table.append_column(
+                "__pos", pa.array(np.arange(table.num_rows), pa.int64())
+            )
+            hits = (
+                pads.dataset(table)
+                .to_table(columns=["__pos"], filter=predicate)
+                .column("__pos")
+                .to_pylist()
+            )
+            old = read_deletion_positions(root, f)
+            new_hits = sorted(set(hits) - set(old))
+            if not new_hits:
+                new_frags.append(f)  # nothing new deleted: carry
+                continue
+            positions = sorted(set(old) | set(new_hits))
+            rel = write_deletion_file(root, positions)
+            if len(positions) == f.num_rows:
+                continue  # fully deleted fragment: drop entirely
+            new_frags.append(
+                Fragment(
+                    -1, f.file, f.num_rows, f.stats, rel, len(positions)
+                )
+            )
+            continue
+        table = read_fragment(root, f)  # deletion-aware read
         keep_mask = pc.coalesce(~predicate, pa.scalar(True))
         kept = table.filter(keep_mask)
-        if kept.num_rows == f.num_rows:
+        if kept.num_rows == f.live_rows and f.deletion_file is None:
             new_frags.append(f)  # untouched: carry over by reference
         elif kept.num_rows > 0:
             new_frags.append(write_fragment(root, kept))

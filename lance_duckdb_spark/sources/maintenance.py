@@ -75,6 +75,28 @@ def upsert(
     if affected:
         paths = [os.path.join(root, f.file) for f in affected]
         current = spark.read.parquet(*paths)
+        with_dels = [f for f in affected if f.deletion_file]
+        if with_dels:
+            # apply deletion vectors distributedly: anti-join on
+            # (file, physical row position) — fragment basenames are
+            # uuid-unique, positions come from the tiny side files,
+            # so this is a broadcast anti-join, no driver data path
+            from pyspark.sql import functions as F
+
+            dels = spark.createDataFrame(
+                [
+                    (os.path.basename(f.file), int(p))
+                    for f in with_dels
+                    for p in lf.read_deletion_positions(root, f)
+                ],
+                schema="__file string, __pos long",
+            )
+            current = (
+                current.withColumn("__file", F.col("_metadata.file_name"))
+                .withColumn("__pos", F.col("_metadata.row_index"))
+                .join(F.broadcast(dels), on=["__file", "__pos"], how="left_anti")
+                .drop("__file", "__pos")
+            )
     else:
         current = None
     staging = f"{root}.upsert-{uuid.uuid4().hex}"

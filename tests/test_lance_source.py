@@ -433,3 +433,118 @@ def test_begin_version_incremental_read(spark, tmp_path):
         spark.read.format("lance").option("begin_version", 1).load(
             root
         ).count()
+
+
+def test_deletion_vector_delete(spark, sf_dir, tmp_ds):
+    """Deletion-vector delete: rows disappear from scans, data files
+    are untouched (no rewrite IO), repeated deletes merge positions,
+    and old versions still time-travel to the pre-delete state."""
+    import pyarrow.compute as pc
+
+    register(spark)
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(4).write.format("lance").mode("overwrite").save(tmp_ds)
+    files_before = {f.file for f in lf.read_manifest(tmp_ds).fragments}
+
+    lf.delete_where(
+        tmp_ds, pc.field("o_totalprice") > 200000.0, use_deletion_vectors=True
+    )
+    man2 = lf.read_manifest(tmp_ds)
+    assert {f.file for f in man2.fragments} <= files_before  # no new data files
+    assert any(f.deletion_file for f in man2.fragments)
+
+    got = spark.read.format("lance").load(tmp_ds)
+    exp = orders.where(~(F.col("o_totalprice") > 200000.0))
+    assert got.count() == exp.count()
+
+    # second delete merges into existing vectors, still no rewrite
+    lf.delete_where(
+        tmp_ds, pc.field("o_orderstatus") == "F", use_deletion_vectors=True
+    )
+    man3 = lf.read_manifest(tmp_ds)
+    assert {f.file for f in man3.fragments} <= files_before
+    got2 = spark.read.format("lance").load(tmp_ds)
+    exp2 = orders.where(
+        ~(F.col("o_totalprice") > 200000.0) & ~(F.col("o_orderstatus") == "F")
+    )
+    assert got2.count() == exp2.count()
+    # deleted-position bookkeeping is consistent
+    assert sum(f.num_deleted for f in man3.fragments) == (
+        orders.count() - exp2.count()
+    )
+
+    # pre-delete version unaffected
+    v1 = spark.read.format("lance").option("version", 1).load(tmp_ds)
+    assert v1.count() == orders.count()
+
+
+def test_deletion_vector_pushdown_interaction(spark, sf_dir, tmp_ds):
+    """Pushed value filters must apply AFTER the positional mask."""
+    import pyarrow.compute as pc
+
+    register(spark)
+    orders = load(spark, sf_dir, "orders")
+    orders.write.format("lance").mode("overwrite").save(tmp_ds)
+    lf.delete_where(
+        tmp_ds, pc.field("o_orderstatus") == "O", use_deletion_vectors=True
+    )
+    got = (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(F.col("o_totalprice") > 100000.0)
+        .count()
+    )
+    exp = orders.where(
+        (F.col("o_orderstatus") != "O") & (F.col("o_totalprice") > 100000.0)
+    ).count()
+    assert got == exp
+
+
+def test_deletion_vector_compact_materializes(spark, sf_dir, tmp_ds):
+    """compact() rewrites deletion-vector fragments into clean files."""
+    import pyarrow.compute as pc
+
+    register(spark)
+    supp = load(spark, sf_dir, "supplier")
+    supp.repartition(4).write.format("lance").mode("overwrite").save(tmp_ds)
+    cut = supp.agg(F.expr("percentile(s_suppkey, 0.3)")).collect()[0][0]
+    lf.delete_where(
+        tmp_ds, pc.field("s_suppkey") <= cut, use_deletion_vectors=True
+    )
+    n_live = spark.read.format("lance").load(tmp_ds).count()
+    man = lf.compact(tmp_ds, target_rows=100_000_000)
+    assert all(f.deletion_file is None for f in man.fragments)
+    assert sum(f.num_rows for f in man.fragments) == n_live
+    assert spark.read.format("lance").load(tmp_ds).count() == n_live
+
+
+def test_deletion_vector_upsert_does_not_resurrect(spark, sf_dir, tmp_ds):
+    """Upsert rewriting a fragment with a deletion vector must apply
+    the vector (deleted rows stay deleted through the merge)."""
+    import pyarrow.compute as pc
+
+    from lance_duckdb_spark.sources.maintenance import upsert
+
+    register(spark)
+    cust = load(spark, sf_dir, "customer")
+    cust.write.format("lance").mode("overwrite").save(tmp_ds)
+    lf.delete_where(
+        tmp_ds, pc.field("c_custkey") <= 40, use_deletion_vectors=True
+    )
+    upd = cust.where(
+        (F.col("c_custkey") > 40) & (F.col("c_custkey") <= 80)
+    ).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(5.0))
+    upsert(spark, tmp_ds, upd, key="c_custkey")
+    # fresh load() per action: the Python-DS scan caches pushed
+    # filters per relation (see LanceScanReader docstring)
+    assert (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(F.col("c_custkey") <= 40)
+        .count()
+        == 0
+    )
+    assert (
+        spark.read.format("lance").load(tmp_ds).count()
+        == cust.where(F.col("c_custkey") > 40).count()
+    )
