@@ -562,11 +562,152 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------------- incremental
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup against a PERSISTED signature store
+    — the shape a production ingestion pipeline actually runs: the
+    base corpus's band hashes are computed once and stored as a
+    lance dataset; each arriving batch computes signatures only for
+    ITSELF and equi-joins the store to find cross-corpus duplicates.
+    At 100 TB the per-batch cost is O(batch + collisions),
+    independent of corpus size — nothing about the base corpus is
+    recomputed, and the store itself grows by plain appends.
+
+    Here: base = even doc_ids (store), batch = odd doc_ids;
+    candidates are (base, batch) band-bucket collisions verified
+    with exact Jaccard ≥ the minhash threshold. Deterministic md5
+    lanes ⇒ the oracle replicates the identical algorithm."""
+    import os
+    import shutil
+
+    from ..sources.datasource import register
+
+    register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join("/tmp/lance_duckdb_spark", tag, "sigstore.lance")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.dirname(root), exist_ok=True)
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    # one-time (per corpus) signature build, persisted
+    _band_hashes(_minhash_signatures(_shingle_df(base))).write.format(
+        "lance"
+    ).mode("overwrite").save(root)
+
+    stored = spark.read.format("lance").load(root)
+    batch_bands = _band_hashes(_minhash_signatures(_shingle_df(batch)))
+    cand = (
+        stored.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            batch_bands.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact-Jaccard verification over the candidates only (inner
+    # joins restrict the shingle scan to candidate docs)
+    shingled = _shingle_df(docs)
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= MINHASH_JACCARD_T).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _incremental_sql() -> str:
+    mins = ",\n      ".join(
+        f"MIN(md5('{i}:' || shingle)) AS m{i}" for i in range(N_HASHES)
+    )
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = " || ".join(
+            f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_union = "\n    UNION ALL\n    ".join(band_rows)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, len(string_split(trim(text), ' ')) - 1),
+    i -> string_split(trim(text), ' ')[i] || ' ' ||
+         string_split(trim(text), ' ')[i+1] || ' ' ||
+         string_split(trim(text), ' ')[i+2]))) AS shingle
+  FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 3
+),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+    {bands_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+  CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= {MINHASH_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_INCREMENTAL_SQL = _incremental_sql()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard": ngram_jaccard,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLE = {
@@ -574,4 +715,5 @@ ORACLE = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }

@@ -377,6 +377,52 @@ FROM supplier
 """
 
 
+def lance_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write (sources/layout.py — the OPTIMIZE
+    ZORDER BY capability): lineitem is written clustered on the
+    Morton key of (l_quantity, l_extendedprice), so each fragment's
+    zone map covers a small rectangle of that 2-D space and the
+    pushed 2-D range predicate prunes most fragments before IO
+    (pruning ratio asserted in tests/test_lance_source.py). The
+    returned aggregate is hash-exact vs the oracle on the original
+    parquet — clustering must never change query results."""
+    from ..sources.layout import write_zordered
+
+    register(spark)
+    root = _fresh_root(sf_dir, "zorder")
+    write_zordered(
+        load(spark, sf_dir, "lineitem"),
+        root,
+        cols=("l_quantity", "l_extendedprice"),
+        n_fragments=16,
+    )
+    li = spark.read.format("lance").load(root)
+    return (
+        li.where(
+            (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+            & (F.col("l_extendedprice") >= 20000.0)
+            & (F.col("l_extendedprice") <= 40000.0)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(money("l_extendedprice"), "sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LANCE_ZORDER_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_quantity >= 10 AND l_quantity <= 20
+  AND l_extendedprice >= 20000.0 AND l_extendedprice <= 40000.0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def lance_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC / incremental read (Delta change-data-feed analogue over
     the Lance version model): ``.option("begin_version", N)`` scans
@@ -434,6 +480,7 @@ QUERIES = {
     "lance_delete": lance_delete,
     "lance_delete_vector": lance_delete_vector,
     "lance_compact": lance_compact,
+    "lance_zorder_pruning": lance_zorder_pruning,
 }
 
 ORACLE = {
@@ -447,4 +494,5 @@ ORACLE = {
     "lance_delete": LANCE_DELETE_SQL,
     "lance_delete_vector": LANCE_DELETE_VECTOR_SQL,
     "lance_compact": LANCE_COMPACT_SQL,
+    "lance_zorder_pruning": LANCE_ZORDER_SQL,
 }

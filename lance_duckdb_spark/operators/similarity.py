@@ -417,11 +417,50 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("vec_a", "vec_b")
 
 
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """*Rows-only* (approximate by design; recall vs brute force
+    asserted in tests/test_llm_ops.py). The PERSISTED-index variant
+    of ann_ivf — Lance proper's core feature (a vector index stored
+    with the dataset): embeddings are written as a lance dataset,
+    ``build_ivf_index`` fits distributed k-means and persists
+    bucket-partitioned postings under ``_indexes/ivf/``, and the
+    search scans only the probes' nprobe bucket partitions (Spark
+    partition pruning on literal bucket ids — asserted on the plan
+    in tests). At 100 TB the search IO is nprobe/k of the index,
+    independent of corpus size."""
+    import os
+    import shutil
+
+    from ..sources.datasource import register
+    from ..sources.vector_index import ann_search, build_ivf_index
+
+    register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join("/tmp/lance_duckdb_spark", tag, "ivfindex.lance")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.dirname(root), exist_ok=True)
+    emb = load(spark, sf_dir, "embeddings")
+    emb.select("vec_id", "embedding").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    build_ivf_index(spark, root, k=IVF_K, lloyd_iters=2)
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    # Lloyd-refined centroids pack clusters tighter than the raw
+    # seed centroids ann_ivf uses, so borderline neighbors spread
+    # across more buckets: probe 6/16 (measured recall 0.93 vs 0.86
+    # at nprobe=4); at production scale (k=4096) nprobe stays a
+    # small fraction of k
+    return ann_search(spark, root, probes, k_neighbors=TOP_K, nprobe=6)
+
+
 QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_ivf": ann_ivf,
+    "ann_ivf_indexed": ann_ivf_indexed,
 }
 
 ORACLE = {

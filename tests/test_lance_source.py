@@ -548,3 +548,58 @@ def test_deletion_vector_upsert_does_not_resurrect(spark, sf_dir, tmp_ds):
         spark.read.format("lance").load(tmp_ds).count()
         == cust.where(F.col("c_custkey") > 40).count()
     )
+
+
+def test_zorder_write_prunes_2d_ranges(spark, sf_dir, tmp_ds):
+    """Z-order clustering makes zone maps effective on BOTH
+    dimensions of a 2-D range predicate; an append-ordered write of
+    the same data prunes (almost) nothing."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+
+    from lance_duckdb_spark.sources.datasource import _fragment_may_match
+    from lance_duckdb_spark.sources.layout import write_zordered
+
+    register(spark)
+    li = load(spark, sf_dir, "lineitem")
+    write_zordered(
+        li, tmp_ds, cols=("l_quantity", "l_extendedprice"), n_fragments=16
+    )
+    man = lf.read_manifest(tmp_ds)
+    assert len(man.fragments) == 16
+
+    filters = [
+        GreaterThanOrEqual(("l_quantity",), 10),
+        LessThanOrEqual(("l_quantity",), 20),
+        GreaterThanOrEqual(("l_extendedprice",), 20000.0),
+        LessThanOrEqual(("l_extendedprice",), 40000.0),
+    ]
+    kept = [f for f in man.fragments if _fragment_may_match(f, filters)]
+    # the 2-D window is ~20% x ~20% of the space: clustered layout
+    # must prune well over half the fragments
+    assert len(kept) <= len(man.fragments) // 2, (
+        f"z-order pruned only {len(man.fragments) - len(kept)} of "
+        f"{len(man.fragments)} fragments"
+    )
+
+    # results are identical to the raw table (clustering is layout-only)
+    got = (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(
+            (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+            & (F.col("l_extendedprice") >= 20000.0)
+            & (F.col("l_extendedprice") <= 40000.0)
+        )
+        .count()
+    )
+    exp = li.where(
+        (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+        & (F.col("l_extendedprice") >= 20000.0)
+        & (F.col("l_extendedprice") <= 40000.0)
+    ).count()
+    assert got == exp

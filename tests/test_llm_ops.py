@@ -74,3 +74,44 @@ def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
     assert lsh <= exact
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.65, f"embedding LSH recall {recall}"
+
+
+def test_ann_ivf_indexed_recall_and_pruning(spark, sf_dir):
+    """Persistent-index ANN: recall vs brute force, partition
+    pruning of the postings scan, and the staleness guard."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.sources import vector_index as vi
+
+    exact = similarity.ann_topk_bruteforce(spark, sf_dir).collect()
+    approx = similarity.ann_ivf_indexed(spark, sf_dir).collect()
+    exact_set = {(r.probe_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.probe_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"ann_ivf_indexed recall {recall}"
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join("/tmp/lance_duckdb_spark", tag, "ivfindex.lance")
+
+    # the postings scan is partition-pruned to the probed buckets
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    res = vi.ann_search(spark, root, probes, k_neighbors=5, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "bucket_id" in plan  # partition filter present on the scan
+
+    # staleness: appending to the dataset invalidates the index
+    emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).write.format("lance").mode("append").save(root)
+    with pytest.raises(vi.StaleIndexError):
+        vi.ann_search(spark, root, probes)
+    # but the indexed snapshot stays searchable explicitly
+    assert (
+        vi.ann_search(spark, root, probes, allow_stale=True).count() > 0
+    )

@@ -16,6 +16,7 @@ def test_rows_only_queries_are_the_documented_ones():
     rows_only = set(QUERY_REGISTRY) - set(ORACLE_REGISTRY)
     assert rows_only == {
         "ann_ivf",
+        "ann_ivf_indexed",
         "approx_quantiles_vs_exact",
         "embedding_neardup_lsh",
     }, f"undocumented rows-only queries: {rows_only}"
