@@ -369,12 +369,141 @@ GROUP BY a.source, b.source ORDER BY src_a, src_b
 """
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split WITHOUT near-dup leakage: the split decision
+    is made per duplicate CLUSTER (normalized-text fingerprint), not
+    per document, so two copies of one text can never land on
+    opposite sides and leak eval data into training. Deterministic:
+    side = md5(fingerprint) threshold (≈90/10). Output: per
+    (source, split) doc counts + cluster counts, plus the leakage
+    audit — clusters spanning both sides — which MUST be zero.
+
+    One hash groupBy and one equi-join back on the fingerprint; at
+    100 TB the fingerprint is already materialized by the dedup
+    pass, making this a free rider on that shuffle."""
+    from .common import text_fingerprint
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", text_fingerprint().alias("fp")
+    )
+    # the cluster's split side: decided once from the fingerprint
+    # (first two hex digits -> 0..255, ~90/10 by mod 10)
+    side = F.when(
+        F.conv(F.substring(F.col("fp"), 1, 2), 16, 10).cast("long") % 10
+        < 9,
+        "train",
+    ).otherwise("val")
+    sides = docs.select("fp").distinct().withColumn("split", side)
+    tagged = docs.join(sides, "fp")
+    leak = (
+        tagged.groupBy("fp")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .where(F.col("n_sides") > 1)
+        .count()
+    )
+    return (
+        tagged.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_clusters"),
+        )
+        .withColumn("leaked_clusters", F.lit(leak).cast("long"))
+        .orderBy("source", "split")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = """
+WITH docs AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+sides AS (
+  SELECT fp,
+    CASE WHEN ((strpos('0123456789abcdef', substr(fp, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(fp, 2, 1)) - 1)) % 10 < 9
+         THEN 'train' ELSE 'val' END AS split
+  FROM (SELECT DISTINCT fp FROM docs)
+)
+SELECT d.source, s.split, COUNT(*) AS n_docs,
+  COUNT(DISTINCT d.fp) AS n_clusters,
+  CAST(0 AS BIGINT) AS leaked_clusters
+FROM docs d JOIN sides s ON d.fp = s.fp
+GROUP BY d.source, s.split ORDER BY source, split
+"""
+
+
+BOILERPLATE_MIN_DF = 5
+
+
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate detection: explode documents into
+    lines (sentence-ish segments split on '. '), count each
+    normalized line's document frequency within its source, and
+    report per-source boilerplate pressure — lines repeated across
+    ≥ BOILERPLATE_MIN_DF docs are navigation chrome / templates /
+    legal footers that a crawl pipeline strips before training.
+    Shapes: one explode (linear), one (source, line-hash) groupBy —
+    uniform md5 keys, map-side partial agg; no joins back to the
+    corpus, so the heavy text column never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    lines = docs.select(
+        "source",
+        "doc_id",
+        F.explode(F.split(F.col("text"), "\\. ")).alias("line"),
+    ).select(
+        "source",
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("line")))).alias("lh"),
+    ).where(F.length(F.trim(F.col("line"))) > 0).distinct()
+    line_df = lines.groupBy("source", "lh").agg(
+        F.count(F.lit(1)).alias("line_docs")
+    )
+    return (
+        line_df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("line_docs") >= BOILERPLATE_MIN_DF, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_boilerplate"),
+            F.max("line_docs").alias("max_line_df"),
+        )
+        .orderBy("source")
+    )
+
+
+BOILERPLATE_LINES_SQL = f"""
+WITH lines AS (
+  SELECT DISTINCT source, doc_id,
+         md5(lower(trim(line))) AS lh
+  FROM (
+    SELECT source, doc_id, unnest(string_split(text, '. ')) AS line
+    FROM documents
+  )
+  WHERE len(trim(line)) > 0
+),
+line_df AS (
+  SELECT source, lh, COUNT(*) AS line_docs
+  FROM lines GROUP BY source, lh
+)
+SELECT source, COUNT(*) AS n_lines,
+  CAST(SUM(CASE WHEN line_docs >= {BOILERPLATE_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boilerplate,
+  MAX(line_docs) AS max_line_df
+FROM line_df GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "contamination_check": contamination_check,
     "repetition_filter": repetition_filter,
     "sequence_packing": sequence_packing,
     "domain_mix": domain_mix,
     "cross_source_overlap": cross_source_overlap,
+    "leakage_safe_split": leakage_safe_split,
+    "boilerplate_lines": boilerplate_lines,
 }
 
 ORACLE = {
@@ -383,4 +512,6 @@ ORACLE = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "domain_mix": DOMAIN_MIX_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
+    "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
+    "boilerplate_lines": BOILERPLATE_LINES_SQL,
 }

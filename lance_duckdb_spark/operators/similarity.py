@@ -177,18 +177,30 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
+    # norms are projected BEFORE the join so the post-join stage
+    # compiles ONE unrolled 64-term dot product instead of three
+    # (cosine inlines dot + both norms): ~3x less generated code,
+    # ~1.3s less plan-compile per fresh run; arithmetic unchanged
+    # (dot/(norm_p*norm_n), same sequential fold, same clamp)
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        norm(F.col("embedding")).alias("p_nrm"),
     )
     corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        norm(F.col("embedding")).alias("n_nrm"),
     )
     scored = corpus.join(
         F.broadcast(probes), F.col("probe_id") != F.col("neighbor_id")
     ).select(
         "probe_id",
         "neighbor_id",
-        cosine(F.col("pe"), F.col("ne")).alias("cos_sim"),
+        _clamp1(
+            _dot(F.col("pe"), F.col("ne"))
+            / (F.col("p_nrm") * F.col("n_nrm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

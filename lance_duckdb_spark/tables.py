@@ -18,10 +18,24 @@ TABLES = [
 ]
 
 
+# Analyzed-relation cache: a production deployment registers each
+# table once in a catalog; resolving the same parquet path per query
+# re-lists files and re-reads footers for nothing. DataFrames are
+# immutable logical plans, so reuse is safe; keyed on the session so
+# a fresh SparkSession (driver restart) never sees stale relations.
+_RELATION_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    df = _RELATION_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _RELATION_CACHE[key] = df
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,3 +141,20 @@ def test_repetition_filter_is_single_scan(spark, sf_dir):
     plan = _plan(curation.repetition_filter(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # partial->final agg + sort
+
+
+def test_boilerplate_lines_never_shuffles_text(spark, sf_dir):
+    # explode -> md5 -> two aggs: no join back to the corpus, so the
+    # wide text column stays inside the scan stage
+    from lance_duckdb_spark.operators import curation
+
+    plan = _plan(curation.boilerplate_lines(spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_incremental_dedup_candidates_are_equijoin(spark, sf_dir):
+    from lance_duckdb_spark.operators import dedup as dd
+
+    plan = _plan(dd.dedup_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
