@@ -340,6 +340,50 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def lance_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on append (Lance's add-column capability,
+    Delta mergeSchema semantics): v1 = pre-1997 orders, v2 appends
+    1997+ orders WITH a new ``big_order`` flag column. Old
+    fragments read the column as typed NULL; the aggregate groups
+    on it, so a hash match proves null-fill, merged-schema commit,
+    and filter semantics end-to-end."""
+    register(spark)
+    root = _fresh_root(sf_dir, "evolve")
+    orders = load(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    orders.where(F.col("o_orderdate") < cut).write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    orders.where(F.col("o_orderdate") >= cut).withColumn(
+        "big_order", F.col("o_totalprice") > 150000.0
+    ).write.format("lance").mode("append").option(
+        "mergeSchema", "true"
+    ).save(root)
+    evolved = spark.read.format("lance").load(root)
+    return (
+        evolved.groupBy("big_order")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice"), "revenue"),
+        )
+        .orderBy(F.col("big_order").asc_nulls_first())
+    )
+
+
+LANCE_SCHEMA_EVOLUTION_SQL = """
+WITH evolved AS (
+  SELECT o_totalprice, NULL AS big_order
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  UNION ALL
+  SELECT o_totalprice, o_totalprice > 150000.0 AS big_order
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+)
+SELECT big_order, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM evolved GROUP BY big_order ORDER BY big_order NULLS FIRST
+"""
+
+
 def lance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance parity (lance_format.py compact): write supplier
     across 8 small fragments, compact them into one, verify the data
@@ -481,6 +525,7 @@ QUERIES = {
     "lance_delete_vector": lance_delete_vector,
     "lance_compact": lance_compact,
     "lance_zorder_pruning": lance_zorder_pruning,
+    "lance_schema_evolution": lance_schema_evolution,
 }
 
 ORACLE = {
@@ -495,4 +540,5 @@ ORACLE = {
     "lance_delete_vector": LANCE_DELETE_VECTOR_SQL,
     "lance_compact": LANCE_COMPACT_SQL,
     "lance_zorder_pruning": LANCE_ZORDER_SQL,
+    "lance_schema_evolution": LANCE_SCHEMA_EVOLUTION_SQL,
 }

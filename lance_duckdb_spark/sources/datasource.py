@@ -147,6 +147,49 @@ def _fragment_may_match(fragment, pushed: list[Filter]) -> bool:
     return True
 
 
+def _read_fragment_evolved(
+    root: str,
+    frag: "lf.Fragment",
+    schema: StructType,
+    pushed: list[Filter],
+):
+    """Deletion-aware fragment read that also honors schema
+    evolution: columns added after this fragment was written (or
+    omitted by a mergeSchema append) are filled with typed NULLs,
+    and pushed filters are then applied over the filled table so
+    their NULL semantics stay exact (a value predicate on an absent
+    column keeps nothing; IS NULL keeps everything)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    want = schema.fieldNames()
+    file_names = set(
+        pq.read_schema(os.path.join(root, frag.file)).names
+    )
+    present = [c for c in want if c in file_names]
+    missing = [c for c in want if c not in file_names]
+    filter_expr = _to_arrow_filter(pushed)
+    if not missing:
+        return lf.read_fragment(
+            root, frag, columns=present or None, filter_expr=filter_expr
+        )
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    table = lf.read_fragment(root, frag, columns=present or None)
+    target = to_arrow_schema(schema)
+    for name in missing:
+        fld = target.field(target.get_field_index(name))
+        table = table.append_column(
+            fld, pa.nulls(table.num_rows, fld.type)
+        )
+    table = table.select(want)
+    if filter_expr is not None:
+        import pyarrow.dataset as pads
+
+        table = pads.dataset(table).to_table(filter=filter_expr)
+    return table
+
+
 class LanceScanReader(DataSourceReader):
     """NOTE (Spark 4.1 Python-DS limitation): Spark plans a python
     data source scan lazily ONCE per relation node and caches the
@@ -231,9 +274,7 @@ class LanceScanReader(DataSourceReader):
     def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
         if not partition.file:  # sentinel: all fragments pruned
             return
-        columns = self.schema.fieldNames()
-        filter_expr = _to_arrow_filter(self.pushed)
-        table = lf.read_fragment(
+        table = _read_fragment_evolved(
             partition.root,
             lf.Fragment(
                 -1,
@@ -241,8 +282,8 @@ class LanceScanReader(DataSourceReader):
                 partition.num_rows,
                 deletion_file=partition.deletion_file,
             ),
-            columns=columns or None,
-            filter_expr=filter_expr,
+            self.schema,
+            self.pushed,
         )
         yield from table.to_batches()
 
@@ -324,11 +365,13 @@ class LanceArrowWriter(DataSourceArrowWriter):
         schema: StructType,
         overwrite: bool,
         compression: str = "snappy",
+        merge_schema: bool = False,
     ):
         self.root = root
         self.schema = schema
         self.overwrite = overwrite
         self.compression = compression
+        self.merge_schema = merge_schema
         os.makedirs(root, exist_ok=True)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> LanceCommitMessage:
@@ -354,6 +397,7 @@ class LanceArrowWriter(DataSourceArrowWriter):
             self.schema.json(),
             frags,
             mode="overwrite" if self.overwrite else "append",
+            merge_schema=self.merge_schema,
         )
 
     def abort(self, messages):
@@ -433,7 +477,7 @@ class LanceStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
-        table = lf.read_fragment(
+        table = _read_fragment_evolved(
             partition.root,
             lf.Fragment(
                 -1,
@@ -441,7 +485,8 @@ class LanceStreamReader(DataSourceStreamReader):
                 partition.num_rows,
                 deletion_file=partition.deletion_file,
             ),
-            columns=self.schema.fieldNames() or None,
+            self.schema,
+            [],
         )
         yield from table.to_batches()
 
@@ -534,7 +579,17 @@ class LanceDataSource(DataSource):
     def _root(self) -> str:
         path = self.options.get("path")
         if not path:
-            raise lf.LanceDatasetError("lance: 'path' is required")
+            raise lf.LanceDatasetError(
+                f"lance: 'path' is required (options: "
+                f"{sorted(self.options.keys())})"
+            )
+        # SQL DDL (CREATE TABLE ... USING lance OPTIONS (path ...))
+        # hands the path back as a resolved file: URI — normalize to
+        # a local filesystem path
+        if path.startswith("file://"):
+            path = path[len("file://") :]
+        elif path.startswith("file:"):
+            path = path[len("file:") :]
         return path
 
     def _version(self) -> int | None:
@@ -578,11 +633,16 @@ class LanceDataSource(DataSource):
                 "store); copy into a new path or use the lance wheel"
             )
         # .option("compression", "zstd"|"snappy"|"gzip"|"none")
+        # .option("mergeSchema", "true") for schema-evolving appends
         return LanceArrowWriter(
             self._root(),
             schema,
             overwrite,
             compression=self.options.get("compression", "snappy"),
+            merge_schema=str(
+                self.options.get("mergeschema", "false")
+            ).lower()
+            == "true",
         )
 
     def streamReader(self, schema: StructType) -> LanceStreamReader:

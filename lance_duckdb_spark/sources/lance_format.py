@@ -221,6 +221,49 @@ def write_fragment(
     )
 
 
+def _merge_schemas(prev_json: str, new_json: str) -> str:
+    """Schema evolution on append (Lance's add-column capability):
+    fields present in both must match exactly (name, type, metadata);
+    brand-new fields are appended to the dataset schema and read as
+    NULL from pre-evolution fragments. Dropping or retyping a field
+    is rejected — that would silently corrupt old fragments."""
+    prev = json.loads(prev_json)
+    new = json.loads(new_json)
+    prev_by_name = {f["name"]: f for f in prev["fields"]}
+    new_by_name = {f["name"]: f for f in new["fields"]}
+
+    def _shape(f: dict) -> dict:  # nullability-insensitive identity
+        return {k: v for k, v in f.items() if k != "nullable"}
+
+    for name, f in new_by_name.items():
+        old = prev_by_name.get(name)
+        if old is not None and _shape(old) != _shape(f):
+            raise LanceDatasetError(
+                f"mergeSchema cannot change existing field {name!r}: "
+                f"dataset has {old!r}, append has {f!r}"
+            )
+    # columns the append omits stay in the dataset schema and read
+    # as NULL from the new fragments (Delta mergeSchema semantics) —
+    # every fragment is read through the null-filling scan path.
+    # Every evolved/omitted field must be nullable: some fragment
+    # will surface NULLs for it.
+    merged = dict(prev)
+    merged["fields"] = [
+        (
+            dict(f, nullable=True)
+            if f["name"] not in new_by_name
+            or f.get("nullable") != new_by_name[f["name"]].get("nullable")
+            else f
+        )
+        for f in prev["fields"]
+    ] + [
+        dict(f, nullable=True)
+        for f in new["fields"]
+        if f["name"] not in prev_by_name
+    ]
+    return json.dumps(merged)
+
+
 def commit(
     root: str,
     schema_json: str,
@@ -229,6 +272,7 @@ def commit(
     stream_batch_id: int | None = None,
     stream_txn_id: str | None = None,
     expected_version: int | None = None,
+    merge_schema: bool = False,
 ) -> Manifest:
     """Publish the next version. Atomic: manifest is written to a
     temp name and renamed into place (POSIX rename atomicity), the
@@ -284,11 +328,18 @@ def commit(
             )
         if mode == "append" and prev is not None:
             if prev.schema_json != schema_json:
-                raise LanceDatasetError(
-                    "append schema mismatch: "
-                    f"dataset has {prev.schema_json!r}, "
-                    f"write has {schema_json!r}"
-                )
+                if merge_schema:
+                    schema_json = _merge_schemas(
+                        prev.schema_json, schema_json
+                    )
+                else:
+                    raise LanceDatasetError(
+                        "append schema mismatch: "
+                        f"dataset has {prev.schema_json!r}, "
+                        f"write has {schema_json!r} "
+                        "(pass .option('mergeSchema','true') to add "
+                        "new columns)"
+                    )
             base = list(prev.fragments)
         else:
             base = []

@@ -603,3 +603,63 @@ def test_zorder_write_prunes_2d_ranges(spark, sf_dir, tmp_ds):
         & (F.col("l_extendedprice") <= 40000.0)
     ).count()
     assert got == exp
+
+
+def test_merge_schema_append(spark, sf_dir, tmp_ds):
+    """Schema evolution: append with a NEW column via mergeSchema;
+    old fragments read the column as NULL, pushed filters on the
+    evolved column keep exact NULL semantics, and appends that omit
+    old columns null-fill symmetrically."""
+    register(spark)
+    nat = load(spark, sf_dir, "nation")
+    nat.write.format("lance").mode("overwrite").save(tmp_ds)
+
+    # without the option: rejected
+    with pytest.raises(Exception, match="schema mismatch"):
+        nat.withColumn("score", F.lit(1.5)).write.format("lance").mode(
+            "append"
+        ).save(tmp_ds)
+
+    nat.withColumn("score", F.lit(1.5)).write.format("lance").mode(
+        "append"
+    ).option("mergeSchema", "true").save(tmp_ds)
+
+    got = spark.read.format("lance").load(tmp_ds)
+    assert got.schema.fieldNames() == nat.schema.fieldNames() + ["score"]
+    assert got.count() == 2 * nat.count()
+    # old fragment's rows surface NULL score
+    assert (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(F.col("score").isNull())
+        .count()
+        == nat.count()
+    )
+    # pushed value filter on the evolved column: only new rows match
+    assert (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(F.col("score") > 1.0)
+        .count()
+        == nat.count()
+    )
+
+    # append omitting an existing column: null-filled on read
+    nat.drop("n_name").withColumn("score", F.lit(2.5)).write.format(
+        "lance"
+    ).mode("append").option("mergeSchema", "true").save(tmp_ds)
+    assert (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(F.col("n_name").isNull())
+        .count()
+        == nat.count()
+    )
+
+    # retyping an existing column: rejected even with mergeSchema
+    with pytest.raises(Exception, match="cannot change existing field"):
+        nat.withColumn(
+            "n_regionkey", F.col("n_regionkey").cast("string")
+        ).write.format("lance").mode("append").option(
+            "mergeSchema", "true"
+        ).save(tmp_ds)
