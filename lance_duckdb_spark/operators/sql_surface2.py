@@ -205,12 +205,45 @@ ORDER BY l_returnflag
 """
 
 
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP — Spark
+    4's listagg; DuckDB's string_agg with ORDER BY): concatenation
+    order is pinned by the key, so the result is deterministic and
+    hash-exact. The restriction to a small key range keeps the
+    output strings bounded — at scale LISTAGG over unbounded groups
+    is an anti-pattern (collect_list explosion); bound the group or
+    use arrays."""
+    cust = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 60)
+    cust.createOrReplaceTempView("sa_cust")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               listagg(c_name, '|') WITHIN GROUP (ORDER BY c_custkey)
+                 AS names,
+               COUNT(*) AS n
+        FROM sa_cust
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+STRING_AGG_SQL = """
+SELECT c_mktsegment,
+       string_agg(c_name, '|' ORDER BY c_custkey) AS names,
+       COUNT(*) AS n
+FROM customer WHERE c_custkey < 60
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "cube_revenue": cube_revenue,
     "window_range_frames": window_range_frames,
     "correlated_subquery": correlated_subquery,
     "exists_correlated": exists_correlated,
     "group_quantile_arrays": group_quantile_arrays,
+    "string_agg_ordered": string_agg_ordered,
 }
 
 ORACLE = {
@@ -219,4 +252,5 @@ ORACLE = {
     "correlated_subquery": CORRELATED_SUBQUERY_SQL,
     "exists_correlated": EXISTS_CORRELATED_SQL,
     "group_quantile_arrays": GROUP_QUANTILE_SQL,
+    "string_agg_ordered": STRING_AGG_SQL,
 }
