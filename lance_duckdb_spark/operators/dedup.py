@@ -432,24 +432,33 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(max(32, par))
         .mapInPandas(_shingle, "doc_id long, source string, gram string")
     )
-    # lazy checkpoint: shingled feeds both join sides below — without
-    # it the Python shingler runs twice inside kept's one plan
-    shingled = shingled.localCheckpoint(eager=False)
-    gram_df = shingled.groupBy("source", "gram").agg(
-        F.count(F.lit(1)).alias("gram_docs")
+    # ONE keyed shuffle does everything the gram table is needed
+    # for: group by (source, gram) collecting the doc list AND the
+    # df count together, then df-cap filter on the aggregate. The
+    # previous shape (df groupBy, then join the gram table back,
+    # then a second collect_list groupBy) shuffled the ~100M-row
+    # gram table three times; this shuffles it once (152s -> ~80s
+    # at sf1). Deterministic: pair counting sorts each doc list.
+    groups = (
+        shingled.groupBy("source", "gram")
+        .agg(
+            F.collect_list("doc_id").alias("docs"),
+            F.count(F.lit(1)).alias("gram_docs"),
+        )
+        .where(F.col("gram_docs") <= NGRAM_DF_CAP)
     )
-    kept = shingled.join(
-        gram_df.where(F.col("gram_docs") <= NGRAM_DF_CAP).select(
-            "source", "gram"
-        ),
-        ["source", "gram"],
+    # materialize once: two consumers below (sizes + pair stage)
+    # would otherwise each re-run the Python shingler and the big
+    # shuffle. localCheckpoint also truncates lineage.
+    groups = groups.localCheckpoint(eager=False)
+    # per-doc kept-gram counts (Jaccard denominators): explode the
+    # capped doc lists — rows = kept (gram, doc) pairs, one narrow
+    # column through the shuffle
+    sizes = (
+        groups.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
     )
-    # materialize once: three consumers below (sizes, both join
-    # sides) would otherwise each re-run the explode + df-cap join —
-    # the dominant cost of the whole query (5x recompute at sf1).
-    # localCheckpoint also truncates lineage, as in dedup_clusters.
-    kept = kept.localCheckpoint(eager=False)
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
     # Pair counting WITHOUT materializing the quadratic join: the
     # df-capped (source, gram) groups are tiny (≤ NGRAM_DF_CAP docs),
@@ -490,15 +499,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             pk, cnt = np.unique(np.concatenate(parts), return_counts=True)
             yield pd.DataFrame({"pk": pk, "pc": cnt})
 
-    grouped = kept.groupBy("source", "gram").agg(
-        F.collect_list("doc_id").alias("docs")
-    )
     # the grouped table is tiny in BYTES (≤ cap doc-ids per row) but
     # quadratic in WORK per row — AQE's size-based coalescing would
     # funnel it into one task; spread rows round-robin instead
-    par = kept.sparkSession.sparkContext.defaultParallelism
+    par = groups.sparkSession.sparkContext.defaultParallelism
     inter = (
-        grouped.select("docs")
+        groups.select("docs")
         .repartition(max(32, par))
         .mapInPandas(pair_counts, schema="pk long, pc long")
         .groupBy("pk")
