@@ -105,11 +105,37 @@ _GREEN_R2 = {
 }
 
 
+# All 50 rows the round-3 harness recorded (46 hash-exact + 4 rows-only by
+# design).  Union of r1/r2/r3 covers all 101 registered queries.
+_GREEN_R3 = {
+    "ann_ivf", "ann_ivf_indexed", "ann_topk_bruteforce", "anti_semi_joins",
+    "approx_quantiles_vs_exact", "asof_join_events_orders",
+    "boilerplate_lines", "char_entropy", "cohort_retention", "dedup_exact",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_simhash",
+    "distinct_counts", "doc_fingerprint", "embedding_neardup",
+    "embedding_neardup_lsh", "event_transitions", "events_json_extract",
+    "funnel_steps", "lance_delete_vector", "lance_schema_evolution",
+    "lance_zorder_pruning", "lang_id", "leakage_safe_split", "ngram_jaccard",
+    "percentiles", "pivot_events", "quality_score", "range_join_events",
+    "robust_stats", "rollup_revenue", "running_totals",
+    "session_window_native", "sessionize_events", "sql_api_priority_matrix",
+    "stats_moments", "stream_dedup", "stream_sessionization",
+    "stream_sink_roundtrip", "stream_stream_join", "stream_windowed_counts",
+    "string_agg_ordered", "token_count", "top_revenue_per_segment",
+    "tpch_q13", "tpch_q18", "tpch_q19", "tpch_q22", "tpch_q7",
+}
+
+
 def _rotate(merged: dict) -> dict:
-    never = [k for k in merged if k not in _GREEN_R1 and k not in _GREEN_R2]
-    stale = [k for k in merged if k in _GREEN_R1 and k not in _GREEN_R2]
-    fresh = [k for k in merged if k in _GREEN_R2]
-    return {k: merged[k] for k in never + stale + fresh}
+    # Round-4 window: new queries first, then the 10 not driver-verified
+    # since round 1, then the round-2-only set (41), then round-3 fresh.
+    recorded = _GREEN_R1 | _GREEN_R2 | _GREEN_R3
+    never = [k for k in merged if k not in recorded]
+    r1_stale = [k for k in merged
+                if k in _GREEN_R1 and k not in _GREEN_R2 and k not in _GREEN_R3]
+    r2_stale = [k for k in merged if k in _GREEN_R2 and k not in _GREEN_R3]
+    fresh = [k for k in merged if k in _GREEN_R3]
+    return {k: merged[k] for k in never + r1_stale + r2_stale + fresh}
 
 
 QUERY_REGISTRY = _rotate(_merge("QUERIES"))
