@@ -513,8 +513,48 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def lance_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a GENUINE Lance v2 dataset — real ``.lance`` data files
+    (plain encodings, byte-identical layout to lance 0.32.1's writer;
+    proven in tests against the reference's own fixture) plus a
+    protobuf manifest — then scan it back through the native reader
+    and aggregate. Parity: the reference's COPY TO
+    (cpp/lance_copy.cpp:72-249 → rust/writer.rs:1-54). The write is
+    distributed: one fragment per input partition, written
+    executor-side via mapInArrow; the driver only commits the
+    manifest."""
+    from ..sources.lance_native_write import write_native_dataset
+
+    register(spark)
+    root = _fresh_root(sf_dir, "nativewrite")
+    sup = load(spark, sf_dir, "supplier").repartition(4)
+    write_native_dataset(sup, root)
+    nat = spark.read.format("lance").load(root)
+    return (
+        nat.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(money("s_acctbal")).cast("double").alias("total_bal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+LANCE_NATIVE_WRITE_SQL = """
+SELECT s_nationkey,
+  COUNT(*) AS n_suppliers,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  MIN(s_name) AS first_name
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
 QUERIES = {
     "lance_roundtrip": lance_roundtrip,
+    "lance_native_write": lance_native_write,
     "lance_version_diff": lance_version_diff,
     "lance_time_travel": lance_time_travel,
     "lance_pushdown_scan": lance_pushdown_scan,
@@ -530,6 +570,7 @@ QUERIES = {
 
 ORACLE = {
     "lance_roundtrip": LANCE_ROUNDTRIP_SQL,
+    "lance_native_write": LANCE_NATIVE_WRITE_SQL,
     "lance_version_diff": LANCE_VERSION_DIFF_SQL,
     "lance_time_travel": LANCE_TIME_TRAVEL_SQL,
     "lance_pushdown_scan": LANCE_PUSHDOWN_SQL,

@@ -28,16 +28,56 @@ from ..tables import load
 
 DIM = 64  # embedding dimensionality of the test corpus
 
+# Above this dimensionality the unrolled expression tree risks the
+# JVM's 64 KB-per-method codegen ceiling (hit once at r1 with 3
+# unrolled dots in one projection); production embedding dims
+# (768-1536) route to the Arrow-batched fold below instead.
+CODEGEN_DOT_MAX_DIM = 256
+
+
+def _dot_arrow(a: Column, b: Column) -> Column:
+    """Arrow-batched sequential-fold dot for high-dim vectors.
+
+    Vectorized across ROWS with numpy but accumulated dimension-by-
+    dimension in float64, so every row's sum order is exactly the
+    scalar left fold — the same bit-exactness contract as the
+    unrolled codegen path, without its dimensionality ceiling.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf can't resolve pd.* from this module's scope
+    def fold_dot(xs, ys):
+        import numpy as np
+        import pandas as pd
+
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in xs])
+        Y = np.stack([np.asarray(v, dtype=np.float64) for v in ys])
+        acc = np.zeros(X.shape[0])
+        for i in range(X.shape[1]):
+            acc += X[:, i] * Y[:, i]
+        return pd.Series(acc)
+
+    return pandas_udf(fold_dot, "double")(a, b)
+
 
 def _dot(a: Column, b: Column, dim: int = DIM) -> Column:
-    """Unrolled dot product: one whole-stage-codegen expression.
+    """Dot product, dim-adaptive.
 
-    Spark's higher-order functions (zip_with/aggregate) interpret
-    the lambda per element — ~100x slower on pair joins. The
-    explicit left-associative sum compiles into codegen AND keeps
-    the exact sequential fold order, so it stays bit-identical to
+    dim <= CODEGEN_DOT_MAX_DIM: unrolled into one whole-stage-codegen
+    expression — Spark's higher-order functions (zip_with/aggregate)
+    interpret the lambda per element, ~100x slower on pair joins. The
+    explicit left-associative sum compiles into codegen AND keeps the
+    exact sequential fold order, so it stays bit-identical to
     DuckDB's list_cosine_similarity over DOUBLE[].
+
+    dim > CODEGEN_DOT_MAX_DIM: Arrow-batched numpy fold (same
+    sequential accumulation, no codegen overflow at 768/1536 dims).
     """
+    if dim > CODEGEN_DOT_MAX_DIM:
+        return _dot_arrow(a, b)
     expr = None
     for i in range(1, dim + 1):
         term = F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")

@@ -207,6 +207,15 @@ def _column_stats(table: pa.Table) -> dict:
     return stats
 
 
+def _arrow_schema(schema_json: str) -> pa.Schema:
+    """Committed Spark StructType JSON → arrow schema (no active
+    SparkSession needed; the converter is a pure function)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    return to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
+
+
 def write_fragment(
     root: str, table: pa.Table, compression: str = "snappy"
 ) -> Fragment:
@@ -455,14 +464,35 @@ def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
     if len(small) <= 1 and not any(f.deletion_file for f in small):
         return manifest
     keep = [f for f in manifest.fragments if f not in small]
+
+    # after a mergeSchema append the small fragments have
+    # heterogeneous physical schemas (old files lack evolved
+    # columns); conform every table to the COMMITTED schema before
+    # concatenation, matching the null-fill semantics of the evolved
+    # scan path — otherwise pa.concat_tables raises on any evolved
+    # dataset and compaction is impossible.
+    target = _arrow_schema(manifest.schema_json)
+
+    def _conform(table: pa.Table) -> pa.Table:
+        for name in target.names:
+            if name not in table.column_names:
+                fld = target.field(name)
+                table = table.append_column(
+                    fld, pa.nulls(table.num_rows, fld.type)
+                )
+        # cast unifies nullability flags too (a fragment written from
+        # a non-null expression carries `not null` fields that
+        # concat_tables treats as a different schema)
+        return table.select(target.names).cast(target)
+
     tables, new_frags, batch_rows = [], [], 0
     for f in small:
-        tables.append(read_fragment(root, f))
+        tables.append(_conform(read_fragment(root, f)))
         batch_rows += f.live_rows
         if batch_rows >= target_rows:
             new_frags.append(write_fragment(root, pa.concat_tables(tables)))
             tables, batch_rows = [], 0
-    if tables:
+    if tables and sum(t.num_rows for t in tables) > 0:
         new_frags.append(write_fragment(root, pa.concat_tables(tables)))
     return commit(
         root,
@@ -525,8 +555,13 @@ def delete_where(
                 continue
             positions = sorted(set(old) | set(new_hits))
             rel = write_deletion_file(root, positions)
-            if len(positions) == f.num_rows:
-                continue  # fully deleted fragment: drop entirely
+            # a fully-deleted fragment STAYS in the manifest
+            # (deletion file covering every row, live_rows == 0): the
+            # stream source keys its offsets on fragment-list prefix
+            # position, so dropping the entry would shift frag_count
+            # and trip the prefix_sha guard on any running stream —
+            # exactly the append-only-view guarantee the docstring
+            # makes. compact() materializes and drops it later.
             new_frags.append(
                 Fragment(
                     -1, f.file, f.num_rows, f.stats, rel, len(positions)

@@ -403,6 +403,15 @@ def _parse_column_meta(buf: bytes) -> list[_Page]:
     return pages
 
 
+def _is_validity(buf: bytes, n: int) -> bool:
+    return len(buf) == (n + 7) // 8
+
+
+def _mask(validity: bytes, n: int) -> list[bool]:
+    """LSB-first Arrow validity bitmap → per-row is-valid flags."""
+    return [bool(validity[i >> 3] & (1 << (i & 7))) for i in range(n)]
+
+
 def _decode_page(raw: bytes, page: _Page, typ: pa.DataType) -> pa.Array:
     bufs = [
         raw[off : off + sz]
@@ -410,16 +419,23 @@ def _decode_page(raw: bytes, page: _Page, typ: pa.DataType) -> pa.Array:
     ]
     n = page.rows
     if typ in _FIXED_WIDTH or typ == pa.bool_():
+        # plain page = 1 values buffer; nullable plain page = leading
+        # validity bitmap + values (the symmetric convention of the
+        # native writer, lance_native_write.py)
+        validity = None
+        if len(bufs) == 2 and _is_validity(bufs[0], n):
+            validity, bufs = bufs[0], bufs[1:]
         if len(bufs) != 1:
             raise LanceNativeUnsupported(
-                f"{typ}: expected 1 plain buffer, got {len(bufs)} "
-                "(validity/compressed pages need the lance wheel)"
+                f"{typ}: expected 1 plain buffer (+optional validity), "
+                f"got {len(bufs)} (compressed pages need the lance wheel)"
             )
+        vbuf = pa.py_buffer(validity) if validity is not None else None
         if typ == pa.bool_():
             if len(bufs[0]) != (n + 7) // 8:
                 raise LanceNativeUnsupported("bool page is not plain bitmap")
             return pa.Array.from_buffers(
-                pa.bool_(), n, [None, pa.py_buffer(bufs[0])]
+                pa.bool_(), n, [vbuf, pa.py_buffer(bufs[0])]
             )
         code = _FIXED_WIDTH[typ]
         width = struct.calcsize(code)
@@ -428,11 +444,17 @@ def _decode_page(raw: bytes, page: _Page, typ: pa.DataType) -> pa.Array:
                 f"{typ}: page size {len(bufs[0])} != {n}x{width} "
                 "(bit-packed/compressed pages need the lance wheel)"
             )
-        return pa.array(struct.unpack(f"<{n}{code}", bufs[0]), type=typ)
+        return pa.Array.from_buffers(
+            typ, n, [vbuf, pa.py_buffer(bufs[0])]
+        )
     if typ in (pa.string(), pa.binary()):
+        validity = None
+        if len(bufs) == 3 and _is_validity(bufs[0], n):
+            validity, bufs = bufs[0], bufs[1:]
         if len(bufs) != 2:
             raise LanceNativeUnsupported(
-                f"{typ}: expected offsets+bytes buffers, got {len(bufs)}"
+                f"{typ}: expected offsets+bytes buffers "
+                f"(+optional validity), got {len(bufs)}"
             )
         off_buf, data_buf = bufs
         if len(off_buf) == 8 * n:
@@ -444,10 +466,15 @@ def _decode_page(raw: bytes, page: _Page, typ: pa.DataType) -> pa.Array:
                 f"{typ}: offsets buffer is neither 32- nor 64-bit plain"
             )
         starts = (0,) + ends[:-1]
-        vals = [data_buf[s:e] for s, e in zip(starts, ends)]
+        vals: list = [data_buf[s:e] for s, e in zip(starts, ends)]
+        if validity is not None:
+            valid = _mask(validity, n)
+            vals = [v if ok else None for v, ok in zip(vals, valid)]
         if typ == pa.string():
-            return pa.array([v.decode() for v in vals], type=typ)
-        return pa.array(list(vals), type=typ)
+            return pa.array(
+                [None if v is None else v.decode() for v in vals], type=typ
+            )
+        return pa.array(vals, type=typ)
     if pa.types.is_date32(typ):
         inner = _decode_page(raw, page, pa.int32())
         return inner.cast(pa.date32())

@@ -74,7 +74,19 @@ def upsert(
     # staged fragment files are adopted into this dataset's data/
     if affected:
         paths = [os.path.join(root, f.file) for f in affected]
-        current = spark.read.parquet(*paths)
+        # read with the dataset's COMMITTED schema, not one file's
+        # inferred footer: after a mergeSchema append the affected
+        # fragments are heterogeneous, and footer inference from the
+        # oldest file would silently drop evolved columns from the
+        # rewrite (data loss). Spark's parquet reader null-fills
+        # columns absent from a given file when given an explicit
+        # schema — the same semantics as the evolved scan path.
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        committed = StructType.fromJson(_json.loads(manifest.schema_json))
+        current = spark.read.schema(committed).parquet(*paths)
         with_dels = [f for f in affected if f.deletion_file]
         if with_dels:
             # apply deletion vectors distributedly: anti-join on

@@ -84,6 +84,87 @@ def _assign_buckets(df: DataFrame, bc_centroids, column: str, id_col: str):
     return df.mapInPandas(assign, schema=out_schema)
 
 
+def _bucket_means(assigned: DataFrame, C, column: str, dim: int):
+    """Per-bucket mean vectors, dim-adaptive.
+
+    dim <= 256: ``dim`` element-wise ``avg`` aggregates — map-side
+    partial agg, one narrow shuffle of k×dim doubles, all codegen.
+
+    dim > 256 (production embedding sizes): a wide agg list would
+    strain codegen, so aggregate in two Arrow stages instead —
+    per-partition numpy partial sums (mapInPandas: ≤ k rows out per
+    partition), then one shuffle of those partials (partitions×k
+    rows, NOT the corpus) combined per bucket. Only k×dim doubles
+    ever reach the driver either way."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    k = C.shape[0]
+    if dim <= 256:
+        means = (
+            assigned.groupBy("bucket_id")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col(column), i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        C = C.copy()  # empty buckets keep their previous centroid
+        for r in means:
+            C[r["bucket_id"]] = [r[f"m{i}"] for i in range(dim)]
+        return C
+
+    import pandas as pd
+
+    def partial_sums(batches):
+        sums: dict[int, "np.ndarray"] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[column]]
+            )
+            b = pdf["bucket_id"].to_numpy()
+            for bid in np.unique(b):
+                m = b == bid
+                sums[int(bid)] = sums.get(int(bid), 0) + X[m].sum(axis=0)
+                counts[int(bid)] = counts.get(int(bid), 0) + int(m.sum())
+        if sums:
+            yield pd.DataFrame(
+                {
+                    "bucket_id": list(sums),
+                    "psum": [sums[i].tolist() for i in sums],
+                    "cnt": [counts[i] for i in sums],
+                }
+            )
+
+    partials = assigned.mapInPandas(
+        partial_sums, schema="bucket_id int, psum array<double>, cnt long"
+    )
+
+    def combine(key, pdf):
+        S = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["psum"]]
+        ).sum(axis=0)
+        n = int(pdf["cnt"].sum())
+        return pd.DataFrame(
+            {"bucket_id": [key[0]], "mean": [(S / max(n, 1)).tolist()]}
+        )
+
+    rows = (
+        partials.groupBy("bucket_id")
+        .applyInPandas(combine, schema="bucket_id int, mean array<double>")
+        .collect()
+    )
+    C = C.copy()
+    for r in rows:
+        C[r["bucket_id"]] = r["mean"]
+    return C
+
+
 def build_ivf_index(
     spark: SparkSession,
     root: str,
@@ -111,34 +192,19 @@ def build_ivf_index(
         raise lf.LanceDatasetError(f"cannot index empty dataset {root}")
     dim = first["d"]
 
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col(id_col))
-    init = (
-        df.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .orderBy(id_col)
-        .select(column)
-        .collect()
-    )
+    # deterministic init: the k lowest-id vectors. orderBy + limit
+    # compiles to TakeOrderedAndProject — a distributed per-partition
+    # top-k then a k-row driver merge — NOT a global sort through one
+    # task (the r3 Window.orderBy version pulled the whole corpus
+    # through a single partition; driver-bottleneck class of bug at
+    # 100 TB).
+    init = df.orderBy(id_col).limit(k).select(column).collect()
     C = np.array([r[0] for r in init], dtype=np.float64)
 
     for _ in range(max(0, lloyd_iters)):
         bc = spark.sparkContext.broadcast(C)
         assigned = _assign_buckets(df, bc, column, id_col)
-        means = (
-            assigned.groupBy("bucket_id")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col(column), i + 1)).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
-        C = C.copy()  # empty buckets keep their previous centroid
-        for r in means:
-            C[r["bucket_id"]] = [r[f"m{i}"] for i in range(dim)]
+        C = _bucket_means(assigned, C, column, dim)
 
     bc = spark.sparkContext.broadcast(C)
     postings = _assign_buckets(df, bc, column, id_col)

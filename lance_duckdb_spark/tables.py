@@ -21,13 +21,21 @@ TABLES = [
 # Analyzed-relation cache: a production deployment registers each
 # table once in a catalog; resolving the same parquet path per query
 # re-lists files and re-reads footers for nothing. DataFrames are
-# immutable logical plans, so reuse is safe; keyed on the session so
-# a fresh SparkSession (driver restart) never sees stale relations.
+# immutable logical plans, so reuse is safe. Keyed on the session's
+# applicationId — unlike id(spark), an appId is never reused after a
+# session stop/gc, so a fresh session can't receive plans bound to a
+# dead one. One live session is the operating mode, so a new appId
+# RESETS the cache (also bounding growth across sessions/sf_dirs).
 _RELATION_CACHE: dict = {}
+_CACHE_APP_ID: list = [None]
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    if app_id != _CACHE_APP_ID[0]:
+        _RELATION_CACHE.clear()
+        _CACHE_APP_ID[0] = app_id
+    key = (sf_dir, name)
     df = _RELATION_CACHE.get(key)
     if df is None:
         if name == "events":
@@ -54,8 +62,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # only reach for the legacy nanos conf when the data actually
+    # needs it: round-3+ testdata is TIMESTAMP(MICROS) and reads
+    # cleanly with defaults, so the shared session conf stays
+    # untouched in the common case. On legacy nanos data the conf
+    # must REMAIN set (executors re-check it at scan time), which is
+    # why it can't be save/restored around the read.
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         ts_us = F.expr("ts DIV 1000")  # int64 nanoseconds

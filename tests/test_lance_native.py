@@ -9,6 +9,8 @@ same dataset, plus the documented type-map edge policy.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pytest
 
@@ -165,3 +167,139 @@ def test_spark_native_write_refused(spark):
     df = spark.range(3)
     with pytest.raises(Exception, match="[Ll]ance proper|not supported"):
         df.write.format("lance").mode("append").save(REF)
+
+
+# ------------------------------------------------------------------ #
+# native WRITER (r4): lance_native_write.py                          #
+# ------------------------------------------------------------------ #
+
+
+def test_writer_byte_identical_to_reference_fixture(tmp_path):
+    """Writing the fixture's exact table reproduces lance 0.32.1's
+    data file BYTE FOR BYTE — buffers, 0x48 alignment padding,
+    encoding protos, schema global buffer, offset tables, footer."""
+    import pyarrow as pa
+
+    from lance_duckdb_spark.sources import lance_native_write as lw
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "name": pa.array(
+                ["Alice", "Bob", "Charlie", "David", "Eve"], pa.string()
+            ),
+            "age": pa.array([25, 30, 35, 40, 45], pa.int64()),
+            "score": pa.array([85.5, 92.0, 78.5, 88.0, 95.5], pa.float64()),
+        }
+    )
+    t = t.cast(
+        pa.schema(
+            [
+                pa.field(n, t.schema.field(n).type, nullable=False)
+                for n in t.schema.names
+            ]
+        )
+    )
+    out = str(tmp_path / "out.lance")
+    lw.write_data_file(t, out)
+    ours = open(out, "rb").read()
+    ref = open(
+        os.path.join(
+            REF, "data", "9c687b1c-075b-430c-8be1-672d2b959ad6.lance"
+        ),
+        "rb",
+    ).read()
+    assert ours == ref
+
+
+def test_writer_reader_roundtrip_with_nulls(tmp_path):
+    """All supported types, WITH nulls (validity-buffer extension),
+    round-trip bit-exactly through write_dataset → read_dataset."""
+    import pyarrow as pa
+
+    from lance_duckdb_spark.sources import lance_native as ln
+    from lance_duckdb_spark.sources import lance_native_write as lw
+
+    t = pa.table(
+        {
+            "i32": pa.array([1, None, 3], pa.int32()),
+            "i64": pa.array([10, 20, None], pa.int64()),
+            "f": pa.array([1.5, None, 2.5], pa.float32()),
+            "d": pa.array([2.25, 3.5, None], pa.float64()),
+            "s": pa.array(["a", None, "ccc"], pa.string()),
+            "b": pa.array([b"x", b"yy", None], pa.binary()),
+            "bo": pa.array([True, None, False], pa.bool_()),
+            "dt": pa.array([1, 2, None], pa.int32()).cast(pa.date32()),
+            "ts": pa.array([1000, None, 3000], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "emb": pa.array(
+                [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                pa.list_(pa.float32(), 2),
+            ),
+        }
+    )
+    root = str(tmp_path / "nulls.lance")
+    lw.write_dataset(t, root)
+    back = ln.read_dataset(root)
+    assert back.equals(t)
+    man = ln.open_dataset(root)
+    assert man.writer_library == "lance_duckdb_spark"
+    assert [f.nullable for f in man.fields][:4] == [True] * 4
+
+
+def test_written_manifest_parses_like_reference(tmp_path):
+    """The written protobuf manifest exposes the same structural
+    surface as the reference fixture's: fields with ids/parents,
+    fragments with data files + physical rows, version, storage
+    format — all through the SAME parser that reads Lance proper."""
+    import pyarrow as pa
+
+    from lance_duckdb_spark.sources import lance_native as ln
+    from lance_duckdb_spark.sources import lance_native_write as lw
+
+    t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    root = str(tmp_path / "m.lance")
+    lw.write_dataset(t, root)
+    ours = ln.open_dataset(root)
+    ref = ln.open_dataset(REF)
+    assert type(ours) is type(ref)
+    assert ours.version == 1
+    assert [f.parent_id for f in ours.fields] == [-1]
+    assert ours.fragments[0].files[0].file_major == 2
+    assert ours.fragments[0].physical_rows == 2
+    # size recorded in the manifest matches the file on disk
+    df = ours.fragments[0].files[0]
+    assert df.file_size_bytes == os.path.getsize(
+        os.path.join(root, "data", df.path)
+    )
+
+
+def test_spark_distributed_native_write(spark, tmp_path):
+    """write_native_dataset: one genuine fragment per partition
+    (executor-side), one manifest commit; Spark reads it back via
+    the same native scan path that reads Lance proper."""
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.sources import lance_native as ln
+    from lance_duckdb_spark.sources.lance_native_write import (
+        write_native_dataset,
+    )
+
+    register(spark)
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("row-"), F.col("id")).alias("tag"),
+    ).repartition(5)
+    root = str(tmp_path / "dist.lance")
+    info = write_native_dataset(df, root)
+    assert info["fragments"] == 5 and info["rows"] == 100
+    assert ln.is_native_dataset(root)
+    back = spark.read.format("lance").load(root)
+    assert back.count() == 100
+    assert (
+        back.agg(F.sum("id").alias("s")).collect()[0]["s"] == 4950
+    )
+    got = {r["tag"] for r in back.select("tag").collect()}
+    assert got == {f"row-{i}" for i in range(100)}

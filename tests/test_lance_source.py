@@ -663,3 +663,114 @@ def test_merge_schema_append(spark, sf_dir, tmp_ds):
         ).write.format("lance").mode("append").option(
             "mergeSchema", "true"
         ).save(tmp_ds)
+
+
+def test_upsert_on_evolved_dataset_keeps_evolved_values(
+    spark, sf_dir, tmp_ds
+):
+    """Regression (r4): upsert must read affected fragments with the
+    COMMITTED schema, not one file's inferred footer — otherwise a
+    mergeSchema-evolved column present only in newer fragments is
+    silently dropped by the rewrite (data loss)."""
+    from lance_duckdb_spark.sources.maintenance import upsert
+
+    register(spark)
+    nat = load(spark, sf_dir, "nation")
+    nat.write.format("lance").mode("overwrite").save(tmp_ds)
+    # evolve: second fragment carries a score column
+    nat.withColumn("n_nationkey", F.col("n_nationkey") + 100).withColumn(
+        "score", F.lit(1.5)
+    ).write.format("lance").mode("append").option(
+        "mergeSchema", "true"
+    ).save(tmp_ds)
+
+    # upsert touching BOTH fragments (keys 0 and 100)
+    updates = (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(F.col("n_nationkey").isin(0, 100))
+        .withColumn("n_name", F.lit("UPDATED"))
+    )
+    upsert(spark, tmp_ds, updates, key="n_nationkey")
+
+    # fresh load per action: the Python-DS relation caches the first
+    # action's pushed filters (documented trap)
+    def fresh():
+        return spark.read.format("lance").load(tmp_ds)
+
+    # evolved values survive the rewrite: all 25 shifted rows still
+    # carry score 1.5, none were nulled by footer inference
+    assert (
+        fresh().where(F.col("score") == 1.5).count() == nat.count()
+    ), "evolved column values lost in upsert rewrite"
+    assert fresh().where(F.col("n_name") == "UPDATED").count() == 2
+    assert fresh().count() == 2 * nat.count()
+
+
+def test_compact_on_evolved_dataset(spark, sf_dir, tmp_ds):
+    """Regression (r4): compact() must null-fill heterogeneous
+    fragment schemas to the committed schema before concatenation —
+    pa.concat_tables raises on an evolved dataset otherwise."""
+    register(spark)
+    nat = load(spark, sf_dir, "nation")
+    nat.write.format("lance").mode("overwrite").save(tmp_ds)
+    nat.withColumn("n_nationkey", F.col("n_nationkey") + 100).withColumn(
+        "score", F.lit(2.0)
+    ).write.format("lance").mode("append").option(
+        "mergeSchema", "true"
+    ).save(tmp_ds)
+
+    man = lf.compact(tmp_ds, target_rows=10**9)  # force full rewrite
+    assert len(man.fragments) == 1
+
+    def fresh():
+        return spark.read.format("lance").load(tmp_ds)
+
+    assert fresh().count() == 2 * nat.count()
+    # pre-evolution rows read NULL score, evolved rows keep 2.0
+    assert fresh().where(F.col("score").isNull()).count() == nat.count()
+    assert fresh().where(F.col("score") == 2.0).count() == nat.count()
+
+
+def test_deletion_vector_empty_fragment_keeps_stream_offsets(
+    spark, sf_dir, tmp_ds
+):
+    """Regression (r4): a deletion-vector delete that empties a
+    fragment keeps the fragment IN the manifest (live_rows == 0) so
+    the stream source's fragment-prefix offsets stay stable; scans
+    see zero rows from it and compact() drops it later."""
+    import pyarrow.compute as pc
+
+    register(spark)
+    nat = load(spark, sf_dir, "nation")
+    nat.write.format("lance").mode("overwrite").save(tmp_ds)
+    nat.withColumn("n_nationkey", F.col("n_nationkey") + 100).write.format(
+        "lance"
+    ).mode("append").save(tmp_ds)
+    files_before = [f.file for f in lf.read_manifest(tmp_ds).fragments]
+
+    # empty the SECOND fragment entirely via a deletion vector
+    lf.delete_where(
+        tmp_ds, pc.field("n_nationkey") >= 100, use_deletion_vectors=True
+    )
+    man = lf.read_manifest(tmp_ds)
+    assert [f.file for f in man.fragments] == files_before, (
+        "fragment list changed shape: running streams would die"
+    )
+    emptied = man.fragments[-1]
+    assert emptied.live_rows == 0 and emptied.deletion_file is not None
+    assert spark.read.format("lance").load(tmp_ds).count() == nat.count()
+    assert (
+        spark.read.format("lance")
+        .load(tmp_ds)
+        .where(F.col("n_nationkey") >= 100)
+        .count()
+        == 0
+    )
+
+    # compact materializes and drops the empty fragment
+    man2 = lf.compact(tmp_ds, target_rows=10**9)
+    assert all(f.deletion_file is None for f in man2.fragments)
+    assert (
+        spark.read.format("lance").load(tmp_ds).count() == nat.count()
+    )
