@@ -1,0 +1,118 @@
+"""SQL-surface helpers for the lance data source: view-based catalog
+registration and replacement-scan path sugar.
+
+Reference parity:
+
+- DuckDB gets ``SELECT * FROM 'file.lance'`` for free via a
+  replacement scan (reference cpp/lance_replacement.cpp:11-31 —
+  any table name ending in ``.lance`` is rewritten to
+  ``lance_scan('<path>')``). :func:`lance_sql` is the Spark twin:
+  it rewrites quoted ``.lance`` path literals in a SQL string into
+  registered temp views backed by the lance data source, then runs
+  ``spark.sql``.
+
+- DuckDB also gets persistent DDL (``CREATE VIEW``/``ATTACH``) for
+  free. Spark 4.1's Python DataSource API cannot back a *catalog*
+  table (``CREATE TABLE ... USING lance`` hands the Python source
+  empty options — no path reaches the reader; verified and
+  documented in README "SQL over lance datasets"). Until the
+  Python DS API grows catalog support, the supported SQL surface is
+  TEMP VIEWS: :func:`register_lance_views` scans a directory tree
+  for lance datasets and registers one view per dataset — the
+  operational equivalent of attaching a database of lance tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources import datasource as ds
+
+
+def _is_lance_dataset(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "_versions"))
+
+
+def _view_name(path: str) -> str:
+    """Stable SQL identifier for a dataset path: basename (sans
+    ``.lance``) sanitized; non-leading-alnum chars become ``_``."""
+    base = os.path.basename(path.rstrip("/"))
+    if base.endswith(".lance"):
+        base = base[: -len(".lance")]
+    name = re.sub(r"[^0-9A-Za-z_]", "_", base)
+    if not name or name[0].isdigit():
+        name = "ds_" + name
+    return name
+
+
+def register_lance_views(
+    spark: SparkSession, root_dir: str, version: int | None = None
+) -> dict[str, str]:
+    """Register every lance dataset under ``root_dir`` (one level of
+    nesting, like a database directory of tables) as a temp view
+    named after its directory. Returns {view_name: dataset_path}.
+
+    This is the catalog stand-in for ``CREATE TABLE ... USING
+    lance`` (unsupported by Spark's Python DataSource API — see
+    module docstring). Views are session-scoped; call once per
+    session, after which the full ``spark.sql`` surface works over
+    the datasets. ``version`` pins every view to a manifest version
+    (time travel across the whole directory)."""
+    ds.register(spark)
+    out: dict[str, str] = {}
+    candidates = []
+    if _is_lance_dataset(root_dir):
+        candidates.append(root_dir)
+    else:
+        for entry in sorted(os.listdir(root_dir)):
+            p = os.path.join(root_dir, entry)
+            if os.path.isdir(p) and _is_lance_dataset(p):
+                candidates.append(p)
+    for path in candidates:
+        name = _view_name(path)
+        if name in out:
+            raise ValueError(
+                f"view name collision: {path} and {out[name]} both "
+                f"map to '{name}'"
+            )
+        reader = spark.read.format("lance")
+        if version is not None:
+            reader = reader.option("version", str(version))
+        reader.load(path).createOrReplaceTempView(name)
+        out[name] = path
+    return out
+
+
+# quoted path literal ending in .lance: '...' / "..." / `...`
+_PATH_RE = re.compile(r"""(['"`])([^'"`]+\.lance)\1""")
+
+
+def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run SQL where quoted ``'path.lance'`` literals are table
+    references — DuckDB replacement-scan parity
+    (cpp/lance_replacement.cpp: any table name ending ``.lance``
+    becomes a scan of that dataset).
+
+    Each distinct quoted ``.lance`` path that exists on disk is
+    registered as a deterministic temp view and the literal is
+    replaced by the view name; literals that do NOT name an existing
+    dataset are left untouched (so string data containing
+    ``.lance`` never breaks — slightly stricter than the reference,
+    which rewrites any FROM-position name unconditionally)."""
+    ds.register(spark)
+
+    def _sub(m: re.Match) -> str:
+        path = m.group(2)
+        if not _is_lance_dataset(path):
+            return m.group(0)
+        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+        name = f"lance_ds_{digest}"
+        # idempotent per session: re-registering the same path is a no-op
+        spark.read.format("lance").load(path).createOrReplaceTempView(name)
+        return name
+
+    return spark.sql(_PATH_RE.sub(_sub, sql))

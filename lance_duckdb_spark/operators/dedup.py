@@ -241,42 +241,76 @@ def _nibble_val(hexcol: Column, pos: int) -> Column:
     return F.instr(F.lit(_HEXMAP), F.substring(hexcol, pos, 1)) - 1
 
 
-def _simhash_block(tok_hash: Column, block: int) -> list[Column]:
-    """±1 contributions for the 16 bits of one block (4 hex digits)."""
-    contribs = []
-    for d in range(4):
-        pos = block * 4 + d + 1  # 1-based hex digit position
-        val = _nibble_val(tok_hash, pos)
-        for bit in range(4):
-            mask = 1 << (3 - bit)
-            contribs.append(
-                F.when(val.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)
-            )
-    return contribs
-
-
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The wide per-bit expressions are generated SQL strings fed to
+    # selectExpr/F.expr: building them as Column objects costs one
+    # py4j round-trip per operator node (~2.5 s of pure driver time
+    # for the 64-bit trees at r4 profiling) while a generated string
+    # is parsed JVM-side in one call. Per-row work is also trimmed:
+    # each of the 16 hex nibbles is decoded ONCE in a projection,
+    # not once per bit lookup.
     docs = load(spark, sf_dir, "documents")
     words = F.split(F.trim(F.col("text")), " ")
     toks = docs.select(
         "doc_id", F.explode(words).alias("tok")
     ).withColumn("th", F.md5(F.col("tok")))
-    # per-bit vote sums, then sign -> bit; assembled per 16-bit block
-    agg_exprs = []
+    nibbles = toks.selectExpr(
+        "doc_id",
+        *[
+            f"instr('{_HEXMAP}', substring(th, {d + 1}, 1)) - 1 AS n{d}"
+            for d in range(16)
+        ],
+    )
+    # Per-bit set-counts packed two-per-bigint in 32-bit lanes: 33
+    # aggregate slots instead of the 64 ±1 vote sums of the naive
+    # formulation. Lanes cannot interact: every contribution is
+    # non-negative and a lane's total is the doc's token count,
+    # which is < 2^31 for any row Spark can hold (a string column
+    # caps at 2 GB). Bit b's vote sum v = 2*count_b - n_toks, so
+    # sign(v) > 0  ⇔  2*count_b > n_toks — the unpacked oracle SQL
+    # keeps the ±1 form and stays hash-identical.
+
+    def bit(k: int) -> str:  # 0/1 of global bit k, MSB-first per nibble
+        return f"cast((n{k // 4} & {1 << (3 - k % 4)}) > 0 as bigint)"
+
+    aggs = [
+        F.expr(
+            f"sum({bit(2 * j)} * {1 << 32} + {bit(2 * j + 1)}) AS p{j}"
+        )
+        for j in range(32)
+    ]
+    votes = nibbles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"), *aggs
+    )
+
+    def count_of(k: int) -> str:
+        return (
+            f"shiftright(p{k // 2}, 32)"
+            if k % 2 == 0
+            else f"(p{k // 2} & {(1 << 32) - 1})"
+        )
+
+    block_exprs = []
     for blk in range(SIMHASH_BLOCKS):
-        for i, contrib in enumerate(_simhash_block(F.col("th"), blk)):
-            agg_exprs.append(F.sum(contrib).alias(f"v{blk}_{i}"))
-    votes = toks.groupBy("doc_id").agg(*agg_exprs)
-    block_cols = []
-    for blk in range(SIMHASH_BLOCKS):
-        val = F.lit(0)
-        for i in range(BITS_PER_BLOCK):
-            bit = F.when(F.col(f"v{blk}_{i}") > 0, 1).otherwise(0)
-            val = val + (bit * F.lit(1 << (BITS_PER_BLOCK - 1 - i)))
-        block_cols.append(val.alias(f"b{blk}"))
-    sig = votes.select("doc_id", *block_cols)
+        terms = " + ".join(
+            f"if(2 * {count_of(blk * BITS_PER_BLOCK + i)} > n_toks, "
+            f"{1 << (BITS_PER_BLOCK - 1 - i)}, 0)"
+            for i in range(BITS_PER_BLOCK)
+        )
+        block_exprs.append(f"({terms}) AS b{blk}")
+    sig = votes.selectExpr("doc_id", *block_exprs)
+    # Carry the whole 4-block signature on each exploded block row so
+    # the band self-join yields BOTH sides' signatures directly — the
+    # naive shape re-joined sig on doc_id twice, recomputing the full
+    # tokenize→vote pipeline three times inside one plan (no common-
+    # subtree reuse across different join keys; measured 3× the vote
+    # stage at sf0.1). Here the pipeline runs once per join side and
+    # the two sides' shuffles canonicalize identically, so
+    # ReuseExchange makes it once overall. Row widening is 4 bigints
+    # — noise next to a shuffle row's base cost.
     blocks = sig.select(
         "doc_id",
+        *[f"b{i}" for i in range(SIMHASH_BLOCKS)],
         F.explode(
             F.array(
                 *[
@@ -287,31 +321,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("blk"),
-    ).select("doc_id", "blk.block_idx", "blk.block_val")
-    a = blocks.select(F.col("doc_id").alias("doc_a"), "block_idx", "block_val")
-    b = blocks.select(F.col("doc_id").alias("doc_b"), "block_idx", "block_val")
-    cand = (
-        a.join(b, ["block_idx", "block_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    ).select(
+        "doc_id",
+        *[f"b{i}" for i in range(SIMHASH_BLOCKS)],
+        "blk.block_idx",
+        "blk.block_val",
     )
-    siga = sig.select(
+    a = blocks.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{i}").alias(f"a{i}") for i in range(SIMHASH_BLOCKS)],
+        "block_idx",
+        "block_val",
     )
-    sigb = sig.select(
+    b = blocks.select(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"b{i}").alias(f"bb{i}") for i in range(SIMHASH_BLOCKS)],
+        "block_idx",
+        "block_val",
     )
     hamming = None
     for i in range(SIMHASH_BLOCKS):
         h = F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}")))
         hamming = h if hamming is None else hamming + h
     return (
-        cand.join(siga, "doc_a")
-        .join(sigb, "doc_b")
+        a.join(b, ["block_idx", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
         .where(F.col("hamming") <= HAMMING_T)
         .orderBy("doc_a", "doc_b")
     )

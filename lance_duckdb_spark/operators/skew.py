@@ -27,8 +27,11 @@ from __future__ import annotations
 import uuid
 from typing import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..tables import load
+from .common import money
 
 
 def salted_agg(
@@ -71,3 +74,87 @@ def replicate_salted_join(
         salt, F.pmod(F.xxhash64(F.col(big_unique_col)), F.lit(n_salts))
     )
     return big_salted.join(medium_rep, [key, salt]).drop(salt)
+
+
+# -- driver-checked planted-skew query --------------------------------------
+
+SKEW_SALTS = 16
+# 9 of every 10 users collapse onto hot key -1: a deterministic,
+# oracle-expressible stand-in for the one-viral-source / power-user
+# distribution that stalls real shuffles. ~90% of all events land on
+# a single group key.
+_HOT_KEY_SQL = "CASE WHEN user_id % 10 <> 0 THEN -1 ELSE user_id END"
+
+
+def _hot_key() -> Column:
+    return (
+        F.when(F.col("user_id") % 10 != 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+    )
+
+
+def skewed_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate events over a planted hot key (~90% of rows on one
+    group) WITHOUT a hot reducer: ``salted_agg`` splits each key
+    across ``SKEW_SALTS`` (key, salt) partial groups — map-side
+    partial agg shrinks each to one row, the final re-agg by key
+    touches SKEW_SALTS rows per key. No reducer ever materializes
+    the hot group's row set, so the plan survives a key holding 90%
+    of 100 TB. Results are identical to the unsalted plan (decomposable
+    aggregates only: count/sum/min/max; avg derived at the end).
+
+    tests/test_skew.py::test_skewed_hot_key_agg_balanced asserts the
+    balance property directly: the largest (key, salt) partial group
+    is ~1/SKEW_SALTS of the hot key's rows, not 100% of them.
+    """
+    ev = load(spark, sf_dir, "events").withColumn("skew_key", _hot_key())
+    out = salted_agg(
+        ev,
+        ["skew_key"],
+        lambda: [
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(money("value")).alias("psum"),
+            F.min("ts_us").alias("pmin"),
+            F.max("ts_us").alias("pmax"),
+        ],
+        lambda: [
+            F.sum("pn").alias("n_events"),
+            F.sum("psum").cast("double").alias("sum_value"),
+            F.min("pmin").alias("first_us"),
+            F.max("pmax").alias("last_us"),
+        ],
+        salt_col="event_id",
+        n_salts=SKEW_SALTS,
+    )
+    return out.select(
+        "skew_key",
+        "n_events",
+        "sum_value",
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+        "first_us",
+        "last_us",
+    ).orderBy("skew_key")
+
+
+SKEWED_HOT_KEY_SQL = f"""
+SELECT {_HOT_KEY_SQL} AS skew_key,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_value,
+       MIN(epoch_us(ts)) AS first_us,
+       MAX(epoch_us(ts)) AS last_us
+FROM events
+GROUP BY 1
+ORDER BY skew_key
+"""
+
+
+QUERIES = {
+    "skewed_hot_key_agg": skewed_hot_key_agg,
+}
+
+ORACLE = {
+    "skewed_hot_key_agg": SKEWED_HOT_KEY_SQL,
+}

@@ -19,6 +19,7 @@ from .operators import (
     redaction,
     retrieval,
     similarity,
+    skew,
     sql_surface,
     sql_surface2,
     text,
@@ -38,6 +39,7 @@ _MODULES = [
     joins,
     text,
     similarity,
+    skew,
     dedup,
     clustering,
     lance_ops,

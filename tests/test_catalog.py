@@ -1,0 +1,96 @@
+"""catalog.py: view registration (the DDL-gap stand-in) and
+replacement-scan SQL sugar (cpp/lance_replacement.cpp parity)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lance_duckdb_spark.catalog import lance_sql, register_lance_views
+from lance_duckdb_spark.sources import datasource as ds
+from lance_duckdb_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def lance_db(spark, sf_dir, tmp_path_factory):
+    """A directory of two lance datasets, like an attached database."""
+    root = str(tmp_path_factory.mktemp("lance_db"))
+    ds.register(spark)
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    nation.write.format("lance").mode("overwrite").save(f"{root}/nation.lance")
+    region.write.format("lance").mode("overwrite").save(f"{root}/region.lance")
+    return root
+
+
+def test_register_lance_views_full_sql_surface(spark, sf_dir, lance_db):
+    views = register_lance_views(spark, lance_db)
+    assert views == {
+        "nation": f"{lance_db}/nation.lance",
+        "region": f"{lance_db}/region.lance",
+    }
+    got = spark.sql(
+        "SELECT r.r_name, COUNT(*) AS n FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name ORDER BY r.r_name"
+    ).collect()
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    expect = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .count()
+        .orderBy("r_name")
+        .collect()
+    )
+    assert [(r.r_name, r.n) for r in got] == [
+        (r.r_name, r["count"]) for r in expect
+    ]
+
+
+def test_register_single_dataset_and_version_pin(spark, sf_dir, tmp_path):
+    ds.register(spark)
+    path = str(tmp_path / "grow.lance")
+    nation = load(spark, sf_dir, "nation")
+    nation.limit(5).write.format("lance").mode("overwrite").save(path)
+    nation.limit(3).write.format("lance").mode("append").save(path)
+    assert register_lance_views(spark, path) == {"grow": path}
+    assert spark.sql("SELECT COUNT(*) AS n FROM grow").first().n == 8
+    register_lance_views(spark, path, version=1)
+    assert spark.sql("SELECT COUNT(*) AS n FROM grow").first().n == 5
+
+
+def test_lance_sql_replacement_scan(spark, lance_db):
+    path = f"{lance_db}/nation.lance"
+    n = lance_sql(spark, f"SELECT COUNT(*) AS n FROM '{path}'").first().n
+    assert n == 25
+    # join two path literals, mixed quote styles
+    row = lance_sql(
+        spark,
+        f'SELECT COUNT(*) AS n FROM "{path}" x '
+        f"JOIN '{lance_db}/region.lance' r "
+        "ON x.n_regionkey = r.r_regionkey",
+    ).first()
+    assert row.n == 25
+
+
+def test_lance_sql_leaves_non_dataset_literals_alone(spark, lance_db):
+    # a .lance literal that is NOT a dataset on disk stays a string
+    row = lance_sql(
+        spark,
+        f"SELECT 'not/a/real.lance' AS s, COUNT(*) AS n "
+        f"FROM '{lance_db}/nation.lance'",
+    ).first()
+    assert row.s == "not/a/real.lance"
+    assert row.n == 25
+
+
+def test_view_name_collision_raises(spark, lance_db, tmp_path, sf_dir):
+    root = str(tmp_path / "db2")
+    os.makedirs(root)
+    nation = load(spark, sf_dir, "nation")
+    nation.write.format("lance").mode("overwrite").save(f"{root}/t.lance")
+    nation.write.format("lance").mode("overwrite").save(f"{root}/t")
+    with pytest.raises(ValueError, match="collision"):
+        register_lance_views(spark, root)

@@ -94,3 +94,37 @@ def test_ngram_df_cap_bounds_stop_gram_blowup(spark, tmp_path):
     assert all(a == 9001 and b == 9002 for a, b in pairs), (
         f"stop-gram pairs leaked through the cap: {sorted(pairs)[:5]}"
     )
+
+
+def test_skewed_hot_key_agg_balanced(spark, sf_dir):
+    """The planted-skew driver query's partial stage must split the
+    hot key across all SKEW_SALTS reducer groups: no single (key,
+    salt) group may hold more than ~1/SKEW_SALTS of the hot key's
+    rows (2x slack for hash unevenness)."""
+    from lance_duckdb_spark.operators.skew import SKEW_SALTS, _hot_key
+
+    ev = load(spark, sf_dir, "events").withColumn("skew_key", _hot_key())
+    salted = ev.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(SKEW_SALTS))
+    )
+    sizes = (
+        salted.where(F.col("skew_key") == -1)
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    hot_total = sum(r["count"] for r in sizes)
+    assert hot_total > 0
+    assert len(sizes) == SKEW_SALTS  # every salt lane is used
+    assert max(r["count"] for r in sizes) <= 2 * hot_total / SKEW_SALTS
+
+
+def test_skewed_hot_key_agg_two_phase_plan(spark, sf_dir):
+    """The salted plan must re-aggregate partials, never shuffle raw
+    hot-key rows: the physical plan has two distinct aggregation
+    keys (key+salt, then key alone)."""
+    from lance_duckdb_spark.operators.skew import skewed_hot_key_agg
+
+    plan = skewed_hot_key_agg(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # the salted partial stage appears as an agg keyed on the temp salt col
+    assert "_salt_" in plan
