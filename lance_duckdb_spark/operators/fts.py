@@ -1,0 +1,269 @@
+"""Full-text search: Okapi BM25 over an inverted index.
+
+Reference parity: Lance proper ships BM25 full-text search as a
+first-class index type next to its vector indices (the reference
+repo exposes Lance datasets to DuckDB; FTS is part of the same
+dataset-capability family as the `_indices/` vector support —
+rust/lib.rs dataset surface). Re-expressed Spark-first:
+
+- ``fts_bm25`` — the whole query as one declarative plan: tokenize →
+  term frequencies → BM25 score → top-k. Query-term filtering happens
+  BEFORE any aggregation, so only postings for the queried terms ever
+  shuffle; corpus statistics (N, avgdl) are one map-side-combined
+  integer aggregate broadcast as a 1-row dimension.
+- ``build_fts_index`` / ``search_bm25`` — the production shape: a
+  PERSISTED inverted index as parquet partitioned by a term-hash
+  bucket, with df and doc-length denormalized onto each posting row
+  (the Lucene "norms in postings" layout — search is ONE pruned scan,
+  zero joins). A query touches only the partitions its terms hash
+  into: at 100 TB of postings and 64 buckets, a 3-term query reads
+  ≤ 3/64 of the index, enforced by parquet partition pruning
+  (asserted in tests/test_fts.py).
+
+Float discipline (hash-exact vs the DuckDB oracle): the only
+transcendental is ln() inside idf — Spark's Math.log and DuckDB's
+libm may differ in the last ulp, so idf is ROUND()ed to 6 decimals
+in both engines before use. Everything else is IEEE-deterministic
+(integer + - , exact-constant multiplies, divisions); per-term score
+components are rounded to 6 decimals and summed as DECIMAL(18,6)
+(exact, associative — immune to sum order), then reduced to 4
+decimals in the decimal domain (common.dsum2 discipline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+
+K1 = 1.2
+B = 0.75
+TOP_K = 20
+QUERY_TERMS = ("spark", "scan", "merge")
+N_BUCKETS = 64
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    ).where(F.col("term") != "")
+
+
+def _term_freq(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — one shuffle on (doc_id, term)."""
+    return (
+        _tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _doc_len(tf: DataFrame) -> DataFrame:
+    """(doc_id, dl) derived from tf (re-aggregates counts, cheaper
+    than re-tokenizing)."""
+    return tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def _corpus_stats(dl: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl); avgdl = exact-int sum / count, an
+    IEEE-deterministic double division in both engines."""
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+
+def _score_expr() -> Column:
+    """Per-(doc, term) BM25 component from columns
+    tf, dl, df, n_docs, avgdl — shared verbatim by the direct and
+    indexed paths so their floats are bit-identical."""
+    idf = F.round(
+        F.log(
+            ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(K1) * (F.lit(0.25) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+    )
+    return F.round(idf * tfnorm, 6).cast("decimal(18,6)")
+
+
+def _topk(components: DataFrame) -> DataFrame:
+    return (
+        components.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("comp"), 4).cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(TOP_K)
+    )
+
+
+def fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed conjunctive-OR term query, computed
+    directly from the corpus (the index-free baseline; the indexed
+    path must reproduce it bit-for-bit)."""
+    docs = load(spark, sf_dir, "documents")
+    tf = _term_freq(docs)
+    dl = _doc_len(tf)
+    stats = _corpus_stats(dl)
+    qtf = tf.where(F.col("term").isin(list(QUERY_TERMS)))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    comp = (
+        qtf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", _score_expr().alias("comp"))
+    )
+    return _topk(comp)
+
+
+# ------------------------------------------------------- persisted index
+
+
+def _bucket_expr(term: Column) -> Column:
+    """Term-hash bucket 0..N_BUCKETS-1 via an md5 prefix — chosen
+    over xxhash64 because the same bucket must be computable
+    driver-side (hashlib) to enumerate which partitions a query's
+    terms land in."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, 4), 16, 10).cast("int")
+        % N_BUCKETS
+    )
+
+
+def bucket_of(term: str) -> int:
+    return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % N_BUCKETS
+
+
+def build_fts_index(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> None:
+    """Build the inverted index: postings parquet partitioned by
+    term bucket, one denormalized row per (term, doc): (bucket,
+    term, df, doc_id, tf, dl) — search is a single pruned scan.
+    Corpus stats go to a 1-row ``_stats`` parquet (sum_dl kept as an
+    exact integer so avgdl is re-derived bit-identically).
+
+    Build cost is three shuffles over the corpus (tf, dl, df) — the
+    one-time cost any inverted index pays; incremental maintenance
+    would append new docs' postings and rebuild only df (a term-level
+    count), the same shape as the minhash signature store."""
+    tf = _term_freq(docs)
+    dl = _doc_len(tf)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .withColumn("bucket", _bucket_expr(F.col("term")))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_stats")
+
+
+def search_bm25(
+    spark: SparkSession, index_dir: str, terms: list[str], k: int = TOP_K
+) -> DataFrame:
+    """Query the persisted index: read ONLY the partitions the query
+    terms hash into (parquet partition pruning on the bucket dirs),
+    score, top-k. No join touches the corpus."""
+    buckets = sorted({bucket_of(t) for t in terms})
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+    )
+    stats = spark.read.parquet(f"{index_dir}/_stats").select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    comp = postings.crossJoin(F.broadcast(stats)).select(
+        "doc_id", _score_expr().alias("comp")
+    )
+    return _topk(comp).limit(k)
+
+
+def fts_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-then-search the persisted index; bit-identical to
+    ``fts_bm25`` (same oracle SQL hash-checks both)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    index_dir = os.path.join("/tmp/lance_duckdb_spark", tag, "fts_index")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_fts_index(spark, load(spark, sf_dir, "documents"), index_dir)
+    return search_bm25(spark, index_dir, list(QUERY_TERMS))
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+FTS_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+qtf AS (
+  SELECT * FROM tf WHERE term IN ({_TERMS_SQL})
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM qtf GROUP BY term
+),
+comp AS (
+  SELECT qtf.doc_id,
+    CAST(ROUND(
+      ROUND(LN((CAST(stats.n_docs - dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / (CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               + CAST(1.0 AS DOUBLE)), 6)
+      * ((qtf.tf * CAST(2.2 AS DOUBLE))
+         / (qtf.tf + CAST({K1} AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE)
+               + CAST({B} AS DOUBLE) * dl.dl / stats.avgdl))),
+    6) AS DECIMAL(18,6)) AS comp
+  FROM qtf
+  JOIN dl ON dl.doc_id = qtf.doc_id
+  JOIN dfreq ON dfreq.term = qtf.term
+  CROSS JOIN stats
+)
+SELECT doc_id, COUNT(*) AS n_terms,
+       CAST(ROUND(SUM(comp), 4) AS DOUBLE) AS score
+FROM comp GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+
+QUERIES = {
+    "fts_bm25": fts_bm25,
+    "fts_bm25_indexed": fts_bm25_indexed,
+}
+
+ORACLE = {
+    "fts_bm25": FTS_BM25_SQL,
+    "fts_bm25_indexed": FTS_BM25_SQL,
+}

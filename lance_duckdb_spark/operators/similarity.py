@@ -507,12 +507,46 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search(spark, root, probes, k_neighbors=TOP_K, nprobe=6)
 
 
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """*Rows-only* (approximate by design; recall vs brute force
+    asserted in tests/test_pq.py). Lance proper's DEFAULT index
+    type, IVF_PQ: coarse IVF buckets plus product-quantized
+    residuals, so the persisted postings hold 8 one-byte codes per
+    vector instead of 64 floats (the 100 TB memory/IO argument for
+    PQ). Search prunes to the probes' buckets, ranks candidates by
+    asymmetric distance over the codes alone, then exact-reranks
+    the top refine*k via take-by-id on the dataset."""
+    import os
+    import shutil
+
+    from ..sources.datasource import register
+    from ..sources.vector_index import ann_search_pq, build_ivf_pq_index
+
+    register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join("/tmp/lance_duckdb_spark", tag, "ivfpq.lance")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.dirname(root), exist_ok=True)
+    emb = load(spark, sf_dir, "embeddings")
+    emb.select("vec_id", "embedding").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    build_ivf_pq_index(spark, root, k=IVF_K, lloyd_iters=2)
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return ann_search_pq(
+        spark, root, probes, k_neighbors=TOP_K, nprobe=6, refine=4
+    )
+
+
 QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_ivf": ann_ivf,
     "ann_ivf_indexed": ann_ivf_indexed,
+    "ann_ivf_pq": ann_ivf_pq,
 }
 
 ORACLE = {

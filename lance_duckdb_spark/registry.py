@@ -12,6 +12,7 @@ from .operators import (
     clustering,
     curation,
     dedup,
+    fts,
     joins,
     lance_ops,
     multimodal,
@@ -40,6 +41,7 @@ _MODULES = [
     text,
     similarity,
     skew,
+    fts,
     dedup,
     clustering,
     lance_ops,
