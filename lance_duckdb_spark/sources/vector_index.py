@@ -308,7 +308,7 @@ def ann_search(
     scored = cands.select(
         "probe_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("__probe_vec"), F.col(column), dim).alias("cos_sim"),
+        cosine("__probe_vec", column, dim).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -691,7 +691,7 @@ def ann_search_pq(
         .select(
             "probe_id",
             F.col("cand_id").alias("neighbor_id"),
-            cosine(F.col("__p"), F.col("__v"), dim).alias("cos_sim"),
+            cosine("__p", "__v", dim).alias("cos_sim"),
         )
     )
     w2 = Window.partitionBy("probe_id").orderBy(
