@@ -1,0 +1,145 @@
+"""Time-series serving patterns over the events stream.
+
+``continuous_aggregate`` is the hypertable/materialized-rollup shape
+(TimescaleDB continuous aggregates, Druid rollup segments): closed
+hours live in a PERSISTED pre-aggregated store, only the open tail
+is read raw, and a query unions the two. At 100 TB of event history
+a daily dashboard reads k·hours rollup rows plus the last day of raw
+events — IO independent of retention length. The rollup store is
+parquet partitioned by day, so the 7-day window prunes partitions
+(asserted in tests/test_timeseries.py).
+
+Exactness: the rollup holds decimal partial sums and bigint counts —
+re-aggregating partials is associative and equals the direct
+aggregation bit-for-bit, which is what the oracle computes (the
+driver's hash compare is the "rollup serves the same answers as raw"
+guarantee a serving system must give).
+
+No collect anywhere: the max-hour cutoff is a 1-row aggregate joined
+back broadcast (the tpch_q15 discipline), including for the rollup
+WRITE's closed-hour filter.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import US_PER_HOUR, load
+from .common import money
+
+TAIL_HOURS = 24  # open tail re-read raw on every query
+WINDOW_HOURS = 168  # the query: last 7 days including the tail
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.expr(f"ts_us DIV {US_PER_HOUR}").alias("hour_idx"),
+        "event_type",
+        money("value").alias("v"),
+    )
+
+
+def _max_hour(hours: DataFrame) -> DataFrame:
+    return hours.agg(F.max("hour_idx").alias("max_h"))
+
+
+def build_rollup_store(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> None:
+    """Materialize closed hours (everything before the open tail):
+    per (hour, event_type) bigint count + decimal(18,2) partial sum,
+    written as parquet partitioned by day for window pruning."""
+    hours = _hourly(spark, sf_dir)
+    closed = hours.join(F.broadcast(_max_hour(hours))).where(
+        F.col("hour_idx") < F.col("max_h") - TAIL_HOURS
+    )
+    (
+        closed.groupBy("hour_idx", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+        )
+        .withColumn("day_idx", F.expr("hour_idx DIV 24"))
+        .repartition("day_idx")
+        .write.mode("overwrite")
+        .partitionBy("day_idx")
+        .parquet(store_dir)
+    )
+
+
+def rollup_query(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> DataFrame:
+    """Last-7-days daily summary = pruned rollup partitions for the
+    closed hours UNION the raw open tail, re-aggregated to days."""
+    hours = _hourly(spark, sf_dir)
+    mx = F.broadcast(_max_hour(hours))
+    closed = (
+        spark.read.parquet(store_dir)
+        .join(mx)
+        .where(F.col("hour_idx") > F.col("max_h") - WINDOW_HOURS)
+        .select("hour_idx", "event_type", "n", "sum_v")
+    )
+    tail = (
+        hours.join(mx)
+        .where(F.col("hour_idx") >= F.col("max_h") - TAIL_HOURS)
+        .where(F.col("hour_idx") > F.col("max_h") - WINDOW_HOURS)
+        .groupBy("hour_idx", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+    )
+    return (
+        closed.unionByName(tail)
+        .withColumn(
+            "d", F.date_add(F.lit("1970-01-01"), F.expr("CAST(hour_idx DIV 24 AS INT)"))
+        )
+        .groupBy("d", "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sum_v").cast("double").alias("sum_value"),
+        )
+        .orderBy("d", "event_type")
+    )
+
+
+def continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: build the rollup store, then serve the 7-day
+    window from rollup + tail. Hash-exact against the oracle's
+    direct aggregation over raw events — the materialized path must
+    be indistinguishable from recomputation."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join("/tmp/lance_duckdb_spark", tag, "rollup_store")
+    shutil.rmtree(store, ignore_errors=True)
+    build_rollup_store(spark, sf_dir, store)
+    return rollup_query(spark, sf_dir, store)
+
+
+CONTINUOUS_AGGREGATE_SQL = f"""
+WITH h AS (
+  SELECT epoch_us(ts) // {US_PER_HOUR} AS hour_idx, event_type,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+),
+mx AS (SELECT MAX(hour_idx) AS max_h FROM h)
+SELECT DATE '1970-01-01' + CAST(hour_idx // 24 AS INT) AS d,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM h, mx
+WHERE hour_idx > max_h - {WINDOW_HOURS}
+GROUP BY 1, 2
+ORDER BY d, event_type
+"""
+
+
+QUERIES = {
+    "continuous_aggregate": continuous_aggregate,
+}
+
+ORACLE = {
+    "continuous_aggregate": CONTINUOUS_AGGREGATE_SQL,
+}

@@ -24,6 +24,7 @@ from .operators import (
     sql_surface,
     sql_surface2,
     text,
+    timeseries,
     tpch,
     tpch2,
     tpch3,
@@ -39,6 +40,7 @@ _MODULES = [
     behavior,
     joins,
     text,
+    timeseries,
     similarity,
     skew,
     fts,

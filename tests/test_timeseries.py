@@ -1,0 +1,72 @@
+"""Continuous aggregate: rollup+tail == direct, day-partition
+pruning on the rollup store, tail boundary correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_duckdb_spark.operators import timeseries as ts
+from lance_duckdb_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ts") / "rollup")
+    ts.build_rollup_store(spark, sf_dir, d)
+    return d
+
+
+def test_rollup_query_equals_direct(spark, sf_dir, store):
+    served = ts.rollup_query(spark, sf_dir, store).collect()
+    hours = ts._hourly(spark, sf_dir)
+    direct = (
+        hours.join(F.broadcast(ts._max_hour(hours)))
+        .where(F.col("hour_idx") > F.col("max_h") - ts.WINDOW_HOURS)
+        .withColumn(
+            "d",
+            F.date_add(
+                F.lit("1970-01-01"), F.expr("CAST(hour_idx DIV 24 AS INT)")
+            ),
+        )
+        .groupBy("d", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .orderBy("d", "event_type")
+        .collect()
+    )
+    assert [r.asDict() for r in served] == [r.asDict() for r in direct]
+
+
+def test_rollup_serves_closed_hours(spark, sf_dir, store):
+    """The store must cover every closed hour in the corpus — the
+    query's raw scan is ONLY the tail."""
+    rolled = spark.read.parquet(store)
+    hours = ts._hourly(spark, sf_dir)
+    max_h = hours.agg(F.max("hour_idx")).first()[0]
+    expected = (
+        hours.where(F.col("hour_idx") < max_h - ts.TAIL_HOURS)
+        .select("hour_idx")
+        .distinct()
+        .count()
+    )
+    got = rolled.select("hour_idx").distinct().count()
+    assert got == expected
+    assert expected > 0
+    # the store is pre-aggregated: far fewer rows than raw events
+    assert rolled.count() < load(spark, sf_dir, "events").count()
+
+
+def test_rollup_window_prunes_day_partitions(spark, sf_dir, store):
+    """Filtering the store to the 7-day window must prune day_idx
+    partition directories in the scan."""
+    hours = ts._hourly(spark, sf_dir)
+    max_h = hours.agg(F.max("hour_idx")).first()[0]
+    lo = (max_h - ts.WINDOW_HOURS) // 24
+    df = spark.read.parquet(store).where(F.col("day_idx") >= lo)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "day_idx" in seg
