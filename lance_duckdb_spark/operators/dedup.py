@@ -656,6 +656,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact-Jaccard verification over the candidates only (inner
     # joins restrict the shingle scan to candidate docs)
+    return verify_candidate_pairs(cand, docs)
+
+
+def verify_candidate_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs
+    against the shingle sets of ``docs``: inner joins restrict the
+    shingle scan to candidate docs; emits pairs ≥ MINHASH_JACCARD_T
+    ordered. Shared by dedup_incremental and the streaming
+    incremental dedup job (identical arithmetic ⇒ identical
+    doubles)."""
     shingled = _shingle_df(docs)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")

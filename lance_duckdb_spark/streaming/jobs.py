@@ -548,6 +548,100 @@ ORDER BY signup_id, purchase_id
 """
 
 
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: streaming MinHash dedup against a growing signature
+    store — the production ingestion pipeline as a STREAM. Documents
+    arrive in doc_id-ordered slices through the lance stream source;
+    ``foreachBatch`` computes band signatures for the batch only,
+    equi-joins them against the persisted store (plus the batch
+    itself for within-batch pairs), verifies candidates with exact
+    Jaccard, appends confirmed pairs to a results table and the
+    batch's signatures to the store. Per-batch cost is
+    O(batch + collisions) — the base corpus is never recomputed.
+
+    Completeness invariant (what the oracle checks): every dup pair
+    (a < b) is discovered in exactly the micro-batch where ``b``
+    arrives — ``a`` is then either in the store (earlier slice) or
+    in the same batch — so the union of per-batch results equals
+    the FULL-corpus dedup_minhash_lsh pair set, hash-exact."""
+    import os
+    import shutil
+
+    from ..operators.dedup import (
+        _band_hashes,
+        _minhash_signatures,
+        _shingle_df,
+        verify_candidate_pairs,
+    )
+    from ..sources.datasource import register
+
+    register(spark)
+    src = _fresh_stream_root(sf_dir, "incdedup")
+    work = src + ".work"
+    shutil.rmtree(work, ignore_errors=True)
+    store_dir = os.path.join(work, "sigstore")
+    results_dir = os.path.join(work, "pairs")
+
+    docs = load(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    step = (hi - lo) // 3 + 1
+    slices = [
+        docs.where(
+            (F.col("doc_id") >= lo + i * step)
+            & (F.col("doc_id") < lo + (i + 1) * step)
+        )
+        for i in range(3)
+    ]
+
+    def process(batch_df, _epoch):
+        bands = _band_hashes(
+            _minhash_signatures(_shingle_df(batch_df))
+        ).localCheckpoint()  # tiny; avoids recomputing the batch 3x
+        try:
+            stored = spark.read.parquet(store_dir)
+        except Exception:
+            stored = spark.createDataFrame(
+                [], "doc_id long, band_idx int, band_hash string"
+            )
+        all_bands = stored.unionByName(bands)
+        cand = (
+            all_bands.select(
+                F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+            )
+            .join(
+                bands.select(
+                    F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        # verify against the corpus committed SO FAR (the stream
+        # source's current snapshot contains every candidate doc)
+        snapshot = spark.read.format("lance").load(src)
+        verify_candidate_pairs(cand, snapshot).write.mode("append").parquet(
+            results_dir
+        )
+        bands.write.mode("append").parquet(store_dir)
+
+    for i, part in enumerate(slices):
+        mode = "overwrite" if i == 0 else "append"
+        part.coalesce(1).write.format("lance").mode(mode).save(src)
+        q = (
+            spark.readStream.format("lance")
+            .load(src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", src + ".ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    return spark.read.parquet(results_dir).orderBy("doc_a", "doc_b")
+
+
 QUERIES = {
     "stream_windowed_counts": batch_windowed_counts,
     "session_window_native": session_window_native,
@@ -555,9 +649,14 @@ QUERIES = {
     "stream_sink_roundtrip": stream_sink_roundtrip,
     "stream_dedup": stream_dedup,
     "stream_stream_join": stream_stream_join,
+    "stream_incremental_dedup": stream_incremental_dedup,
 }
 
+from ..operators.dedup import DEDUP_MINHASH_SQL as _FULL_MINHASH_SQL  # noqa: E402
+
 ORACLE = {
+    # the streaming union must equal the FULL-corpus minhash dedup
+    "stream_incremental_dedup": _FULL_MINHASH_SQL,
     "stream_windowed_counts": BATCH_WINDOWED_COUNTS_SQL,
     "session_window_native": SESSION_WINDOW_NATIVE_SQL,
     "stream_sessionization": STREAM_SESSIONIZATION_SQL,

@@ -17,6 +17,7 @@ def test_rows_only_queries_are_the_documented_ones():
     assert rows_only == {
         "ann_ivf",
         "ann_ivf_indexed",
+        "ann_ivf_pq",
         "approx_quantiles_vs_exact",
         "embedding_neardup_lsh",
     }, f"undocumented rows-only queries: {rows_only}"
