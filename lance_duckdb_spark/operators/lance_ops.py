@@ -552,8 +552,56 @@ ORDER BY s_nationkey
 """
 
 
+def lance_scalar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted SCALAR index (Lance proper's BTree/`_indices/`
+    family, sources/scalar_index.py): documents are written in
+    doc_id order — so ``lang`` is NOT clustered and zone maps
+    cannot prune a lang predicate — then a scalar index on ``lang``
+    maps each value to exactly the fragments containing it, and the
+    scan plans only those (fragment allowlist; pruning + staleness
+    asserted in tests/test_scalar_index.py). Hash-exact vs the
+    oracle on the original parquet: the index changes IO, never
+    answers."""
+    from ..sources.scalar_index import build_scalar_index, scalar_index_scan
+
+    register(spark)
+    root = _fresh_root(sf_dir, "scalaridx")
+    # 8 fragments in doc_id order: every fragment holds most langs,
+    # EXCEPT the planted rare value below
+    docs = load(spark, sf_dir, "documents")
+    marked = docs.withColumn(
+        "lang_t",
+        F.when(F.col("doc_id") % 1000 == 7, F.lit("xx")).otherwise(
+            F.col("lang")
+        ),
+    ).drop("lang")
+    marked.repartitionByRange(8, "doc_id").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    build_scalar_index(spark, root, "lang_t")
+    hits = scalar_index_scan(spark, root, "lang_t", eq="xx")
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+LANCE_SCALAR_INDEX_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id % 1000 = 7
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "lance_roundtrip": lance_roundtrip,
+    "lance_scalar_index": lance_scalar_index,
     "lance_native_write": lance_native_write,
     "lance_version_diff": lance_version_diff,
     "lance_time_travel": lance_time_travel,
@@ -570,6 +618,7 @@ QUERIES = {
 
 ORACLE = {
     "lance_roundtrip": LANCE_ROUNDTRIP_SQL,
+    "lance_scalar_index": LANCE_SCALAR_INDEX_SQL,
     "lance_native_write": LANCE_NATIVE_WRITE_SQL,
     "lance_version_diff": LANCE_VERSION_DIFF_SQL,
     "lance_time_travel": LANCE_TIME_TRAVEL_SQL,

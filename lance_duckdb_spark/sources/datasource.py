@@ -207,10 +207,31 @@ class LanceScanReader(DataSourceReader):
         schema: StructType,
         version: int | None,
         begin_version: int | None = None,
+        fragment_files: set[str] | None = None,
     ):
         self.root = root
         self.schema = schema
         self.manifest = lf.read_manifest(root, version)
+        if fragment_files is not None:
+            # explicit fragment allowlist (scalar-index scans): the
+            # caller asserts only these fragments can match. Unknown
+            # names mean the allowlist came from a different dataset
+            # version — fail instead of scanning the wrong subset.
+            known = {f.file for f in self.manifest.fragments}
+            bad = sorted(fragment_files - known)
+            if bad:
+                raise lf.LanceDatasetError(
+                    f"fragment_files not in manifest: {bad[:3]} "
+                    "(stale index? rebuild against the current version)"
+                )
+            self.manifest = dataclasses.replace(
+                self.manifest,
+                fragments=[
+                    f
+                    for f in self.manifest.fragments
+                    if f.file in fragment_files
+                ],
+            )
         if begin_version is not None:
             # CDC / incremental read: scan only fragments ADDED after
             # ``begin_version`` (fragments are immutable, appends only
@@ -621,8 +642,13 @@ class LanceDataSource(DataSource):
                     "on native-encoded lance datasets"
                 )
             return NativeScanReader(root, schema, self._version())
+        ff = self.options.get("fragment_files", self.options.get("fragmentfiles"))
         return LanceScanReader(
-            root, schema, self._version(), self._begin_version()
+            root,
+            schema,
+            self._version(),
+            self._begin_version(),
+            set(ff.split(",")) if ff else None,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> LanceArrowWriter:

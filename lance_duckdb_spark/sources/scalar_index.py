@@ -1,0 +1,161 @@
+"""Persisted scalar index over a lance dataset column.
+
+Lance proper pairs its vector indices with SCALAR indices (BTree /
+bitmap under `_indices/`) so point/range predicates on non-clustered
+columns prune fragments without relying on write-time ordering —
+zone maps only help when values are clustered; a scalar index maps
+VALUES to the fragments that contain them regardless of layout.
+
+Spark-first shape:
+- ``build_scalar_index``: one distributed pass over the live
+  fragment files — distinct (value, fragment file) pairs with
+  counts — written as parquet SORTED by value, so a value/range
+  probe of the index is itself min/max-prunable. Index size is
+  bounded by Σ per-fragment distinct values, not row count.
+- ``scalar_index_scan``: probe the index for the predicate's
+  fragment set (a collect bounded by fragment count — the same
+  contract as collecting k centroids), then scan with the
+  ``fragment_files`` allowlist option; the reader plans ONE input
+  partition per allowed fragment and never opens the rest.
+
+Deletion vectors: deleted rows may leave their values in the index
+until compaction — the index stays CONSERVATIVE (may admit a
+fragment with only deleted matches; the scan itself applies the
+deletion mask, so results are exact).
+
+Staleness contract: like the vector indices, the index records the
+dataset version it was built at and refuses to serve a moved head
+unless ``allow_stale=True`` (the fragment_files allowlist is
+version-bound).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import lance_format as lf
+from .datasource import register
+
+INDEX_ROOT = "_indexes/scalar"
+
+
+class StaleScalarIndexError(lf.LanceDatasetError):
+    pass
+
+
+def _index_dir(root: str, column: str) -> str:
+    return os.path.join(root, INDEX_ROOT, column)
+
+
+def build_scalar_index(
+    spark: SparkSession, root: str, column: str
+) -> dict:
+    """One shuffle on (value, fragment): map-side partial agg
+    collapses each fragment's rows to its distinct values before
+    anything moves."""
+    from pyspark.sql.types import StructType
+
+    register(spark)
+    manifest = lf.read_manifest(root)
+    committed = StructType.fromJson(json.loads(manifest.schema_json))
+    if column not in committed.fieldNames():
+        raise lf.LanceDatasetError(
+            f"no column {column!r} in dataset schema"
+        )
+    paths = [os.path.join(root, f.file) for f in manifest.fragments]
+    rows = (
+        spark.read.schema(committed)
+        .parquet(*paths)
+        .select(
+            F.col(column).alias("value"),
+            F.col("_metadata.file_name").alias("__file"),
+        )
+        .groupBy("value", "__file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    # basename -> manifest-relative path (fragment basenames are
+    # uuid-unique by construction)
+    base_to_rel = {os.path.basename(f.file): f.file for f in manifest.fragments}
+    mapping = spark.createDataFrame(
+        list(base_to_rel.items()), schema="__file string, fragment string"
+    )
+    idx_dir = _index_dir(root, column)
+    (
+        rows.join(F.broadcast(mapping), "__file")
+        .select("value", "fragment", "n_rows")
+        .sort("value")
+        .write.mode("overwrite")
+        .parquet(os.path.join(idx_dir, "entries"))
+    )
+    meta = {"column": column, "dataset_version": manifest.version}
+    os.makedirs(idx_dir, exist_ok=True)
+    tmp = os.path.join(idx_dir, "index.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(idx_dir, "index.json"))
+    return meta
+
+
+def read_scalar_index_meta(root: str, column: str) -> dict:
+    p = os.path.join(_index_dir(root, column), "index.json")
+    if not os.path.exists(p):
+        raise lf.LanceDatasetError(
+            f"no scalar index on {column!r} at {root}; "
+            "run build_scalar_index first"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def scalar_index_scan(
+    spark: SparkSession,
+    root: str,
+    column: str,
+    *,
+    eq=None,
+    lo=None,
+    hi=None,
+    allow_stale: bool = False,
+) -> DataFrame:
+    """Scan only the fragments the index proves can contain rows
+    matching ``column == eq`` (or ``lo <= column <= hi``); the
+    predicate is ALSO applied to the scan, so results equal a full
+    filter scan exactly — the index changes IO, never answers."""
+    meta = read_scalar_index_meta(root, column)
+    head = lf.read_manifest(root).version
+    if head != meta["dataset_version"] and not allow_stale:
+        raise StaleScalarIndexError(
+            f"scalar index on {column!r} was built at dataset version "
+            f"{meta['dataset_version']} but the dataset is at {head}; "
+            "rebuild the index (or pass allow_stale=True to scan the "
+            "indexed snapshot)"
+        )
+    entries = spark.read.parquet(
+        os.path.join(_index_dir(root, column), "entries")
+    )
+    if eq is not None:
+        entries = entries.where(F.col("value") == eq)
+        pred = F.col(column) == eq
+    else:
+        if lo is None or hi is None:
+            raise ValueError("pass eq=... or both lo=... and hi=...")
+        entries = entries.where(F.col("value").between(lo, hi))
+        pred = F.col(column).between(lo, hi)
+    frags = sorted(
+        {r["fragment"] for r in entries.select("fragment").distinct().collect()}
+    )
+    reader = spark.read.format("lance")
+    if allow_stale:
+        reader = reader.option("version", str(meta["dataset_version"]))
+    if not frags:
+        # provably empty: scan nothing but keep the schema/predicate
+        return reader.load(root).where(F.lit(False))
+    return (
+        reader.option("fragment_files", ",".join(frags))
+        .load(root)
+        .where(pred)
+    )
