@@ -9,6 +9,7 @@ from __future__ import annotations
 from .operators import (
     analytics,
     behavior,
+    bucketing,
     clustering,
     curation,
     dedup,
@@ -35,6 +36,7 @@ from .streaming import jobs as streaming_jobs
 _MODULES = [
     tpch,
     tpch2,
+    bucketing,
     curation,
     analytics,
     behavior,
