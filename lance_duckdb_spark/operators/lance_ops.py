@@ -599,9 +599,49 @@ GROUP BY source ORDER BY source
 """
 
 
+def lance_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time BLOOM side files (lance_format.build_bloom,
+    `.option("bloom_columns", ...)`): equality pruning for columns
+    whose values are uncorrelated with layout, where zone maps are
+    useless — recorded WITH each fragment, so unlike an external
+    index they can never go stale. documents are written in doc_id
+    order with blooms on a per-doc fingerprint; the point lookup
+    plans only the fragment(s) whose bloom admits the probe value
+    (pruning asserted in tests/test_bloom.py). Hash-exact vs the
+    oracle on the original parquet."""
+    register(spark)
+    root = _fresh_root(sf_dir, "bloom")
+    docs = load(spark, sf_dir, "documents")
+    # per-doc fingerprint: md5 of doc_id — unique, unclustered probes
+    marked = docs.withColumn("fp", F.md5(F.col("doc_id").cast("string")))
+    (
+        marked.repartitionByRange(8, "doc_id")
+        .write.format("lance")
+        .option("bloom_columns", "fp")
+        .mode("overwrite")
+        .save(root)
+    )
+    import hashlib
+
+    probe = hashlib.md5(b"7").hexdigest()  # doc_id 7's fingerprint
+    hit = (
+        spark.read.format("lance")
+        .load(root)
+        .where(F.col("fp") == probe)
+    )
+    return hit.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+LANCE_BLOOM_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents WHERE doc_id = 7 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "lance_roundtrip": lance_roundtrip,
     "lance_scalar_index": lance_scalar_index,
+    "lance_bloom_pruning": lance_bloom_pruning,
     "lance_native_write": lance_native_write,
     "lance_version_diff": lance_version_diff,
     "lance_time_travel": lance_time_travel,
@@ -619,6 +659,7 @@ QUERIES = {
 ORACLE = {
     "lance_roundtrip": LANCE_ROUNDTRIP_SQL,
     "lance_scalar_index": LANCE_SCALAR_INDEX_SQL,
+    "lance_bloom_pruning": LANCE_BLOOM_SQL,
     "lance_native_write": LANCE_NATIVE_WRITE_SQL,
     "lance_version_diff": LANCE_VERSION_DIFF_SQL,
     "lance_time_travel": LANCE_TIME_TRAVEL_SQL,

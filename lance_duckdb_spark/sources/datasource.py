@@ -25,6 +25,7 @@ a native connector would produce.
 
 from __future__ import annotations
 
+import json
 import os
 import dataclasses
 from dataclasses import dataclass
@@ -70,6 +71,7 @@ class LanceCommitMessage(WriterCommitMessage):
     file: str
     num_rows: int
     stats: dict | None = None
+    bloom_file: str | None = None
 
 
 def _to_arrow_filter(filters: list[Filter]):
@@ -119,10 +121,28 @@ _SUPPORTED = (
 )
 
 
-def _fragment_may_match(fragment, pushed: list[Filter]) -> bool:
-    """Zone-map check: False only when a pushed filter provably
-    excludes every row of the fragment. Conservative: unknown
-    columns/stats/types keep the fragment."""
+def _fragment_may_match(
+    fragment, pushed: list[Filter], root: str | None = None
+) -> bool:
+    """Zone-map (+ bloom) check: False only when a pushed filter
+    provably excludes every row of the fragment. Conservative:
+    unknown columns/stats/types keep the fragment. When the fragment
+    carries a bloom side file and an EqualTo is pushed on a bloomed
+    column, a negative membership test also prunes — equality
+    pruning on columns zone maps can't help with (values
+    uncorrelated with layout)."""
+    if root is not None and fragment.bloom_file:
+        eqs = [f for f in pushed if isinstance(f, EqualTo) and f.attribute]
+        if eqs:
+            try:
+                with open(os.path.join(root, fragment.bloom_file)) as fh:
+                    blooms = json.load(fh)
+            except OSError:
+                blooms = {}
+            for f in eqs:
+                b = blooms.get(f.attribute[0])
+                if b and not lf.bloom_may_contain(b, f.value):
+                    return False
     stats = fragment.stats or {}
     for f in pushed:
         rng = stats.get(f.attribute[0]) if f.attribute else None
@@ -281,7 +301,7 @@ class LanceScanReader(DataSourceReader):
         kept = [
             f
             for f in self.manifest.fragments
-            if _fragment_may_match(f, self.pushed)
+            if _fragment_may_match(f, self.pushed, self.root)
         ]
         if not kept:
             # everything pruned: one sentinel empty partition (Spark
@@ -387,12 +407,14 @@ class LanceArrowWriter(DataSourceArrowWriter):
         overwrite: bool,
         compression: str = "snappy",
         merge_schema: bool = False,
+        bloom_columns: list[str] | None = None,
     ):
         self.root = root
         self.schema = schema
         self.overwrite = overwrite
         self.compression = compression
         self.merge_schema = merge_schema
+        self.bloom_columns = bloom_columns
         os.makedirs(root, exist_ok=True)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> LanceCommitMessage:
@@ -402,14 +424,28 @@ class LanceArrowWriter(DataSourceArrowWriter):
         if not batches:
             return LanceCommitMessage(file="", num_rows=0)
         table = pa.Table.from_batches(batches)
-        frag = lf.write_fragment(self.root, table, compression=self.compression)
+        frag = lf.write_fragment(
+            self.root,
+            table,
+            compression=self.compression,
+            bloom_columns=self.bloom_columns,
+        )
         return LanceCommitMessage(
-            file=frag.file, num_rows=frag.num_rows, stats=frag.stats
+            file=frag.file,
+            num_rows=frag.num_rows,
+            stats=frag.stats,
+            bloom_file=frag.bloom_file,
         )
 
     def commit(self, messages):
         frags = [
-            lf.Fragment(-1, m.file, m.num_rows, getattr(m, "stats", None))
+            lf.Fragment(
+                -1,
+                m.file,
+                m.num_rows,
+                getattr(m, "stats", None),
+                bloom_file=getattr(m, "bloom_file", None),
+            )
             for m in messages
             if m is not None and m.file
         ]
@@ -660,10 +696,14 @@ class LanceDataSource(DataSource):
             )
         # .option("compression", "zstd"|"snappy"|"gzip"|"none")
         # .option("mergeSchema", "true") for schema-evolving appends
+        bloom = self.options.get(
+            "bloom_columns", self.options.get("bloomcolumns")
+        )
         return LanceArrowWriter(
             self._root(),
             schema,
             overwrite,
+            bloom_columns=bloom.split(",") if bloom else None,
             compression=self.options.get("compression", "snappy"),
             merge_schema=str(
                 self.options.get("mergeschema", "false")

@@ -61,6 +61,12 @@ class Fragment:
     # only removes rows, min/max remain conservative bounds).
     deletion_file: str | None = None
     num_deleted: int = 0
+    # bloom side file (_blooms/<fragment>.json): per-column bloom
+    # filters recorded at WRITE time — equality pruning for columns
+    # whose values are uncorrelated with layout (zone maps only help
+    # clustered columns). Written with the fragment, so unlike an
+    # external index it can never go stale.
+    bloom_file: str | None = None
 
     @property
     def live_rows(self) -> int:
@@ -76,6 +82,8 @@ class Fragment:
         if self.deletion_file is not None:
             d["deletion_file"] = self.deletion_file
             d["num_deleted"] = self.num_deleted
+        if self.bloom_file is not None:
+            d["bloom_file"] = self.bloom_file
         return d
 
     @staticmethod
@@ -87,6 +95,7 @@ class Fragment:
             d.get("stats"),
             d.get("deletion_file"),
             d.get("num_deleted", 0),
+            d.get("bloom_file"),
         )
 
 
@@ -216,17 +225,85 @@ def _arrow_schema(schema_json: str) -> pa.Schema:
     return to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
 
 
+BLOOM_DIR = "_blooms"
+_BLOOM_BITS_PER_VALUE = 10  # ~1% false-positive rate
+_BLOOM_K = 7
+
+
+def _bloom_hashes(value) -> tuple[int, int]:
+    """Two independent 64-bit hashes (double hashing) from the md5
+    of the value's canonical string form. str() canonicalization is
+    type-lossy (int 5 and "5" collide) — acceptable: collisions only
+    make the filter conservative, never wrong."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode()).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+def build_bloom(values) -> dict:
+    """{m, k, bits(base64)} over the distinct values (None skipped:
+    IsNull is not an equality probe)."""
+    import base64
+
+    vals = {v for v in values if v is not None}
+    m = max(64, _BLOOM_BITS_PER_VALUE * len(vals))
+    bits = bytearray((m + 7) // 8)
+    for v in vals:
+        h1, h2 = _bloom_hashes(v)
+        for i in range(_BLOOM_K):
+            j = (h1 + i * h2) % m
+            bits[j >> 3] |= 1 << (j & 7)
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "bits": base64.b64encode(bytes(bits)).decode(),
+    }
+
+
+def bloom_may_contain(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["bits"])
+    m = bloom["m"]
+    h1, h2 = _bloom_hashes(value)
+    for i in range(bloom["k"]):
+        j = (h1 + i * h2) % m
+        if not bits[j >> 3] & (1 << (j & 7)):
+            return False
+    return True
+
+
 def write_fragment(
-    root: str, table: pa.Table, compression: str = "snappy"
+    root: str,
+    table: pa.Table,
+    compression: str = "snappy",
+    bloom_columns: list[str] | None = None,
 ) -> Fragment:
     """Write one immutable fragment file; the fragment is invisible
-    until a manifest referencing it is committed."""
+    until a manifest referencing it is committed. ``bloom_columns``
+    additionally records a per-column bloom side file for equality
+    pruning (see Fragment.bloom_file)."""
     os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
     name = f"{uuid.uuid4().hex}.parquet"
     rel = os.path.join(DATA_DIR, name)
     pq.write_table(table, os.path.join(root, rel), compression=compression)
+    bloom_rel = None
+    wanted = [c for c in (bloom_columns or []) if c in table.column_names]
+    if wanted:
+        blooms = {
+            c: build_bloom(table.column(c).to_pylist()) for c in wanted
+        }
+        os.makedirs(os.path.join(root, BLOOM_DIR), exist_ok=True)
+        bloom_rel = os.path.join(BLOOM_DIR, name.replace(".parquet", ".json"))
+        with open(os.path.join(root, bloom_rel), "w") as f:
+            json.dump(blooms, f)
     return Fragment(
-        id=-1, file=rel, num_rows=table.num_rows, stats=_column_stats(table)
+        id=-1,
+        file=rel,
+        num_rows=table.num_rows,
+        stats=_column_stats(table),
+        bloom_file=bloom_rel,
     )
 
 

@@ -1,0 +1,100 @@
+"""Write-time bloom side files: pruning on equality probes, false
+results impossible, conservative behavior, filter unit tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_duckdb_spark.sources import lance_format as lf
+from lance_duckdb_spark.sources.datasource import (
+    EqualTo,
+    LanceScanReader,
+    register,
+)
+from lance_duckdb_spark.tables import load
+
+
+def test_bloom_unit_membership():
+    b = lf.build_bloom(["a", "bb", 42, None])
+    assert lf.bloom_may_contain(b, "a")
+    assert lf.bloom_may_contain(b, "bb")
+    assert lf.bloom_may_contain(b, 42)
+    # 1000 absent probes: ~1% fpp, never all positive
+    misses = sum(
+        not lf.bloom_may_contain(b, f"absent-{i}") for i in range(1000)
+    )
+    assert misses > 950
+
+
+@pytest.fixture(scope="module")
+def bloom_root(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bloom") / "docs.lance")
+    register(spark)
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "fp", F.md5(F.col("doc_id").cast("string"))
+    )
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .write.format("lance")
+        .option("bloom_columns", "fp")
+        .mode("overwrite")
+        .save(root)
+    )
+    return root
+
+
+def test_fragments_carry_bloom_files(bloom_root):
+    man = lf.read_manifest(bloom_root)
+    assert len(man.fragments) == 8
+    assert all(f.bloom_file for f in man.fragments)
+
+
+def test_point_probe_plans_one_fragment(spark, bloom_root):
+    from pyspark.sql.types import StructType
+
+    import json as _json
+
+    man = lf.read_manifest(bloom_root)
+    schema = StructType.fromJson(_json.loads(man.schema_json))
+    probe = hashlib.md5(b"7").hexdigest()
+    reader = LanceScanReader(bloom_root, schema, None)
+    reader.pushed = [EqualTo(("fp",), probe)]
+    parts = reader.partitions()
+    # bloom prunes to the one fragment holding doc 7 (false
+    # positives could admit a second — never all 8)
+    assert 1 <= len(parts) <= 2
+
+
+def test_probe_results_exact(spark, bloom_root):
+    probe = hashlib.md5(b"7").hexdigest()
+    rows = (
+        spark.read.format("lance")
+        .load(bloom_root)
+        .where(F.col("fp") == probe)
+        .select("doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in rows] == [7]
+
+
+def test_absent_probe_scans_nothing_but_returns_empty(spark, bloom_root):
+    rows = (
+        spark.read.format("lance")
+        .load(bloom_root)
+        .where(F.col("fp") == "0" * 32)
+        .collect()
+    )
+    assert rows == []
+
+
+def test_unbloomed_column_unaffected(spark, bloom_root):
+    n = (
+        spark.read.format("lance")
+        .load(bloom_root)
+        .where(F.col("source") == "src0")
+        .count()
+    )
+    assert n > 0
