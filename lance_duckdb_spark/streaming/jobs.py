@@ -642,6 +642,81 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(results_dir).orderBy("doc_a", "doc_b")
 
 
+def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: the continuous-aggregate rollup store MAINTAINED BY A
+    STREAM — events arrive in event-time slices through the lance
+    stream source; ``foreachBatch`` aggregates each micro-batch to
+    (hour, event_type) partials and appends them to the rollup
+    store. Partials are decimal sums + bigint counts, so appending
+    per-batch partials and re-aggregating is EXACT regardless of how
+    micro-batches split an hour (the same associativity argument as
+    operators/timeseries.py — no upsert needed, append-only).
+
+    The final last-7-days daily summary over the stream-built store
+    must hash-match the oracle's direct aggregation over raw events
+    — proving the streamed store lost nothing at any batch boundary.
+    Per-batch cost is O(batch); the store grows by O(active hours)."""
+    import os
+    import shutil
+
+    from ..operators.common import money
+    from ..sources.datasource import register
+    from ..tables import US_PER_HOUR
+
+    register(spark)
+    src = _fresh_stream_root(sf_dir, "contagg")
+    store = src + ".store"
+    shutil.rmtree(store, ignore_errors=True)
+
+    def process(batch_df, _epoch):
+        (
+            batch_df.select(
+                F.expr(f"ts_us DIV {US_PER_HOUR}").alias("hour_idx"),
+                "event_type",
+                money("value").alias("v"),
+            )
+            .groupBy("hour_idx", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+            .withColumn("day_idx", F.expr("hour_idx DIV 24"))
+            .write.mode("append")
+            .partitionBy("day_idx")
+            .parquet(store)
+        )
+
+    ev = load(spark, sf_dir, "events")
+    for i, part in enumerate(_time_splits(ev)):
+        mode = "overwrite" if i == 0 else "append"
+        part.coalesce(1).write.format("lance").mode(mode).save(src)
+        q = (
+            spark.readStream.format("lance")
+            .load(src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", src + ".ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    rolled = spark.read.parquet(store)
+    mx = F.broadcast(rolled.agg(F.max("hour_idx").alias("max_h")))
+    return (
+        rolled.join(mx)
+        .where(F.col("hour_idx") > F.col("max_h") - 168)
+        .withColumn(
+            "d",
+            F.date_add(
+                F.lit("1970-01-01"), F.expr("CAST(hour_idx DIV 24 AS INT)")
+            ),
+        )
+        .groupBy("d", "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sum_v").cast("double").alias("sum_value"),
+        )
+        .orderBy("d", "event_type")
+    )
+
+
 QUERIES = {
     "stream_windowed_counts": batch_windowed_counts,
     "session_window_native": session_window_native,
@@ -650,13 +725,20 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_stream_join": stream_stream_join,
     "stream_incremental_dedup": stream_incremental_dedup,
+    "stream_continuous_aggregate": stream_continuous_aggregate,
 }
 
 from ..operators.dedup import DEDUP_MINHASH_SQL as _FULL_MINHASH_SQL  # noqa: E402
+from ..operators.timeseries import (  # noqa: E402
+    CONTINUOUS_AGGREGATE_SQL as _CONT_AGG_SQL,
+)
 
 ORACLE = {
     # the streaming union must equal the FULL-corpus minhash dedup
     "stream_incremental_dedup": _FULL_MINHASH_SQL,
+    # the stream-built rollup must serve the same answers as a
+    # direct aggregation over raw events
+    "stream_continuous_aggregate": _CONT_AGG_SQL,
     "stream_windowed_counts": BATCH_WINDOWED_COUNTS_SQL,
     "session_window_native": SESSION_WINDOW_NATIVE_SQL,
     "stream_sessionization": STREAM_SESSIONIZATION_SQL,
