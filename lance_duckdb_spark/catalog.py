@@ -31,10 +31,11 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from .sources import datasource as ds
+from .sources import lance_format as lf
 
 
 def _is_lance_dataset(path: str) -> bool:
-    return os.path.isdir(os.path.join(path, "_versions"))
+    return os.path.isdir(os.path.join(path, lf.MANIFEST_DIR))
 
 
 def _view_name(path: str) -> str:
@@ -87,8 +88,14 @@ def register_lance_views(
     return out
 
 
-# quoted path literal ending in .lance: '...' / "..." / `...`
-_PATH_RE = re.compile(r"""(['"`])([^'"`]+\.lance)\1""")
+# quoted path literal ending in .lance in TABLE position (after
+# FROM or JOIN) — string literals elsewhere (WHERE clauses, SELECT
+# values) are data, not table refs, and are left untouched; the
+# reference's replacement scan gets the same positional context from
+# DuckDB's parser
+_PATH_RE = re.compile(
+    r"""((?:FROM|JOIN)\s+)(['"`])([^'"`]+\.lance)\2""", re.IGNORECASE
+)
 
 
 def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
@@ -106,13 +113,13 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     ds.register(spark)
 
     def _sub(m: re.Match) -> str:
-        path = m.group(2)
+        path = m.group(3)
         if not _is_lance_dataset(path):
             return m.group(0)
         digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
         name = f"lance_ds_{digest}"
         # idempotent per session: re-registering the same path is a no-op
         spark.read.format("lance").load(path).createOrReplaceTempView(name)
-        return name
+        return m.group(1) + name
 
     return spark.sql(_PATH_RE.sub(_sub, sql))

@@ -43,6 +43,12 @@ from ..tables import load
 
 K1 = 1.2
 B = 0.75
+# derived once so tuning K1/B cannot desynchronize the formula; both
+# identities are float-exact (asserted), so the Spark literals and
+# the SQL oracle's interpolated repr()s are the same doubles
+K1_PLUS_1 = K1 + 1.0
+ONE_MINUS_B = 1.0 - B
+assert repr(K1_PLUS_1) == "2.2" and repr(ONE_MINUS_B) == "0.25"
 TOP_K = 20
 QUERY_TERMS = ("spark", "scan", "merge")
 N_BUCKETS = 64
@@ -91,14 +97,15 @@ def _score_expr() -> Column:
         ),
         6,
     )
-    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+    tfnorm = (F.col("tf") * F.lit(K1_PLUS_1)) / (
         F.col("tf")
-        + F.lit(K1) * (F.lit(0.25) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+        + F.lit(K1)
+        * (F.lit(ONE_MINUS_B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
     )
     return F.round(idf * tfnorm, 6).cast("decimal(18,6)")
 
 
-def _topk(components: DataFrame) -> DataFrame:
+def _topk(components: DataFrame, k: int = TOP_K) -> DataFrame:
     return (
         components.groupBy("doc_id")
         .agg(
@@ -106,7 +113,7 @@ def _topk(components: DataFrame) -> DataFrame:
             F.round(F.sum("comp"), 4).cast("double").alias("score"),
         )
         .orderBy(F.desc("score"), "doc_id")
-        .limit(TOP_K)
+        .limit(k)
     )
 
 
@@ -196,7 +203,7 @@ def search_bm25(
     comp = postings.crossJoin(F.broadcast(stats)).select(
         "doc_id", _score_expr().alias("comp")
     )
-    return _topk(comp).limit(k)
+    return _topk(comp, k)
 
 
 def fts_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,9 +247,9 @@ comp AS (
       ROUND(LN((CAST(stats.n_docs - dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
                / (CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
                + CAST(1.0 AS DOUBLE)), 6)
-      * ((qtf.tf * CAST(2.2 AS DOUBLE))
+      * ((qtf.tf * CAST({K1_PLUS_1} AS DOUBLE))
          / (qtf.tf + CAST({K1} AS DOUBLE)
-            * (CAST(0.25 AS DOUBLE)
+            * (CAST({ONE_MINUS_B} AS DOUBLE)
                + CAST({B} AS DOUBLE) * dl.dl / stats.avgdl))),
     6) AS DECIMAL(18,6)) AS comp
   FROM qtf

@@ -87,9 +87,10 @@ def _dot(a: Column | str, b: Column | str, dim: int = DIM) -> Column:
         # (~0.8 s of driver time per 64-dim dot at r4 profiling,
         # pure plan-construction overhead on every fresh plan).
         # Same left-associative fold, same arithmetic.
+        qa, qb = (f"`{c.replace(chr(96), chr(96) * 2)}`" for c in (a, b))
         return F.expr(
             " + ".join(
-                f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+                f"(CAST({qa}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE))"
                 for i in range(dim)
             )
         )

@@ -15,9 +15,11 @@ aggregation bit-for-bit, which is what the oracle computes (the
 driver's hash compare is the "rollup serves the same answers as raw"
 guarantee a serving system must give).
 
-No collect anywhere: the max-hour cutoff is a 1-row aggregate joined
-back broadcast (the tpch_q15 discipline), including for the rollup
-WRITE's closed-hour filter.
+Collect discipline: the rollup WRITE's closed-hour cutoff is a 1-row
+aggregate joined back broadcast (the tpch_q15 shape — no literal
+needed there); the QUERY's cutoff is a bounded 1-row collect because
+day-partition pruning requires a literal predicate (see
+rollup_query's docstring).
 """
 
 from __future__ import annotations
@@ -76,19 +78,27 @@ def rollup_query(
     spark: SparkSession, sf_dir: str, store_dir: str
 ) -> DataFrame:
     """Last-7-days daily summary = pruned rollup partitions for the
-    closed hours UNION the raw open tail, re-aggregated to days."""
+    closed hours UNION the raw open tail, re-aggregated to days.
+
+    The max-hour cutoff is a bounded 1-row collect (the k-centroid
+    discipline), NOT a broadcast join: parquet partition pruning on
+    ``day_idx`` needs a LITERAL predicate — a join-derived filter
+    cannot prune directories, which would silently re-read the full
+    retention history (r4 review finding). With literals the store
+    scan opens only the window's day partitions (plan-asserted in
+    tests/test_timeseries.py)."""
     hours = _hourly(spark, sf_dir)
-    mx = F.broadcast(_max_hour(hours))
+    max_h = _max_hour(hours).first()["max_h"]  # 1 row by construction
+    lo_hour = max_h - WINDOW_HOURS
     closed = (
         spark.read.parquet(store_dir)
-        .join(mx)
-        .where(F.col("hour_idx") > F.col("max_h") - WINDOW_HOURS)
+        .where(F.col("day_idx") >= lo_hour // 24)  # partition pruning
+        .where(F.col("hour_idx") > lo_hour)
         .select("hour_idx", "event_type", "n", "sum_v")
     )
     tail = (
-        hours.join(mx)
-        .where(F.col("hour_idx") >= F.col("max_h") - TAIL_HOURS)
-        .where(F.col("hour_idx") > F.col("max_h") - WINDOW_HOURS)
+        hours.where(F.col("hour_idx") >= max_h - TAIL_HOURS)
+        .where(F.col("hour_idx") > lo_hour)
         .groupBy("hour_idx", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
     )

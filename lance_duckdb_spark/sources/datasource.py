@@ -132,7 +132,16 @@ def _fragment_may_match(
     pruning on columns zone maps can't help with (values
     uncorrelated with layout)."""
     if root is not None and fragment.bloom_file:
-        eqs = [f for f in pushed if isinstance(f, EqualTo) and f.attribute]
+        # probe only with types whose str() form matches the write
+        # path's canonicalization (mirrors write_fragment's type
+        # gate) — anything else must not consult the bloom
+        eqs = [
+            f
+            for f in pushed
+            if isinstance(f, EqualTo)
+            and f.attribute
+            and isinstance(f.value, (str, int, float, bool))
+        ]
         if eqs:
             try:
                 with open(os.path.join(root, fragment.bloom_file)) as fh:

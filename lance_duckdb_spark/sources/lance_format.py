@@ -289,7 +289,23 @@ def write_fragment(
     rel = os.path.join(DATA_DIR, name)
     pq.write_table(table, os.path.join(root, rel), compression=compression)
     bloom_rel = None
-    wanted = [c for c in (bloom_columns or []) if c in table.column_names]
+    # restrict blooms to types whose str() canonicalization is
+    # guaranteed identical between the write path (pyarrow
+    # to_pylist values) and the probe path (a Spark-pushed EqualTo
+    # literal): strings, ints, floats, bools. Temporal/decimal
+    # values can render differently (tz-aware vs naive datetimes),
+    # which would make a negative bloom test ANTI-conservative —
+    # pruning a fragment that holds matches. Skipped silently:
+    # blooms are an optimization, never required for correctness.
+    safe = (pa.types.is_string, pa.types.is_large_string,
+            pa.types.is_integer, pa.types.is_floating,
+            pa.types.is_boolean)
+    wanted = [
+        c
+        for c in (bloom_columns or [])
+        if c in table.column_names
+        and any(ok(table.schema.field(c).type) for ok in safe)
+    ]
     if wanted:
         blooms = {
             c: build_bloom(table.column(c).to_pylist()) for c in wanted
@@ -641,7 +657,15 @@ def delete_where(
             # makes. compact() materializes and drops it later.
             new_frags.append(
                 Fragment(
-                    -1, f.file, f.num_rows, f.stats, rel, len(positions)
+                    -1,
+                    f.file,
+                    f.num_rows,
+                    f.stats,
+                    rel,
+                    len(positions),
+                    # the data file is untouched, so its bloom stays a
+                    # valid (conservative) filter — deletes only remove
+                    bloom_file=f.bloom_file,
                 )
             )
             continue

@@ -493,6 +493,11 @@ def build_ivf_pq_index(
     # deterministic PQ init: residuals of the ksub lowest-id vectors
     dsub = dim // m_sub
     seed_rows = assigned.orderBy(id_col).limit(ksub).collect()
+    if len(seed_rows) < ksub:
+        raise ValueError(
+            f"cannot train {ksub} PQ codes per subspace from only "
+            f"{len(seed_rows)} vectors; lower ksub or add data"
+        )
     R0 = np.stack(
         [
             np.asarray(r[column], dtype=np.float64) - C[r["bucket_id"]]
@@ -648,12 +653,11 @@ def ann_search_pq(
                 [np.frombuffer(c, dtype=np.uint8) for c in pdf["codes"]]
             )
             dist = np.empty(len(pdf))
-            key = list(zip(pdf["probe_id"], pdf["bucket_id"]))
-            for kk in set(key):
-                mask = np.fromiter(
-                    (x == kk for x in key), bool, count=len(key)
-                )
-                dist[mask] = L[kk][ar, codes[mask]].sum(axis=1)
+            # one pandas groupby pass yields every (probe, bucket)
+            # group's row indices — O(rows), not O(groups x rows)
+            groups = pdf.groupby(["probe_id", "bucket_id"]).indices
+            for kk, idx in groups.items():
+                dist[idx] = L[kk][ar, codes[idx]].sum(axis=1)
             yield pd.DataFrame(
                 {
                     "probe_id": pdf["probe_id"],

@@ -698,10 +698,12 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(180)
 
     rolled = spark.read.parquet(store)
-    mx = F.broadcast(rolled.agg(F.max("hour_idx").alias("max_h")))
+    # literal cutoff (bounded 1-row collect): day-partition pruning
+    # on the store needs a literal, a join-derived filter can't prune
+    max_h = rolled.agg(F.max("hour_idx").alias("max_h")).first()["max_h"]
     return (
-        rolled.join(mx)
-        .where(F.col("hour_idx") > F.col("max_h") - 168)
+        rolled.where(F.col("day_idx") >= (max_h - 168) // 24)
+        .where(F.col("hour_idx") > max_h - 168)
         .withColumn(
             "d",
             F.date_add(

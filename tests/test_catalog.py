@@ -86,6 +86,17 @@ def test_lance_sql_leaves_non_dataset_literals_alone(spark, lance_db):
     assert row.n == 25
 
 
+def test_lance_sql_rewrites_only_table_position(spark, lance_db):
+    # an EXISTING dataset path used as string DATA (non-FROM/JOIN
+    # position) must stay a literal — only table position rewrites
+    path = f"{lance_db}/nation.lance"
+    row = lance_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM '{path}' WHERE '{path}' = '{path}'",
+    ).first()
+    assert row.n == 25
+
+
 def test_view_name_collision_raises(spark, lance_db, tmp_path, sf_dir):
     root = str(tmp_path / "db2")
     os.makedirs(root)

@@ -59,14 +59,11 @@ def test_rollup_serves_closed_hours(spark, sf_dir, store):
     assert rolled.count() < load(spark, sf_dir, "events").count()
 
 
-def test_rollup_window_prunes_day_partitions(spark, sf_dir, store):
-    """Filtering the store to the 7-day window must prune day_idx
-    partition directories in the scan."""
-    hours = ts._hourly(spark, sf_dir)
-    max_h = hours.agg(F.max("hour_idx")).first()[0]
-    lo = (max_h - ts.WINDOW_HOURS) // 24
-    df = spark.read.parquet(store).where(F.col("day_idx") >= lo)
+def test_rollup_query_plan_prunes_day_partitions(spark, sf_dir, store):
+    """rollup_query ITSELF (not a hand-written filter) must plan the
+    store scan with a day_idx partition filter — the property that
+    keeps dashboard IO independent of retention length."""
+    df = ts.rollup_query(spark, sf_dir, store)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    seg = plan.split("PartitionFilters", 1)[1][:200]
-    assert "day_idx" in seg
+    seg = plan.split("PartitionFilters", 1)[1]
+    assert "day_idx" in seg[:200]
