@@ -146,10 +146,69 @@ ORDER BY d, event_type
 """
 
 
+# ---------------------------------------------------- sketch rollup
+
+def build_sketch_store(
+    spark: SparkSession, sf_dir: str, store_dir: str
+) -> None:
+    """Daily per-event-type HLL sketches of user_id (Apache
+    DataSketches via hll_sketch_agg), persisted as binary parquet.
+    The point of sketches over counts: COUNT(DISTINCT) partials are
+    NOT mergeable (distinct users of day A + day B ≠ distinct of
+    A∪B), but HLL sketches union losslessly — so month/quarter
+    distincts are served from k bytes/day without ever re-scanning
+    raw history. The write is one map-side-combinable shuffle."""
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.select(
+            F.expr("ts_us DIV 86400000000").alias("day_idx"),
+            "event_type",
+            "user_id",
+        )
+        .groupBy("day_idx", "event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .write.mode("overwrite")
+        .parquet(store_dir)
+    )
+
+
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """*Rows-only* (HLL estimates have no DuckDB twin — its
+    approx_count_distinct is a different HLL implementation; the
+    estimate-vs-exact error bound is asserted in
+    tests/test_timeseries.py). Serve per-event-type DISTINCT USERS
+    over the whole month by UNIONING the persisted daily sketches —
+    the mergeable-sketch analogue of continuous_aggregate. Output:
+    per event_type, the merged-sketch estimate next to the number of
+    daily sketches merged."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store = os.path.join("/tmp/lance_duckdb_spark", tag, "sketch_store")
+    shutil.rmtree(store, ignore_errors=True)
+    build_sketch_store(spark, sf_dir, store)
+    sk = spark.read.parquet(store)
+    return (
+        sk.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("approx_distinct_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "continuous_aggregate": continuous_aggregate,
+    "sketch_distinct_rollup": sketch_distinct_rollup,
 }
 
 ORACLE = {
     "continuous_aggregate": CONTINUOUS_AGGREGATE_SQL,
+    # sketch_distinct_rollup: rows-only by design (DataSketches HLL
+    # has no DuckDB twin; error bound asserted in tests)
 }

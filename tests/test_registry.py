@@ -20,6 +20,7 @@ def test_rows_only_queries_are_the_documented_ones():
         "ann_ivf_pq",
         "approx_quantiles_vs_exact",
         "embedding_neardup_lsh",
+        "sketch_distinct_rollup",
     }, f"undocumented rows-only queries: {rows_only}"
 
 

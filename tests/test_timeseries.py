@@ -67,3 +67,26 @@ def test_rollup_query_plan_prunes_day_partitions(spark, sf_dir, store):
     plan = df._jdf.queryExecution().executedPlan().toString()
     seg = plan.split("PartitionFilters", 1)[1]
     assert "day_idx" in seg[:200]
+
+
+def test_sketch_rollup_error_bound_and_mergeability(spark, sf_dir):
+    """Merged daily HLL sketches must estimate month-distinct users
+    within HLL's error envelope (lgK=12 → ~1.6% standard error; 5%
+    asserted), and n_events (exact, carried beside the sketch) must
+    match the raw count exactly."""
+    rows = {r.event_type: r for r in ts.sketch_distinct_rollup(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert rows.keys() == exact.keys()
+    for et, r in rows.items():
+        e = exact[et]
+        assert r.n_events == e.n  # exact payload carried with sketch
+        assert abs(r.approx_distinct_users - e.d) <= max(1, 0.05 * e.d)
