@@ -296,8 +296,22 @@ def ann_search(
         "probe_id",
     )
 
-    post = spark.read.parquet(_postings_dir(root)).where(
-        F.col("bucket_id").isin(sorted(all_buckets))
+    posting_dirs = [_postings_dir(root)] + [
+        os.path.join(root, INDEX_DIR, d) for d in meta.get("delta_dirs", [])
+    ]
+    # one read per postings dir (base + index deltas), unioned:
+    # multi-root partition discovery conflicts, and separate reads
+    # keep bucket partition pruning per directory anyway
+    from functools import reduce
+
+    post = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(d).where(
+                F.col("bucket_id").isin(sorted(all_buckets))
+            )
+            for d in posting_dirs
+        ],
     )
     cands = post.join(F.broadcast(probe_buckets), "bucket_id").where(
         F.col(id_col) != F.col("probe_id")
@@ -707,3 +721,63 @@ def ann_search_pq(
         .select("probe_id", "neighbor_id", "cos_sim", "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+# ----------------------------------------------------- index deltas
+
+def extend_ivf_index(spark: SparkSession, root: str) -> dict:
+    """Index DELTA for appended data (Lance proper's incremental
+    index maintenance): fragments appended since the index was built
+    are assigned to the EXISTING centroids and written as an
+    additional bucket-partitioned postings directory — the base
+    postings and the k-means fit are untouched, so indexing cost is
+    O(appended rows), not O(corpus). Requires append-only history
+    since the indexed version (same contract as CDC reads — a
+    rewrite in between forces a rebuild, enforced loudly).
+
+    Search over base + deltas stays partition-pruned: every delta is
+    partitioned by the same bucket_id. Centroids drift as the
+    distribution drifts — periodic full rebuilds (compaction's
+    analogue) restore balance; recall after a pure append is
+    asserted in tests/test_vector_delta.py."""
+    import numpy as np
+
+    meta = read_index_meta(root)
+    head = lf.read_manifest(root)
+    if head.version == meta["dataset_version"]:
+        return meta  # nothing to index
+    base = lf.read_manifest(root, meta["dataset_version"])
+    head_files = {f.file for f in head.fragments}
+    gone = [f.file for f in base.fragments if f.file not in head_files]
+    if gone:
+        raise lf.LanceDatasetError(
+            f"fragments {gone[:3]} from indexed version "
+            f"{meta['dataset_version']} were rewritten; an index delta "
+            "requires append-only history — rebuild with build_ivf_pq_index"
+        )
+    column, id_col = meta["column"], meta["id_col"]
+    new_rows = (
+        spark.read.format("lance")
+        .option("begin_version", str(meta["dataset_version"]))
+        .load(root)
+        .select(id_col, column)
+    )
+    C = np.array(meta["centroids"], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
+    delta_name = f"postings_delta_{head.version}"
+    delta_dir = os.path.join(root, INDEX_DIR, delta_name)
+    (
+        _assign_buckets(new_rows, bc, column, id_col)
+        .repartition("bucket_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket_id")
+        .parquet(delta_dir)
+    )
+    meta = dict(meta)
+    meta["dataset_version"] = head.version
+    meta["delta_dirs"] = meta.get("delta_dirs", []) + [delta_name]
+    tmp = _index_meta_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _index_meta_path(root))
+    return meta
