@@ -638,10 +638,58 @@ FROM documents WHERE doc_id = 7 ORDER BY doc_id
 """
 
 
+def lance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version retention (lance_format.cleanup_old_versions — Lance
+    proper's cleanup_old_versions): build 3 versions (two appends +
+    a rewriting delete that orphans both original fragments), vacuum
+    to keep_last=1, and read the head back — results must equal the
+    oracle's direct computation of the final state (vacuum must be
+    invisible to the retained version), with the deterministic
+    retention counters emitted alongside. Reads of vacuumed versions
+    fail loudly (asserted in tests/test_lance_source.py)."""
+    import pyarrow.compute as pc
+
+    from ..sources import lance_format as lf
+
+    register(spark)
+    root = _fresh_root(sf_dir, "vacuum")
+    docs = load(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.format(
+        "lance"
+    ).mode("overwrite").save(root)  # v1: one fragment
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.format(
+        "lance"
+    ).mode("append").save(root)  # v2: + one fragment
+    # v3: doc_id < 20 hits BOTH parities at any SF -> both fragments
+    # rewritten, orphaning the two originals once v1/v2 are dropped
+    lf.delete_where(root, pc.field("doc_id") < 20)
+    stats = lf.cleanup_old_versions(root, keep_last=1)
+    head = spark.read.format("lance").load(root)
+    return (
+        head.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .withColumn("versions_removed", F.lit(stats["versions_removed"]))
+        .withColumn("files_removed", F.lit(stats["files_removed"]))
+        .withColumn("versions_left", F.lit(len(lf.list_versions(root))))
+    )
+
+
+LANCE_VACUUM_SQL = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       2 AS versions_removed, 2 AS files_removed, 1 AS versions_left
+FROM documents
+WHERE doc_id >= 20
+"""
+
+
 QUERIES = {
     "lance_roundtrip": lance_roundtrip,
     "lance_scalar_index": lance_scalar_index,
     "lance_bloom_pruning": lance_bloom_pruning,
+    "lance_vacuum": lance_vacuum,
     "lance_native_write": lance_native_write,
     "lance_version_diff": lance_version_diff,
     "lance_time_travel": lance_time_travel,
@@ -660,6 +708,7 @@ ORACLE = {
     "lance_roundtrip": LANCE_ROUNDTRIP_SQL,
     "lance_scalar_index": LANCE_SCALAR_INDEX_SQL,
     "lance_bloom_pruning": LANCE_BLOOM_SQL,
+    "lance_vacuum": LANCE_VACUUM_SQL,
     "lance_native_write": LANCE_NATIVE_WRITE_SQL,
     "lance_version_diff": LANCE_VERSION_DIFF_SQL,
     "lance_time_travel": LANCE_TIME_TRAVEL_SQL,

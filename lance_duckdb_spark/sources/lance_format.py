@@ -683,3 +683,54 @@ def delete_where(
         mode="overwrite",
         expected_version=manifest.version,
     )
+
+
+def cleanup_old_versions(root: str, keep_last: int = 2) -> dict:
+    """Version retention (Lance proper's cleanup_old_versions):
+    drop all but the newest ``keep_last`` manifest versions and
+    delete every data / deletion / bloom file no kept version
+    references. Time travel within the retention window is
+    untouched; reads of vacuumed versions fail loudly (missing
+    manifest). Index directories (``_indexes/``) are never touched —
+    they carry their own staleness contract.
+
+    Safe under the immutable-fragment model: a file referenced by
+    ANY kept manifest is kept, so concurrent readers of retained
+    versions never lose files; the manifest unlink is atomic per
+    version. Returns {versions_removed, files_removed,
+    bytes_reclaimed}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(root)
+    kept_versions = versions[-keep_last:]
+    drop_versions = [v for v in versions if v not in kept_versions]
+    referenced: set = set()
+    for v in kept_versions:
+        m = read_manifest(root, v)
+        for f in m.fragments:
+            referenced.add(f.file)
+            if f.deletion_file:
+                referenced.add(f.deletion_file)
+            if f.bloom_file:
+                referenced.add(f.bloom_file)
+    files_removed = 0
+    bytes_reclaimed = 0
+    for sub in (DATA_DIR, DELETION_DIR, BLOOM_DIR):
+        d = os.path.join(root, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            rel = os.path.join(sub, name)
+            if rel in referenced:
+                continue
+            p = os.path.join(root, rel)
+            bytes_reclaimed += os.path.getsize(p)
+            os.remove(p)
+            files_removed += 1
+    for v in drop_versions:
+        os.remove(_manifest_path(root, v))
+    return {
+        "versions_removed": len(drop_versions),
+        "files_removed": files_removed,
+        "bytes_reclaimed": bytes_reclaimed,
+    }

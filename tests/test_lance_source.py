@@ -774,3 +774,51 @@ def test_deletion_vector_empty_fragment_keeps_stream_offsets(
     assert (
         spark.read.format("lance").load(tmp_ds).count() == nat.count()
     )
+
+
+def test_cleanup_old_versions_retention(spark, sf_dir, tmp_path):
+    """Vacuum: kept versions stay readable (incl. their deletion
+    vectors and blooms), vacuumed versions fail loudly, orphaned
+    files are actually removed, bytes are reclaimed."""
+    import pyarrow.compute as pc
+
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.datasource import register
+
+    register(spark)
+    root = str(tmp_path / "vac.lance")
+    docs = load(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.format(
+        "lance"
+    ).option("bloom_columns", "source").mode("overwrite").save(root)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.format(
+        "lance"
+    ).option("bloom_columns", "source").mode("append").save(root)
+    lf.delete_where(root, pc.field("doc_id") < 10, use_deletion_vectors=True)
+    assert lf.list_versions(root) == [1, 2, 3]
+
+    before = docs.where(F.col("doc_id") >= 10).count()
+    stats = lf.cleanup_old_versions(root, keep_last=2)
+    assert lf.list_versions(root) == [2, 3]
+    assert stats["versions_removed"] == 1
+    # v1/v2 share fragments with v3 (delete was metadata-only), so
+    # nothing is orphaned yet — referenced files must all survive
+    assert stats["files_removed"] == 0
+    assert spark.read.format("lance").load(root).count() == before
+    # kept old version still time-travels
+    assert (
+        spark.read.format("lance").option("version", 2).load(root).count()
+        > before
+    )
+    # vacuumed version is gone
+    with pytest.raises(Exception, match="version 1 not found"):
+        lf.read_manifest(root, 1)
+
+    # now force an orphan: rewriting compact, then vacuum to head only
+    from lance_duckdb_spark.sources.lance_format import compact
+
+    compact(root)
+    stats2 = lf.cleanup_old_versions(root, keep_last=1)
+    assert stats2["files_removed"] > 0
+    assert stats2["bytes_reclaimed"] > 0
+    assert spark.read.format("lance").load(root).count() == before
