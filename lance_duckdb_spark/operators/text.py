@@ -257,7 +257,162 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------- C38
+
+PPL_LOW_T = 2.2  # rounded cross-entropy (nats/bigram) bucket edges
+PPL_HIGH_T = 3.0
+
+
+def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM perplexity filtering — the classic pretraining
+    quality gate (CCNet/KenLM shape): train an add-1-smoothed
+    character-bigram model ON the corpus itself, score every doc by
+    cross-entropy (nats/bigram), bucket into low/mid/high
+    perplexity per source.
+
+    Scale shape: per-doc bigram COUNTS are built in one Arrow pass
+    (≤ |charset|² rows per doc, not one row per character — the
+    char_entropy lesson); the model is a corpus-wide (bigram →
+    count) table small enough to broadcast (≤ a few thousand rows
+    for natural text); scoring is a broadcast join + decimal sums.
+
+    Float discipline: ln() per distinct (bigram) probability is
+    rounded to 6 decimals (BM25's idf rule), per-doc sums run in
+    DECIMAL(18,6) via exact integer weights, the final
+    nats-per-bigram is rounded to 4 — bit-identical in both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+
+    def bigram_counts(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, srcs, bgs, cnts = [], [], [], []
+            for did, src, txt in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                t = (txt or "").strip().lower()
+                if len(t) < 2:
+                    continue
+                c = Counter(t[i : i + 2] for i in range(len(t) - 1))
+                ids.extend([did] * len(c))
+                srcs.extend([src] * len(c))
+                bgs.extend(c.keys())
+                cnts.extend(c.values())
+            yield pd.DataFrame(
+                {"doc_id": ids, "source": srcs, "bg": bgs, "cnt": cnts}
+            )
+
+    bg = docs.mapInPandas(
+        bigram_counts,
+        schema="doc_id long, source string, bg string, cnt long",
+    )
+    model = bg.groupBy("bg").agg(F.sum("cnt").alias("cb"))
+    c1 = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cb").alias("c1tot")
+    )
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))  # 1-row broadcast
+    scored = (
+        bg.join(F.broadcast(model), "bg")
+        .join(
+            F.broadcast(c1), F.substring(F.col("bg"), 1, 1) == F.col("c1")
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            "cnt",
+            F.round(
+                F.log(
+                    (F.col("cb").cast("double") + F.lit(1.0))
+                    / (F.col("c1tot").cast("double") + F.col("v"))
+                ),
+                6,
+            ).alias("logp6"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                -F.sum(
+                    F.round(F.col("cnt") * F.col("logp6"), 6).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.sum("cnt"),
+                4,
+            ).alias("h")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # h is a 4-decimal quantized double: decimal-sum is exact
+            # and order-independent (a raw double AVG could flip the
+            # final rounding at corpus scale)
+            F.round(
+                F.sum(F.col("h").cast("decimal(14,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_h"),
+            F.sum((F.col("h") <= PPL_LOW_T).cast("bigint")).alias("n_low"),
+            F.sum(
+                (
+                    (F.col("h") > PPL_LOW_T) & (F.col("h") < PPL_HIGH_T)
+                ).cast("bigint")
+            ).alias("n_mid"),
+            F.sum((F.col("h") >= PPL_HIGH_T).cast("bigint")).alias("n_high"),
+        )
+        .orderBy("source")
+    )
+
+
+PERPLEXITY_SQL = f"""
+WITH bg AS (
+  SELECT doc_id, source, bg, COUNT(*) AS cnt FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(lower(trim(text)))),
+                                 i -> substr(lower(trim(text)), i, 2))) AS bg
+    FROM documents WHERE len(trim(text)) >= 2
+  ) GROUP BY doc_id, source, bg
+),
+model AS (
+  SELECT bg, CAST(SUM(cnt) AS BIGINT) AS cb FROM bg GROUP BY bg
+),
+c1 AS (
+  SELECT substr(bg, 1, 1) AS c1, CAST(SUM(cb) AS BIGINT) AS c1tot
+  FROM model GROUP BY 1
+),
+vocab AS (SELECT COUNT(*) AS v FROM c1),
+scored AS (
+  SELECT bg.doc_id, bg.source, bg.cnt,
+    ROUND(LN((CAST(model.cb AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (CAST(c1.c1tot AS DOUBLE) + v)), 6) AS logp6
+  FROM bg
+  JOIN model ON bg.bg = model.bg
+  JOIN c1 ON substr(bg.bg, 1, 1) = c1.c1
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, source,
+    ROUND(-CAST(SUM(CAST(ROUND(cnt * logp6, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          / SUM(cnt), 4) AS h
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(CAST(h AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*), 4) AS avg_h,
+  CAST(SUM(CASE WHEN h <= {PPL_LOW_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  CAST(SUM(CASE WHEN h > {PPL_LOW_T} AND h < {PPL_HIGH_T} THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_mid,
+  CAST(SUM(CASE WHEN h >= {PPL_HIGH_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "perplexity_score": perplexity_score,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
@@ -266,6 +421,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "perplexity_score": PERPLEXITY_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SCORE_SQL,
     "token_count": TOKEN_COUNT_SQL,
