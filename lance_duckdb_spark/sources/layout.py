@@ -77,3 +77,37 @@ def write_zordered(
         .mode(mode)
         .save(path)
     )
+
+
+def optimize(
+    spark,
+    root: str,
+    zorder_cols: tuple[str, str] | None = None,
+    n_fragments: int = 16,
+    bits: int = Z_BITS,
+):
+    """In-place OPTIMIZE for an EXISTING dataset (Delta's
+    ``OPTIMIZE [table] ZORDER BY`` shape): read the current head
+    (deletion vectors applied, evolved schema honored — the read
+    goes through the normal lance scan), re-cluster on the Z-order
+    key, and commit as a new OVERWRITE version. Old versions remain
+    time-travelable; their files are reclaimed by
+    ``lance_format.cleanup_old_versions``. Without ``zorder_cols``
+    this is plain fragment compaction (lance_format.compact).
+
+    Safe to read-and-overwrite in one job: scan partitions are
+    planned from the old manifest over immutable fragment files;
+    the write only adds new files and then publishes a new
+    manifest."""
+    from . import lance_format as lf
+    from .datasource import register
+
+    if zorder_cols is None:
+        return lf.compact(root)
+    register(spark)
+    head = spark.read.format("lance").load(root)
+    write_zordered(
+        head, root, cols=zorder_cols, n_fragments=n_fragments, bits=bits,
+        mode="overwrite",
+    )
+    return lf.read_manifest(root)

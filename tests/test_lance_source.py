@@ -822,3 +822,72 @@ def test_cleanup_old_versions_retention(spark, sf_dir, tmp_path):
     assert stats2["files_removed"] > 0
     assert stats2["bytes_reclaimed"] > 0
     assert spark.read.format("lance").load(root).count() == before
+
+
+def test_optimize_zorder_in_place(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER on an existing append-ordered dataset: results
+    unchanged, 2-D range scans plan fewer fragments afterward, the
+    pre-optimize version still time-travels, vacuum reclaims it."""
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.datasource import register
+    from lance_duckdb_spark.sources.layout import optimize
+
+    register(spark)
+    root = str(tmp_path / "opt.lance")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    # append-ordered: every fragment spans the full 2-D value space
+    li.repartition(16).write.format("lance").mode("overwrite").save(root)
+
+    def planned_fragments():
+        from lance_duckdb_spark.sources.datasource import (
+            GreaterThanOrEqual,
+            LanceScanReader,
+            LessThanOrEqual,
+        )
+        from pyspark.sql.types import StructType
+
+        import json as _json
+
+        man = lf.read_manifest(root)
+        schema = StructType.fromJson(_json.loads(man.schema_json))
+        r = LanceScanReader(root, schema, None)
+        r.pushed = [
+            GreaterThanOrEqual(("l_quantity",), 10.0),
+            LessThanOrEqual(("l_quantity",), 20.0),
+            GreaterThanOrEqual(("l_extendedprice",), 20000.0),
+            LessThanOrEqual(("l_extendedprice",), 40000.0),
+        ]
+        return len(r.partitions())
+
+    pred = (
+        (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+        & (F.col("l_extendedprice") >= 20000.0)
+        & (F.col("l_extendedprice") <= 40000.0)
+    )
+    before_frags = planned_fragments()
+    before_rows = sorted(
+        r.l_orderkey
+        for r in spark.read.format("lance").load(root).where(pred).collect()
+    )
+    v1 = lf.read_manifest(root).version
+
+    optimize(spark, root, zorder_cols=("l_quantity", "l_extendedprice"))
+
+    after_frags = planned_fragments()
+    after_rows = sorted(
+        r.l_orderkey
+        for r in spark.read.format("lance").load(root).where(pred).collect()
+    )
+    assert after_rows == before_rows  # layout never changes answers
+    assert after_frags < before_frags  # pruning now effective
+    # pre-optimize version still readable ...
+    n_v1 = (
+        spark.read.format("lance").option("version", str(v1)).load(root).count()
+    )
+    assert n_v1 == load(spark, sf_dir, "lineitem").count()
+    # ... until vacuumed
+    stats = lf.cleanup_old_versions(root, keep_last=1)
+    assert stats["files_removed"] > 0
