@@ -66,10 +66,12 @@ HEADLINE = [
     # connector (includes write+read roundtrip)
     "lance_roundtrip",
     "lance_native_read",
-    # r4 additions: BM25 FTS, planted-skew salted agg, rollup serving
+    # r4 additions: BM25 FTS, planted-skew salted agg, rollup
+    # serving, char-bigram perplexity filtering
     "fts_bm25",
     "skewed_hot_key_agg",
     "continuous_aggregate",
+    "perplexity_score",
     # r3: incremental dedup against a stored signature table (the
     # other r3 ops — deletion vectors, z-order write, IVF index
     # build — are write/maintenance paths whose DuckDB oracle is a
