@@ -172,7 +172,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_cand_cte() -> str:
+    """Shared WITH-body: shingles → signatures → bands → candidate
+    pairs → sizes → intersections. Reused by the Jaccard and the
+    containment oracles (one definition, two scoring finals)."""
     mins = ",\n      ".join(
         f"MIN(md5('{i}:' || shingle)) AS m{i}" for i in range(N_HASHES)
     )
@@ -215,7 +218,13 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+
+def _minhash_sql() -> str:
+    return (
+        _minhash_cand_cte()
+        + f"""
 SELECT i.doc_a, i.doc_b,
   CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard
 FROM inter i
@@ -224,6 +233,7 @@ JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) >= {MINHASH_JACCARD_T}
 ORDER BY doc_a, doc_b
 """
+    )
 
 
 DEDUP_MINHASH_SQL = _minhash_sql()
@@ -659,13 +669,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_candidate_pairs(cand, docs)
 
 
-def verify_candidate_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
-    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs
-    against the shingle sets of ``docs``: inner joins restrict the
-    shingle scan to candidate docs; emits pairs ≥ MINHASH_JACCARD_T
-    ordered. Shared by dedup_incremental and the streaming
-    incremental dedup job (identical arithmetic ⇒ identical
-    doubles)."""
+def _pair_overlap(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_inter, sz_a, sz_b) for candidate pairs —
+    inner joins restrict the shingle scan to candidate docs. Shared
+    numerator/denominator base for Jaccard AND containment scoring
+    (identical arithmetic ⇒ identical doubles across operators)."""
     shingled = _shingle_df(docs)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -678,17 +686,20 @@ def verify_candidate_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
+    return inter.join(za, "doc_a").join(zb, "doc_b")
+
+
+def verify_candidate_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs;
+    emits pairs ≥ MINHASH_JACCARD_T ordered. Shared by
+    dedup_incremental and the streaming incremental dedup job."""
+    jac = _pair_overlap(cand, docs).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        ).alias("jaccard"),
     )
     return jac.where(F.col("jaccard") >= MINHASH_JACCARD_T).orderBy(
         "doc_a", "doc_b"
@@ -754,9 +765,72 @@ ORDER BY doc_a, doc_b
 DEDUP_INCREMENTAL_SQL = _incremental_sql()
 
 
+# ------------------------------------------------------- containment
+
+CONTAINMENT_T = 0.5
+
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT over the MinHash-LSH candidate pairs:
+    |A∩B|/|A| and |A∩B|/|B| per pair, kept when either side is ≥
+    CONTAINMENT_T. Jaccard misses doc-in-doc duplication — a page
+    quoted whole inside a much larger page scores low Jaccard but
+    containment ≈ 1 on the smaller side; this is the boilerplate /
+    quotation / wrapper-page detector a curation pipeline runs next
+    to symmetric dedup. Same LSH candidate bound (band equi-join,
+    never all-pairs) and the same exact-overlap verification base as
+    dedup_minhash_lsh (_pair_overlap)."""
+    docs = load(spark, sf_dir, "documents")
+    bands = _band_hashes(_minhash_signatures(_shingle_df(docs)))
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ov = _pair_overlap(cand, docs)
+    scored = ov.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_inter").cast("double") / F.col("sz_a")).alias("cont_a_in_b"),
+        (F.col("n_inter").cast("double") / F.col("sz_b")).alias("cont_b_in_a"),
+    )
+    return scored.where(
+        (F.col("cont_a_in_b") >= CONTAINMENT_T)
+        | (F.col("cont_b_in_a") >= CONTAINMENT_T)
+    ).orderBy("doc_a", "doc_b")
+
+
+def _containment_sql() -> str:
+    return (
+        _minhash_cand_cte()
+        + f"""
+SELECT i.doc_a, i.doc_b,
+  CAST(i.n_inter AS DOUBLE) / za.sz AS cont_a_in_b,
+  CAST(i.n_inter AS DOUBLE) / zb.sz AS cont_b_in_a
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / za.sz >= {CONTAINMENT_T}
+   OR CAST(i.n_inter AS DOUBLE) / zb.sz >= {CONTAINMENT_T}
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
+MINHASH_CONTAINMENT_SQL = _containment_sql()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "minhash_containment": minhash_containment,
     "dedup_simhash": dedup_simhash,
     "ngram_jaccard": ngram_jaccard,
     "dedup_incremental": dedup_incremental,
@@ -765,6 +839,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "minhash_containment": MINHASH_CONTAINMENT_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
