@@ -49,7 +49,9 @@ def _word_ngrams_udf(n: int):
 
         out = []
         for t in texts:
-            w = (t or "").strip().split(" ")
+            # strip SPACES only: SQL trim() does not touch \t\n\r,
+            # and gram strings must match the oracle byte-for-byte
+            w = (t or "").strip(" ").split(" ")
             out.append(
                 list({" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 0))})
             )

@@ -126,50 +126,29 @@ def _band_hashes(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    shingled = _shingle_df(docs)
-    sig = _minhash_signatures(shingled)
-    bands = _band_hashes(sig)
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
-    )
-    cand = (
+def _lsh_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in at least one LSH
+    band — the equi-join that bounds every minhash operator's pair
+    count (never all-pairs). One definition shared by dedup,
+    containment, and (structurally) the incremental/streaming
+    store joins."""
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cand = _lsh_candidates(
+        _band_hashes(_minhash_signatures(_shingle_df(docs)))
+    )
     # verify candidates with exact Jaccard over distinct shingles
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-    )
-    return jac.where(F.col("jaccard") >= MINHASH_JACCARD_T).orderBy(
-        "doc_a", "doc_b"
-    )
+    return verify_candidate_pairs(cand, docs)
 
 
 def _minhash_cand_cte() -> str:
@@ -781,18 +760,8 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs) and the same exact-overlap verification base as
     dedup_minhash_lsh (_pair_overlap)."""
     docs = load(spark, sf_dir, "documents")
-    bands = _band_hashes(_minhash_signatures(_shingle_df(docs)))
-    cand = (
-        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-        .join(
-            bands.select(
-                F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
-            ),
-            ["band_idx", "band_hash"],
-        )
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    cand = _lsh_candidates(
+        _band_hashes(_minhash_signatures(_shingle_df(docs)))
     )
     ov = _pair_overlap(cand, docs)
     scored = ov.select(

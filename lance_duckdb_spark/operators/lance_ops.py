@@ -663,7 +663,9 @@ def lance_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v3: doc_id < 20 hits BOTH parities at any SF -> both fragments
     # rewritten, orphaning the two originals once v1/v2 are dropped
     lf.delete_where(root, pc.field("doc_id") < 20)
-    stats = lf.cleanup_old_versions(root, keep_last=1)
+    # no concurrent writer can exist on this fresh root: reclaim
+    # immediately (production calls keep the default grace window)
+    stats = lf.cleanup_old_versions(root, keep_last=1, older_than_seconds=0)
     head = spark.read.format("lance").load(root)
     return (
         head.agg(

@@ -291,7 +291,8 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, src, txt in zip(
                 pdf["doc_id"], pdf["source"], pdf["text"]
             ):
-                t = (txt or "").strip().lower()
+                # SPACES only (SQL trim parity — see curation.py note)
+                t = (txt or "").strip(" ").lower()
                 if len(t) < 2:
                     continue
                 c = Counter(t[i : i + 2] for i in range(len(t) - 1))
@@ -307,29 +308,34 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigram_counts,
         schema="doc_id long, source string, bg string, cnt long",
     )
-    model = bg.groupBy("bg").agg(F.sum("cnt").alias("cb"))
-    c1 = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
-        F.sum("cb").alias("c1tot")
+    # The model is bounded by |charset|² rows (a few thousand for
+    # text) — collect it ONCE and derive the c1 totals and vocab
+    # size driver-side (the k-centroids bounded-collect discipline).
+    # Deriving them as separate broadcast-join subtrees instead
+    # would re-execute the corpus-wide bigram UDF pass three extra
+    # times (each broadcast recomputes the bg lineage; r4 review).
+    model_rows = bg.groupBy("bg").agg(F.sum("cnt").alias("cb")).collect()
+    c1tot: dict[str, int] = {}
+    for r in model_rows:
+        c1tot[r.bg[0]] = c1tot.get(r.bg[0], 0) + r.cb
+    v = len(c1tot)
+    model = spark.createDataFrame(
+        [(r.bg, r.cb, c1tot[r.bg[0]]) for r in model_rows],
+        schema="bg string, cb long, c1tot long",
     )
-    vocab = c1.agg(F.count(F.lit(1)).alias("v"))  # 1-row broadcast
-    scored = (
-        bg.join(F.broadcast(model), "bg")
-        .join(
-            F.broadcast(c1), F.substring(F.col("bg"), 1, 1) == F.col("c1")
-        )
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            "source",
-            "cnt",
-            F.round(
-                F.log(
-                    (F.col("cb").cast("double") + F.lit(1.0))
-                    / (F.col("c1tot").cast("double") + F.col("v"))
-                ),
-                6,
-            ).alias("logp6"),
-        )
+    # ln() stays JVM-side on the tiny broadcast rows so the rounded
+    # values come from the same libm the other operators use
+    scored = bg.join(F.broadcast(model), "bg").select(
+        "doc_id",
+        "source",
+        "cnt",
+        F.round(
+            F.log(
+                (F.col("cb").cast("double") + F.lit(1.0))
+                / (F.col("c1tot").cast("double") + F.lit(float(v)))
+            ),
+            6,
+        ).alias("logp6"),
     )
     per_doc = (
         scored.groupBy("doc_id", "source")

@@ -685,7 +685,9 @@ def delete_where(
     )
 
 
-def cleanup_old_versions(root: str, keep_last: int = 2) -> dict:
+def cleanup_old_versions(
+    root: str, keep_last: int = 2, older_than_seconds: float = 3600.0
+) -> dict:
     """Version retention (Lance proper's cleanup_old_versions):
     drop all but the newest ``keep_last`` manifest versions and
     delete every data / deletion / bloom file no kept version
@@ -697,8 +699,16 @@ def cleanup_old_versions(root: str, keep_last: int = 2) -> dict:
     Safe under the immutable-fragment model: a file referenced by
     ANY kept manifest is kept, so concurrent readers of retained
     versions never lose files; the manifest unlink is atomic per
-    version. Returns {versions_removed, files_removed,
+    version. ``older_than_seconds`` protects IN-FLIGHT writers: the
+    commit protocol stages fragment files BEFORE publishing the
+    manifest that references them, so an unreferenced-but-recent
+    file may belong to a write in progress — only files older than
+    the grace window are reclaimed (Lance proper's cleanup has the
+    same older_than contract). Pass 0 only when no concurrent
+    writer can exist. Returns {versions_removed, files_removed,
     bytes_reclaimed}."""
+    import time as _time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(root)
@@ -719,13 +729,19 @@ def cleanup_old_versions(root: str, keep_last: int = 2) -> dict:
         d = os.path.join(root, sub)
         if not os.path.isdir(d):
             continue
+        now = _time.time()
         for name in sorted(os.listdir(d)):
             rel = os.path.join(sub, name)
             if rel in referenced:
                 continue
             p = os.path.join(root, rel)
-            bytes_reclaimed += os.path.getsize(p)
-            os.remove(p)
+            try:
+                if now - os.path.getmtime(p) < older_than_seconds:
+                    continue  # possibly staged by an in-flight write
+                bytes_reclaimed += os.path.getsize(p)
+                os.remove(p)
+            except OSError:
+                continue  # raced with a concurrent cleanup
             files_removed += 1
     for v in drop_versions:
         os.remove(_manifest_path(root, v))

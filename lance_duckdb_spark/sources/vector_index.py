@@ -215,6 +215,15 @@ def build_ivf_index(
         .partitionBy("bucket_id")
         .parquet(pdir)
     )
+    # a rebuild supersedes every index delta: reclaim their dirs now
+    # (nothing else ever references or cleans them — vacuum leaves
+    # _indexes/ alone by contract)
+    import shutil as _shutil
+
+    idx_dir = os.path.join(root, INDEX_DIR)
+    for name in os.listdir(idx_dir) if os.path.isdir(idx_dir) else []:
+        if name.startswith("postings_delta_"):
+            _shutil.rmtree(os.path.join(idx_dir, name), ignore_errors=True)
     meta = {
         "column": column,
         "id_col": id_col,
@@ -742,19 +751,47 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
     asserted in tests/test_vector_delta.py."""
     import numpy as np
 
+    register(spark)
     meta = read_index_meta(root)
     head = lf.read_manifest(root)
     if head.version == meta["dataset_version"]:
         return meta  # nothing to index
     base = lf.read_manifest(root, meta["dataset_version"])
-    head_files = {f.file for f in head.fragments}
-    gone = [f.file for f in base.fragments if f.file not in head_files]
-    if gone:
-        raise lf.LanceDatasetError(
-            f"fragments {gone[:3]} from indexed version "
-            f"{meta['dataset_version']} were rewritten; an index delta "
-            "requires append-only history — rebuild with build_ivf_pq_index"
+    # append-only means MORE than the same file names surviving: a
+    # deletion-vector delete keeps f.file but changes its deletion
+    # state — silently accepting it would mark the index fresh while
+    # base postings still serve the deleted rows. Compare the full
+    # (file, deletion_file, num_deleted) identity of shared fragments.
+    head_by_file = {f.file: f for f in head.fragments}
+    changed = [
+        f.file
+        for f in base.fragments
+        if f.file not in head_by_file
+        or (
+            head_by_file[f.file].deletion_file,
+            head_by_file[f.file].num_deleted,
         )
+        != (f.deletion_file, f.num_deleted)
+    ]
+    if changed:
+        raise lf.LanceDatasetError(
+            f"fragments {changed[:3]} from indexed version "
+            f"{meta['dataset_version']} were rewritten or had rows "
+            "deleted; an index delta requires append-only history — "
+            "rebuild with build_ivf_index"
+        )
+    base_files = {f.file for f in base.fragments}
+    if not [f for f in head.fragments if f.file not in base_files]:
+        # version advanced without new data files (e.g. a streaming
+        # watermark commit): nothing to index, just re-pin the meta —
+        # writing an empty delta dir would break every later read
+        meta = dict(meta)
+        meta["dataset_version"] = head.version
+        tmp = _index_meta_path(root) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, _index_meta_path(root))
+        return meta
     column, id_col = meta["column"], meta["id_col"]
     new_rows = (
         spark.read.format("lance")

@@ -798,7 +798,7 @@ def test_cleanup_old_versions_retention(spark, sf_dir, tmp_path):
     assert lf.list_versions(root) == [1, 2, 3]
 
     before = docs.where(F.col("doc_id") >= 10).count()
-    stats = lf.cleanup_old_versions(root, keep_last=2)
+    stats = lf.cleanup_old_versions(root, keep_last=2, older_than_seconds=0)
     assert lf.list_versions(root) == [2, 3]
     assert stats["versions_removed"] == 1
     # v1/v2 share fragments with v3 (delete was metadata-only), so
@@ -818,7 +818,11 @@ def test_cleanup_old_versions_retention(spark, sf_dir, tmp_path):
     from lance_duckdb_spark.sources.lance_format import compact
 
     compact(root)
-    stats2 = lf.cleanup_old_versions(root, keep_last=1)
+    # a fresh unreferenced file inside the default grace window must
+    # survive (in-flight writer protection)
+    guard = lf.cleanup_old_versions(root, keep_last=1)
+    assert guard["files_removed"] == 0
+    stats2 = lf.cleanup_old_versions(root, keep_last=1, older_than_seconds=0)
     assert stats2["files_removed"] > 0
     assert stats2["bytes_reclaimed"] > 0
     assert spark.read.format("lance").load(root).count() == before
@@ -889,5 +893,5 @@ def test_optimize_zorder_in_place(spark, sf_dir, tmp_path):
     )
     assert n_v1 == load(spark, sf_dir, "lineitem").count()
     # ... until vacuumed
-    stats = lf.cleanup_old_versions(root, keep_last=1)
+    stats = lf.cleanup_old_versions(root, keep_last=1, older_than_seconds=0)
     assert stats["files_removed"] > 0

@@ -114,3 +114,32 @@ def test_rewrite_history_refuses_delta(spark, sf_dir, tmp_path):
     delete_where(root, pc.field("vec_id") < 5)  # rewrites fragments
     with pytest.raises(lf.LanceDatasetError, match="rewritten"):
         vi.extend_ivf_index(spark, root)
+
+
+def test_deletion_vector_delete_refuses_delta(spark, sf_dir, tmp_path):
+    """A deletion-vector delete keeps fragment file names but changes
+    deletion state — extend must refuse (base postings would serve
+    deleted rows as fresh), not silently re-pin the index."""
+    import pyarrow.compute as pc
+
+    root = str(tmp_path / "dv.lance")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb.write.format("lance").mode("overwrite").save(root)
+    vi.build_ivf_index(spark, root, k=IVF_K, lloyd_iters=1)
+    lf.delete_where(
+        root, pc.field("vec_id") < 5, use_deletion_vectors=True
+    )
+    with pytest.raises(lf.LanceDatasetError, match="deleted"):
+        vi.extend_ivf_index(spark, root)
+
+
+def test_rebuild_reclaims_delta_dirs(spark, sf_dir, delta_root):
+    """A full rebuild supersedes every delta: the postings_delta_*
+    dirs must be removed, not orphaned forever."""
+    import os
+
+    idx = os.path.join(delta_root, vi.INDEX_DIR)
+    vi.build_ivf_index(spark, delta_root, k=IVF_K, lloyd_iters=1)
+    leftover = [n for n in os.listdir(idx) if n.startswith("postings_delta_")]
+    assert leftover == []
+    assert "delta_dirs" not in vi.read_index_meta(delta_root)
