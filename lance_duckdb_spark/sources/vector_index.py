@@ -564,6 +564,13 @@ def build_ivf_pq_index(
         .partitionBy("bucket_id")
         .parquet(_pq_postings_dir(root))
     )
+    # a rebuild supersedes every PQ index delta: reclaim their dirs
+    import shutil as _shutil
+
+    pq_idx = os.path.join(root, PQ_INDEX_DIR)
+    for name in os.listdir(pq_idx) if os.path.isdir(pq_idx) else []:
+        if name.startswith("postings_delta_"):
+            _shutil.rmtree(os.path.join(pq_idx, name), ignore_errors=True)
     meta = {
         "column": column,
         "id_col": id_col,
@@ -657,8 +664,22 @@ def ann_search_pq(
     probe_buckets = spark.createDataFrame(
         pb_rows, schema="probe_id long, bucket_id int"
     )
-    post = spark.read.parquet(_pq_postings_dir(root)).where(
-        F.col("bucket_id").isin(sorted(all_buckets))
+    # base + PQ index deltas, one pruned read per dir (multi-root
+    # partition discovery conflicts; pruning holds per directory)
+    from functools import reduce as _reduce
+
+    pq_dirs = [_pq_postings_dir(root)] + [
+        os.path.join(root, PQ_INDEX_DIR, d)
+        for d in meta.get("delta_dirs", [])
+    ]
+    post = _reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(d).where(
+                F.col("bucket_id").isin(sorted(all_buckets))
+            )
+            for d in pq_dirs
+        ],
     )
     cands = post.join(F.broadcast(probe_buckets), "bucket_id").where(
         F.col(id_col) != F.col("probe_id")
@@ -817,4 +838,100 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, _index_meta_path(root))
+    return meta
+
+
+def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
+    """Index DELTA for the IVF_PQ index: appended fragments are
+    normalized, assigned to the EXISTING coarse centroids, and
+    residual-encoded with the EXISTING codebooks — O(append) index
+    maintenance for Lance proper's default index type, no k-means or
+    PQ retraining. Same append-only contract and data-less-bump
+    re-pin as extend_ivf_index; quantizer drift is the documented
+    cost, repaid by a periodic full rebuild."""
+    import numpy as np
+    import pandas as pd
+
+    register(spark)
+    meta = read_pq_index_meta(root)
+    head = lf.read_manifest(root)
+    if head.version == meta["dataset_version"]:
+        return meta
+    base = lf.read_manifest(root, meta["dataset_version"])
+    head_by_file = {f.file: f for f in head.fragments}
+    changed = [
+        f.file
+        for f in base.fragments
+        if f.file not in head_by_file
+        or (
+            head_by_file[f.file].deletion_file,
+            head_by_file[f.file].num_deleted,
+        )
+        != (f.deletion_file, f.num_deleted)
+    ]
+    if changed:
+        raise lf.LanceDatasetError(
+            f"fragments {changed[:3]} from indexed version "
+            f"{meta['dataset_version']} were rewritten or had rows "
+            "deleted; an index delta requires append-only history — "
+            "rebuild with build_ivf_pq_index"
+        )
+    base_files = {f.file for f in base.fragments}
+    if not [f for f in head.fragments if f.file not in base_files]:
+        meta = dict(meta)
+        meta["dataset_version"] = head.version
+        tmp = _pq_meta_path(root) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, _pq_meta_path(root))
+        return meta
+    column, id_col = meta["column"], meta["id_col"]
+    C = np.array(meta["centroids"], dtype=np.float64)
+    CB = np.array(meta["codebooks"], dtype=np.float64)
+    new_rows = (
+        spark.read.format("lance")
+        .option("begin_version", str(meta["dataset_version"]))
+        .load(root)
+        .select(id_col, column)
+    )
+    dfn = _normalized(new_rows, column, id_col)
+    bc = spark.sparkContext.broadcast(C)
+    bc_cb = spark.sparkContext.broadcast(CB)
+    assigned = _assign_buckets(dfn, bc, column, id_col)
+
+    def encode(batches):
+        CC, CBB = bc.value, bc_cb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[column]]
+            )
+            b = pdf["bucket_id"].to_numpy()
+            codes = _pq_codes(X, b, CC, CBB)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "bucket_id": b,
+                    "codes": [r.tobytes() for r in codes],
+                }
+            )
+
+    delta_name = f"postings_delta_{head.version}"
+    (
+        assigned.mapInPandas(
+            encode, schema=f"{id_col} long, bucket_id int, codes binary"
+        )
+        .repartition("bucket_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket_id")
+        .parquet(os.path.join(root, PQ_INDEX_DIR, delta_name))
+    )
+    meta = dict(meta)
+    meta["dataset_version"] = head.version
+    meta["delta_dirs"] = meta.get("delta_dirs", []) + [delta_name]
+    tmp = _pq_meta_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _pq_meta_path(root))
     return meta

@@ -82,3 +82,35 @@ def test_pq_staleness_guard(spark, sf_dir, pq_root):
     vi.ann_search_pq(
         spark, pq_root, _probes(spark, sf_dir), allow_stale=True
     ).count()
+
+
+def test_pq_index_delta_appends_without_rebuild(spark, sf_dir, tmp_path):
+    """extend_ivf_pq_index: appended vectors become searchable via a
+    delta postings dir; base codes untouched; dv deletes refused."""
+    import pyarrow.compute as pc
+
+    root = str(tmp_path / "pqd.lance")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb.where(F.col("vec_id") % 2 == 0).write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    vi.build_ivf_pq_index(spark, root, k=IVF_K, lloyd_iters=1)
+    emb.where(F.col("vec_id") % 2 == 1).write.format("lance").mode(
+        "append"
+    ).save(root)
+    meta = vi.extend_ivf_pq_index(spark, root)
+    assert len(meta["delta_dirs"]) == 1
+    got = vi.ann_search_pq(
+        spark, root, _probes(spark, sf_dir), k_neighbors=TOP_K,
+        nprobe=8, refine=4,
+    ).collect()
+    found = {r.neighbor_id for r in got}
+    assert any(n % 2 == 1 for n in found)  # appended vectors searchable
+    # second extend at head is a no-op
+    assert vi.extend_ivf_pq_index(spark, root) == meta
+    # deletion-vector delete refuses a further delta
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    lf.delete_where(root, pc.field("vec_id") < 3, use_deletion_vectors=True)
+    with pytest.raises(lf.LanceDatasetError, match="deleted"):
+        vi.extend_ivf_pq_index(spark, root)
