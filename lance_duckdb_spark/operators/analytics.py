@@ -296,17 +296,67 @@ ORDER BY d
 """
 
 
+# Error budgets for the hashed accuracy flags below. approx_percentile
+# at accuracy 10000 bounds rank error to n/10000 (effectively exact on
+# these distributions); approx_count_distinct (HLL++, rsd 0.05) has a
+# ~5% standard error. The flags assert a comfortable multiple of the
+# expected error so the driver hash turns a quality regression into a
+# visible mismatch without being flaky (measured errors: percentile
+# <0.1%, distinct <3% at sf0.001-1).
+APPROX_PCT_RELTOL = 0.01
+APPROX_DISTINCT_RELTOL = 0.15
+
+
 def approx_quantiles_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (approx_percentile sketches are engine-specific)."""
+    """Sketch-vs-exact accuracy audit, restructured for the driver's
+    hash compare (r5): the engine-specific sketch VALUES
+    (approx_percentile / HLL++ approx_count_distinct have no DuckDB
+    bit-twin) are folded into deterministic boolean accuracy flags —
+    |approx - exact| within the stated relative tolerance — while the
+    exact sides are the hashed numeric columns. The oracle computes
+    the exact sides and asserts the flags literally TRUE, so a sketch
+    accuracy regression breaks the driver hash instead of hiding in a
+    rows-only row."""
     orders = load(spark, sf_dir, "orders")
+    rel_err = lambda approx, exact: F.abs(approx - exact) / F.abs(exact)  # noqa: E731
     return orders.agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
-        F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
-        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_exact"),
-        F.approx_count_distinct("o_custkey").alias("n_cust_approx"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_exact"),
         F.countDistinct("o_custkey").alias("n_cust_exact"),
+        (
+            rel_err(
+                F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)),
+                F.percentile("o_totalprice", F.lit(0.5)),
+            )
+            <= APPROX_PCT_RELTOL
+        ).alias("p50_within_tol"),
+        (
+            rel_err(
+                F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)),
+                F.percentile("o_totalprice", F.lit(0.9)),
+            )
+            <= APPROX_PCT_RELTOL
+        ).alias("p90_within_tol"),
+        (
+            rel_err(
+                F.approx_count_distinct("o_custkey").cast("double"),
+                F.countDistinct("o_custkey").cast("double"),
+            )
+            <= APPROX_DISTINCT_RELTOL
+        ).alias("distinct_within_tol"),
     )
+
+
+APPROX_QUANTILES_SQL = """
+SELECT
+  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50_exact,
+  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p90_exact,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+  TRUE AS p50_within_tol,
+  TRUE AS p90_within_tol,
+  TRUE AS distinct_within_tol
+FROM orders
+"""
 
 
 QUERIES = {
@@ -330,4 +380,5 @@ ORACLE = {
     "stats_moments": STATS_MOMENTS_SQL,
     "robust_stats": ROBUST_STATS_SQL,
     "pivot_events": PIVOT_EVENTS_SQL,
+    "approx_quantiles_vs_exact": APPROX_QUANTILES_SQL,
 }

@@ -294,14 +294,14 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (bp out of 10000), and membership is the same
     md5-hash rule as stratified_sample — reproducible across engines
     and re-runs, the property a re-materializable 100 TB corpus
-    needs. One tiny per-lang aggregate (AQE broadcasts it), one
+    needs. One tiny per-lang aggregate (explicitly broadcast), one
     scan."""
     docs = load(spark, sf_dir, "documents")
     per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     min_n = per_lang.agg(F.min("n_lang").alias("min_n"))
     # integer division end-to-end: double-divide + cast diverges
     # between engines (Spark truncates, DuckDB rounds) at sf1 ratios
-    rates = per_lang.crossJoin(min_n).select(
+    rates = per_lang.crossJoin(F.broadcast(min_n)).select(
         "lang",
         F.expr("(10000 * min_n) div n_lang").alias("keep_bp"),
     )

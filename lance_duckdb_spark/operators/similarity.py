@@ -269,9 +269,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_TOPK_SQL = f"""
-SELECT probe_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
-FROM (
+_ANN_TOPK_INNER = f"""
   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
     list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
                            CAST(c.embedding AS DOUBLE[])) AS cos_sim,
@@ -282,7 +280,26 @@ FROM (
                c.vec_id ASC) AS rnk
   FROM embeddings p, embeddings c
   WHERE p.vec_id < {N_PROBES} AND c.vec_id != p.vec_id
-)
+"""
+
+ANN_TOPK_SQL = f"""
+SELECT probe_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+FROM ({_ANN_TOPK_INNER})
+WHERE rnk <= {TOP_K}
+ORDER BY probe_id, rnk
+"""
+
+
+def _topk_flag_sql(flag_col: str) -> str:
+    """The brute-force top-k oracle with a literal-TRUE recall flag —
+    the oracle side of the r5 hash-greening pattern: the Spark query
+    emits the exact top-k plus a computed recall-≥-bound boolean, the
+    oracle asserts the same rows plus TRUE, so an index recall
+    regression breaks the driver hash."""
+    return f"""
+SELECT probe_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk,
+       TRUE AS {flag_col}
+FROM ({_ANN_TOPK_INNER})
 WHERE rnk <= {TOP_K}
 ORDER BY probe_id, rnk
 """
@@ -318,8 +335,15 @@ def _ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (approximate by design; recall vs brute force is a
-    test assertion, not an oracle equality)."""
+    """IVF with deterministic seed centroids (the K lowest-vec_id
+    vectors). Because every step — centroid pick, nearest-centroid
+    assignment, nprobe bucket choice, in-bucket exact cosine top-k —
+    is a deterministic composition of cosine + rank with explicit tie
+    breaks, the DuckDB oracle replicates the ALGORITHM itself
+    (ANN_IVF_SQL), so this row is hash-exact (r5; previously
+    rows-only). The k-means-refined variants (ann_ivf_indexed /
+    ann_ivf_pq) can't be SQL-replicated and use the recall-flag
+    pattern instead."""
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
@@ -363,6 +387,83 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c AS (
+  SELECT vec_id AS centroid_id, emb AS ce FROM e WHERE vec_id < {IVF_K}
+),
+assign AS (
+  SELECT vec_id, emb, centroid_id FROM (
+    SELECT e.vec_id, e.emb, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.emb, c.ce) DESC,
+                 c.centroid_id ASC) AS crnk
+    FROM e CROSS JOIN c) t
+  WHERE crnk = 1
+),
+p AS (
+  SELECT vec_id AS probe_id, emb AS pe FROM e WHERE vec_id < {N_PROBES}
+),
+pb AS (
+  SELECT probe_id, pe, centroid_id FROM (
+    SELECT p.probe_id, p.pe, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        ORDER BY list_cosine_similarity(p.pe, c.ce) DESC,
+                 c.centroid_id ASC) AS brnk
+    FROM p CROSS JOIN c) t
+  WHERE brnk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT pb.probe_id, a.vec_id AS neighbor_id,
+    list_cosine_similarity(pb.pe, a.emb) AS cos_sim
+  FROM pb JOIN assign a USING (centroid_id)
+  WHERE a.vec_id <> pb.probe_id
+)
+SELECT probe_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT probe_id, neighbor_id, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY probe_id
+      ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM cand) t
+WHERE rnk <= {TOP_K}
+ORDER BY probe_id, rnk
+"""
+
+
+# Recall bounds for the hashed flags (r5). Test assertions
+# (test_llm_ops/test_pq) hold the tighter algorithmic bounds (0.9 /
+# 0.8); the hashed flags sit one notch below so ordinary sf-to-sf
+# variation can't flip a driver row while a real regression still
+# does. Measured: indexed 0.93-1.0, PQ 0.82-1.0, LSH 0.65-0.9 across
+# sf0.001-1.
+IVF_INDEXED_RECALL_BOUND = 0.85
+PQ_RECALL_BOUND = 0.7
+LSH_RECALL_BOUND = 0.6
+
+
+def _with_recall_flag(
+    exact: DataFrame, approx: DataFrame, bound: float, flag_col: str
+) -> DataFrame:
+    """exact top-k rows + one constant boolean column: recall of the
+    approximate result against the exact rows is >= bound. The 1-row
+    aggregate is broadcast back (the tpch_q15 shape)."""
+    hits = exact.select("probe_id", "neighbor_id").join(
+        approx.select("probe_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["probe_id", "neighbor_id"],
+        "left",
+    )
+    stats = hits.agg(
+        (
+            F.coalesce(F.sum("hit"), F.lit(0))
+            / F.greatest(F.count(F.lit(1)), F.lit(1))
+            >= bound
+        ).alias(flag_col)
+    )
+    return exact.crossJoin(F.broadcast(stats))
+
+
 # 6 bands x 3 bits: at cos>=0.4 (theta~66deg, per-bit agreement
 # ~0.63) expected recall = 1-(1-0.63^3)^6 ~ 0.82; higher similarity
 # thresholds recall near 1.0. More bits/band (and more bands) trade
@@ -379,13 +480,15 @@ def _lsh_projections(dim: int = DIM, planes: int = LSH_PLANES):
     return rng.standard_normal((planes, dim))
 
 
-def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for C5 (*rows-only*; recall vs the exact pair scan
-    asserted in tests): sign-random-projection signatures, banded
+def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for C5: sign-random-projection signatures, banded
     bucketing, candidates only from bucket collisions — O(collisions)
     not O(N²) — then exact cosine verification. At a billion vectors
     this is the only affordable shape; the bucket join is an
-    equi-join Spark shuffles on (band, bucket)."""
+    equi-join Spark shuffles on (band, bucket). This is the
+    user-facing operator; the driver query ``embedding_neardup_lsh``
+    wraps it with a recall audit against the exact pair scan so the
+    row hash-checks."""
     import numpy as np
     import pandas as pd
 
@@ -485,9 +588,46 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("vec_a", "vec_b")
 
 
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query (hash-exact as of r5; previously rows-only): the
+    exact near-dup pair set (same rows as ``embedding_neardup``,
+    DuckDB-replicable) plus one constant ``lsh_recall_ok`` boolean —
+    the banded-LSH pair set recalls >= LSH_RECALL_BOUND of the exact
+    pairs. The seeded random hyperplanes make the LSH set
+    deterministic but not SQL-expressible, so the recall AUDIT is the
+    hashed artifact: the oracle asserts TRUE, and a recall regression
+    flips the flag and fails the driver hash. tests/test_llm_ops.py
+    keeps the tighter per-sf recall assertion."""
+    exact = embedding_neardup(spark, sf_dir)
+    lsh = lsh_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    hits = exact.select("vec_a", "vec_b").join(
+        lsh.withColumn("hit", F.lit(1)), ["vec_a", "vec_b"], "left"
+    )
+    stats = hits.agg(
+        (
+            F.coalesce(F.sum("hit"), F.lit(0))
+            / F.greatest(F.count(F.lit(1)), F.lit(1))
+            >= LSH_RECALL_BOUND
+        ).alias("lsh_recall_ok")
+    )
+    return exact.crossJoin(F.broadcast(stats)).orderBy("vec_a", "vec_b")
+
+
+EMBEDDING_NEARDUP_LSH_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])) AS cos_sim,
+  TRUE AS lsh_recall_ok
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """*Rows-only* (approximate by design; recall vs brute force
-    asserted in tests/test_llm_ops.py). The PERSISTED-index variant
+    """The PERSISTED-index variant
     of ann_ivf — Lance proper's core feature (a vector index stored
     with the dataset): embeddings are written as a lance dataset,
     ``build_ivf_index`` fits distributed k-means and persists
@@ -495,7 +635,14 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     search scans only the probes' nprobe bucket partitions (Spark
     partition pruning on literal bucket ids — asserted on the plan
     in tests). At 100 TB the search IO is nprobe/k of the index,
-    independent of corpus size."""
+    independent of corpus size.
+
+    Hash discipline (r5; previously rows-only): k-means-refined
+    centroids aren't SQL-replicable, so the hashed output is the
+    exact brute-force top-k plus a constant ``ivf_recall_ok`` flag —
+    recall of the index search vs exact >= IVF_INDEXED_RECALL_BOUND —
+    which the oracle asserts literally TRUE. The index build+search
+    still runs in full; tests keep the tighter >=0.9 assertion."""
     import os
     import shutil
 
@@ -520,18 +667,28 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across more buckets: probe 6/16 (measured recall 0.93 vs 0.86
     # at nprobe=4); at production scale (k=4096) nprobe stays a
     # small fraction of k
-    return ann_search(spark, root, probes, k_neighbors=TOP_K, nprobe=6)
+    approx = ann_search(spark, root, probes, k_neighbors=TOP_K, nprobe=6)
+    exact = ann_topk_bruteforce(spark, sf_dir)
+    return _with_recall_flag(
+        exact, approx, IVF_INDEXED_RECALL_BOUND, "ivf_recall_ok"
+    ).orderBy("probe_id", "rnk")
 
 
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """*Rows-only* (approximate by design; recall vs brute force
-    asserted in tests/test_pq.py). Lance proper's DEFAULT index
+    """Lance proper's DEFAULT index
     type, IVF_PQ: coarse IVF buckets plus product-quantized
     residuals, so the persisted postings hold 8 one-byte codes per
     vector instead of 64 floats (the 100 TB memory/IO argument for
     PQ). Search prunes to the probes' buckets, ranks candidates by
     asymmetric distance over the codes alone, then exact-reranks
-    the top refine*k via take-by-id on the dataset."""
+    the top refine*k via take-by-id on the dataset.
+
+    Hash discipline (r5; previously rows-only): same recall-flag
+    pattern as ann_ivf_indexed — the hashed rows are the exact
+    brute-force top-k plus a constant ``pq_recall_ok`` boolean
+    (recall of the PQ search vs exact >= PQ_RECALL_BOUND), asserted
+    TRUE by the oracle; tests/test_pq.py keeps the tighter >=0.8
+    assertion."""
     import os
     import shutil
 
@@ -551,9 +708,13 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return ann_search_pq(
+    approx = ann_search_pq(
         spark, root, probes, k_neighbors=TOP_K, nprobe=6, refine=4
     )
+    exact = ann_topk_bruteforce(spark, sf_dir)
+    return _with_recall_flag(
+        exact, approx, PQ_RECALL_BOUND, "pq_recall_ok"
+    ).orderBy("probe_id", "rnk")
 
 
 QUERIES = {
@@ -567,5 +728,9 @@ QUERIES = {
 
 ORACLE = {
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
+    "ann_ivf": ANN_IVF_SQL,
+    "ann_ivf_indexed": _topk_flag_sql("ivf_recall_ok"),
+    "ann_ivf_pq": _topk_flag_sql("pq_recall_ok"),
 }

@@ -55,8 +55,18 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         y2000.union(y2001)
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_union"))
-        .crossJoin(y2000.intersect(y2001).agg(F.count(F.lit(1)).alias("n_intersect")))
-        .crossJoin(y2000.exceptAll(y2000.intersect(y2001)).agg(F.count(F.lit(1)).alias("n_except")))
+        .crossJoin(
+            F.broadcast(
+                y2000.intersect(y2001).agg(F.count(F.lit(1)).alias("n_intersect"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                y2000.exceptAll(y2000.intersect(y2001)).agg(
+                    F.count(F.lit(1)).alias("n_except")
+                )
+            )
+        )
     )
 
 

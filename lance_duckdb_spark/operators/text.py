@@ -262,8 +262,22 @@ ORDER BY source
 PPL_LOW_T = 2.2  # rounded cross-entropy (nats/bigram) bucket edges
 PPL_HIGH_T = 3.0
 
+# Model cap (r5): observed distinct bigrams are |charset|² — ~2-4k on
+# an ASCII corpus, but 10⁷-10⁸ on a multilingual (CJK) corpus, where
+# an uncapped model would OOM whatever holds it. The model keeps the
+# top MODEL_MAX_ROWS bigrams by count (ties broken by bigram text —
+# deterministic in both engines) and every capped-out bigram scores
+# through the add-1 smoothing floor ln(1/(c1tot+v)), the standard
+# char-LM tail treatment. 64k rows ≈ 2 MB broadcast; on this corpus
+# the cap is never hit, so results are unchanged — the ORACLE
+# replicates the cap so the hash stays exact even on corpora where it
+# does bind (asserted with a tiny cap in tests/test_text_quality.py).
+PPL_MODEL_MAX_ROWS = 65536
 
-def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def perplexity_score(
+    spark: SparkSession, sf_dir: str, model_max_rows: int = PPL_MODEL_MAX_ROWS
+) -> DataFrame:
     """Char-bigram LM perplexity filtering — the classic pretraining
     quality gate (CCNet/KenLM shape): train an add-1-smoothed
     character-bigram model ON the corpus itself, score every doc by
@@ -272,15 +286,23 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-doc bigram COUNTS are built in one Arrow pass
     (≤ |charset|² rows per doc, not one row per character — the
-    char_entropy lesson); the model is a corpus-wide (bigram →
-    count) table small enough to broadcast (≤ a few thousand rows
-    for natural text); scoring is a broadcast join + decimal sums.
+    char_entropy lesson) and STAGED to parquet so the model, the
+    per-char totals, and the scoring pass all read the materialized
+    counts instead of re-running the corpus UDF per subtree. The
+    model is the top-K bigram table (orderBy+limit — distributed
+    partial top-K, K-bounded driver transfer, never an unbounded
+    collect); capped-out bigrams take the smoothing-floor
+    probability. Per-char totals (|charset| rows) and the 1-row
+    vocab size are broadcast joins, not driver literals.
 
     Float discipline: ln() per distinct (bigram) probability is
     rounded to 6 decimals (BM25's idf rule), per-doc sums run in
     DECIMAL(18,6) via exact integer weights, the final
     nats-per-bigram is rounded to 4 — bit-identical in both engines.
     """
+    import os
+    import shutil
+
     docs = load(spark, sf_dir, "documents")
 
     def bigram_counts(batches):
@@ -304,38 +326,57 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "source": srcs, "bg": bgs, "cnt": cnts}
             )
 
-    bg = docs.mapInPandas(
+    bg_raw = docs.mapInPandas(
         bigram_counts,
         schema="doc_id long, source string, bg string, cnt long",
     )
-    # The model is bounded by |charset|² rows (a few thousand for
-    # text) — collect it ONCE and derive the c1 totals and vocab
-    # size driver-side (the k-centroids bounded-collect discipline).
-    # Deriving them as separate broadcast-join subtrees instead
-    # would re-execute the corpus-wide bigram UDF pass three extra
-    # times (each broadcast recomputes the bg lineage; r4 review).
-    model_rows = bg.groupBy("bg").agg(F.sum("cnt").alias("cb")).collect()
-    c1tot: dict[str, int] = {}
-    for r in model_rows:
-        c1tot[r.bg[0]] = c1tot.get(r.bg[0], 0) + r.cb
-    v = len(c1tot)
-    model = spark.createDataFrame(
-        [(r.bg, r.cb, c1tot[r.bg[0]]) for r in model_rows],
-        schema="bg string, cb long, c1tot long",
+    # Stage the per-doc counts once: model, per-char totals, and the
+    # scoring pass each read the materialized parquet instead of
+    # re-running the corpus-wide bigram UDF per subtree (the r4
+    # review finding that motivated the old driver-side collect —
+    # now solved distributed, so no |charset|²-shaped driver bound).
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join("/tmp/lance_duckdb_spark", tag, "ppl_bigrams")
+    shutil.rmtree(stage, ignore_errors=True)
+    bg_raw.write.mode("overwrite").parquet(stage)
+    bg = spark.read.parquet(stage)
+
+    model_full = bg.groupBy("bg").agg(F.sum("cnt").alias("cb"))
+    # top-K cap: orderBy+limit plans as a distributed partial top-K
+    # (never materializes the full model anywhere), deterministic via
+    # the (count desc, bigram asc) tie-break
+    model = model_full.orderBy(F.desc("cb"), F.asc("bg")).limit(
+        model_max_rows
     )
+    # per-first-char totals come from the FULL counts (training
+    # statistics are exact even when the bigram table is capped);
+    # |charset| rows — broadcastable at any natural-language charset
+    c1 = model_full.groupBy(
+        F.substring("bg", 1, 1).alias("c1")
+    ).agg(F.sum("cb").alias("c1tot"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
     # ln() stays JVM-side on the tiny broadcast rows so the rounded
-    # values come from the same libm the other operators use
-    scored = bg.join(F.broadcast(model), "bg").select(
-        "doc_id",
-        "source",
-        "cnt",
-        F.round(
-            F.log(
-                (F.col("cb").cast("double") + F.lit(1.0))
-                / (F.col("c1tot").cast("double") + F.lit(float(v)))
-            ),
-            6,
-        ).alias("logp6"),
+    # values come from the same libm the other operators use;
+    # capped-out bigrams miss the left join and take the add-1
+    # smoothing floor via COALESCE(cb, 0)
+    scored = (
+        bg.join(F.broadcast(model), "bg", "left")
+        .join(
+            F.broadcast(c1), F.substring(F.col("bg"), 1, 1) == F.col("c1")
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            "cnt",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.col("c1tot").cast("double") + F.col("v").cast("double"))
+                ),
+                6,
+            ).alias("logp6"),
+        )
     )
     per_doc = (
         scored.groupBy("doc_id", "source")
@@ -375,7 +416,11 @@ def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PERPLEXITY_SQL = f"""
+def perplexity_sql(model_max_rows: int = PPL_MODEL_MAX_ROWS) -> str:
+    """DuckDB oracle for perplexity_score, parameterized on the
+    model cap so tests can assert both engines agree when the cap
+    BINDS (tiny cap over the same corpus)."""
+    return f"""
 WITH bg AS (
   SELECT doc_id, source, bg, COUNT(*) AS cnt FROM (
     SELECT doc_id, source,
@@ -384,20 +429,27 @@ WITH bg AS (
     FROM documents WHERE len(trim(text)) >= 2
   ) GROUP BY doc_id, source, bg
 ),
-model AS (
+model_full AS (
   SELECT bg, CAST(SUM(cnt) AS BIGINT) AS cb FROM bg GROUP BY bg
+),
+model AS (
+  SELECT bg, cb FROM (
+    SELECT bg, cb,
+      ROW_NUMBER() OVER (ORDER BY cb DESC, bg ASC) AS rk
+    FROM model_full) t
+  WHERE rk <= {model_max_rows}
 ),
 c1 AS (
   SELECT substr(bg, 1, 1) AS c1, CAST(SUM(cb) AS BIGINT) AS c1tot
-  FROM model GROUP BY 1
+  FROM model_full GROUP BY 1
 ),
 vocab AS (SELECT COUNT(*) AS v FROM c1),
 scored AS (
   SELECT bg.doc_id, bg.source, bg.cnt,
-    ROUND(LN((CAST(model.cb AS DOUBLE) + CAST(1.0 AS DOUBLE))
+    ROUND(LN((CAST(COALESCE(model.cb, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
              / (CAST(c1.c1tot AS DOUBLE) + v)), 6) AS logp6
   FROM bg
-  JOIN model ON bg.bg = model.bg
+  LEFT JOIN model ON bg.bg = model.bg
   JOIN c1 ON substr(bg.bg, 1, 1) = c1.c1
   CROSS JOIN vocab
 ),
@@ -415,6 +467,9 @@ SELECT source, COUNT(*) AS n_docs,
   CAST(SUM(CASE WHEN h >= {PPL_HIGH_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM per_doc GROUP BY source ORDER BY source
 """
+
+
+PERPLEXITY_SQL = perplexity_sql()
 
 
 QUERIES = {

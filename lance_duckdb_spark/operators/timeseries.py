@@ -175,31 +175,76 @@ def build_sketch_store(
     )
 
 
+# DataSketches HLL at the default lgConfigK=12 has ~1.6% relative
+# standard error; the hashed flag asserts 5% (the same bound
+# tests/test_timeseries.py asserts on the raw estimate).
+SKETCH_RELTOL = 0.05
+
+
 def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """*Rows-only* (HLL estimates have no DuckDB twin — its
-    approx_count_distinct is a different HLL implementation; the
-    estimate-vs-exact error bound is asserted in
-    tests/test_timeseries.py). Serve per-event-type DISTINCT USERS
-    over the whole month by UNIONING the persisted daily sketches —
-    the mergeable-sketch analogue of continuous_aggregate. Output:
-    per event_type, the merged-sketch estimate next to the number of
-    daily sketches merged."""
+    """Serve per-event-type DISTINCT USERS over the whole month by
+    UNIONING the persisted daily sketches — the mergeable-sketch
+    analogue of continuous_aggregate (COUNT DISTINCT partials don't
+    merge; HLL sketches do).
+
+    Hash discipline (r5): the DataSketches estimate itself has no
+    DuckDB bit-twin (approx_count_distinct is a different HLL), so
+    the hashed columns are the EXACT deterministic sub-results the
+    store carries (daily-sketch count, carried event counts) plus the
+    exact distinct recomputed from raw, and the estimate is folded
+    into a boolean ≤5%-error flag the oracle asserts literally TRUE —
+    an estimator regression now breaks the driver hash instead of
+    hiding in a rows-only row. The raw-exact recompute exists only
+    for this audit; a serving system reads k bytes/day of sketches.
+    """
     tag = os.path.basename(sf_dir.rstrip("/"))
     store = os.path.join("/tmp/lance_duckdb_spark", tag, "sketch_store")
     shutil.rmtree(store, ignore_errors=True)
     build_sketch_store(spark, sf_dir, store)
     sk = spark.read.parquet(store)
+    merged = sk.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("double")
+        .alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct_users"))
+    )
     return (
-        sk.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-            .cast("bigint")
-            .alias("approx_distinct_users"),
-            F.count(F.lit(1)).alias("n_daily_sketches"),
-            F.sum("n_events").cast("bigint").alias("n_events"),
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct_users",
+            "n_daily_sketches",
+            "n_events",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct_users"))
+                / F.col("exact_distinct_users")
+                <= SKETCH_RELTOL
+            ).alias("sketch_within_tol"),
         )
         .orderBy("event_type")
     )
+
+
+SKETCH_DISTINCT_ROLLUP_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type, user_id
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+  CAST(COUNT(DISTINCT day_idx) AS BIGINT) AS n_daily_sketches,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  TRUE AS sketch_within_tol
+FROM e
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 QUERIES = {
@@ -209,6 +254,5 @@ QUERIES = {
 
 ORACLE = {
     "continuous_aggregate": CONTINUOUS_AGGREGATE_SQL,
-    # sketch_distinct_rollup: rows-only by design (DataSketches HLL
-    # has no DuckDB twin; error bound asserted in tests)
+    "sketch_distinct_rollup": SKETCH_DISTINCT_ROLLUP_SQL,
 }

@@ -134,16 +134,51 @@ _GREEN_R3 = {
 }
 
 
+# The 48 hash-exact rows CORRECTNESS_r04 recorded (its 2 `no_oracle`
+# rows — sketch_distinct_rollup, ann_ivf_pq — are NOT listed: r5 gave
+# them real hash oracles, so they queue as never-hash-verified).
+_GREEN_R4 = {
+    "bucketed_colocated_join", "perplexity_score", "continuous_aggregate",
+    "skewed_hot_key_agg", "fts_bm25", "fts_bm25_indexed",
+    "minhash_containment", "lance_scalar_index", "lance_bloom_pruning",
+    "lance_vacuum", "lance_native_write", "stream_incremental_dedup",
+    "stream_continuous_aggregate", "dedup_clusters", "lance_roundtrip",
+    "lance_time_travel", "lance_pushdown_scan", "lance_dataset_stats",
+    "multimodal_pipeline", "stratified_sample", "filter_pipeline",
+    "dedup_keep_best", "tfidf_top_terms", "tpch_q1", "tpch_q3", "tpch_q4",
+    "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14", "contamination_check",
+    "repetition_filter", "sequence_packing", "domain_mix",
+    "cross_source_overlap", "lance_version_diff", "lance_native_read",
+    "lance_upsert", "lance_delete", "lance_compact", "set_ops",
+    "string_funcs", "monthly_revenue", "case_buckets", "cube_revenue",
+    "window_range_frames", "correlated_subquery", "exists_correlated",
+}
+
+# Queries whose HASHED OUTPUT changed in r5 (rows-only → hash-exact
+# conversions): their old driver rows don't count as hash verification,
+# so they lead the window regardless of when they last appeared.
+_RECHECK_R5 = {
+    "approx_quantiles_vs_exact", "ann_ivf", "ann_ivf_indexed",
+    "ann_ivf_pq", "embedding_neardup_lsh", "sketch_distinct_rollup",
+}
+
+
 def _rotate(merged: dict) -> dict:
-    # Round-4 window: new queries first, then the 10 not driver-verified
-    # since round 1, then the round-2-only set (41), then round-3 fresh.
-    recorded = _GREEN_R1 | _GREEN_R2 | _GREEN_R3
-    never = [k for k in merged if k not in recorded]
-    r1_stale = [k for k in merged
-                if k in _GREEN_R1 and k not in _GREEN_R2 and k not in _GREEN_R3]
-    r2_stale = [k for k in merged if k in _GREEN_R2 and k not in _GREEN_R3]
-    fresh = [k for k in merged if k in _GREEN_R3]
-    return {k: merged[k] for k in never + r1_stale + r2_stale + fresh}
+    # Round-5 window: (1) brand-new queries and the r5 hash-output
+    # conversions, (2) the r2-only block (B37-B41 leftovers + the
+    # tpch3 B42-B51 set — last driver-verified 3 rounds ago),
+    # (3) r3-only, (4) r4-fresh. Within each tier module order holds.
+    rounds = [_GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4]
+
+    def last_verified(k: str) -> int:
+        if k in _RECHECK_R5:
+            return 0
+        return max(
+            (i + 1 for i, s in enumerate(rounds) if k in s), default=0
+        )
+
+    order = sorted(merged, key=lambda k: (last_verified(k), 0))
+    return {k: merged[k] for k in order}
 
 
 QUERY_REGISTRY = _rotate(_merge("QUERIES"))

@@ -548,6 +548,87 @@ ORDER BY signup_id, purchase_id
 """
 
 
+_BAND_SCHEMA = "doc_id long, band_idx int, band_hash string"
+
+
+def _read_epoch_store(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    exclude_epoch: int | None = None,
+) -> DataFrame:
+    """Read an epoch-partitioned micro-batch output store, dropping
+    the epoch partition column (absent-dir → empty frame). With
+    ``exclude_epoch``, rows written by that epoch are filtered out —
+    a replayed batch must not see its own previous output."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+    if exclude_epoch is not None and "epoch" in df.columns:
+        df = df.where(F.col("epoch") != exclude_epoch)
+    return df.drop("epoch")
+
+
+def incdedup_process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch: int,
+    src: str,
+    store_dir: str,
+    results_dir: str,
+) -> None:
+    """One micro-batch of the streaming incremental dedup.
+
+    Replay idempotency (r4 ADVICE): both side-effect writes are keyed
+    by the checkpointed epoch id and OVERWRITE their own
+    ``epoch=<id>`` directory — a batch replayed after a crash between
+    the two writes (or between write and checkpoint commit) lands on
+    the same directories with the same deterministic content instead
+    of appending duplicate pairs/signatures. The same contract the
+    lance streaming sink gives via its per-txn commit.
+    Asserted by replaying an epoch in tests/test_streaming.py."""
+    from ..operators.dedup import (
+        _band_hashes,
+        _minhash_signatures,
+        _shingle_df,
+        verify_candidate_pairs,
+    )
+
+    import os
+
+    bands = _band_hashes(
+        _minhash_signatures(_shingle_df(batch_df))
+    ).localCheckpoint()  # tiny; avoids recomputing the batch 3x
+    stored = _read_epoch_store(
+        spark, store_dir, _BAND_SCHEMA, exclude_epoch=epoch
+    )
+    all_bands = stored.unionByName(bands)
+    cand = (
+        all_bands.select(
+            F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+        )
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify against the corpus committed SO FAR (the stream
+    # source's current snapshot contains every candidate doc)
+    snapshot = spark.read.format("lance").load(src)
+    verify_candidate_pairs(cand, snapshot).write.mode("overwrite").parquet(
+        os.path.join(results_dir, f"epoch={epoch}")
+    )
+    bands.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"epoch={epoch}")
+    )
+
+
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D7: streaming MinHash dedup against a growing signature
     store — the production ingestion pipeline as a STREAM. Documents
@@ -593,38 +674,10 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
 
-    def process(batch_df, _epoch):
-        bands = _band_hashes(
-            _minhash_signatures(_shingle_df(batch_df))
-        ).localCheckpoint()  # tiny; avoids recomputing the batch 3x
-        try:
-            stored = spark.read.parquet(store_dir)
-        except Exception:
-            stored = spark.createDataFrame(
-                [], "doc_id long, band_idx int, band_hash string"
-            )
-        all_bands = stored.unionByName(bands)
-        cand = (
-            all_bands.select(
-                F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
-            )
-            .join(
-                bands.select(
-                    F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
-                ),
-                ["band_idx", "band_hash"],
-            )
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+    def process(batch_df, epoch):
+        incdedup_process_batch(
+            spark, batch_df, epoch, src, store_dir, results_dir
         )
-        # verify against the corpus committed SO FAR (the stream
-        # source's current snapshot contains every candidate doc)
-        snapshot = spark.read.format("lance").load(src)
-        verify_candidate_pairs(cand, snapshot).write.mode("append").parquet(
-            results_dir
-        )
-        bands.write.mode("append").parquet(store_dir)
 
     for i, part in enumerate(slices):
         mode = "overwrite" if i == 0 else "append"
@@ -639,7 +692,39 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(180)
 
-    return spark.read.parquet(results_dir).orderBy("doc_a", "doc_b")
+    return (
+        spark.read.parquet(results_dir)
+        .drop("epoch")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def contagg_process_batch(batch_df: DataFrame, epoch: int, store: str) -> None:
+    """One micro-batch of the stream-maintained rollup: per-(hour,
+    event_type) decimal partials, written OVERWRITE into this epoch's
+    own ``epoch=<id>`` directory (day-partitioned inside it) so a
+    checkpoint-replayed batch lands idempotently instead of
+    double-appending partials (r4 ADVICE). Day-partition pruning
+    still works on read: ``day_idx=`` dirs nest under every epoch and
+    Spark prunes them across epochs."""
+    import os
+
+    from ..operators.common import money
+    from ..tables import US_PER_HOUR
+
+    (
+        batch_df.select(
+            F.expr(f"ts_us DIV {US_PER_HOUR}").alias("hour_idx"),
+            "event_type",
+            money("value").alias("v"),
+        )
+        .groupBy("hour_idx", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .withColumn("day_idx", F.expr("hour_idx DIV 24"))
+        .write.mode("overwrite")
+        .partitionBy("day_idx")
+        .parquet(os.path.join(store, f"epoch={epoch}"))
+    )
 
 
 def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,32 +741,17 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     must hash-match the oracle's direct aggregation over raw events
     — proving the streamed store lost nothing at any batch boundary.
     Per-batch cost is O(batch); the store grows by O(active hours)."""
-    import os
     import shutil
 
-    from ..operators.common import money
     from ..sources.datasource import register
-    from ..tables import US_PER_HOUR
 
     register(spark)
     src = _fresh_stream_root(sf_dir, "contagg")
     store = src + ".store"
     shutil.rmtree(store, ignore_errors=True)
 
-    def process(batch_df, _epoch):
-        (
-            batch_df.select(
-                F.expr(f"ts_us DIV {US_PER_HOUR}").alias("hour_idx"),
-                "event_type",
-                money("value").alias("v"),
-            )
-            .groupBy("hour_idx", "event_type")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
-            .withColumn("day_idx", F.expr("hour_idx DIV 24"))
-            .write.mode("append")
-            .partitionBy("day_idx")
-            .parquet(store)
-        )
+    def process(batch_df, epoch):
+        contagg_process_batch(batch_df, epoch, store)
 
     ev = load(spark, sf_dir, "events")
     for i, part in enumerate(_time_splits(ev)):

@@ -66,7 +66,7 @@ def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
     }
     lsh = {
         (r.vec_a, r.vec_b)
-        for r in similarity.embedding_neardup_lsh(spark, sf_dir).collect()
+        for r in similarity.lsh_neardup_pairs(spark, sf_dir).collect()
     }
     assert exact, "no exact near-dup pairs; weak test"
     # LSH must be a subset (same verification threshold) with
@@ -87,14 +87,27 @@ def test_ann_ivf_indexed_recall_and_pruning(spark, sf_dir):
     from lance_duckdb_spark.sources import vector_index as vi
 
     exact = similarity.ann_topk_bruteforce(spark, sf_dir).collect()
-    approx = similarity.ann_ivf_indexed(spark, sf_dir).collect()
+    # ann_ivf_indexed builds the index as a side effect and (r5)
+    # returns the exact top-k plus the hashed recall flag
+    flagged = similarity.ann_ivf_indexed(spark, sf_dir).collect()
+    assert all(r.ivf_recall_ok for r in flagged)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join("/tmp/lance_duckdb_spark", tag, "ivfindex.lance")
+
+    # the tighter direct recall assertion against the raw index search
+    probes10 = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < similarity.N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), "embedding")
+    )
+    approx = vi.ann_search(
+        spark, root, probes10, k_neighbors=similarity.TOP_K, nprobe=6
+    ).collect()
     exact_set = {(r.probe_id, r.neighbor_id) for r in exact}
     approx_set = {(r.probe_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.9, f"ann_ivf_indexed recall {recall}"
-
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join("/tmp/lance_duckdb_spark", tag, "ivfindex.lance")
 
     # the postings scan is partition-pruned to the probed buckets
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

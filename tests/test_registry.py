@@ -13,15 +13,12 @@ def test_every_oracle_has_a_query():
 
 
 def test_rows_only_queries_are_the_documented_ones():
+    # r5: every registered query has a hash oracle — the formerly
+    # rows-only approximate queries hash their deterministic
+    # sub-results (exact top-k / exact distinct / exact pair set)
+    # plus a literal-TRUE accuracy flag the Spark side computes.
     rows_only = set(QUERY_REGISTRY) - set(ORACLE_REGISTRY)
-    assert rows_only == {
-        "ann_ivf",
-        "ann_ivf_indexed",
-        "ann_ivf_pq",
-        "approx_quantiles_vs_exact",
-        "embedding_neardup_lsh",
-        "sketch_distinct_rollup",
-    }, f"undocumented rows-only queries: {rows_only}"
+    assert rows_only == set(), f"undocumented rows-only queries: {rows_only}"
 
 
 def test_oracle_sql_references_known_tables_only():

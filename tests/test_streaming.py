@@ -459,3 +459,54 @@ def test_stream_offset_detects_prefix_rewrite(spark, tmp_path):
     reader2 = ds.LanceStreamReader(root, StructType([]))
     with _pytest.raises(lf2.LanceDatasetError, match="compacted/overwritten"):
         reader2.partitions(end, reader2.latestOffset())
+
+
+def test_foreachbatch_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A micro-batch replayed after a crash (same epoch id) must not
+    double-append pairs / signatures / rollup partials — the epoch-
+    keyed overwrite contract in incdedup_process_batch /
+    contagg_process_batch (r4 ADVICE)."""
+    register(spark)
+    docs = load(spark, sf_dir, "documents").limit(40)
+    src = str(tmp_path / "replay.lance")
+    docs.coalesce(1).write.format("lance").mode("overwrite").save(src)
+    store = str(tmp_path / "sigstore")
+    results = str(tmp_path / "pairs")
+
+    jobs.incdedup_process_batch(spark, docs, 0, src, store, results)
+    once_pairs = sorted(
+        map(tuple, spark.read.parquet(results).drop("epoch").collect())
+    )
+    once_sigs = spark.read.parquet(store).count()
+    # replay the same epoch
+    jobs.incdedup_process_batch(spark, docs, 0, src, store, results)
+    again_pairs = sorted(
+        map(tuple, spark.read.parquet(results).drop("epoch").collect())
+    )
+    assert again_pairs == once_pairs
+    assert spark.read.parquet(store).count() == once_sigs
+
+    ev = load(spark, sf_dir, "events").limit(500)
+    rollup = str(tmp_path / "rollup")
+    jobs.contagg_process_batch(ev, 0, rollup)
+    once = sorted(
+        map(
+            tuple,
+            spark.read.parquet(rollup)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"))
+            .collect(),
+        )
+    )
+    jobs.contagg_process_batch(ev, 0, rollup)  # replay
+    jobs.contagg_process_batch(ev, 1, rollup)  # a real second epoch
+    after = sorted(
+        map(
+            tuple,
+            spark.read.parquet(rollup)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"))
+            .collect(),
+        )
+    )
+    assert [(t, n * 2) for t, n in once] == after
