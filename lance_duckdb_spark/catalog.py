@@ -51,7 +51,9 @@ def _view_name(path: str) -> str:
 
 
 def register_lance_views(
-    spark: SparkSession, root_dir: str, version: int | None = None
+    spark: SparkSession,
+    root_dir: str,
+    version: int | dict[str, int] | None = None,
 ) -> dict[str, str]:
     """Register every lance dataset under ``root_dir`` (one level of
     nesting, like a database directory of tables) as a temp view
@@ -61,8 +63,15 @@ def register_lance_views(
     lance`` (unsupported by Spark's Python DataSource API — see
     module docstring). Views are session-scoped; call once per
     session, after which the full ``spark.sql`` surface works over
-    the datasets. ``version`` pins every view to a manifest version
-    (time travel across the whole directory)."""
+    the datasets.
+
+    ``version`` pins views to manifest versions. Datasets version
+    INDEPENDENTLY (each append advances only its own history), so a
+    single int is only meaningful when every table's history is
+    aligned — passing one raises if any dataset lacks that version,
+    rather than serving a mismatched snapshot. For the general case
+    pass a mapping ``{view_name: version}``; unlisted views read
+    latest (r4 ADVICE)."""
     ds.register(spark)
     out: dict[str, str] = {}
     candidates = []
@@ -80,9 +89,21 @@ def register_lance_views(
                 f"view name collision: {path} and {out[name]} both "
                 f"map to '{name}'"
             )
+        if isinstance(version, dict):
+            pin = version.get(name)
+        else:
+            pin = version
+            if pin is not None and pin not in lf.list_versions(path):
+                raise lf.LanceDatasetError(
+                    f"dataset {path!r} has no version {pin} "
+                    f"(versions: {lf.list_versions(path)}); dataset "
+                    "histories are independent — pass a per-view "
+                    "mapping {view_name: version} instead of one "
+                    "number for unaligned directories"
+                )
         reader = spark.read.format("lance")
-        if version is not None:
-            reader = reader.option("version", str(version))
+        if pin is not None:
+            reader = reader.option("version", str(pin))
         reader.load(path).createOrReplaceTempView(name)
         out[name] = path
     return out

@@ -89,6 +89,13 @@ def rollup_query(
     tests/test_timeseries.py)."""
     hours = _hourly(spark, sf_dir)
     max_h = _max_hour(hours).first()["max_h"]  # 1 row by construction
+    if max_h is None:
+        # empty events: MAX() is NULL and the window arithmetic
+        # would crash opaquely — serve the honest empty summary
+        # with the contract schema instead (r4 ADVICE edge)
+        return spark.createDataFrame(
+            [], "d date, event_type string, n_events bigint, sum_value double"
+        )
     lo_hour = max_h - WINDOW_HOURS
     closed = (
         spark.read.parquet(store_dir)

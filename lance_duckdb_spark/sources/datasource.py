@@ -132,9 +132,11 @@ def _fragment_may_match(
     pruning on columns zone maps can't help with (values
     uncorrelated with layout)."""
     if root is not None and fragment.bloom_file:
-        # probe only with types whose str() form matches the write
-        # path's canonicalization (mirrors write_fragment's type
-        # gate) — anything else must not consult the bloom
+        # probe only with plain-literal types; numeric literals are
+        # float-canonicalized inside _bloom_hashes (both write and
+        # probe paths), so an int literal against a float/decimal
+        # column cannot wrongly prune — anything fancier must not
+        # consult the bloom
         eqs = [
             f
             for f in pushed

@@ -232,12 +232,26 @@ _BLOOM_K = 7
 
 def _bloom_hashes(value) -> tuple[int, int]:
     """Two independent 64-bit hashes (double hashing) from the md5
-    of the value's canonical string form. str() canonicalization is
-    type-lossy (int 5 and "5" collide) — acceptable: collisions only
-    make the filter conservative, never wrong."""
+    of the value's canonical string form.
+
+    Canonicalization is part of the side-file format: NUMERICS
+    (bool/int/float/Decimal) hash their repr(float(v)) so SQL's
+    value-based equality survives type drift between the stored
+    column and the pushed literal (int 5 probing a double column
+    storing 5.0 must hit — str() agreement alone is
+    anti-conservative the moment Catalyst stops folding the cast
+    into the literal). Precision loss past 2^53 only MERGES hash
+    inputs — conservative, never a wrong prune. Non-numerics keep
+    str(); cross-type collisions there ("5" vs date) likewise only
+    add false positives."""
+    import decimal
     import hashlib
 
-    d = hashlib.md5(str(value).encode()).digest()
+    if isinstance(value, (bool, int, float, decimal.Decimal)):
+        canon = repr(float(value))
+    else:
+        canon = str(value)
+    d = hashlib.md5(canon.encode()).digest()
     return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
 
 

@@ -67,6 +67,14 @@ def build_scalar_index(
             f"no column {column!r} in dataset schema"
         )
     paths = [os.path.join(root, f.file) for f in manifest.fragments]
+    if not paths:
+        # spark.read.parquet() with zero paths crashes opaquely —
+        # name the actual problem instead (r4 ADVICE edge)
+        raise lf.LanceDatasetError(
+            f"dataset {root!r} (version {manifest.version}) has no "
+            "fragments; a scalar index over an empty dataset is "
+            "meaningless — append data first"
+        )
     rows = (
         spark.read.schema(committed)
         .parquet(*paths)

@@ -47,6 +47,48 @@ def _index_meta_path(root: str) -> str:
     return os.path.join(root, INDEX_DIR, "index.json")
 
 
+def _write_meta_cas(path: str, meta: dict, expected_version: int) -> None:
+    """Compare-and-swap meta publish for index MAINTENANCE (the
+    commit() expected_version discipline applied to index metadata):
+    refuses when another maintainer advanced the meta since this
+    extend read it — without this, two concurrent extends last-
+    writer-win and silently drop the loser's delta from delta_dirs
+    while dataset_version advances (rows missing from search with no
+    staleness error; r4 ADVICE). The check+rename pair runs under an
+    exclusive-create lock file; the rename itself stays atomic so
+    readers never see a torn meta. A delta parquet dir orphaned by a
+    crash between its write and this publish is self-healing: the
+    next extend to that version overwrites it, and rebuilds reclaim
+    all unreferenced delta dirs."""
+    lock = path + ".lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise lf.LanceDatasetError(
+            "concurrent index maintenance detected "
+            f"({lock} exists); retry after the other maintainer "
+            "finishes (or remove the lock if its holder crashed)"
+        )
+    try:
+        if os.path.exists(path):
+            with open(path) as f:
+                cur = json.load(f)
+            if cur.get("dataset_version") != expected_version:
+                raise lf.LanceDatasetError(
+                    "index meta advanced to dataset version "
+                    f"{cur.get('dataset_version')} while this extend "
+                    f"ran from {expected_version}; re-run the extend "
+                    "against the new head"
+                )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
 def _postings_dir(root: str) -> str:
     return os.path.join(root, INDEX_DIR, "postings")
 
@@ -774,8 +816,9 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
 
     register(spark)
     meta = read_index_meta(root)
+    start_version = meta["dataset_version"]
     head = lf.read_manifest(root)
-    if head.version == meta["dataset_version"]:
+    if head.version == start_version:
         return meta  # nothing to index
     base = lf.read_manifest(root, meta["dataset_version"])
     # append-only means MORE than the same file names surviving: a
@@ -808,10 +851,7 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
         # writing an empty delta dir would break every later read
         meta = dict(meta)
         meta["dataset_version"] = head.version
-        tmp = _index_meta_path(root) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, _index_meta_path(root))
+        _write_meta_cas(_index_meta_path(root), meta, start_version)
         return meta
     column, id_col = meta["column"], meta["id_col"]
     new_rows = (
@@ -834,10 +874,7 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
     meta = dict(meta)
     meta["dataset_version"] = head.version
     meta["delta_dirs"] = meta.get("delta_dirs", []) + [delta_name]
-    tmp = _index_meta_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _index_meta_path(root))
+    _write_meta_cas(_index_meta_path(root), meta, start_version)
     return meta
 
 
@@ -854,8 +891,9 @@ def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
 
     register(spark)
     meta = read_pq_index_meta(root)
+    start_version = meta["dataset_version"]
     head = lf.read_manifest(root)
-    if head.version == meta["dataset_version"]:
+    if head.version == start_version:
         return meta
     base = lf.read_manifest(root, meta["dataset_version"])
     head_by_file = {f.file: f for f in head.fragments}
@@ -880,10 +918,7 @@ def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
     if not [f for f in head.fragments if f.file not in base_files]:
         meta = dict(meta)
         meta["dataset_version"] = head.version
-        tmp = _pq_meta_path(root) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, _pq_meta_path(root))
+        _write_meta_cas(_pq_meta_path(root), meta, start_version)
         return meta
     column, id_col = meta["column"], meta["id_col"]
     C = np.array(meta["centroids"], dtype=np.float64)
@@ -930,8 +965,5 @@ def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
     meta = dict(meta)
     meta["dataset_version"] = head.version
     meta["delta_dirs"] = meta.get("delta_dirs", []) + [delta_name]
-    tmp = _pq_meta_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _pq_meta_path(root))
+    _write_meta_cas(_pq_meta_path(root), meta, start_version)
     return meta

@@ -767,10 +767,14 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(180)
 
-    rolled = spark.read.parquet(store)
+    rolled = spark.read.parquet(store).drop("epoch")
     # literal cutoff (bounded 1-row collect): day-partition pruning
     # on the store needs a literal, a join-derived filter can't prune
     max_h = rolled.agg(F.max("hour_idx").alias("max_h")).first()["max_h"]
+    if max_h is None:  # empty stream: honest empty summary, no crash
+        return spark.createDataFrame(
+            [], "d date, event_type string, n_events bigint, sum_value double"
+        )
     return (
         rolled.where(F.col("day_idx") >= (max_h - 168) // 24)
         .where(F.col("hour_idx") > max_h - 168)

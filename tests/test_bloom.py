@@ -98,3 +98,20 @@ def test_unbloomed_column_unaffected(spark, bloom_root):
         .count()
     )
     assert n > 0
+
+
+def test_numeric_type_drift_cannot_prune_wrongly():
+    """int literal probing a float column (and vice versa) must HIT:
+    both sides canonicalize numerics through repr(float(v)) inside
+    _bloom_hashes, so SQL's value-based equality survives literal
+    type drift (r4 ADVICE — str() agreement alone would wrongly
+    prune when the pushed literal isn't cast-folded)."""
+    b = lf.build_bloom([5.0, 7.5, 1000000.0])
+    assert lf.bloom_may_contain(b, 5)       # int probe vs float stored
+    assert lf.bloom_may_contain(b, 5.0)
+    bi = lf.build_bloom([5, 7, 10])
+    assert lf.bloom_may_contain(bi, 5.0)    # float probe vs int stored
+    from decimal import Decimal
+
+    assert lf.bloom_may_contain(bi, Decimal("7"))
+    assert lf.bloom_may_contain(lf.build_bloom([True, False]), 1)

@@ -105,3 +105,34 @@ def test_view_name_collision_raises(spark, lance_db, tmp_path, sf_dir):
     nation.write.format("lance").mode("overwrite").save(f"{root}/t")
     with pytest.raises(ValueError, match="collision"):
         register_lance_views(spark, root)
+
+
+def test_per_view_version_mapping_and_unaligned_guard(spark, sf_dir, tmp_path):
+    """Datasets version independently: one numeric pin over an
+    unaligned directory must raise instead of serving a mismatched
+    snapshot; a per-view mapping pins each table on its own history
+    (r4 ADVICE)."""
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    ds.register(spark)
+    root = str(tmp_path / "db")
+    os.makedirs(root)
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    nation.limit(5).write.format("lance").mode("overwrite").save(
+        f"{root}/nation.lance"
+    )
+    nation.limit(3).write.format("lance").mode("append").save(
+        f"{root}/nation.lance"
+    )  # nation: versions [1, 2]
+    region.write.format("lance").mode("overwrite").save(
+        f"{root}/region.lance"
+    )  # region: versions [1]
+
+    with pytest.raises(lf.LanceDatasetError, match="independent"):
+        register_lance_views(spark, root, version=2)
+
+    register_lance_views(spark, root, version={"nation": 1})
+    assert spark.sql("SELECT COUNT(*) AS n FROM nation").first().n == 5
+    # unlisted view reads latest
+    assert spark.sql("SELECT COUNT(*) AS n FROM region").first().n == 5

@@ -143,3 +143,28 @@ def test_rebuild_reclaims_delta_dirs(spark, sf_dir, delta_root):
     leftover = [n for n in os.listdir(idx) if n.startswith("postings_delta_")]
     assert leftover == []
     assert "delta_dirs" not in vi.read_index_meta(delta_root)
+
+
+def test_write_meta_cas_guards(tmp_path):
+    """Index maintenance meta publish: lost-update and concurrent-
+    maintainer protection (r4 ADVICE — without the CAS, two
+    concurrent extends last-writer-win and one delta silently
+    disappears from delta_dirs)."""
+    import json
+
+    import pytest as _pytest
+
+    from lance_duckdb_spark.sources import lance_format as lf2
+    from lance_duckdb_spark.sources import vector_index as vi2
+
+    p = str(tmp_path / "index.json")
+    with open(p, "w") as f:
+        json.dump({"dataset_version": 3}, f)
+    vi2._write_meta_cas(p, {"dataset_version": 4}, 3)  # matching: ok
+    with open(p) as f:
+        assert json.load(f)["dataset_version"] == 4
+    with _pytest.raises(lf2.LanceDatasetError, match="advanced"):
+        vi2._write_meta_cas(p, {"dataset_version": 5}, 3)  # stale read
+    open(p + ".lock", "w").close()  # a live maintainer holds the lock
+    with _pytest.raises(lf2.LanceDatasetError, match="concurrent"):
+        vi2._write_meta_cas(p, {"dataset_version": 5}, 4)
