@@ -687,7 +687,45 @@ WHERE doc_id >= 20
 """
 
 
+def lance_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate pushdown from manifest statistics
+    (sources/stats.py): COUNT(*) and MIN/MAX on zone-mapped columns
+    served WITHOUT opening any fragment file. The query writes
+    orders as a multi-fragment dataset, then DELETES every data file
+    — the manifest-only aggregation still answers, so a hash match
+    against the oracle's real scan of the original parquet is also a
+    proof of zero fragment IO (any scan attempt would crash on the
+    missing files). The reference inherits this from DuckDB's
+    parquet metadata pruning; here the manifest is the metadata
+    layer."""
+    from ..sources import stats as st
+
+    register(spark)
+    root = _fresh_root(sf_dir, "statspush")
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).repartition(4).write.format("lance").mode("overwrite").save(root)
+    # destroy the data files: only the manifest (+ zone maps) remains
+    data_dir = os.path.join(root, "data")
+    for f in os.listdir(data_dir):
+        os.remove(os.path.join(data_dir, f))
+    return st.manifest_aggregates(
+        spark, root, ["o_custkey", "o_totalprice"]
+    )
+
+
+LANCE_STATS_PUSHDOWN_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_o_custkey,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_o_custkey,
+       MIN(o_totalprice) AS min_o_totalprice,
+       MAX(o_totalprice) AS max_o_totalprice
+FROM orders
+"""
+
+
 QUERIES = {
+    "lance_stats_pushdown": lance_stats_pushdown,
     "lance_roundtrip": lance_roundtrip,
     "lance_scalar_index": lance_scalar_index,
     "lance_bloom_pruning": lance_bloom_pruning,
@@ -707,6 +745,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lance_stats_pushdown": LANCE_STATS_PUSHDOWN_SQL,
     "lance_roundtrip": LANCE_ROUNDTRIP_SQL,
     "lance_scalar_index": LANCE_SCALAR_INDEX_SQL,
     "lance_bloom_pruning": LANCE_BLOOM_SQL,

@@ -482,9 +482,32 @@ class LanceStreamReader(DataSourceStreamReader):
     the last committed offset (reference's stream scan,
     rust/lib.rs:148-188, generalized to a resumable offset)."""
 
-    def __init__(self, root: str, schema: StructType):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        max_fragments_per_trigger: int | None = None,
+    ):
         self.root = root
         self.schema = schema
+        # Rate control (.option("maxFragmentsPerTrigger", N)): a
+        # backlog of appended fragments drains in ceil(backlog/N)
+        # micro-batches instead of one giant batch — at scale a
+        # restart after hours of appends must not plan a batch whose
+        # state update dwarfs executor memory. Advisory cap, never
+        # correctness: the offset sequence is the same append-only
+        # fragment-position log, just advanced in smaller steps, so
+        # watermarks/exactly-once behave identically (asserted in
+        # tests/test_streaming.py).
+        self.max_fragments_per_trigger = max_fragments_per_trigger
+        # Highest fragment position this reader KNOWS is already
+        # planned/committed. The Python DS API's latestOffset() does
+        # not receive the start offset, so after a restart with a
+        # fully-committed checkpoint the first trigger has no floor
+        # knowledge and returns the FULL backlog uncapped (capping
+        # blind would regress below the checkpoint and replay);
+        # every subsequent trigger is capped. None = no knowledge.
+        self._floor: int | None = None
 
     def _frags(self) -> list[lf.Fragment]:
         try:
@@ -503,13 +526,17 @@ class LanceStreamReader(DataSourceStreamReader):
         return h.hexdigest()
 
     def initialOffset(self) -> dict:
+        self._floor = 0
         return {"frag_count": 0, "prefix_sha": self._prefix_sha([], 0)}
 
     def latestOffset(self) -> dict:
         frags = self._frags()
+        n = len(frags)
+        if self.max_fragments_per_trigger is not None and self._floor is not None:
+            n = min(n, self._floor + self.max_fragments_per_trigger)
         return {
-            "frag_count": len(frags),
-            "prefix_sha": self._prefix_sha(frags, len(frags)),
+            "frag_count": n,
+            "prefix_sha": self._prefix_sha(frags, n),
         }
 
     def partitions(self, start: dict, end: dict):
@@ -539,6 +566,9 @@ class LanceStreamReader(DataSourceStreamReader):
             if n > 0 and legacy is not None and frags[n - 1].file != legacy:
                 raise lf.LanceDatasetError(rewrite_msg)
         window = frags[start["frag_count"] : end["frag_count"]]
+        self._floor = max(
+            self._floor or 0, start["frag_count"], end["frag_count"]
+        )
         return [
             FragmentPartition(self.root, f.file, f.num_rows, f.deletion_file)
             for f in window
@@ -559,7 +589,7 @@ class LanceStreamReader(DataSourceStreamReader):
         yield from table.to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        self._floor = max(self._floor or 0, end["frag_count"])
 
     def stop(self) -> None:
         pass
@@ -728,7 +758,15 @@ class LanceDataSource(DataSource):
                 "streaming reads of a Lance-proper dataset are not "
                 "supported without the lance wheel; batch reads are"
             )
-        return LanceStreamReader(self._root(), schema)
+        mfpt = self.options.get(
+            "maxFragmentsPerTrigger",
+            self.options.get("maxfragmentspertrigger"),
+        )
+        return LanceStreamReader(
+            self._root(),
+            schema,
+            max_fragments_per_trigger=int(mfpt) if mfpt is not None else None,
+        )
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> LanceStreamWriter:
         return LanceStreamWriter(

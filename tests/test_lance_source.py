@@ -895,3 +895,74 @@ def test_optimize_zorder_in_place(spark, sf_dir, tmp_path):
     # ... until vacuumed
     stats = lf.cleanup_old_versions(root, keep_last=1, older_than_seconds=0)
     assert stats["files_removed"] > 0
+
+
+def test_two_writer_concurrent_appends_lose_nothing(spark, tmp_path):
+    """Multi-writer commit protocol: two writers committing the next
+    version at the same moment must BOTH land (one wins the
+    exclusive-create, the loser rebases onto the new head and
+    retries) with no lost fragments; a stale-expectation maintenance
+    rewrite refuses; and vacuum's default grace window protects the
+    young files either writer may still be staging."""
+    import threading
+
+    import pyarrow as pa
+
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.datasource import register as _reg
+
+    _reg(spark)
+    root = str(tmp_path / "mw.lance")
+    schema_json = (
+        '{"type":"struct","fields":[{"name":"x","type":"long",'
+        '"nullable":true,"metadata":{}}]}'
+    )
+    lf.commit(
+        root, schema_json,
+        [lf.write_fragment(root, pa.table({"x": [0]}))], "overwrite",
+    )
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def writer(vals):
+        try:
+            frag = lf.write_fragment(root, pa.table({"x": vals}))
+            barrier.wait()  # maximize commit contention
+            lf.commit(root, schema_json, [frag], "append")
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=writer, args=([1, 2],)),
+        threading.Thread(target=writer, args=([3, 4],)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    assert lf.list_versions(root) == [1, 2, 3]  # both commits landed
+    head = spark.read.format("lance").load(root)
+    assert sorted(r.x for r in head.collect()) == [0, 1, 2, 3, 4]
+
+    # rewrite-vs-append conflict: a maintenance op that read version
+    # 1 must refuse once the appends advanced the head
+    with pytest.raises(lf.LanceDatasetError, match="concurrent commit"):
+        lf.commit(
+            root, schema_json,
+            [lf.write_fragment(root, pa.table({"x": [9]}))],
+            "overwrite", expected_version=1,
+        )
+
+    # orphan the old fragments, then vacuum: the default grace
+    # window refuses to reclaim young files (an in-flight writer may
+    # reference them); an explicit zero grace reclaims
+    lf.commit(
+        root, schema_json,
+        [lf.write_fragment(root, pa.table({"x": [100]}))], "overwrite",
+    )
+    grace = lf.cleanup_old_versions(root, keep_last=1)
+    assert grace["files_removed"] == 0
+    forced = lf.cleanup_old_versions(root, keep_last=1, older_than_seconds=0)
+    assert forced["files_removed"] >= 3
+    assert [r.x for r in spark.read.format("lance").load(root).collect()] == [100]

@@ -510,3 +510,56 @@ def test_foreachbatch_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
         )
     )
     assert [(t, n * 2) for t, n in once] == after
+
+
+def test_max_fragments_per_trigger_drains_backlog_in_steps(
+    spark, sf_dir, tmp_path
+):
+    """Rate control: a 10-fragment burst appended under a RUNNING
+    stream drains in >=5 capped micro-batches (2 fragments/trigger)
+    with nothing lost or duplicated. The cap is advisory admission
+    control — the first trigger after a cold start/availableNow
+    target computation has no floor knowledge and is uncapped by
+    design (the Python DS API's latestOffset gets no start offset)."""
+    import time
+
+    register(spark)
+    root = str(tmp_path / "rate.lance")
+    ev = load(spark, sf_dir, "events").limit(1000).cache()
+    n_total = ev.count()
+    ev.where(F.col("event_id") % 11 == 0).coalesce(1).write.format(
+        "lance"
+    ).mode("overwrite").save(root)
+    batches = []
+
+    def proc(df, epoch):
+        batches.append((epoch, df.count()))
+
+    q = (
+        spark.readStream.format("lance")
+        .option("maxFragmentsPerTrigger", "2")
+        .load(root)
+        .writeStream.foreachBatch(proc)
+        .option("checkpointLocation", root + ".ckpt")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30  # seed batch commits
+        while time.time() < deadline and sum(b for _, b in batches) == 0:
+            time.sleep(0.5)
+        for i in range(1, 11):  # burst: 10 fragments while running
+            ev.where(F.col("event_id") % 11 == i).coalesce(1).write.format(
+                "lance"
+            ).mode("append").save(root)
+        deadline = time.time() + 90
+        while (
+            time.time() < deadline
+            and sum(b for _, b in batches) < n_total
+        ):
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert sum(b for _, b in batches) == n_total  # no loss, no dupes
+    burst_batches = [b for _, b in batches[1:] if b > 0]
+    assert len(burst_batches) >= 5, batches  # 10 frags / cap 2
