@@ -25,6 +25,7 @@ Reference parity:
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import re
 
@@ -119,6 +120,37 @@ _PATH_RE = re.compile(
 )
 
 
+def _narrowed_schema(path: str, sql: str):
+    """Auto-narrow projection (the Python DS API has no automatic
+    projection pushdown — SURVEY §2.A4): the dataset columns the SQL
+    can possibly reference are exactly the identifiers that appear in
+    its text (column references are always literal in SQL — there is
+    no dynamic column naming), so intersecting the dataset schema
+    with the query's word set is a sound over-approximation. A
+    ``*`` anywhere disables narrowing (SELECT * needs everything);
+    string literals can only ADD columns to the kept set, never drop
+    one. Returns a StructType to scan, or None for the full schema.
+    """
+    from pyspark.sql.types import StructType
+
+    from .sources import lance_native as ln
+
+    if re.search(r"\*", sql):
+        return None
+    try:
+        if ln.is_native_dataset(path):
+            return None  # native reader manages its own schema map
+        manifest = lf.read_manifest(path)
+        full = StructType.fromJson(json.loads(manifest.schema_json))
+    except Exception:
+        return None
+    words = {w.lower() for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql)}
+    kept = [f for f in full.fields if f.name.lower() in words]
+    if not kept or len(kept) == len(full.fields):
+        return None
+    return StructType(kept)
+
+
 def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL where quoted ``'path.lance'`` literals are table
     references — DuckDB replacement-scan parity
@@ -130,17 +162,32 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     replaced by the view name; literals that do NOT name an existing
     dataset are left untouched (so string data containing
     ``.lance`` never breaks — slightly stricter than the reference,
-    which rewrites any FROM-position name unconditionally)."""
+    which rewrites any FROM-position name unconditionally).
+
+    Scans are AUTO-NARROWED to the columns the query text can
+    reference (see ``_narrowed_schema``): a single-column SELECT over
+    a wide dataset reads one column, closing most of the Python DS
+    API's missing projection pushdown. The view name encodes the
+    kept-column set so narrowing can never leak stale between
+    queries sharing a session."""
     ds.register(spark)
 
     def _sub(m: re.Match) -> str:
         path = m.group(3)
         if not _is_lance_dataset(path):
             return m.group(0)
-        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:10]
+        narrowed = _narrowed_schema(path, sql)
+        cols_key = ",".join(f.name for f in narrowed.fields) if narrowed else "*"
+        digest = hashlib.md5(
+            (os.path.abspath(path) + "\0" + cols_key).encode()
+        ).hexdigest()[:10]
         name = f"lance_ds_{digest}"
-        # idempotent per session: re-registering the same path is a no-op
-        spark.read.format("lance").load(path).createOrReplaceTempView(name)
+        # idempotent per session: re-registering the same path+cols
+        # is a no-op
+        reader = spark.read.format("lance")
+        if narrowed is not None:
+            reader = reader.schema(narrowed)
+        reader.load(path).createOrReplaceTempView(name)
         return m.group(1) + name
 
     return spark.sql(_PATH_RE.sub(_sub, sql))

@@ -136,3 +136,32 @@ def test_per_view_version_mapping_and_unaligned_guard(spark, sf_dir, tmp_path):
     assert spark.sql("SELECT COUNT(*) AS n FROM nation").first().n == 5
     # unlisted view reads latest
     assert spark.sql("SELECT COUNT(*) AS n FROM region").first().n == 5
+
+
+def test_lance_sql_auto_narrows_projection(spark, lance_db):
+    """A single-column SELECT over a replacement-scanned dataset must
+    scan ONLY that column (the auto-narrow closing of the Python DS
+    API's missing projection pushdown): the scan's ReadSchema /
+    output attributes carry just the referenced columns, and results
+    are unchanged."""
+    df = lance_sql(
+        spark, f"SELECT n_name FROM '{lance_db}/nation.lance' ORDER BY n_name"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("Scan") :].splitlines()[0]
+    assert "n_name" in scan
+    assert "n_regionkey" not in scan and "n_nationkey" not in scan
+    names = [r.n_name for r in df.collect()]
+    assert len(names) == 25 and names == sorted(names)
+
+    # two queries over the same dataset in one session must not leak
+    # narrowing into each other (view name encodes the column set)
+    df2 = lance_sql(
+        spark,
+        f"SELECT n_regionkey, COUNT(*) AS n FROM '{lance_db}/nation.lance' "
+        "GROUP BY n_regionkey",
+    )
+    assert df2.count() == 5
+    # SELECT * still reads everything
+    df3 = lance_sql(spark, f"SELECT * FROM '{lance_db}/nation.lance'")
+    assert len(df3.columns) == 3  # full nation schema

@@ -27,10 +27,8 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     compare(df, con, ORACLE_REGISTRY[name], name)
 
 
-@pytest.mark.parametrize(
-    "name", sorted(set(QUERY_REGISTRY) - set(ORACLE_REGISTRY))
-)
-def test_rows_only_queries_run(name, spark, sf_dir):
-    df = QUERY_REGISTRY[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_no_rows_only_queries_remain():
+    # r5: every registered query has a hash oracle; if this set ever
+    # grows again, add a rows-only runner back alongside the
+    # documentation in test_registry.py
+    assert set(QUERY_REGISTRY) == set(ORACLE_REGISTRY)
