@@ -135,7 +135,10 @@ def _narrowed_schema(path: str, sql: str):
 
     from .sources import lance_native as ln
 
-    if re.search(r"\*", sql):
+    # COUNT(*) references no columns — only a bare projection/qualified
+    # star must disable narrowing
+    starless = re.sub(r"(?i)count\s*\(\s*\*\s*\)", "", sql)
+    if "*" in starless:
         return None
     try:
         if ln.is_native_dataset(path):
