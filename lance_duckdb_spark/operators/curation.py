@@ -408,21 +408,31 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         < 9,
         "train",
     ).otherwise("val")
-    sides = docs.select("fp").distinct().withColumn("split", side)
-    tagged = docs.join(sides, "fp")
+    # r5 perf restructure: the expensive part is the full-text
+    # fingerprint scan — aggregate it ONCE to (fp, source) cluster
+    # rows and derive the assignment, the leakage audit, and the
+    # summary all from that small frame (one scan + one shuffle the
+    # branches reuse, instead of an eager audit action that re-ran
+    # the scan: sf1 11.6s -> ~3s). The audit still counts clusters
+    # whose assigned sides disagree, and must stay zero.
+    per = (
+        docs.groupBy("fp", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("split", side)
+    )
     leak = (
-        tagged.groupBy("fp")
+        per.groupBy("fp")
         .agg(F.countDistinct("split").alias("n_sides"))
         .where(F.col("n_sides") > 1)
-        .count()
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_clusters"))
     )
     return (
-        tagged.groupBy("source", "split")
+        per.groupBy("source", "split")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_docs"),
             F.countDistinct("fp").alias("n_clusters"),
         )
-        .withColumn("leaked_clusters", F.lit(leak).cast("long"))
+        .crossJoin(F.broadcast(leak))
         .orderBy("source", "split")
     )
 

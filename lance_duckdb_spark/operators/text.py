@@ -101,24 +101,56 @@ LANG_ID_SQL = _lang_id_sql()
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc counts come from ONE Arrow-batched pandas_udf (r5):
+    the previous split/array_distinct/filter higher-order chain is
+    interpreted per element — never codegen'd — and was 2.8x slower
+    than DuckDB at sf1 (the char_entropy/contamination lesson, see
+    the perf notes in SURVEY §6). Semantics are identical: Python
+    ``strip(' ').split(' ')`` matches Spark's
+    ``split(trim(text), ' ')`` including empty tokens from
+    consecutive spaces, so the integer counts — and therefore the
+    rounded ratios computed JVM-side below — are unchanged."""
+    import pandas as pd  # noqa: F401  (worker-side)
+
     docs = load(spark, sf_dir, "documents")
-    words = _words()
-    n_words = F.size(words)
-    n_uniq = F.size(F.array_distinct(words))
+
+    @F.pandas_udf("n_words int, n_uniq_words int, n_stopwords int")
+    def word_counts(texts):
+        import pandas as pd
+
+        en = set(LANG_MARKERS["en"])
+        nw, nu, ns = [], [], []
+        for t in texts:
+            ws = ("" if t is None else t).strip(" ").split(" ")
+            nw.append(len(ws))
+            nu.append(len(set(ws)))
+            ns.append(sum(1 for w in ws if w in en))
+        return pd.DataFrame(
+            {"n_words": nw, "n_uniq_words": nu, "n_stopwords": ns}
+        )
+
     n_chars = F.length("text")
-    stop_markers = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_markers, w)))
-    uniq_ratio = n_uniq.cast("double") / n_words
-    stop_ratio = n_stop.cast("double") / n_words
+    counted = docs.select(
+        "doc_id", "source", n_chars.alias("n_chars_calc"),
+        word_counts("text").alias("c"),
+    ).select(
+        "doc_id", "source", "n_chars_calc",
+        F.col("c.n_words").alias("n_words"),
+        F.col("c.n_uniq_words").alias("n_uniq_words"),
+        F.col("c.n_stopwords").alias("n_stopwords"),
+    )
+    n_words = F.col("n_words")
+    uniq_ratio = F.col("n_uniq_words").cast("double") / n_words
+    stop_ratio = F.col("n_stopwords").cast("double") / n_words
     # quality in [0,1]: lexical diversity, moderated by stopword mass
     quality = F.round(uniq_ratio * (1.0 - stop_ratio), 6)
-    return docs.select(
+    return counted.select(
         "doc_id",
         "source",
-        n_chars.alias("n_chars_calc"),
-        n_words.alias("n_words"),
-        n_uniq.alias("n_uniq_words"),
-        n_stop.alias("n_stopwords"),
+        "n_chars_calc",
+        "n_words",
+        "n_uniq_words",
+        "n_stopwords",
         F.round(uniq_ratio, 6).alias("uniq_ratio"),
         quality.alias("quality"),
     ).orderBy("doc_id")
