@@ -339,6 +339,78 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
 GROUP BY d.lang ORDER BY d.lang
 """
 
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40: temperature-based language rebalancing — the standard
+    multilingual-pretraining mixer (mT5/XLM-R style): language
+    shares are flattened toward uniform by sampling documents of
+    language *l* at rate (n_min/n_l)^(1-alpha). alpha=1 keeps the
+    natural distribution, alpha=0 is the full rebalance-to-minimum
+    (exactly ``domain_mix``); alpha=0.5 here. Deterministic md5
+    bucketing (same rule as stratified_sample/domain_mix) so the
+    resample is reproducible across engines and re-runs.
+
+    Float discipline: the keep threshold is
+    floor(sqrt((1e8 * n_min) / n_l)) basis points — multiply,
+    divide, sqrt and floor are all IEEE correctly-rounded, so both
+    engines compute the identical integer threshold (1e8*n_min stays
+    exact below 2^53). One tiny per-lang aggregate broadcast back,
+    one corpus scan; at 100 TB this is a metadata-cheap filter."""
+    docs = load(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    min_n = per_lang.agg(F.min("n_lang").alias("min_n"))
+    # rate = (n_min/n_l)^(1-0.5) = sqrt(n_min/n_l), in basis points
+    rates = per_lang.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        "n_lang",
+        F.floor(
+            F.sqrt(
+                F.lit(100000000).cast("double")
+                * F.col("min_n")
+                / F.col("n_lang")
+            )
+        ).alias("keep_bp"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    kept = docs.join(rates, "lang").where(
+        bucket % 10_000 < F.col("keep_bp")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("n_lang").alias("n_before"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("keep_bp").alias("keep_bp"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_RESAMPLE_SQL = """
+WITH per_lang AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang, n_lang,
+    CAST(FLOOR(SQRT((CAST(100000000 AS DOUBLE)
+                     * (SELECT MIN(n_lang) FROM per_lang)) / n_lang))
+         AS BIGINT) AS keep_bp
+  FROM per_lang
+)
+SELECT d.lang AS lang,
+  CAST(MAX(r.n_lang) AS BIGINT) AS n_before,
+  COUNT(*) AS n_kept,
+  CAST(MAX(r.keep_bp) AS BIGINT) AS keep_bp,
+  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+      % 10000 < r.keep_bp
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 # -- cross-source overlap ---------------------------------------------------
 
 
@@ -526,6 +598,7 @@ QUERIES = {
     "repetition_filter": repetition_filter,
     "sequence_packing": sequence_packing,
     "domain_mix": domain_mix,
+    "temperature_resample": temperature_resample,
     "cross_source_overlap": cross_source_overlap,
     "leakage_safe_split": leakage_safe_split,
     "boilerplate_lines": boilerplate_lines,
@@ -536,6 +609,7 @@ ORACLE = {
     "repetition_filter": REPETITION_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "domain_mix": DOMAIN_MIX_SQL,
+    "temperature_resample": TEMPERATURE_RESAMPLE_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
     "leakage_safe_split": LEAKAGE_SAFE_SPLIT_SQL,
     "boilerplate_lines": BOILERPLATE_LINES_SQL,
