@@ -105,14 +105,29 @@ ORDER BY d
 
 
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two countDistincts + plain aggregates over one group key.
+    Split into three single-kind aggregations joined on the 3-row
+    status key (r5): mixing N distinct aggregates with plain ones
+    makes Catalyst rewrite the whole aggregation through Expand —
+    N+1 input replicas through the shuffle (sf1: 4.6s; split: each
+    distinct agg shuffles only its own (status, value) pairs after
+    map-side partial dedup, ~1.5s)."""
     orders = load(spark, sf_dir, "orders")
+    plain = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(money("o_totalprice"), "total_price"),
+    )
+    cust = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+    days = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days")
+    )
     return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.countDistinct("o_custkey").alias("n_cust"),
-            F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(money("o_totalprice"), "total_price"),
+        plain.join(F.broadcast(cust), "o_orderstatus")
+        .join(F.broadcast(days), "o_orderstatus")
+        .select(
+            "o_orderstatus", "n_cust", "n_days", "n_orders", "total_price"
         )
         .orderBy("o_orderstatus")
     )
