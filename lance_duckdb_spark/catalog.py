@@ -92,6 +92,11 @@ def register_lance_views(
             )
         if isinstance(version, dict):
             pin = version.get(name)
+            if pin is not None and pin not in lf.list_versions(path):
+                raise lf.LanceDatasetError(
+                    f"dataset {path!r} has no version {pin} "
+                    f"(versions: {lf.list_versions(path)})"
+                )
         else:
             pin = version
             if pin is not None and pin not in lf.list_versions(path):
@@ -107,6 +112,16 @@ def register_lance_views(
             reader = reader.option("version", str(pin))
         reader.load(path).createOrReplaceTempView(name)
         out[name] = path
+    if isinstance(version, dict):
+        unknown = set(version) - set(out)
+        if unknown:
+            # a typo'd view name would otherwise leave the intended
+            # view silently unpinned on latest — the exact mismatch
+            # hazard the mapping exists to prevent
+            raise lf.LanceDatasetError(
+                f"version mapping names unknown views {sorted(unknown)}; "
+                f"registered views: {sorted(out)}"
+            )
     return out
 
 
@@ -147,7 +162,12 @@ def _narrowed_schema(path: str, sql: str):
         full = StructType.fromJson(json.loads(manifest.schema_json))
     except Exception:
         return None
-    words = {w.lower() for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql)}
+    # identifiers can be backtick-quoted and non-ASCII (`größe`) or
+    # digit-led (`2024_rev`) — collect quoted segments verbatim plus
+    # unicode word tokens, so a referenced column can never be
+    # dropped from the narrowed schema
+    words = {w.lower() for w in re.findall(r"`([^`]+)`", sql)}
+    words |= {w.lower() for w in re.findall(r"\w+", sql, re.UNICODE)}
     kept = [f for f in full.fields if f.name.lower() in words]
     if not kept or len(kept) == len(full.fields):
         return None

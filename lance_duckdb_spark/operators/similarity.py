@@ -466,14 +466,23 @@ LSH_RECALL_BOUND = 0.6
 
 
 def _with_recall_flag(
-    exact: DataFrame, approx: DataFrame, bound: float, flag_col: str
+    exact: DataFrame,
+    approx: DataFrame,
+    bound: float,
+    flag_col: str,
+    keys: tuple[str, str] = ("probe_id", "neighbor_id"),
 ) -> DataFrame:
-    """exact top-k rows + one constant boolean column: recall of the
+    """exact rows + one constant boolean column: recall of the
     approximate result against the exact rows is >= bound. The 1-row
-    aggregate is broadcast back (the tpch_q15 shape)."""
-    hits = exact.select("probe_id", "neighbor_id").join(
-        approx.select("probe_id", "neighbor_id").withColumn("hit", F.lit(1)),
-        ["probe_id", "neighbor_id"],
+    aggregate is broadcast back (the tpch_q15 shape). The exact
+    frame feeds BOTH the audit aggregate and the returned rows, so
+    it is localCheckpoint'd — its (expensive) subtree executes once
+    and the small result is reused, instead of re-running the scan
+    per branch."""
+    exact = exact.localCheckpoint()
+    hits = exact.select(*keys).join(
+        approx.select(*keys).withColumn("hit", F.lit(1)),
+        list(keys),
         "left",
     )
     stats = hits.agg(
@@ -621,18 +630,11 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips the flag and fails the driver hash. tests/test_llm_ops.py
     keeps the tighter per-sf recall assertion."""
     exact = embedding_neardup(spark, sf_dir)
-    lsh = lsh_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
-    hits = exact.select("vec_a", "vec_b").join(
-        lsh.withColumn("hit", F.lit(1)), ["vec_a", "vec_b"], "left"
-    )
-    stats = hits.agg(
-        (
-            F.coalesce(F.sum("hit"), F.lit(0))
-            / F.greatest(F.count(F.lit(1)), F.lit(1))
-            >= LSH_RECALL_BOUND
-        ).alias("lsh_recall_ok")
-    )
-    return exact.crossJoin(F.broadcast(stats)).orderBy("vec_a", "vec_b")
+    lsh = lsh_neardup_pairs(spark, sf_dir)
+    return _with_recall_flag(
+        exact, lsh, LSH_RECALL_BOUND, "lsh_recall_ok",
+        keys=("vec_a", "vec_b"),
+    ).orderBy("vec_a", "vec_b")
 
 
 EMBEDDING_NEARDUP_LSH_SQL = f"""

@@ -109,7 +109,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``strip(' ').split(' ')`` matches Spark's
     ``split(trim(text), ' ')`` including empty tokens from
     consecutive spaces, so the integer counts — and therefore the
-    rounded ratios computed JVM-side below — are unchanged."""
+    rounded ratios computed JVM-side below — are unchanged. NULL
+    text yields NULL counts (SQL propagation, matching the oracle;
+    the old chain's ``size(NULL) = -1`` matched neither engine)."""
     import pandas as pd  # noqa: F401  (worker-side)
 
     docs = load(spark, sf_dir, "documents")
@@ -121,12 +123,26 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         en = set(LANG_MARKERS["en"])
         nw, nu, ns = [], [], []
         for t in texts:
-            ws = ("" if t is None else t).strip(" ").split(" ")
+            if t is None:
+                # SQL semantics: every count is NULL for NULL text,
+                # matching the oracle's string_split(trim(NULL))
+                # propagation (the pre-r5 Spark chain returned
+                # size(NULL) = -1 here — divergent either way; NULL
+                # is the answer both engines can agree on)
+                nw.append(None)
+                nu.append(None)
+                ns.append(None)
+                continue
+            ws = t.strip(" ").split(" ")
             nw.append(len(ws))
             nu.append(len(set(ws)))
             ns.append(sum(1 for w in ws if w in en))
         return pd.DataFrame(
-            {"n_words": nw, "n_uniq_words": nu, "n_stopwords": ns}
+            {
+                "n_words": pd.array(nw, dtype="Int32"),
+                "n_uniq_words": pd.array(nu, dtype="Int32"),
+                "n_stopwords": pd.array(ns, dtype="Int32"),
+            }
         )
 
     n_chars = F.length("text")

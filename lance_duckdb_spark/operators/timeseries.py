@@ -36,6 +36,13 @@ from .common import money
 TAIL_HOURS = 24  # open tail re-read raw on every query
 WINDOW_HOURS = 168  # the query: last 7 days including the tail
 
+# contract schema of the daily summary, shared with the stream-
+# maintained twin (streaming/jobs.py) so the empty-input early
+# returns can never drift apart
+DAILY_SUMMARY_SCHEMA = (
+    "d date, event_type string, n_events bigint, sum_value double"
+)
+
 
 def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -93,9 +100,7 @@ def rollup_query(
         # empty events: MAX() is NULL and the window arithmetic
         # would crash opaquely — serve the honest empty summary
         # with the contract schema instead (r4 ADVICE edge)
-        return spark.createDataFrame(
-            [], "d date, event_type string, n_events bigint, sum_value double"
-        )
+        return spark.createDataFrame([], DAILY_SUMMARY_SCHEMA)
     lo_hour = max_h - WINDOW_HOURS
     closed = (
         spark.read.parquet(store_dir)

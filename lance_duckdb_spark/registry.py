@@ -177,7 +177,7 @@ def _rotate(merged: dict) -> dict:
             (i + 1 for i, s in enumerate(rounds) if k in s), default=0
         )
 
-    order = sorted(merged, key=lambda k: (last_verified(k), 0))
+    order = sorted(merged, key=last_verified)  # stable: module order within tiers
     return {k: merged[k] for k in order}
 
 

@@ -46,14 +46,38 @@ def manifest_aggregates(
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
     manifest = lf.read_manifest(root, version)
     schema = StructType.fromJson(json.loads(manifest.schema_json))
     fields_by_name = {f.name: f for f in schema.fields}
+    # only these types ever get zone maps (lance_format._column_stats);
+    # anything else must REFUSE rather than fold an empty stats set
+    # into a silently-wrong NULL min/max over populated data
+    zone_mappable = (
+        ByteType, ShortType, IntegerType, LongType,
+        FloatType, DoubleType, StringType, BooleanType,
+    )
     for c in columns:
         if c not in fields_by_name:
             raise lf.LanceDatasetError(
                 f"no column {c!r} in dataset schema "
                 f"(has {sorted(fields_by_name)})"
+            )
+        if not isinstance(fields_by_name[c].dataType, zone_mappable):
+            raise lf.LanceDatasetError(
+                f"column {c!r} ({fields_by_name[c].dataType.simpleString()})"
+                " carries no zone maps (only int/float/string/bool do);"
+                " MIN/MAX for it needs a real scan"
             )
     deleted = sum(f.num_deleted for f in manifest.fragments)
     if deleted and columns:

@@ -772,9 +772,9 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the store needs a literal, a join-derived filter can't prune
     max_h = rolled.agg(F.max("hour_idx").alias("max_h")).first()["max_h"]
     if max_h is None:  # empty stream: honest empty summary, no crash
-        return spark.createDataFrame(
-            [], "d date, event_type string, n_events bigint, sum_value double"
-        )
+        from ..operators.timeseries import DAILY_SUMMARY_SCHEMA
+
+        return spark.createDataFrame([], DAILY_SUMMARY_SCHEMA)
     return (
         rolled.where(F.col("day_idx") >= (max_h - 168) // 24)
         .where(F.col("hour_idx") > max_h - 168)

@@ -165,3 +165,30 @@ def test_lance_sql_auto_narrows_projection(spark, lance_db):
     # SELECT * still reads everything
     df3 = lance_sql(spark, f"SELECT * FROM '{lance_db}/nation.lance'")
     assert len(df3.columns) == 3  # full nation schema
+
+
+def test_version_mapping_rejects_unknown_views_and_bad_versions(
+    spark, lance_db
+):
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    with pytest.raises(lf.LanceDatasetError, match="unknown views"):
+        register_lance_views(spark, lance_db, version={"natoin": 1})
+    with pytest.raises(lf.LanceDatasetError, match="no version"):
+        register_lance_views(spark, lance_db, version={"nation": 99})
+
+
+def test_auto_narrow_keeps_backtick_and_digit_led_identifiers(
+    spark, tmp_path
+):
+    """Legal-but-unusual column names (digit-led, referenced via
+    backticks) must never be dropped from the narrowed scan schema
+    (review finding r5)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "odd.lance")
+    spark.range(3).select(
+        F.col("id").alias("2024_rev"), (F.col("id") * 2).alias("doc")
+    ).write.format("lance").mode("overwrite").save(root)
+    df = lance_sql(spark, f"SELECT `2024_rev` FROM '{root}' ORDER BY `2024_rev`")
+    assert [r["2024_rev"] for r in df.collect()] == [0, 1, 2]

@@ -82,3 +82,20 @@ def test_deletion_vectors_refuse_minmax_but_count_stays_exact(
 def test_unknown_column_raises(spark, orders_root):
     with pytest.raises(lf.LanceDatasetError, match="no column"):
         st.manifest_aggregates(spark, orders_root, ["nope"])
+
+
+def test_unsupported_type_refuses_instead_of_null(spark, sf_dir, tmp_path):
+    """A timestamp column never gets zone maps; MIN/MAX over it must
+    refuse loudly, never return a silently-wrong NULL over populated
+    data (review finding r5)."""
+    root = str(tmp_path / "ev.lance")
+    load(spark, sf_dir, "events").select(
+        "event_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    ).limit(200).write.format("lance").mode("overwrite").save(root)
+    with pytest.raises(lf.LanceDatasetError, match="zone maps"):
+        st.manifest_aggregates(spark, root, ["ts"])
+    # the zone-mapped sibling still answers
+    assert (
+        st.manifest_aggregates(spark, root, ["event_id"]).first().total_rows
+        == 200
+    )
