@@ -95,3 +95,59 @@ def test_native_roundtrip_bit_exact(t, tmp_path_factory):
     lw.write_dataset(t, root)
     back = ln.read_dataset(root)
     assert back.equals(t), f"mismatch for schema {t.schema}"
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_blas_prefilter_equals_pure_sequential_fold(nx, nc, seed):
+    """The two-phase pair scan (BLAS prefilter at a 1e-6 relative
+    margin + exact sequential fold on survivors) must select EXACTLY
+    the pairs the pure fold selects, with bit-identical cosines —
+    the losslessness claim in operators/similarity.py's score()."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dim = 64
+    X = rng.standard_normal((nx, dim)) * rng.uniform(0.1, 3.0)
+    C = rng.standard_normal((nc, dim)) * rng.uniform(0.1, 3.0)
+    # inject near-threshold pairs: make some C rows correlated with X
+    for i in range(min(nx, nc)):
+        if rng.rand() < 0.5:
+            C[i] = X[i % nx] * 0.31 + rng.standard_normal(dim) * 0.72
+
+    def seq_norms(M):
+        acc = np.zeros(M.shape[0])
+        for i in range(M.shape[1]):
+            acc += M[:, i] * M[:, i]
+        return np.sqrt(acc)
+
+    T = 0.4
+    xn, cn = seq_norms(X), seq_norms(C)
+
+    # pure fold over every pair
+    dot = np.zeros((nx, nc))
+    for i in range(dim):
+        dot += X[:, i, None] * C[None, :, i]
+    cos_full = np.clip(dot / (xn[:, None] * cn[None, :]), -1.0, 1.0)
+    want = {
+        (a, b): cos_full[a, b]
+        for a, b in zip(*np.nonzero(cos_full >= T))
+    }
+
+    # two-phase
+    approx = X @ C.T
+    ai, bi = np.nonzero(approx >= (T - 1e-6) * (xn[:, None] * cn[None, :]))
+    acc = np.zeros(len(ai))
+    A, B = X[ai], C[bi]
+    for i in range(dim):
+        acc += A[:, i] * B[:, i]
+    cos = np.clip(acc / (xn[ai] * cn[bi]), -1.0, 1.0)
+    keep = cos >= T
+    got = {
+        (a, b): c for a, b, c in zip(ai[keep], bi[keep], cos[keep])
+    }
+    assert got == want  # identical pair set AND bit-identical values
