@@ -270,14 +270,31 @@ class LanceScanReader(DataSourceReader):
             # in between (delete/upsert/compact) breaks append-only
             # lineage and the diff would be wrong — fail loudly.
             begin = lf.read_manifest(root, begin_version)
-            new_files = {f.file for f in self.manifest.fragments}
-            gone = [f.file for f in begin.fragments if f.file not in new_files]
+            # append-only means more than the same FILE NAMES
+            # surviving: a deletion-vector delete keeps f.file but
+            # changes its deletion state, and a name-only check would
+            # silently omit those deleted rows from the "row diff"
+            # (r5 review finding — same identity rule as the
+            # vector-index delta guard). Compare the full
+            # (file, deletion_file, num_deleted) identity.
+            head_by_file = {f.file: f for f in self.manifest.fragments}
+            gone = [
+                f.file
+                for f in begin.fragments
+                if f.file not in head_by_file
+                or (
+                    head_by_file[f.file].deletion_file,
+                    head_by_file[f.file].num_deleted,
+                )
+                != (f.deletion_file, f.num_deleted)
+            ]
             if gone:
                 raise ValueError(
                     "begin_version diff requires append-only history: "
                     f"fragments {gone[:3]} from version {begin_version} "
-                    "were rewritten (delete/upsert/compact ran in "
-                    "between); full-scan the end version instead"
+                    "were rewritten or had rows deleted (delete/upsert/"
+                    "compact ran in between); full-scan the end "
+                    "version instead"
                 )
             old_files = {f.file for f in begin.fragments}
             self.manifest = dataclasses.replace(
@@ -323,6 +340,16 @@ class LanceScanReader(DataSourceReader):
             for f in kept
         ]
 
+    def __getstate__(self):
+        # the reader is pickled into the executor-side read command;
+        # read() needs only schema + pushed filters, while the
+        # manifest (every fragment + zone-map stats — tens of MB at
+        # the 100k-fragment scale) is driver-only state. Exclude it
+        # (r5 review finding).
+        state = dict(self.__dict__)
+        state["manifest"] = None
+        return state
+
     def read(self, partition: FragmentPartition) -> Iterator["pa.RecordBatch"]:
         if not partition.file:  # sentinel: all fragments pruned
             return
@@ -361,6 +388,17 @@ class NativeScanReader(DataSourceReader):
         self.root = root
         self.schema = schema
         self.manifest = ln.open_dataset(root, version)
+        # refuse datasets with Lance deletion files up front: this
+        # decoder has no deletion-mask support, and scanning the data
+        # files alone would silently resurrect deleted rows (r5
+        # review finding)
+        ln._refuse_deletions(self.manifest, root)
+        # computed once driver-side and pickled to executors: every
+        # partition shares one manifest version, so tasks must not
+        # re-open and re-parse the protobuf manifest per fragment
+        # (r5 review finding — 100k redundant manifest reads per
+        # query at the stated scale)
+        self._arrow_schema = self.manifest.arrow_schema()
         self.pushed: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -384,13 +422,19 @@ class NativeScanReader(DataSourceReader):
         ]
         return parts or [NativeFragmentPartition(self.root, (), 0)]
 
+    def __getstate__(self):
+        # executor tasks need only the precomputed arrow schema +
+        # pushed filters; the parsed manifest stays driver-only
+        state = dict(self.__dict__)
+        state["manifest"] = None
+        return state
+
     def read(
         self, partition: NativeFragmentPartition
     ) -> Iterator["pa.RecordBatch"]:
         if not partition.files:
             return
-        man = ln.open_dataset(partition.root, partition.version)
-        arrow_schema = man.arrow_schema()
+        arrow_schema = self._arrow_schema
         columns = [
             c for c in self.schema.fieldNames() if c in arrow_schema.names
         ]
@@ -471,10 +515,13 @@ class LanceArrowWriter(DataSourceArrowWriter):
     def abort(self, messages):
         for m in messages:
             if m is not None and m.file:
-                try:
-                    os.remove(os.path.join(self.root, m.file))
-                except OSError:
-                    pass
+                for rel in (m.file, getattr(m, "bloom_file", None)):
+                    if not rel:
+                        continue
+                    try:
+                        os.remove(os.path.join(self.root, rel))
+                    except OSError:
+                        pass
 
 
 class LanceStreamReader(DataSourceStreamReader):
@@ -613,6 +660,7 @@ class LanceStreamWriter(DataSourceStreamWriter):
         schema: StructType,
         txn_id: str | None = None,
         compression: str = "snappy",
+        overwrite: bool = False,
     ):
         import uuid as _uuid
 
@@ -620,6 +668,14 @@ class LanceStreamWriter(DataSourceStreamWriter):
         self.schema = schema
         self.txn_id = txn_id or _uuid.uuid4().hex
         self.compression = compression
+        # Spark passes overwrite=True for truncate-style output modes
+        # (outputMode('complete')): each epoch must REPLACE the
+        # previous result, not append to it — dropping the flag would
+        # silently accumulate one full copy of the aggregate per
+        # micro-batch (r5 review finding). Honored as one OVERWRITE
+        # commit per epoch; a replayed complete epoch rewrites the
+        # same recomputed content, so replays stay correct.
+        self.overwrite = overwrite
         os.makedirs(root, exist_ok=True)
 
     def write(self, iterator) -> LanceCommitMessage:
@@ -647,13 +703,15 @@ class LanceStreamWriter(DataSourceStreamWriter):
             for m in messages
             if m is not None and m.file
         ]
-        # idempotent under checkpoint replay: a re-committed epoch of
-        # THIS transaction is dropped, so restarts cannot double-append
+        # idempotent under checkpoint replay: a re-committed APPEND
+        # epoch of THIS transaction is dropped, so restarts cannot
+        # double-append; complete-mode epochs overwrite, which is
+        # idempotent by construction
         lf.commit(
             self.root,
             self.schema.json(),
             frags,
-            mode="append",
+            mode="overwrite" if self.overwrite else "append",
             stream_batch_id=batchId,
             stream_txn_id=self.txn_id,
         )
@@ -774,6 +832,7 @@ class LanceDataSource(DataSource):
             schema,
             txn_id=self.options.get("txnappid"),
             compression=self.options.get("compression", "snappy"),
+            overwrite=overwrite,
         )
 
 

@@ -433,10 +433,13 @@ def commit(
             and stream_batch_id <= txns[stream_txn_id]
         ):
             for f in fragments:  # drop the replayed duplicates
-                try:
-                    os.remove(os.path.join(root, f.file))
-                except OSError:
-                    pass
+                for rel in (f.file, f.bloom_file):
+                    if not rel:
+                        continue
+                    try:
+                        os.remove(os.path.join(root, rel))
+                    except OSError:
+                        pass
             return prev
         if stream_txn_id is not None and stream_batch_id is not None:
             txns[stream_txn_id] = max(
@@ -552,6 +555,40 @@ def read_fragment(
     return pq.read_table(path, columns=columns, filters=filter_expr)
 
 
+def _bloom_columns_of(root: str, frags: list["Fragment"]) -> list[str]:
+    """Union of columns any of these fragments carries blooms for —
+    maintenance rewrites (compact, delete_where) must re-record the
+    same bloom columns on the fragments they produce, or point-probe
+    pruning silently regresses after every rewrite."""
+    cols: set[str] = set()
+    for f in frags:
+        if f.bloom_file:
+            try:
+                with open(os.path.join(root, f.bloom_file)) as fh:
+                    cols.update(json.load(fh).keys())
+            except OSError:
+                pass
+    return sorted(cols)
+
+
+def _conform_to(table: "pa.Table", target: "pa.Schema") -> "pa.Table":
+    """Fill columns the physical file lacks (schema evolution) with
+    typed NULLs and cast to the committed schema — the same
+    null-fill semantics as the evolved scan path. Shared by
+    compact() and delete_where(): both must work on datasets whose
+    fragments have heterogeneous physical schemas."""
+    for name in target.names:
+        if name not in table.column_names:
+            fld = target.field(name)
+            table = table.append_column(
+                fld, pa.nulls(table.num_rows, fld.type)
+            )
+    # cast unifies nullability flags too (a fragment written from
+    # a non-null expression carries `not null` fields that
+    # concat_tables treats as a different schema)
+    return table.select(target.names).cast(target)
+
+
 def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
     """Fragment compaction: rewrite small fragments into ~target_rows
     fragments and commit the result as a NEW version — data is
@@ -580,27 +617,24 @@ def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
     # dataset and compaction is impossible.
     target = _arrow_schema(manifest.schema_json)
 
-    def _conform(table: pa.Table) -> pa.Table:
-        for name in target.names:
-            if name not in table.column_names:
-                fld = target.field(name)
-                table = table.append_column(
-                    fld, pa.nulls(table.num_rows, fld.type)
-                )
-        # cast unifies nullability flags too (a fragment written from
-        # a non-null expression carries `not null` fields that
-        # concat_tables treats as a different schema)
-        return table.select(target.names).cast(target)
-
+    blooms = _bloom_columns_of(root, small)
     tables, new_frags, batch_rows = [], [], 0
     for f in small:
-        tables.append(_conform(read_fragment(root, f)))
+        tables.append(_conform_to(read_fragment(root, f), target))
         batch_rows += f.live_rows
         if batch_rows >= target_rows:
-            new_frags.append(write_fragment(root, pa.concat_tables(tables)))
+            new_frags.append(
+                write_fragment(
+                    root, pa.concat_tables(tables), bloom_columns=blooms
+                )
+            )
             tables, batch_rows = [], 0
     if tables and sum(t.num_rows for t in tables) > 0:
-        new_frags.append(write_fragment(root, pa.concat_tables(tables)))
+        new_frags.append(
+            write_fragment(
+                root, pa.concat_tables(tables), bloom_columns=blooms
+            )
+        )
     return commit(
         root,
         manifest.schema_json,
@@ -635,6 +669,12 @@ def delete_where(
     import pyarrow.compute as pc
 
     manifest = read_manifest(root)
+    # pre-evolution fragments lack evolved columns: conform each
+    # table to the committed schema BEFORE predicate evaluation so a
+    # predicate on an evolved column sees typed NULLs (and keeps the
+    # row, per SQL DELETE's keep-on-NULL) instead of crashing with
+    # a missing-field error (r5 review finding)
+    target = _arrow_schema(manifest.schema_json)
     new_frags: list[Fragment] = []
     for f in manifest.fragments:
         if use_deletion_vectors:
@@ -645,7 +685,9 @@ def delete_where(
             # positions, filter (dataset filter keeps rows where the
             # predicate is definitely TRUE — NULL excluded, which IS
             # SQL DELETE's keep-on-NULL), collect hit positions
-            table = pq.read_table(os.path.join(root, f.file))
+            table = _conform_to(
+                pq.read_table(os.path.join(root, f.file)), target
+            )
             table = table.append_column(
                 "__pos", pa.array(np.arange(table.num_rows), pa.int64())
             )
@@ -683,13 +725,18 @@ def delete_where(
                 )
             )
             continue
-        table = read_fragment(root, f)  # deletion-aware read
+        table = _conform_to(read_fragment(root, f), target)  # deletion-aware
         keep_mask = pc.coalesce(~predicate, pa.scalar(True))
         kept = table.filter(keep_mask)
         if kept.num_rows == f.live_rows and f.deletion_file is None:
             new_frags.append(f)  # untouched: carry over by reference
         elif kept.num_rows > 0:
-            new_frags.append(write_fragment(root, kept))
+            new_frags.append(
+                write_fragment(
+                    root, kept,
+                    bloom_columns=_bloom_columns_of(root, [f]),
+                )
+            )
     return commit(
         root,
         manifest.schema_json,

@@ -218,6 +218,12 @@ class NativeFragment:
     id: int
     files: list[NativeDataFile]
     physical_rows: int
+    # DataFragment.deletion_file (format.proto field 3): present when
+    # Lance proper deleted rows from this fragment via a deletion
+    # file. This reader does not decode deletion files, so readers
+    # MUST refuse fragments that carry one — decoding the data files
+    # alone would silently resurrect the deleted rows.
+    has_deletions: bool = False
 
 
 @dataclass
@@ -276,6 +282,7 @@ def _parse_fragment(buf: bytes) -> NativeFragment:
         id=m.get(1, [0])[0],
         files=[_parse_data_file(b) for b in m.get(2, [])],
         physical_rows=m.get(4, [0])[0],
+        has_deletions=3 in m,
     )
 
 
@@ -528,6 +535,21 @@ def read_data_file(
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
+def _refuse_deletions(man: "NativeManifest", root: str) -> None:
+    """Fragments carrying a deletion file cannot be decoded without
+    the deletion mask — reading their data files alone would
+    resurrect deleted rows. Refuse loudly toward the lance wheel
+    (the same cannot-honor-it-so-refuse contract as streaming and
+    writes on native datasets)."""
+    bad = [f.id for f in man.fragments if f.has_deletions]
+    if bad:
+        raise LanceNativeUnsupported(
+            f"{root}: fragments {bad[:3]} carry Lance deletion files; "
+            "decoding them without the deletion mask would return "
+            "deleted rows — read this dataset with the lance wheel"
+        )
+
+
 def read_dataset(
     root: str,
     version: int | None = None,
@@ -535,6 +557,7 @@ def read_dataset(
 ) -> pa.Table:
     """Read a genuine Lance dataset directory into one Arrow table."""
     man = open_dataset(root, version)
+    _refuse_deletions(man, root)
     schema = man.arrow_schema()
     tables = []
     for frag in man.fragments:

@@ -303,3 +303,32 @@ def test_spark_distributed_native_write(spark, tmp_path):
     )
     got = {r["tag"] for r in back.select("tag").collect()}
     assert got == {f"row-{i}" for i in range(100)}
+
+
+def test_fragment_deletion_file_detected_and_refused():
+    """DataFragment.deletion_file (format.proto field 3) must be
+    detected and make reads refuse — decoding the data files alone
+    would resurrect deleted rows (r5 review finding)."""
+    # fragment proto: id=7 (field 1 varint), deletion_file present
+    # (field 3, length-delimited submessage), physical_rows=4
+    # (field 4 varint)
+    sub = b"\x08\x01"  # arbitrary submessage content
+    buf = (
+        b"\x08\x07"            # field 1 varint 7
+        + b"\x1a" + bytes([len(sub)]) + sub  # field 3 LEN
+        + b"\x20\x04"          # field 4 varint 4
+    )
+    frag = ln._parse_fragment(buf)
+    assert frag.id == 7 and frag.physical_rows == 4
+    assert frag.has_deletions
+
+    man = ln.NativeManifest(fields=[], fragments=[frag], version=1)
+    with pytest.raises(ln.LanceNativeUnsupported, match="deletion"):
+        ln._refuse_deletions(man, "/x")
+
+    # without field 3: no refusal
+    frag2 = ln._parse_fragment(b"\x08\x07\x20\x04")
+    assert not frag2.has_deletions
+    ln._refuse_deletions(
+        ln.NativeManifest(fields=[], fragments=[frag2], version=1), "/x"
+    )
