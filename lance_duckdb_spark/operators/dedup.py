@@ -440,6 +440,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, src, txt in zip(
                 pdf["doc_id"], pdf["source"], pdf["text"]
             ):
+                if txt is None:
+                    # oracle's WHERE len(text) >= N drops NULL rows
+                    # (NULL comparison); match it instead of crashing
+                    # the stage on len(None)
+                    continue
                 n = len(txt) - NGRAM_N + 1
                 if n <= 0:
                     continue

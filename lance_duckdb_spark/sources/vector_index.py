@@ -47,7 +47,9 @@ def _index_meta_path(root: str) -> str:
     return os.path.join(root, INDEX_DIR, "index.json")
 
 
-def _write_meta_cas(path: str, meta: dict, expected_version: int) -> None:
+def _write_meta_cas(
+    path: str, meta: dict, expected_version: int | None
+) -> None:
     """Compare-and-swap meta publish for index MAINTENANCE (the
     commit() expected_version discipline applied to index metadata):
     refuses when another maintainer advanced the meta since this
@@ -56,10 +58,13 @@ def _write_meta_cas(path: str, meta: dict, expected_version: int) -> None:
     while dataset_version advances (rows missing from search with no
     staleness error; r4 ADVICE). The check+rename pair runs under an
     exclusive-create lock file; the rename itself stays atomic so
-    readers never see a torn meta. A delta parquet dir orphaned by a
-    crash between its write and this publish is self-healing: the
-    next extend to that version overwrites it, and rebuilds reclaim
-    all unreferenced delta dirs."""
+    readers never see a torn meta. With ``expected_version=None``
+    (full rebuilds) the lock still serializes publishers but no
+    version expectation is enforced — a rebuild may legitimately
+    supersede anything. A postings/delta dir orphaned by a crash
+    between its write and this publish is inert (never referenced)
+    and is reclaimed by the next rebuild's sweep of unreferenced
+    dirs."""
     lock = path + ".lock"
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -70,7 +75,7 @@ def _write_meta_cas(path: str, meta: dict, expected_version: int) -> None:
             "finishes (or remove the lock if its holder crashed)"
         )
     try:
-        if os.path.exists(path):
+        if expected_version is not None and os.path.exists(path):
             with open(path) as f:
                 cur = json.load(f)
             if cur.get("dataset_version") != expected_version:
@@ -89,8 +94,51 @@ def _write_meta_cas(path: str, meta: dict, expected_version: int) -> None:
         os.unlink(lock)
 
 
-def _postings_dir(root: str) -> str:
-    return os.path.join(root, INDEX_DIR, "postings")
+def _postings_dir(root: str, meta: dict | None = None) -> str:
+    """Resolve the CURRENT base postings dir. The dir name is
+    recorded in the index meta (rebuilds write a fresh uniquely-named
+    dir and only then publish the meta referencing it — so a crashed
+    or in-flight rebuild can never leave readers pointing at
+    partially (re)written postings)."""
+    if meta is None:
+        try:
+            meta = read_index_meta(root)
+        except lf.LanceDatasetError:
+            meta = {}
+    return os.path.join(root, INDEX_DIR, meta.get("postings_dir", "postings"))
+
+
+def _reclaim_unreferenced_dirs(idx_dir: str, meta: dict) -> None:
+    """Remove postings/delta dirs the published meta does not
+    reference — called ONLY from rebuilds (which supersede all
+    deltas by contract); extends never reclaim, so a concurrent
+    extend's staged-but-unpublished dir is not at risk from them."""
+    import shutil as _shutil
+
+    if not os.path.isdir(idx_dir):
+        return
+    keep = {meta.get("postings_dir", "postings")} | set(
+        meta.get("delta_dirs", [])
+    )
+    for name in os.listdir(idx_dir):
+        if name.startswith("postings") and name not in keep:
+            _shutil.rmtree(os.path.join(idx_dir, name), ignore_errors=True)
+
+
+def _read_postings_dirs(spark: SparkSession, dirs: list[str], buckets):
+    """One pruned read per postings dir (base + index deltas),
+    unioned: multi-root partition discovery conflicts, and separate
+    reads keep bucket partition pruning per directory anyway."""
+    from functools import reduce
+
+    want = sorted(buckets)
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(d).where(F.col("bucket_id").isin(want))
+            for d in dirs
+        ],
+    )
 
 
 def _assign_buckets(df: DataFrame, bc_centroids, column: str, id_col: str):
@@ -250,22 +298,21 @@ def build_ivf_index(
 
     bc = spark.sparkContext.broadcast(C)
     postings = _assign_buckets(df, bc, column, id_col)
-    pdir = _postings_dir(root)
+    # write the new postings to a FRESH uniquely-named dir, publish
+    # the meta referencing it (lock-serialized), and only then sweep
+    # superseded dirs (old base + all deltas): a crash at any point
+    # leaves either the old index fully intact or the new one fully
+    # published — never a meta pointing at deleted/partial postings
+    # (r5 review finding: the in-place overwrite had both windows)
+    import uuid as _uuid
+
+    pname = f"postings_{_uuid.uuid4().hex[:8]}"
     (
         postings.repartition("bucket_id")
         .write.mode("overwrite")
         .partitionBy("bucket_id")
-        .parquet(pdir)
+        .parquet(os.path.join(root, INDEX_DIR, pname))
     )
-    # a rebuild supersedes every index delta: reclaim their dirs now
-    # (nothing else ever references or cleans them — vacuum leaves
-    # _indexes/ alone by contract)
-    import shutil as _shutil
-
-    idx_dir = os.path.join(root, INDEX_DIR)
-    for name in os.listdir(idx_dir) if os.path.isdir(idx_dir) else []:
-        if name.startswith("postings_delta_"):
-            _shutil.rmtree(os.path.join(idx_dir, name), ignore_errors=True)
     meta = {
         "column": column,
         "id_col": id_col,
@@ -273,12 +320,11 @@ def build_ivf_index(
         "dim": dim,
         "dataset_version": manifest.version,
         "centroids": C.tolist(),
+        "postings_dir": pname,
     }
     os.makedirs(os.path.join(root, INDEX_DIR), exist_ok=True)
-    tmp = _index_meta_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _index_meta_path(root))
+    _write_meta_cas(_index_meta_path(root), meta, expected_version=None)
+    _reclaim_unreferenced_dirs(os.path.join(root, INDEX_DIR), meta)
     return meta
 
 
@@ -299,6 +345,7 @@ def ann_search(
     k_neighbors: int = 10,
     nprobe: int = 4,
     allow_stale: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k via the persisted index.
 
@@ -308,7 +355,14 @@ def ann_search(
     ever collected, same discipline as ann_topk_bruteforce); the
     postings scan is filtered by LITERAL bucket ids, so Spark's
     partition pruning skips every other bucket directory before IO.
-    Exact cosine rerank inside the candidate buckets."""
+    Exact cosine rerank inside the candidate buckets.
+
+    ``exclude_self`` (default True) drops candidates whose id equals
+    the probe_id — correct ONLY when probes are drawn from the
+    indexed dataset with probe_id = <id_col> (self-match removal).
+    Pass False for externally-numbered probes, where an id collision
+    is a coincidence and dropping it would silently lose a
+    legitimate neighbor."""
     import numpy as np
 
     from ..operators.similarity import cosine
@@ -327,6 +381,12 @@ def ann_search(
     c_nrm = np.sqrt((C * C).sum(axis=1))
     c_nrm[c_nrm == 0] = 1.0
 
+    # collect ONCE; both the bucket choice and the rerank vector come
+    # from the same collected rows — re-evaluating a nondeterministic
+    # probes plan (sample/limit) in a later join could bind a
+    # DIFFERENT vector to the same probe_id and rerank candidates
+    # from the wrong buckets (r5 review finding; ann_search_pq
+    # already built its probe vectors this way)
     probe_rows = probes.collect()  # small query set by contract
     pb_rows = []
     all_buckets: set[int] = set()
@@ -335,38 +395,22 @@ def ann_search(
         xn = np.sqrt((x * x).sum()) or 1.0
         sim = (C / c_nrm[:, None]) @ (x / xn)
         order = np.argsort(-sim, kind="stable")[:nprobe]
+        vec = [float(v) for v in r[column]]
         for b in order:
-            pb_rows.append((int(r["probe_id"]), int(b)))
+            pb_rows.append((int(r["probe_id"]), int(b), vec))
             all_buckets.add(int(b))
     probe_buckets = spark.createDataFrame(
-        pb_rows, schema="probe_id long, bucket_id int"
-    ).join(
-        probes.select(
-            F.col("probe_id"), F.col(column).alias("__probe_vec")
-        ),
-        "probe_id",
+        pb_rows,
+        schema="probe_id long, bucket_id int, __probe_vec array<double>",
     )
 
-    posting_dirs = [_postings_dir(root)] + [
+    posting_dirs = [_postings_dir(root, meta)] + [
         os.path.join(root, INDEX_DIR, d) for d in meta.get("delta_dirs", [])
     ]
-    # one read per postings dir (base + index deltas), unioned:
-    # multi-root partition discovery conflicts, and separate reads
-    # keep bucket partition pruning per directory anyway
-    from functools import reduce
-
-    post = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            spark.read.parquet(d).where(
-                F.col("bucket_id").isin(sorted(all_buckets))
-            )
-            for d in posting_dirs
-        ],
-    )
-    cands = post.join(F.broadcast(probe_buckets), "bucket_id").where(
-        F.col(id_col) != F.col("probe_id")
-    )
+    post = _read_postings_dirs(spark, posting_dirs, all_buckets)
+    cands = post.join(F.broadcast(probe_buckets), "bucket_id")
+    if exclude_self:
+        cands = cands.where(F.col(id_col) != F.col("probe_id"))
     from pyspark.sql import Window
 
     dim = meta["dim"]
@@ -403,8 +447,15 @@ def _pq_meta_path(root: str) -> str:
     return os.path.join(root, PQ_INDEX_DIR, "index.json")
 
 
-def _pq_postings_dir(root: str) -> str:
-    return os.path.join(root, PQ_INDEX_DIR, "postings")
+def _pq_postings_dir(root: str, meta: dict | None = None) -> str:
+    if meta is None:
+        try:
+            meta = read_pq_index_meta(root)
+        except lf.LanceDatasetError:
+            meta = {}
+    return os.path.join(
+        root, PQ_INDEX_DIR, meta.get("postings_dir", "postings")
+    )
 
 
 def _normalized(df: DataFrame, column: str, id_col: str) -> DataFrame:
@@ -449,6 +500,34 @@ def _pq_codes(X, bucket_ids, C, CB):
         d2 = ((seg[:, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
         codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
     return codes
+
+
+def _pq_encode_fn(bc, bc_cb, column: str, id_col: str):
+    """mapInPandas closure: residual-PQ-encode assigned vectors into
+    (id, bucket_id, codes) rows — shared by build_ivf_pq_index and
+    extend_ivf_pq_index so the two paths cannot drift."""
+    import numpy as np
+    import pandas as pd
+
+    def encode(batches):
+        CC, CBB = bc.value, bc_cb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[column]]
+            )
+            b = pdf["bucket_id"].to_numpy()
+            codes = _pq_codes(X, b, CC, CBB)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "bucket_id": b,
+                    "codes": [r.tobytes() for r in codes],
+                }
+            )
+
+    return encode
 
 
 def _pq_train(assigned: DataFrame, C, CB0, column: str):
@@ -553,7 +632,11 @@ def build_ivf_pq_index(
         C = _bucket_means(assigned, C, column, dim)
 
     bc = spark.sparkContext.broadcast(C)
-    assigned = _assign_buckets(dfn, bc, column, id_col)
+    # the final assignment feeds the PQ seed collect, every
+    # _pq_train round, and the final encode — localCheckpoint so the
+    # normalize+assign Python chain executes once, not once per
+    # consumer (r5 review finding)
+    assigned = _assign_buckets(dfn, bc, column, id_col).localCheckpoint()
 
     # deterministic PQ init: residuals of the ksub lowest-id vectors
     dsub = dim // m_sub
@@ -577,42 +660,21 @@ def build_ivf_pq_index(
 
     bc_cb = spark.sparkContext.broadcast(CB)
 
-    import pandas as pd
-
-    def encode(batches):
-        CC, CBB = bc.value, bc_cb.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[column]]
-            )
-            b = pdf["bucket_id"].to_numpy()
-            codes = _pq_codes(X, b, CC, CBB)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "bucket_id": b,
-                    "codes": [r.tobytes() for r in codes],
-                }
-            )
-
     postings = assigned.mapInPandas(
-        encode, schema=f"{id_col} long, bucket_id int, codes binary"
+        _pq_encode_fn(bc, bc_cb, column, id_col),
+        schema=f"{id_col} long, bucket_id int, codes binary",
     )
+    # same publish discipline as build_ivf_index: fresh dir, then
+    # lock-serialized meta publish, then sweep superseded dirs
+    import uuid as _uuid
+
+    pname = f"postings_{_uuid.uuid4().hex[:8]}"
     (
         postings.repartition("bucket_id")
         .write.mode("overwrite")
         .partitionBy("bucket_id")
-        .parquet(_pq_postings_dir(root))
+        .parquet(os.path.join(root, PQ_INDEX_DIR, pname))
     )
-    # a rebuild supersedes every PQ index delta: reclaim their dirs
-    import shutil as _shutil
-
-    pq_idx = os.path.join(root, PQ_INDEX_DIR)
-    for name in os.listdir(pq_idx) if os.path.isdir(pq_idx) else []:
-        if name.startswith("postings_delta_"):
-            _shutil.rmtree(os.path.join(pq_idx, name), ignore_errors=True)
     meta = {
         "column": column,
         "id_col": id_col,
@@ -623,12 +685,11 @@ def build_ivf_pq_index(
         "dataset_version": manifest.version,
         "centroids": C.tolist(),
         "codebooks": CB.tolist(),
+        "postings_dir": pname,
     }
     os.makedirs(os.path.join(root, PQ_INDEX_DIR), exist_ok=True)
-    tmp = _pq_meta_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _pq_meta_path(root))
+    _write_meta_cas(_pq_meta_path(root), meta, expected_version=None)
+    _reclaim_unreferenced_dirs(os.path.join(root, PQ_INDEX_DIR), meta)
     return meta
 
 
@@ -650,8 +711,11 @@ def ann_search_pq(
     nprobe: int = 4,
     refine: int = 4,
     allow_stale: bool = False,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k via the persisted IVF_PQ index.
+    ``exclude_self``: see ann_search — only valid when probe ids
+    share the dataset id namespace.
 
     1. bucket choice per probe against the broadcast centroids;
     2. pruned scan of ONLY those bucket partitions (codes, not
@@ -706,26 +770,14 @@ def ann_search_pq(
     probe_buckets = spark.createDataFrame(
         pb_rows, schema="probe_id long, bucket_id int"
     )
-    # base + PQ index deltas, one pruned read per dir (multi-root
-    # partition discovery conflicts; pruning holds per directory)
-    from functools import reduce as _reduce
-
-    pq_dirs = [_pq_postings_dir(root)] + [
+    pq_dirs = [_pq_postings_dir(root, meta)] + [
         os.path.join(root, PQ_INDEX_DIR, d)
         for d in meta.get("delta_dirs", [])
     ]
-    post = _reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            spark.read.parquet(d).where(
-                F.col("bucket_id").isin(sorted(all_buckets))
-            )
-            for d in pq_dirs
-        ],
-    )
-    cands = post.join(F.broadcast(probe_buckets), "bucket_id").where(
-        F.col(id_col) != F.col("probe_id")
-    )
+    post = _read_postings_dirs(spark, pq_dirs, all_buckets)
+    cands = post.join(F.broadcast(probe_buckets), "bucket_id")
+    if exclude_self:
+        cands = cands.where(F.col(id_col) != F.col("probe_id"))
 
     import pandas as pd
 
@@ -797,6 +849,36 @@ def ann_search_pq(
 
 # ----------------------------------------------------- index deltas
 
+def _require_append_only(base, head, rebuild_hint: str) -> list:
+    """Raise unless ``head`` is append-only since ``base`` — shared
+    by both index-delta paths so the (file, deletion_file,
+    num_deleted) identity rule cannot drift between them. Append-only
+    means MORE than the same file names surviving: a deletion-vector
+    delete keeps f.file but changes its deletion state, and silently
+    accepting it would leave base postings serving deleted rows.
+    Returns head's NEW fragments."""
+    head_by_file = {f.file: f for f in head.fragments}
+    changed = [
+        f.file
+        for f in base.fragments
+        if f.file not in head_by_file
+        or (
+            head_by_file[f.file].deletion_file,
+            head_by_file[f.file].num_deleted,
+        )
+        != (f.deletion_file, f.num_deleted)
+    ]
+    if changed:
+        raise lf.LanceDatasetError(
+            f"fragments {changed[:3]} from indexed version "
+            f"{base.version} were rewritten or had rows deleted; an "
+            "index delta requires append-only history — rebuild with "
+            + rebuild_hint
+        )
+    base_files = {f.file for f in base.fragments}
+    return [f for f in head.fragments if f.file not in base_files]
+
+
 def extend_ivf_index(spark: SparkSession, root: str) -> dict:
     """Index DELTA for appended data (Lance proper's incremental
     index maintenance): fragments appended since the index was built
@@ -821,31 +903,8 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
     if head.version == start_version:
         return meta  # nothing to index
     base = lf.read_manifest(root, meta["dataset_version"])
-    # append-only means MORE than the same file names surviving: a
-    # deletion-vector delete keeps f.file but changes its deletion
-    # state — silently accepting it would mark the index fresh while
-    # base postings still serve the deleted rows. Compare the full
-    # (file, deletion_file, num_deleted) identity of shared fragments.
-    head_by_file = {f.file: f for f in head.fragments}
-    changed = [
-        f.file
-        for f in base.fragments
-        if f.file not in head_by_file
-        or (
-            head_by_file[f.file].deletion_file,
-            head_by_file[f.file].num_deleted,
-        )
-        != (f.deletion_file, f.num_deleted)
-    ]
-    if changed:
-        raise lf.LanceDatasetError(
-            f"fragments {changed[:3]} from indexed version "
-            f"{meta['dataset_version']} were rewritten or had rows "
-            "deleted; an index delta requires append-only history — "
-            "rebuild with build_ivf_index"
-        )
-    base_files = {f.file for f in base.fragments}
-    if not [f for f in head.fragments if f.file not in base_files]:
+    new_fragments = _require_append_only(base, head, "build_ivf_index")
+    if not new_fragments:
         # version advanced without new data files (e.g. a streaming
         # watermark commit): nothing to index, just re-pin the meta —
         # writing an empty delta dir would break every later read
@@ -862,7 +921,13 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
     )
     C = np.array(meta["centroids"], dtype=np.float64)
     bc = spark.sparkContext.broadcast(C)
-    delta_name = f"postings_delta_{head.version}"
+    import uuid as _uuid
+
+    # version + unique suffix: two racing extends stage DIFFERENT
+    # dirs, so the CAS loser's write can never delete-and-rewrite the
+    # winner's already-published delta under live searches (r5 review
+    # finding); the losing orphan dir is swept by the next rebuild
+    delta_name = f"postings_delta_{head.version}_{_uuid.uuid4().hex[:8]}"
     delta_dir = os.path.join(root, INDEX_DIR, delta_name)
     (
         _assign_buckets(new_rows, bc, column, id_col)
@@ -896,26 +961,8 @@ def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
     if head.version == start_version:
         return meta
     base = lf.read_manifest(root, meta["dataset_version"])
-    head_by_file = {f.file: f for f in head.fragments}
-    changed = [
-        f.file
-        for f in base.fragments
-        if f.file not in head_by_file
-        or (
-            head_by_file[f.file].deletion_file,
-            head_by_file[f.file].num_deleted,
-        )
-        != (f.deletion_file, f.num_deleted)
-    ]
-    if changed:
-        raise lf.LanceDatasetError(
-            f"fragments {changed[:3]} from indexed version "
-            f"{meta['dataset_version']} were rewritten or had rows "
-            "deleted; an index delta requires append-only history — "
-            "rebuild with build_ivf_pq_index"
-        )
-    base_files = {f.file for f in base.fragments}
-    if not [f for f in head.fragments if f.file not in base_files]:
+    new_fragments = _require_append_only(base, head, "build_ivf_pq_index")
+    if not new_fragments:
         meta = dict(meta)
         meta["dataset_version"] = head.version
         _write_meta_cas(_pq_meta_path(root), meta, start_version)
@@ -934,28 +981,13 @@ def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
     bc_cb = spark.sparkContext.broadcast(CB)
     assigned = _assign_buckets(dfn, bc, column, id_col)
 
-    def encode(batches):
-        CC, CBB = bc.value, bc_cb.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[column]]
-            )
-            b = pdf["bucket_id"].to_numpy()
-            codes = _pq_codes(X, b, CC, CBB)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "bucket_id": b,
-                    "codes": [r.tobytes() for r in codes],
-                }
-            )
+    import uuid as _uuid
 
-    delta_name = f"postings_delta_{head.version}"
+    delta_name = f"postings_delta_{head.version}_{_uuid.uuid4().hex[:8]}"
     (
         assigned.mapInPandas(
-            encode, schema=f"{id_col} long, bucket_id int, codes binary"
+            _pq_encode_fn(bc, bc_cb, column, id_col),
+            schema=f"{id_col} long, bucket_id int, codes binary",
         )
         .repartition("bucket_id")
         .write.mode("overwrite")

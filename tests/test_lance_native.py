@@ -332,3 +332,28 @@ def test_fragment_deletion_file_detected_and_refused():
     ln._refuse_deletions(
         ln.NativeManifest(fields=[], fragments=[frag2], version=1), "/x"
     )
+
+
+def test_native_writer_refuses_existing_dataset_and_fsl_string(tmp_path):
+    """r5 review findings: writing version 1 into a root that already
+    holds manifests would leave the old head serving; and a
+    fixed_size_list<string> has offsets+bytes buffers that the flat
+    fixed-width encoding declaration would misdescribe to real Lance
+    readers."""
+    import pyarrow as pa
+    import pytest
+
+    from lance_duckdb_spark.sources import lance_native_write as lw
+
+    root = str(tmp_path / "ds")
+    lw.write_dataset(pa.table({"x": [1, 2, 3]}), root)
+    with pytest.raises(ln.LanceNativeUnsupported, match="already contains"):
+        lw.write_dataset(pa.table({"x": [9]}), root)
+
+    fsl = pa.FixedSizeListArray.from_arrays(
+        pa.array(["a", "b", "c", "d"]), 2
+    )
+    with pytest.raises(ln.LanceNativeUnsupported, match="fixed_size_list"):
+        lw.write_dataset(
+            pa.table({"v": fsl}), str(tmp_path / "ds2")
+        )

@@ -301,3 +301,59 @@ def test_multimodal_pipeline_decodes_real_payloads(spark, sf_dir):
         assert r.mean_pixel == float(
             np.frombuffer(raw, np.uint8).mean()
         )
+
+
+def test_ngram_jaccard_survives_null_text(spark, sf_dir, tmp_path):
+    """NULL text must be DROPPED (the oracle's WHERE len(text) >= N
+    NULL-comparison semantics), not crash the shingler stage (r5
+    review finding)."""
+    import shutil
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(30)
+        .toPandas()
+    )
+    docs.loc[docs.index[:2], "text"] = None
+    corpus = tmp_path / "nulls"
+    corpus.mkdir()
+    # mirror the sf layout so the operator loads it like a corpus
+    import pandas as pd  # noqa: F401
+
+    docs.to_parquet(str(corpus / "documents.parquet"))
+    out = dedup.ngram_jaccard(spark, str(corpus))
+    got = out.collect()  # must not raise; NULL-text docs absent
+    null_ids = set(docs[docs["text"].isna()]["doc_id"])
+    assert not any(
+        r.doc_a in null_ids or r.doc_b in null_ids for r in got
+    )
+
+
+def test_ann_search_exclude_self_flag(spark, sf_dir):
+    """With probes drawn from the dataset, exclude_self=False must
+    surface the trivial self-match at rank 1 (and the default True
+    must not) — the id-namespace contract made explicit in r5."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.sources import vector_index as vi
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join("/tmp/lance_duckdb_spark", tag, "ivfindex.lance")
+    if not os.path.exists(vi._index_meta_path(root)):
+        similarity.ann_ivf_indexed(spark, sf_dir)  # builds the index
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    with_self = vi.ann_search(
+        spark, root, probes, k_neighbors=3, nprobe=4,
+        allow_stale=True, exclude_self=False,
+    ).collect()
+    top1 = {r.probe_id: r.neighbor_id for r in with_self if r.rnk == 1}
+    assert top1 == {0: 0, 1: 1}
+    without = vi.ann_search(
+        spark, root, probes, k_neighbors=3, nprobe=4, allow_stale=True
+    ).collect()
+    assert all(r.neighbor_id != r.probe_id for r in without)
