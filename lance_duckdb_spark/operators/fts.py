@@ -189,7 +189,11 @@ def search_bm25(
 ) -> DataFrame:
     """Query the persisted index: read ONLY the partitions the query
     terms hash into (parquet partition pruning on the bucket dirs),
-    score, top-k. No join touches the corpus."""
+    score, top-k. No join touches the corpus. Query terms are
+    normalized exactly like the indexed tokens (lowercase, space
+    trim) — a raw-cased term would hash to a bucket holding no such
+    posting and silently return nothing (r5 review finding)."""
+    terms = [t.strip(" ").lower() for t in terms]
     buckets = sorted({bucket_of(t) for t in terms})
     postings = (
         spark.read.parquet(f"{index_dir}/postings")

@@ -463,6 +463,7 @@ class LanceArrowWriter(DataSourceArrowWriter):
         compression: str = "snappy",
         merge_schema: bool = False,
         bloom_columns: list[str] | None = None,
+        expected_version: int | None = None,
     ):
         self.root = root
         self.schema = schema
@@ -470,6 +471,12 @@ class LanceArrowWriter(DataSourceArrowWriter):
         self.compression = compression
         self.merge_schema = merge_schema
         self.bloom_columns = bloom_columns
+        # .option("expectedVersion", N): optimistic-concurrency gate
+        # for read-modify-write maintenance jobs (OPTIMIZE) — the
+        # commit refuses if another writer advanced the head since
+        # the maintenance read it, instead of silently dropping the
+        # concurrent writer's rows from the overwrite
+        self.expected_version = expected_version
         os.makedirs(root, exist_ok=True)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> LanceCommitMessage:
@@ -510,6 +517,7 @@ class LanceArrowWriter(DataSourceArrowWriter):
             frags,
             mode="overwrite" if self.overwrite else "append",
             merge_schema=self.merge_schema,
+            expected_version=self.expected_version,
         )
 
     def abort(self, messages):
@@ -798,11 +806,15 @@ class LanceDataSource(DataSource):
         bloom = self.options.get(
             "bloom_columns", self.options.get("bloomcolumns")
         )
+        ev = self.options.get(
+            "expectedVersion", self.options.get("expectedversion")
+        )
         return LanceArrowWriter(
             self._root(),
             schema,
             overwrite,
             bloom_columns=bloom.split(",") if bloom else None,
+            expected_version=int(ev) if ev is not None else None,
             compression=self.options.get("compression", "snappy"),
             merge_schema=str(
                 self.options.get("mergeschema", "false")

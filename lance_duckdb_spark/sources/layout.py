@@ -105,9 +105,42 @@ def optimize(
     if zorder_cols is None:
         return lf.compact(root)
     register(spark)
-    head = spark.read.format("lance").load(root)
-    write_zordered(
-        head, root, cols=zorder_cols, n_fragments=n_fragments, bits=bits,
-        mode="overwrite",
+    # optimistic concurrency (same CAS as the compact branch): pin
+    # the version this maintenance read, and let the overwrite
+    # commit REFUSE if a concurrent writer advanced the head in
+    # between — without it the re-cluster would silently drop the
+    # concurrent append's rows from the new head (r5 review finding)
+    start_version = lf.read_manifest(root).version
+    head = (
+        spark.read.format("lance")
+        .option("version", str(start_version))
+        .load(root)
+    )
+    _write_zordered_with_cas(
+        head, root, zorder_cols, n_fragments, bits, start_version
     )
     return lf.read_manifest(root)
+
+
+def _write_zordered_with_cas(
+    df, path: str, cols, n_fragments: int, bits: int, expected_version: int
+) -> None:
+    ca, cb = cols
+    stats = df.agg(
+        F.min(F.col(ca).cast("double")).alias("a_mn"),
+        F.max(F.col(ca).cast("double")).alias("a_mx"),
+        F.min(F.col(cb).cast("double")).alias("b_mn"),
+        F.max(F.col(cb).cast("double")).alias("b_mx"),
+    ).first()
+    za = _bucket(F.col(ca), F.lit(stats.a_mn), F.lit(stats.a_mx), bits)
+    zb = _bucket(F.col(cb), F.lit(stats.b_mn), F.lit(stats.b_mx), bits)
+    keyed = df.withColumn("__z", z_value(za, zb, bits))
+    (
+        keyed.repartitionByRange(n_fragments, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format("lance")
+        .mode("overwrite")
+        .option("expectedVersion", str(expected_version))
+        .save(path)
+    )

@@ -60,6 +60,15 @@ def build_scalar_index(
     from pyspark.sql.types import StructType
 
     register(spark)
+    from . import lance_native as ln
+
+    if ln.is_native_dataset(root):
+        raise lf.LanceDatasetError(
+            "scalar indexes over datasets created by Lance proper are "
+            "not supported without the lance wheel (the fragment "
+            "allowlist scan option only exists for the JSON-manifest "
+            "store)"
+        )
     manifest = lf.read_manifest(root)
     committed = StructType.fromJson(json.loads(manifest.schema_json))
     if column not in committed.fieldNames():
@@ -82,6 +91,10 @@ def build_scalar_index(
             F.col(column).alias("value"),
             F.col("_metadata.file_name").alias("__file"),
         )
+        # NULL never matches an eq/between probe: indexing it would
+        # only write dead entries (one per fragment of a sparse
+        # column; r5 review finding)
+        .where(F.col("value").isNotNull())
         .groupBy("value", "__file")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
@@ -156,9 +169,16 @@ def scalar_index_scan(
     frags = sorted(
         {r["fragment"] for r in entries.select("fragment").distinct().collect()}
     )
-    reader = spark.read.format("lance")
-    if allow_stale:
-        reader = reader.option("version", str(meta["dataset_version"]))
+    # ALWAYS pin the indexed version: the staleness check above is
+    # check-then-act, and the scan is lazy — an append between the
+    # check and the action would otherwise pass the fragment
+    # allowlist (old names still present) and silently omit the new
+    # rows (r5 review finding). Pinning makes the result exactly
+    # "the indexed snapshot", which is what the index can prove
+    # things about.
+    reader = spark.read.format("lance").option(
+        "version", str(meta["dataset_version"])
+    )
     if not frags:
         # provably empty: scan nothing but keep the schema/predicate
         return reader.load(root).where(F.lit(False))

@@ -21,6 +21,8 @@ other streaming DataFrame.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -242,11 +244,26 @@ def _fresh_stream_root(sf_dir: str, name: str) -> str:
     return root
 
 
+def _await_or_raise(q, timeout_s: int = 180) -> None:
+    """awaitTermination returns False on timeout WITHOUT raising —
+    every staged run must treat that as a hard failure, or a
+    timed-out pass reads partial results / collides with the next
+    start() on the same checkpoint (r5 review finding)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming pass did not finish within {timeout_s}s"
+        )
+
+
 def _time_splits(ev: DataFrame, n_splits: int = 3) -> list[DataFrame]:
     """events partitioned into ``n_splits`` contiguous event-time
     ranges (arrival simulated in event-time order, so watermark
-    semantics behave as they would live)."""
+    semantics behave as they would live). Empty input → no splits
+    (min/max are NULL; the arithmetic would crash)."""
     lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    if lo is None:
+        return []
     step = (hi - lo) // n_splits + 1
     return [
         ev.where(
@@ -294,7 +311,7 @@ def staged_session_run(spark: SparkSession, sf_dir: str, name: str):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _await_or_raise(q)
     return spark.read.parquet(out), q
 
 
@@ -378,7 +395,7 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start(dst)
         )
-        q.awaitTermination(180)
+        _await_or_raise(q)
     sunk = spark.read.format("lance").load(dst)
     return (
         sunk.groupBy("event_type")
@@ -428,6 +445,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if prev_tail is not None:
             batch = batch.unionAll(prev_tail)  # cross-batch duplicates
         hi = part.agg(F.max("ts_us")).first()[0]
+        if hi is None:  # empty slice (sparse event-time gap): no tail
+            prev_tail = None
+            continue
         prev_tail = part.where(F.col("ts_us") > hi - _FIVE_MIN_US)
         mode = "overwrite" if i == 0 else "append"
         batch.coalesce(1).write.format("lance").mode(mode).save(root)
@@ -444,7 +464,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _await_or_raise(q)
     deduped = spark.read.parquet(out)
     return (
         deduped.groupBy("event_type")
@@ -527,7 +547,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _await_or_raise(q)
     return (
         spark.read.parquet(out)
         .select("signup_id", "purchase_id", "user_id", "lag_us")
@@ -560,11 +580,15 @@ def _read_epoch_store(
     """Read an epoch-partitioned micro-batch output store, dropping
     the epoch partition column (absent-dir → empty frame). With
     ``exclude_epoch``, rows written by that epoch are filtered out —
-    a replayed batch must not see its own previous output."""
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
+    a replayed batch must not see its own previous output. Only a
+    genuinely ABSENT store reads as empty; any other read failure
+    propagates (swallowing it would silently drop the whole store
+    from this batch's candidate generation; r5 review finding)."""
+    import os
+
+    if not os.path.isdir(path):
         return spark.createDataFrame([], schema)
+    df = spark.read.parquet(path)
     if exclude_epoch is not None and "epoch" in df.columns:
         df = df.where(F.col("epoch") != exclude_epoch)
     return df.drop("epoch")
@@ -690,8 +714,12 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _await_or_raise(q)
 
+    if not os.path.isdir(results_dir):  # empty corpus: no batches ran
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double"
+        )
     return (
         spark.read.parquet(results_dir)
         .drop("epoch")
@@ -765,8 +793,12 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        _await_or_raise(q)
 
+    if not os.path.isdir(store):  # empty stream: no batches ran
+        from ..operators.timeseries import DAILY_SUMMARY_SCHEMA
+
+        return spark.createDataFrame([], DAILY_SUMMARY_SCHEMA)
     rolled = spark.read.parquet(store).drop("epoch")
     # literal cutoff (bounded 1-row collect): day-partition pruning
     # on the store needs a literal, a join-derived filter can't prune
