@@ -64,6 +64,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             converged = True
             break
+    # release the pinned edge blocks: the driver session is long-lived
+    # and runs 100+ queries — leaked caches accumulate in executor
+    # storage and evict useful blocks (r5 review finding). The final
+    # labels checkpoint is tiny (one row per clustered doc) and is
+    # consumed by the aggregation below before going out of scope.
+    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"label propagation did not converge in {MAX_ITERS} iterations "

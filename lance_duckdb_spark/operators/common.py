@@ -87,3 +87,16 @@ def text_fingerprint(col: Column | str = "text") -> Column:
 SQL_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
 SQL_CHARGE = f"{SQL_REV} * CAST(1 + l_tax AS DECIMAL(4,2))"
 SQL_FINGERPRINT = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+def doc_bucket(col: Column | str = "doc_id") -> Column:
+    """Deterministic 16-bit md5 bucket of a document id — the ONE
+    sampling-bucket identity shared by stratified_sample, domain_mix
+    and temperature_resample (keep in lockstep with SQL_DOC_BUCKET:
+    a drift in any copy is a silent oracle-hash divergence)."""
+    return F.conv(
+        F.substring(F.md5(_c(col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+
+
+SQL_DOC_BUCKET = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)"

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
+from .common import doc_bucket, text_fingerprint
 
 # -- contamination ----------------------------------------------------------
 
@@ -62,8 +63,9 @@ def _word_ngrams_udf(n: int):
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination: which corpus docs share a word
-    7-gram with a held-out benchmark set (here: every 97th doc,
-    standing in for an eval benchmark)? The standard pre-training
+    7-gram with a held-out benchmark set (here: every 17th doc —
+    see the BENCH_MOD note above — standing in for an eval
+    benchmark)? The standard pre-training
     hygiene scan (e.g. GPT-3's 13-gram dedup against its evals).
 
     Candidate generation is an equi-join on the gram string — at
@@ -146,6 +148,10 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows: dict[str, list[int]] = {}
             for src, txt in zip(pdf["source"], pdf["text"]):
+                if txt is None:
+                    # oracle's WHERE len(...) > 0 drops NULL rows
+                    # (NULL comparison); match instead of crashing
+                    continue
                 # strip(" ") not strip(): Spark/DuckDB trim() removes
                 # only spaces, Python's bare strip() all whitespace
                 w = txt.strip(" ").split(" ")
@@ -209,7 +215,7 @@ FROM per_doc GROUP BY source ORDER BY source
 PACK_BUDGET = 1024  # tokens per training sequence
 
 
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: D401
     """Greedy first-fit packing of documents into fixed-budget
     training sequences (context-window packing), per source, in
     doc_id order: a doc goes into the current sequence if it fits,
@@ -223,7 +229,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE computes the identical fold)."""
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()  # size(split(NULL)) = -1; oracle NULLs
+    )
     toks = docs.select(
         "source",
         "doc_id",
@@ -266,6 +274,7 @@ WITH RECURSIVE docs_o AS (
     len(string_split(trim(text), ' ')) AS tok,
     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
+  WHERE text IS NOT NULL
 ),
 packed AS (
   SELECT source, rn, tok, 1 AS seq_idx, tok AS fill
@@ -305,9 +314,7 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr("(10000 * min_n) div n_lang").alias("keep_bp"),
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
+    bucket = doc_bucket()
     kept = (
         docs.join(rates, "lang")
         .where(bucket % 10_000 < F.col("keep_bp"))
@@ -370,9 +377,7 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("keep_bp"),
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("long")
+    bucket = doc_bucket()
     kept = docs.join(rates, "lang").where(
         bucket % 10_000 < F.col("keep_bp")
     )
@@ -429,9 +434,16 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    docs = load(spark, sf_dir, "documents").select(
-        "source", bow_fp.alias("fp")
-    ).distinct()
+    docs = (
+        load(spark, sf_dir, "documents")
+        # NULL text: Spark concat_ws over a NULL array yields '' (so
+        # NULL docs would all share md5('') and spuriously join);
+        # the oracle's array_to_string(NULL) stays NULL and drops
+        # them — align by dropping in both engines
+        .where(F.col("text").isNotNull())
+        .select("source", bow_fp.alias("fp"))
+        .distinct()
+    )
     a = docs.select(F.col("source").alias("src_a"), "fp")
     b = docs.select(F.col("source").alias("src_b"), "fp")
     return (
@@ -449,6 +461,7 @@ WITH fps AS (
     md5(array_to_string(list_sort(list_distinct(
       string_split(lower(trim(text)), ' '))), ' ')) AS fp
   FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_fps
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
@@ -468,10 +481,13 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash groupBy and one equi-join back on the fingerprint; at
     100 TB the fingerprint is already materialized by the dedup
     pass, making this a free rider on that shuffle."""
-    from .common import text_fingerprint
-
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", text_fingerprint().alias("fp")
+    
+    docs = (
+        load(spark, sf_dir, "documents")
+        # NULL text → NULL fingerprint: the oracle's join on fp drops
+        # those rows; align by dropping in both engines
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", text_fingerprint().alias("fp"))
     )
     # the cluster's split side: decided once from the fingerprint
     # (first two hex digits -> 0..255, ~90/10 by mod 10)
@@ -487,10 +503,14 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches reuse, instead of an eager audit action that re-ran
     # the scan: sf1 11.6s -> ~3s). The audit still counts clusters
     # whose assigned sides disagree, and must stay zero.
-    per = (
-        docs.groupBy("fp", "source")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("split", side)
+    # the side is assigned at DOC level so the audit below checks the
+    # per-document assignment (a regression that keys the side on a
+    # doc attribute instead of the cluster fingerprint fires it) —
+    # deriving the side after the fp groupBy would make the audit
+    # structurally zero and self-certifying (r5 review finding)
+    tagged = docs.withColumn("split", side)
+    per = tagged.groupBy("fp", "source", "split").agg(
+        F.count(F.lit(1)).alias("n")
     )
     leak = (
         per.groupBy("fp")
@@ -514,6 +534,7 @@ WITH docs AS (
   SELECT doc_id, source,
          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
   FROM documents
+  WHERE text IS NOT NULL
 ),
 sides AS (
   SELECT fp,

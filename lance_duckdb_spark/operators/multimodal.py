@@ -177,6 +177,10 @@ def as_media_table(docs: DataFrame) -> DataFrame:
         "UTF-8",
     )
     payload = F.concat(header, text_bytes)
+    # NULL text would produce a NULL payload that bytes(None) cannot
+    # decode — a NULL document has no media payload; drop in both
+    # engines (oracle: WHERE text IS NOT NULL)
+    docs = docs.where(F.col("text").isNotNull())
     return docs.select(
         "doc_id",
         payload.alias("payload"),
@@ -274,6 +278,7 @@ SELECT 'media/' || source AS media_type,
   MAX(octet_length(encode(text))) AS max_width,
   COUNT(DISTINCT md5(text)) AS n_distinct_features
 FROM documents
+WHERE text IS NOT NULL
 GROUP BY 1
 ORDER BY media_type
 """

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .common import text_fingerprint
+from .common import doc_bucket, text_fingerprint
 
 SAMPLE_PCT = 20  # per-stratum sample rate (percent)
 
@@ -26,7 +26,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-materialized identically."""
     docs = load(spark, sf_dir, "documents")
     # first 4 hex chars of md5(doc_id) → 16 bits → threshold
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    bucket = doc_bucket()
     sampled = docs.where(bucket % 100 < SAMPLE_PCT)
     return (
         sampled.groupBy("lang")

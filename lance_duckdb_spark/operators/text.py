@@ -50,7 +50,12 @@ def _marker_hits(lang: str) -> Column:
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # NULL text: Spark's size(filter(NULL)) = -1 per marker list
+    # would argmax to 'en' while the oracle scores NULL — a NULL
+    # document is no document; drop in both engines
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     scored = docs.select(
         "doc_id",
         *[_marker_hits(lang).alias(f"s_{lang}") for lang in LANG_ORDER],
@@ -92,6 +97,7 @@ SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
 FROM (
   SELECT doc_id, {', '.join(score_cols)}
   FROM documents
+  WHERE text IS NOT NULL
 )
 ORDER BY doc_id
 """
@@ -196,7 +202,11 @@ TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # size(split(NULL)) = -1 vs SQL SUM's NULL-skip: drop NULL text
+    # in both engines (same discipline as quality_score)
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     ws_tokens = F.size(_words())
     re_tokens = F.regexp_count("text", F.lit(TOKEN_RE))
     return (
@@ -217,6 +227,7 @@ SELECT source,
   CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS re_tokens,
   COUNT(*) AS n_docs
 FROM documents
+WHERE text IS NOT NULL
 GROUP BY source
 ORDER BY source
 """
