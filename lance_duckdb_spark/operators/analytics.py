@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import US_PER_DAY, load
 from .common import MONEY, dsum, money
 
 
@@ -286,7 +286,7 @@ def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # calendar day tz-independently via exact integer division (a
     # double divide would lose precision above 2^53 µs).
     day = F.date_from_unix_date(
-        F.expr("CAST(ts_us DIV 86400000000 AS INT)")
+        F.expr(f"CAST(ts_us DIV {US_PER_DAY} AS INT)")
     ).alias("d")
     pivoted = (
         ev.groupBy(day)
@@ -303,7 +303,7 @@ _pivot_cols = ",\n  ".join(
     for k in EVENT_TYPES
 )
 PIVOT_EVENTS_SQL = f"""
-SELECT DATE '1970-01-01' + CAST(epoch_us(ts) // 86400000000 AS INT) AS d,
+SELECT DATE '1970-01-01' + CAST(epoch_us(ts) // {US_PER_DAY} AS INT) AS d,
   {_pivot_cols}
 FROM events
 GROUP BY 1
@@ -333,7 +333,12 @@ def approx_quantiles_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy regression breaks the driver hash instead of hiding in a
     rows-only row."""
     orders = load(spark, sf_dir, "orders")
-    rel_err = lambda approx, exact: F.abs(approx - exact) / F.abs(exact)  # noqa: E731
+    # multiplication form: |approx-exact| <= tol*|exact| avoids the
+    # exact==0 division (NULL flag vs the oracle's literal TRUE) —
+    # at exact==0 the flag requires approx==0 (r5 review finding)
+    within = lambda approx, exact, tol: (  # noqa: E731
+        F.abs(approx - exact) <= tol * F.abs(exact)
+    )
     # the percentile aggregates and the distinct aggregates run as
     # SEPARATE aggregations joined by a broadcast 1-row crossJoin:
     # mixing countDistinct with non-distinct aggregates makes
@@ -344,29 +349,23 @@ def approx_quantiles_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pct = orders.agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50_exact"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_exact"),
-        (
-            rel_err(
-                F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)),
-                F.percentile("o_totalprice", F.lit(0.5)),
-            )
-            <= APPROX_PCT_RELTOL
+        within(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)),
+            F.percentile("o_totalprice", F.lit(0.5)),
+            APPROX_PCT_RELTOL,
         ).alias("p50_within_tol"),
-        (
-            rel_err(
-                F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)),
-                F.percentile("o_totalprice", F.lit(0.9)),
-            )
-            <= APPROX_PCT_RELTOL
+        within(
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)),
+            F.percentile("o_totalprice", F.lit(0.9)),
+            APPROX_PCT_RELTOL,
         ).alias("p90_within_tol"),
     )
     dst = orders.agg(
         F.countDistinct("o_custkey").alias("n_cust_exact"),
-        (
-            rel_err(
-                F.approx_count_distinct("o_custkey").cast("double"),
-                F.countDistinct("o_custkey").cast("double"),
-            )
-            <= APPROX_DISTINCT_RELTOL
+        within(
+            F.approx_count_distinct("o_custkey").cast("double"),
+            F.countDistinct("o_custkey").cast("double"),
+            APPROX_DISTINCT_RELTOL,
         ).alias("distinct_within_tol"),
     )
     return pct.crossJoin(F.broadcast(dst)).select(

@@ -36,9 +36,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COHORT_RETENTION_SQL = """
+COHORT_RETENTION_SQL = f"""
 WITH days AS (
-  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+  SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events
 ),
 first AS (
   SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id

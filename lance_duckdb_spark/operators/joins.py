@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 from ..tables import US_PER_HOUR, load
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min (shared with the oracle SQL)
+
 # Event time lives in integer nanoseconds (see tables.load_events);
 # DuckDB oracles use epoch_us(ts) so both engines do the identical
 # int64 arithmetic.
@@ -110,13 +112,13 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RANGE_JOIN_SQL = """
+RANGE_JOIN_SQL = f"""
 SELECT p.event_id AS purchase_id, COUNT(v.event_id) AS n_views_1h
 FROM events p
 LEFT JOIN events v
   ON v.event_type = 'view'
  AND v.user_id = p.user_id
- AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(v.ts) >= epoch_us(p.ts) - {US_PER_HOUR}
  AND epoch_us(v.ts) <= epoch_us(p.ts)
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
@@ -128,11 +130,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap_us = 30 * 60 * 1_000_000  # 30 min
     with_gap = ev.withColumn("prev_ts", F.lag("ts_us").over(w)).withColumn(
         "is_new",
         F.when(
-            F.col("prev_ts").isNull() | (F.col("ts_us") - F.col("prev_ts") > gap_us),
+            F.col("prev_ts").isNull()
+            | (F.col("ts_us") - F.col("prev_ts") > SESSION_GAP_US),
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
@@ -147,11 +149,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SESSIONIZE_SQL = """
+SESSIONIZE_SQL = f"""
 WITH g AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_id,
     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
          THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
@@ -187,11 +189,24 @@ def anti_semi_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("n_inactive"))
     )
+    # hint the BUILD side: a LEFT OUTER join cannot build its
+    # preserved (left) side, so F.broadcast(nation) there was a
+    # silent no-op (Spark logs and discards the hint; r5 review
+    # finding) — the tiny per-nation aggregates are the
+    # broadcastable sides
     return (
-        F.broadcast(nation)
-        .join(active, nation.n_nationkey == active.c_nationkey, "left")
+        nation
+        .join(
+            F.broadcast(active),
+            nation.n_nationkey == active.c_nationkey,
+            "left",
+        )
         .drop("c_nationkey")
-        .join(inactive, nation.n_nationkey == inactive.c_nationkey, "left")
+        .join(
+            F.broadcast(inactive),
+            nation.n_nationkey == inactive.c_nationkey,
+            "left",
+        )
         .select(
             "n_name",
             F.coalesce("n_active", F.lit(0)).alias("n_active"),

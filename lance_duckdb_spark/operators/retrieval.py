@@ -36,6 +36,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
+            # ONE round over the full product — deliberately NOT the
+            # BM25 round-the-ln-first rule: measured on this corpus,
+            # rounding the idf to 6 first makes Spark's decimal-based
+            # HALF_UP round and DuckDB's scaled-multiply round
+            # disagree at the 6th decimal on many idf values, and the
+            # tf multiply amplifies that into wrong hashes; the
+            # single-round product form has been hash-exact at
+            # sf0.001-1 across five rounds (1-ulp ln drift never
+            # lands the PRODUCT on a .5e-7 boundary here)
             F.round(
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("tfidf"),

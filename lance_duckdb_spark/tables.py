@@ -70,14 +70,34 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # why it can't be save/restored around the read.
     try:
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    except Exception:
+    except Exception as e:
+        if "NANOS" not in str(e).upper():
+            # only the legacy-nanos schema case gets the conf retry;
+            # any other failure (bad path, IO) must not flip a
+            # session-global conf on its way out (r5 review finding)
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        except Exception:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            raise
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         ts_us = F.expr("ts DIV 1000")  # int64 nanoseconds
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # tz-FREE epoch derivation: the old unix_micros(cast) route
+        # interpreted the NTZ wall time in the session timezone, so
+        # ts_us silently depended on spark.sql.session.timeZone being
+        # UTC (a 5h shift under America/New_York — r5 review finding,
+        # verified); timestampdiff against the NTZ epoch is exact
+        # integer microseconds under ANY session tz
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
     else:
-        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        ts_us = F.unix_micros(F.col("ts"))  # LTZ: already an instant
     return df.withColumn("ts_us", ts_us).drop("ts")
 
 
