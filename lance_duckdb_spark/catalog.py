@@ -155,6 +155,11 @@ def _narrowed_schema(path: str, sql: str):
     starless = re.sub(r"(?i)count\s*\(\s*\*\s*\)", "", sql)
     if "*" in starless:
         return None
+    # NATURAL JOIN references every common column WITHOUT naming it —
+    # narrowing would drop unnamed join keys from the scan schema and
+    # silently change the join. Same conservative gate as '*'.
+    if re.search(r"(?i)\bnatural\b", sql):
+        return None
     try:
         if ln.is_native_dataset(path):
             return None  # native reader manages its own schema map

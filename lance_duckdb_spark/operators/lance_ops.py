@@ -84,7 +84,7 @@ def lance_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("latest_orders"),
         dsum(money("o_totalprice"), "latest_revenue"),
     )
-    return a.crossJoin(b)
+    return a.crossJoin(F.broadcast(b))
 
 
 LANCE_TIME_TRAVEL_SQL = """
@@ -326,7 +326,7 @@ def lance_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(money("o_totalprice"), "revenue"),
     )
-    return agg.crossJoin(meta).orderBy("o_orderstatus")
+    return agg.crossJoin(F.broadcast(meta)).orderBy("o_orderstatus")
 
 
 LANCE_DELETE_VECTOR_SQL = """
@@ -408,7 +408,7 @@ def lance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(before.fragments), len(after.fragments))],
         schema="frags_before int, frags_after int",
     )
-    return agg.crossJoin(meta)
+    return agg.crossJoin(F.broadcast(meta))
 
 
 LANCE_COMPACT_SQL = """

@@ -155,23 +155,47 @@ _GREEN_R4 = {
 }
 
 # Queries whose HASHED OUTPUT changed in r5 (rows-only → hash-exact
-# conversions): their old driver rows don't count as hash verification,
-# so they lead the window regardless of when they last appeared.
+# conversions): their old driver rows don't count as hash verification.
+# All six were recorded hash-exact by the r5 driver (CORRECTNESS_r05), so
+# the set is retired from the recheck tier; kept for the historical record.
 _RECHECK_R5 = {
     "approx_quantiles_vs_exact", "ann_ivf", "ann_ivf_indexed",
     "ann_ivf_pq", "embedding_neardup_lsh", "sketch_distinct_rollup",
 }
 
+# All 50 rows CORRECTNESS_r05 recorded — every one hash-exact.
+_GREEN_R5 = {
+    "ann_ivf", "ann_ivf_indexed", "ann_ivf_pq", "anti_semi_joins",
+    "approx_quantiles_vs_exact", "array_functions", "asof_join_events_orders",
+    "boilerplate_lines", "char_entropy", "cohort_retention", "distinct_counts",
+    "doc_fingerprint", "embedding_neardup_lsh", "funnel_steps",
+    "group_quantile_arrays", "lance_stats_pushdown", "lang_id",
+    "leakage_safe_split", "percentiles", "pii_redact", "pivot_events",
+    "quality_score", "range_join_events", "robust_stats", "rollup_revenue",
+    "running_totals", "sessionize_events", "sketch_distinct_rollup",
+    "stats_moments", "temperature_resample", "text_normalize", "token_count",
+    "top_revenue_per_segment", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20",
+    "tpch_q21", "tpch_q22", "tpch_q7", "tpch_q8", "tpch_q9",
+    "url_domain_stats", "window_rank_functions",
+}
+
+# Queries whose HASHED OUTPUT changes in r6 go here (treated as
+# never-verified so they lead the window).
+_RECHECK_R6: set = set()
+
 
 def _rotate(merged: dict) -> dict:
-    # Round-5 window: (1) brand-new queries and the r5 hash-output
-    # conversions, (2) the r2-only block (B37-B41 leftovers + the
-    # tpch3 B42-B51 set — last driver-verified 3 rounds ago),
-    # (3) r3-only, (4) r4-fresh. Within each tier module order holds.
-    rounds = [_GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4]
+    # Round-6 window: (1) brand-new queries + r6 hash-output changes,
+    # (2) the 20 queries last green in r3 (stream_* block, the r3 lance
+    # maintenance ops, event_transitions/events_json_extract/
+    # session_window_native/sql_api_priority_matrix/string_agg_ordered,
+    # the r3-only dedup/ann block), (3) 30 of the r4-fresh set,
+    # (4) r5-fresh. Within each tier module order holds.
+    rounds = [_GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4, _GREEN_R5]
 
     def last_verified(k: str) -> int:
-        if k in _RECHECK_R5:
+        if k in _RECHECK_R6:
             return 0
         return max(
             (i + 1 for i, s in enumerate(rounds) if k in s), default=0

@@ -563,6 +563,14 @@ class LanceStreamReader(DataSourceStreamReader):
         # blind would regress below the checkpoint and replay);
         # every subsequent trigger is capped. None = no knowledge.
         self._floor: int | None = None
+        # Whether latestOffset has been called this run. The FIRST
+        # call is always uncapped: under trigger(availableNow=True)
+        # Spark pins the run's end target from that single snapshot
+        # and terminates there — a capped first answer would strand
+        # backlog beyond the cap when the query stops (r5 ADVICE).
+        # Processing-time runs get the cap from the second trigger
+        # on, which is also the documented cold-start behavior.
+        self._latest_called = False
 
     def _frags(self) -> list[lf.Fragment]:
         try:
@@ -587,8 +595,13 @@ class LanceStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         frags = self._frags()
         n = len(frags)
-        if self.max_fragments_per_trigger is not None and self._floor is not None:
+        if (
+            self.max_fragments_per_trigger is not None
+            and self._floor is not None
+            and self._latest_called
+        ):
             n = min(n, self._floor + self.max_fragments_per_trigger)
+        self._latest_called = True
         return {
             "frag_count": n,
             "prefix_sha": self._prefix_sha(frags, n),

@@ -228,6 +228,14 @@ def _arrow_schema(schema_json: str) -> pa.Schema:
 BLOOM_DIR = "_blooms"
 _BLOOM_BITS_PER_VALUE = 10  # ~1% false-positive rate
 _BLOOM_K = 7
+# Canonicalization format version, stamped into every bloom at write
+# time. The hash-input canonicalization is PART of the side-file
+# format: a probe computed under a different canonicalization than the
+# writer used yields false NEGATIVES — the anti-conservative failure
+# blooms must never have. v2 = repr(float(v)) for numerics (int 5 and
+# float 5.0 hash identically); blooms written before the stamp existed
+# (str(v) numerics) carry no "canon" key and are never probed.
+_BLOOM_CANON_VERSION = 2
 
 
 def _bloom_hashes(value) -> tuple[int, int]:
@@ -271,6 +279,7 @@ def build_bloom(values) -> dict:
     return {
         "m": m,
         "k": _BLOOM_K,
+        "canon": _BLOOM_CANON_VERSION,
         "bits": base64.b64encode(bytes(bits)).decode(),
     }
 
@@ -278,6 +287,10 @@ def build_bloom(values) -> dict:
 def bloom_may_contain(bloom: dict, value) -> bool:
     import base64
 
+    if bloom.get("canon") != _BLOOM_CANON_VERSION:
+        # written under a different (or pre-stamp) canonicalization:
+        # probing it could false-negative, so never prune on it
+        return True
     bits = base64.b64decode(bloom["bits"])
     m = bloom["m"]
     h1, h2 = _bloom_hashes(value)
@@ -303,14 +316,15 @@ def write_fragment(
     rel = os.path.join(DATA_DIR, name)
     pq.write_table(table, os.path.join(root, rel), compression=compression)
     bloom_rel = None
-    # restrict blooms to types whose str() canonicalization is
-    # guaranteed identical between the write path (pyarrow
-    # to_pylist values) and the probe path (a Spark-pushed EqualTo
-    # literal): strings, ints, floats, bools. Temporal/decimal
-    # values can render differently (tz-aware vs naive datetimes),
-    # which would make a negative bloom test ANTI-conservative —
-    # pruning a fragment that holds matches. Skipped silently:
-    # blooms are an optimization, never required for correctness.
+    # restrict blooms to types whose _bloom_hashes canonicalization
+    # (repr(float) for numerics, str otherwise) is guaranteed
+    # identical between the write path (pyarrow to_pylist values)
+    # and the probe path (a Spark-pushed EqualTo literal): strings,
+    # ints, floats, bools. Temporal values can render differently
+    # (tz-aware vs naive datetimes), which would make a negative
+    # bloom test ANTI-conservative — pruning a fragment that holds
+    # matches. Skipped silently: blooms are an optimization, never
+    # required for correctness.
     safe = (pa.types.is_string, pa.types.is_large_string,
             pa.types.is_integer, pa.types.is_floating,
             pa.types.is_boolean)

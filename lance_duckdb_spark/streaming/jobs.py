@@ -256,6 +256,18 @@ def _await_or_raise(q, timeout_s: int = 180) -> None:
         )
 
 
+def _read_staged_out(spark: SparkSession, out: str, schema: str) -> DataFrame:
+    """Read a staged run's parquet output dir, or an EMPTY frame with
+    the declared schema when no pass ever wrote it (empty events →
+    _time_splits returns [] → zero passes → the path does not exist;
+    spark.read.parquet would fail on the nonexistent dir)."""
+    import os
+
+    if not os.path.isdir(out):
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(out)
+
+
 def _time_splits(ev: DataFrame, n_splits: int = 3) -> list[DataFrame]:
     """events partitioned into ``n_splits`` contiguous event-time
     ranges (arrival simulated in event-time order, so watermark
@@ -312,7 +324,10 @@ def staged_session_run(spark: SparkSession, sf_dir: str, name: str):
             .start()
         )
         _await_or_raise(q)
-    return spark.read.parquet(out), q
+    emitted = _read_staged_out(
+        spark, out, "user_id long, start_us long, end_us long, n_events long"
+    )
+    return emitted, q
 
 
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,7 +398,13 @@ def stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     register(spark)
     src = _fresh_stream_root(sf_dir, "sinksrc")
     dst = _fresh_stream_root(sf_dir, "sinkdst")
-    for i, part in enumerate(_time_splits(load(spark, sf_dir, "events"))):
+    splits = _time_splits(load(spark, sf_dir, "events"))
+    if not splits:  # empty events: no dataset was ever written at dst
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_events long, sum_value double, n_ids long",
+        )
+    for i, part in enumerate(splits):
         mode = "overwrite" if i == 0 else "append"
         part.coalesce(1).write.format("lance").mode(mode).save(src)
         q = (
@@ -465,7 +486,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _await_or_raise(q)
-    deduped = spark.read.parquet(out)
+    deduped = _read_staged_out(
+        spark, out,
+        "event_id long, event_type string, value double, ts_us long",
+    )
     return (
         deduped.groupBy("event_type")
         .agg(
@@ -549,7 +573,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_or_raise(q)
     return (
-        spark.read.parquet(out)
+        _read_staged_out(
+            spark, out,
+            "signup_id long, purchase_id long, user_id long, lag_us long",
+        )
         .select("signup_id", "purchase_id", "user_id", "lag_us")
         .orderBy("signup_id", "purchase_id")
     )

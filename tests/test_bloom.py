@@ -115,3 +115,21 @@ def test_numeric_type_drift_cannot_prune_wrongly():
 
     assert lf.bloom_may_contain(bi, Decimal("7"))
     assert lf.bloom_may_contain(lf.build_bloom([True, False]), 1)
+
+
+def test_unversioned_bloom_never_prunes():
+    """A bloom side file written before the canonicalization version
+    stamp existed (r5: numerics hashed str(v), not repr(float(v)))
+    must NEVER be probed: the probe would compute different hash
+    inputs than the writer and could answer a false negative —
+    wrongly pruning a fragment that holds matches (r5 ADVICE).
+    Unversioned or version-mismatched blooms always answer True."""
+    b = lf.build_bloom([1, 2, 3])
+    assert b["canon"] == lf._BLOOM_CANON_VERSION
+    legacy = dict(b)
+    del legacy["canon"]  # pre-stamp side file
+    assert lf.bloom_may_contain(legacy, 999999)  # may-contain, not prune
+    future = dict(b, canon=lf._BLOOM_CANON_VERSION + 1)
+    assert lf.bloom_may_contain(future, 999999)
+    # the stamped bloom still prunes as usual
+    assert not lf.bloom_may_contain(b, 999999)

@@ -192,3 +192,29 @@ def test_auto_narrow_keeps_backtick_and_digit_led_identifiers(
     ).write.format("lance").mode("overwrite").save(root)
     df = lance_sql(spark, f"SELECT `2024_rev` FROM '{root}' ORDER BY `2024_rev`")
     assert [r["2024_rev"] for r in df.collect()] == [0, 1, 2]
+
+
+def test_natural_join_disables_narrowing(spark, tmp_path):
+    """NATURAL JOIN references every common column WITHOUT naming it
+    in the query text — identifier-based narrowing would drop the
+    unnamed join key from both scans, silently degrading the join to
+    a cross product (r5 ADVICE). The NATURAL keyword must disable
+    narrowing entirely."""
+    from pyspark.sql import functions as F
+
+    a = str(tmp_path / "nat_a.lance")
+    b = str(tmp_path / "nat_b.lance")
+    spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("left_val")
+    ).write.format("lance").mode("overwrite").save(a)
+    spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("right_val")
+    ).write.format("lance").mode("overwrite").save(b)
+    df = lance_sql(
+        spark,
+        f"SELECT left_val, right_val FROM '{a}' NATURAL JOIN '{b}' "
+        "ORDER BY left_val",
+    )
+    rows = [(r.left_val, r.right_val) for r in df.collect()]
+    # joined on the unnamed common column k: 4 rows, not 16
+    assert rows == [(i * 10, i * 100) for i in range(4)]

@@ -563,3 +563,53 @@ def test_max_fragments_per_trigger_drains_backlog_in_steps(
     assert sum(b for _, b in batches) == n_total  # no loss, no dupes
     burst_batches = [b for _, b in batches[1:] if b > 0]
     assert len(burst_batches) >= 5, batches  # 10 frags / cap 2
+
+
+def test_available_now_with_cap_drains_full_backlog(spark, sf_dir, tmp_path):
+    """trigger(availableNow=True) pins its end target from the FIRST
+    latestOffset snapshot and terminates there — so the first answer
+    of a run must be UNCAPPED or backlog beyond maxFragmentsPerTrigger
+    would be stranded when the query stops (r5 ADVICE). Every job in
+    streaming/jobs.py uses availableNow; a capped run must still
+    consume every pending fragment before terminating."""
+    register(spark)
+    root = str(tmp_path / "an_cap.lance")
+    ev = load(spark, sf_dir, "events").limit(500).cache()
+    n_total = ev.count()
+    for i in range(5):  # 5-fragment backlog before the query starts
+        mode = "overwrite" if i == 0 else "append"
+        ev.where(F.col("event_id") % 5 == i).coalesce(1).write.format(
+            "lance"
+        ).mode(mode).save(root)
+    seen = []
+
+    def proc(df, epoch):
+        seen.append(df.count())
+
+    q = (
+        spark.readStream.format("lance")
+        .option("maxFragmentsPerTrigger", "2")
+        .load(root)
+        .writeStream.foreachBatch(proc)
+        .option("checkpointLocation", root + ".ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sum(seen) == n_total  # nothing stranded beyond the cap
+
+
+def test_staged_runs_tolerate_empty_events(spark, tmp_path):
+    """Empty events → _time_splits yields no slices → zero streaming
+    passes ever write the output path. Every staged job must return
+    an EMPTY typed frame instead of failing on the nonexistent dir
+    (r5 ADVICE; matches the DAILY_SUMMARY_SCHEMA guard pattern)."""
+    sf_tmp = str(tmp_path / "sf_empty")
+    # raw schema (with the physical ts column), not the load()-derived one
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw.limit(0).write.parquet(f"{sf_tmp}/events.parquet")
+
+    assert jobs.stream_sessionization(spark, sf_tmp).count() == 0
+    assert jobs.stream_dedup(spark, sf_tmp).count() == 0
+    assert jobs.stream_stream_join(spark, sf_tmp).count() == 0
+    assert jobs.stream_sink_roundtrip(spark, sf_tmp).count() == 0
