@@ -179,11 +179,119 @@ def _narrowed_schema(path: str, sql: str):
     return StructType(kept)
 
 
+def _split_copy_to(sql: str):
+    """Parse ``COPY (<select>) TO '<path>.lance' [(<options>)]``.
+
+    The SELECT body is extracted by paren counting (it may itself
+    contain parens and quoted strings), not regex greed. Returns
+    (select_sql, path, options_str) or None when the statement is
+    not a lance COPY."""
+    m = re.match(r"(?is)^\s*COPY\s*\(", sql)
+    if not m:
+        return None
+    i = m.end() - 1  # at the opening '('
+    depth, j, in_str = 0, i, None
+    while j < len(sql):
+        c = sql[j]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in "'\"":
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if depth != 0:
+        return None
+    select = sql[m.end() : j]
+    rest = sql[j + 1 :]
+    m2 = re.match(
+        r"(?is)^\s*TO\s+(['\"`])([^'\"`]+\.lance)\1"
+        r"\s*(?:\(([^)]*)\))?\s*;?\s*$",
+        rest,
+    )
+    if not m2:
+        return None
+    return select, m2.group(2), (m2.group(3) or "")
+
+
+_CTAS_RE = re.compile(
+    r"(?is)^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(['\"`])(?P<path>[^'\"`]+\.lance)\2\s+AS\s+(?P<select>.+?)\s*;?\s*$"
+)
+
+
+def _copy_options(opts: str) -> dict:
+    """Parse the COPY option list: ``FORMAT LANCE, MODE 'append',
+    COMPRESSION 'zstd'``. Unknown keys are refused loudly — a typo'd
+    option silently ignored is how data ends up written wrong."""
+    out: dict = {}
+    for tok in filter(None, (t.strip() for t in opts.split(","))):
+        parts = tok.split(None, 1)
+        key = parts[0].lower()
+        val = parts[1].strip().strip("'\"").lower() if len(parts) > 1 else ""
+        if key == "format":
+            if val != "lance":
+                raise lf.LanceDatasetError(
+                    f"COPY TO '<path>.lance' supports FORMAT LANCE only, "
+                    f"got {val!r}"
+                )
+        elif key == "mode":
+            if val not in ("append", "overwrite"):
+                raise lf.LanceDatasetError(
+                    f"COPY MODE must be 'append' or 'overwrite', got {val!r}"
+                )
+            out["mode"] = val
+        elif key == "compression":
+            out["compression"] = val
+        else:
+            raise lf.LanceDatasetError(f"unknown COPY option {key!r}")
+    return out
+
+
+def _write_and_count(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str,
+    compression: str | None,
+) -> DataFrame:
+    before = 0
+    if mode == "append" and _is_lance_dataset(path):
+        before = sum(
+            f.num_rows for f in lf.read_manifest(path).fragments
+        )
+    writer = df.write.format("lance").mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.save(path)
+    # rows written, from manifest metadata (no recompute of the query)
+    total = sum(f.num_rows for f in lf.read_manifest(path).fragments)
+    return spark.createDataFrame(
+        [(total - before,)], schema="rows_copied long"
+    )
+
+
 def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL where quoted ``'path.lance'`` literals are table
     references — DuckDB replacement-scan parity
     (cpp/lance_replacement.cpp: any table name ending ``.lance``
     becomes a scan of that dataset).
+
+    WRITE-path sugar (reference cpp/lance_copy.cpp:1-251 — the COPY
+    function registered as ``COPY ... TO 'x.lance' (FORMAT lance)``):
+
+    - ``COPY (<select>) TO '<path>.lance' [(FORMAT LANCE, MODE
+      'append'|'overwrite', COMPRESSION '<codec>')]`` runs the SELECT
+      (with the same read-side rewriting) and writes it as a lance
+      dataset — default MODE overwrite, matching DuckDB COPY TO
+      replacing the target. Returns one row ``rows_copied``.
+    - ``CREATE [OR REPLACE] TABLE '<path>.lance' AS <select>`` is the
+      CTAS spelling: refuses if the dataset exists unless OR REPLACE.
 
     Each distinct quoted ``.lance`` path that exists on disk is
     registered as a deterministic temp view and the literal is
@@ -199,6 +307,26 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     kept-column set so narrowing can never leak stale between
     queries sharing a session."""
     ds.register(spark)
+
+    copy = _split_copy_to(sql)
+    if copy is not None:
+        select, path, opts_str = copy
+        opts = _copy_options(opts_str)
+        df = lance_sql(spark, select)
+        return _write_and_count(
+            spark, df, path,
+            opts.get("mode", "overwrite"), opts.get("compression"),
+        )
+    ctas = _CTAS_RE.match(sql)
+    if ctas is not None:
+        path = ctas.group("path")
+        if _is_lance_dataset(path) and not ctas.group("replace"):
+            raise lf.LanceDatasetError(
+                f"CREATE TABLE: dataset {path!r} already exists "
+                "(use CREATE OR REPLACE TABLE to overwrite)"
+            )
+        df = lance_sql(spark, ctas.group("select"))
+        return _write_and_count(spark, df, path, "overwrite", None)
 
     def _sub(m: re.Match) -> str:
         path = m.group(3)

@@ -10,8 +10,13 @@ This is the canonical iterative-algorithm shape Catalyst cannot
 express in one query — the driver loop controls iteration, every
 step stays declarative and distributed.
 
-Oracle side: the SAME clusters via a recursive CTE (DuckDB
-WITH RECURSIVE) — transitive closure, then min reachable peer.
+Oracle side: the SAME min-label propagation, unrolled into
+MAX_ITERS materialized CTE stages (each stage one O(E) hop — the
+exact loop body the Spark side runs). The original recursive-CTE
+transitive closure (reach sets) was O(k³) per iteration on a
+k-clique and timed out at sf1 (SF1_VALIDATION r5); the unrolled
+form is bounded at MAX_ITERS·O(E) and reaches the same fixpoint
+whenever the Spark side converges (which it asserts).
 """
 
 from __future__ import annotations
@@ -87,27 +92,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PAIRS_SQL = DEDUP_MINHASH_SQL.replace("ORDER BY doc_a, doc_b", "")
 
+# One unrolled propagation hop == one iteration of the Spark loop:
+# label_{i}(n) = min(label_{i-1}(n), min over neighbors label_{i-1}).
+# AS MATERIALIZED is load-bearing: lab{i-1} is referenced twice per
+# stage, and an inlining planner would re-evaluate the whole prefix
+# exponentially without it.
+_LP_STAGES = "\n".join(
+    f"""lab{i} AS MATERIALIZED (
+  SELECT l.node,
+         LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
+  FROM lab{i - 1} l
+  LEFT JOIN edges e ON e.a = l.node
+  LEFT JOIN lab{i - 1} nl ON nl.node = e.b
+  GROUP BY l.node, l.label
+),"""
+    for i in range(1, MAX_ITERS + 1)
+)
+
 DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE minhash_pairs AS (
+WITH minhash_pairs AS MATERIALIZED (
 {_PAIRS_SQL}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM minhash_pairs
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM minhash_pairs
 ),
-reach AS (
-  SELECT DISTINCT a AS node, a AS peer FROM edges
-  UNION
-  SELECT r.node, e.b AS peer
-  FROM reach r JOIN edges e ON e.a = r.peer
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+),
+{_LP_STAGES}
+final_labels AS (
+  SELECT node, label FROM lab{MAX_ITERS}
 )
-SELECT peer_min AS cluster_id, COUNT(*) AS n_members,
+SELECT label AS cluster_id, COUNT(*) AS n_members,
        MAX(node) AS max_member
-FROM (
-  SELECT node, MIN(peer) AS peer_min FROM reach GROUP BY node
-)
-GROUP BY peer_min
+FROM final_labels
+GROUP BY label
 ORDER BY cluster_id
 """
 

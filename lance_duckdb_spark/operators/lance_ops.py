@@ -724,7 +724,68 @@ FROM orders
 """
 
 
+def lance_sql_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL write-path parity (reference cpp/lance_copy.cpp:1-251 —
+    the COPY function: ``COPY (SELECT ...) TO 'x.lance' (FORMAT
+    lance)``): write orders into a dataset, COPY a filtered
+    projection into a second dataset in pure SQL, COPY a second
+    disjoint slice with MODE 'append', then read the result back
+    through lance_sql and aggregate. Hash-equal to the oracle's
+    direct computation iff the SQL write path (parse → read-rewrite
+    → lance write → commit) is lossless for both modes, with the
+    reported rows_copied counts carried into the hash."""
+    from ..catalog import lance_sql
+
+    register(spark)
+    src = _fresh_root(sf_dir, "sqlcopy_src")
+    dst = _fresh_root(sf_dir, "sqlcopy_dst")
+    load(spark, sf_dir, "orders").write.format("lance").mode(
+        "overwrite"
+    ).save(src)
+    c1 = lance_sql(
+        spark,
+        f"""COPY (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM '{src}'
+          WHERE o_totalprice >= 150000
+        ) TO '{dst}' (FORMAT LANCE)""",
+    )
+    c2 = lance_sql(
+        spark,
+        f"""COPY (
+          SELECT o_orderkey, o_orderstatus, o_totalprice FROM '{src}'
+          WHERE o_totalprice < 50000
+        ) TO '{dst}' (FORMAT LANCE, MODE 'append')""",
+    )
+    agg = lance_sql(
+        spark,
+        f"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM '{dst}' GROUP BY o_orderstatus""",
+    )
+    total = (
+        c1.unionAll(c2)
+        .agg(F.sum("rows_copied").cast("bigint").alias("rows_copied"))
+    )
+    return agg.crossJoin(F.broadcast(total)).orderBy("o_orderstatus")
+
+
+LANCE_SQL_COPY_SQL = """
+WITH copied AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_totalprice >= 150000 OR o_totalprice < 50000
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM copied) AS rows_copied
+FROM copied
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "lance_sql_copy": lance_sql_copy,
     "lance_stats_pushdown": lance_stats_pushdown,
     "lance_roundtrip": lance_roundtrip,
     "lance_scalar_index": lance_scalar_index,
@@ -745,6 +806,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lance_sql_copy": LANCE_SQL_COPY_SQL,
     "lance_stats_pushdown": LANCE_STATS_PUSHDOWN_SQL,
     "lance_roundtrip": LANCE_ROUNDTRIP_SQL,
     "lance_scalar_index": LANCE_SCALAR_INDEX_SQL,

@@ -218,3 +218,52 @@ def test_natural_join_disables_narrowing(spark, tmp_path):
     rows = [(r.left_val, r.right_val) for r in df.collect()]
     # joined on the unnamed common column k: 4 rows, not 16
     assert rows == [(i * 10, i * 100) for i in range(4)]
+
+
+def test_lance_sql_copy_to_and_ctas(spark, tmp_path):
+    """SQL write-path sugar (reference cpp/lance_copy.cpp): COPY TO
+    writes a dataset (default overwrite), MODE 'append' adds a
+    version, CTAS refuses an existing target without OR REPLACE, and
+    bad options are refused loudly."""
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    src = str(tmp_path / "copy_src.lance")
+    dst = str(tmp_path / "copy_dst.lance")
+    spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.format("lance").mode("overwrite").save(src)
+
+    out = lance_sql(spark, f"COPY (SELECT k, v FROM '{src}' WHERE k < 6) TO '{dst}' (FORMAT LANCE)")
+    assert out.first().rows_copied == 6
+    out2 = lance_sql(
+        spark,
+        f"COPY (SELECT k, v FROM '{src}' WHERE k >= 6) TO '{dst}' "
+        "(FORMAT LANCE, MODE 'append')",
+    )
+    assert out2.first().rows_copied == 4
+    back = lance_sql(spark, f"SELECT SUM(v) AS s, COUNT(*) AS n FROM '{dst}'").first()
+    assert (back.s, back.n) == (90, 10)
+    # overwrite (the default) replaces, not appends
+    lance_sql(spark, f"COPY (SELECT k, v FROM '{src}' WHERE k = 0) TO '{dst}'")
+    assert lance_sql(spark, f"SELECT COUNT(*) AS n FROM '{dst}'").first().n == 1
+
+    # CTAS: refuses existing target; OR REPLACE overwrites
+    with pytest.raises(lf.LanceDatasetError, match="already exists"):
+        lance_sql(spark, f"CREATE TABLE '{dst}' AS SELECT k FROM '{src}'")
+    made = lance_sql(
+        spark, f"CREATE OR REPLACE TABLE '{dst}' AS SELECT k FROM '{src}' WHERE k < 3"
+    )
+    assert made.first().rows_copied == 3
+    ct2 = str(tmp_path / "ctas_new.lance")
+    lance_sql(spark, f"CREATE TABLE '{ct2}' AS SELECT k FROM '{src}'")
+    assert lance_sql(spark, f"SELECT COUNT(*) AS n FROM '{ct2}'").first().n == 10
+
+    # loud option errors
+    with pytest.raises(lf.LanceDatasetError, match="FORMAT LANCE"):
+        lance_sql(spark, f"COPY (SELECT k FROM '{src}') TO '{dst}' (FORMAT parquet)")
+    with pytest.raises(lf.LanceDatasetError, match="unknown COPY option"):
+        lance_sql(spark, f"COPY (SELECT k FROM '{src}') TO '{dst}' (FROBNICATE 1)")
+    with pytest.raises(lf.LanceDatasetError, match="MODE"):
+        lance_sql(spark, f"COPY (SELECT k FROM '{src}') TO '{dst}' (MODE 'sideways')")
