@@ -276,6 +276,51 @@ def _write_and_count(
     )
 
 
+def lance_load(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """DataFrame-API read with explicit projection narrowing — the
+    wide-table read path until Spark's Python DataSource API grows
+    projection pushdown (a plain ``spark.read.format("lance")
+    .load(p).select("one_col")`` still scans every column; the
+    reference gets pruning free from DuckDB's bind,
+    cpp/lance_scan.cpp). ``columns=None`` reads the full schema;
+    otherwise the scan schema is exactly the requested columns, in
+    dataset order — the same identifier narrowing ``lance_sql``
+    applies automatically (plan-asserted in tests/test_catalog.py).
+    Unknown column names are refused loudly."""
+    from pyspark.sql.types import StructType
+
+    from .sources import lance_native as ln
+
+    ds.register(spark)
+    reader = spark.read.format("lance")
+    if columns is not None:
+        if ln.is_native_dataset(path):
+            # the native reader resolves its own schema map; narrow
+            # by selecting after the scan (native v2 reads are
+            # columnar per-page, so unprojected columns still cost
+            # decode — acceptable until the reader grows projection)
+            df = reader.load(path)
+            missing = set(columns) - set(df.columns)
+            if missing:
+                raise lf.LanceDatasetError(
+                    f"lance_load: unknown columns {sorted(missing)}"
+                )
+            return df.select(*columns)
+        manifest = lf.read_manifest(path)
+        full = StructType.fromJson(json.loads(manifest.schema_json))
+        missing = set(columns) - {f.name for f in full.fields}
+        if missing:
+            raise lf.LanceDatasetError(
+                f"lance_load: unknown columns {sorted(missing)} "
+                f"(dataset has {[f.name for f in full.fields]})"
+            )
+        kept = StructType([f for f in full.fields if f.name in set(columns)])
+        reader = reader.schema(kept)
+    return reader.load(path)
+
+
 def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL where quoted ``'path.lance'`` literals are table
     references — DuckDB replacement-scan parity

@@ -151,10 +151,79 @@ ORDER BY skew_key
 """
 
 
+def skewed_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over the same planted hot key (~90% of events
+    on one join key) through ``replicate_salted_join``: the per-key
+    profile side is replicated SKEW_SALTS times and the big side is
+    salted on hash(event_id), so the join shuffles on (key, salt) —
+    no reducer ever receives the hot key's full row set (the failure
+    mode that stalls a 100 TB shuffle for hours; the reference
+    inherits skew handling from DuckDB's radix-partitioned hash
+    join, Spark needs the remedy demonstrated). The profile side is
+    itself built skew-safely via ``salted_agg``. Join output is
+    identical to the plain join (tests/test_skew.py), and the final
+    per-type rollup hash-matches the oracle's unsalted computation.
+    """
+    ev = load(spark, sf_dir, "events").withColumn("skew_key", _hot_key())
+    key_profile = salted_agg(
+        ev,
+        ["skew_key"],
+        lambda: [
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(money("value")).alias("psum"),
+        ],
+        lambda: [
+            F.sum("pn").alias("key_n"),
+            F.sum("psum").alias("key_sum_dec"),
+        ],
+        salt_col="event_id",
+        n_salts=SKEW_SALTS,
+    )
+    joined = replicate_salted_join(
+        ev.select("skew_key", "event_type", "event_id"),
+        key_profile,
+        key="skew_key",
+        big_unique_col="event_id",
+        n_salts=SKEW_SALTS,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("key_n").cast("bigint").alias("sum_key_n"),
+            F.max("key_sum_dec").cast("double").alias("max_key_sum"),
+            F.countDistinct("skew_key").alias("n_keys"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKEWED_HOT_KEY_JOIN_SQL = f"""
+WITH e AS (
+  SELECT {_HOT_KEY_SQL} AS skew_key, event_type, value FROM events
+),
+k AS (
+  SELECT skew_key, COUNT(*) AS key_n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS key_sum
+  FROM e GROUP BY skew_key
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(k.key_n) AS BIGINT) AS sum_key_n,
+       CAST(MAX(k.key_sum) AS DOUBLE) AS max_key_sum,
+       COUNT(DISTINCT e.skew_key) AS n_keys
+FROM e JOIN k USING (skew_key)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES = {
+    "skewed_hot_key_join": skewed_hot_key_join,
     "skewed_hot_key_agg": skewed_hot_key_agg,
 }
 
 ORACLE = {
+    "skewed_hot_key_join": SKEWED_HOT_KEY_JOIN_SQL,
     "skewed_hot_key_agg": SKEWED_HOT_KEY_SQL,
 }

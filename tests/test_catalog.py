@@ -267,3 +267,26 @@ def test_lance_sql_copy_to_and_ctas(spark, tmp_path):
         lance_sql(spark, f"COPY (SELECT k FROM '{src}') TO '{dst}' (FROBNICATE 1)")
     with pytest.raises(lf.LanceDatasetError, match="MODE"):
         lance_sql(spark, f"COPY (SELECT k FROM '{src}') TO '{dst}' (MODE 'sideways')")
+
+
+def test_lance_load_narrows_scan_schema(spark, lance_db):
+    """lance_load(columns=[...]) must plan a scan whose ReadSchema is
+    exactly the requested columns — the DataFrame-API twin of
+    lance_sql's auto-narrowing (the Python DS API has no projection
+    pushdown, so narrowing is done at the scan-schema level)."""
+    from lance_duckdb_spark.catalog import lance_load
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    df = lance_load(spark, f"{lance_db}/nation.lance", columns=["n_name"])
+    assert df.columns == ["n_name"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("Scan") :].splitlines()[0]
+    assert "n_name" in scan
+    assert "n_regionkey" not in scan and "n_nationkey" not in scan
+    names = sorted(r.n_name for r in df.collect())
+    assert len(names) == 25 and names == sorted(names)
+
+    # full read without columns; loud refusal of typos
+    assert len(lance_load(spark, f"{lance_db}/nation.lance").columns) == 3
+    with pytest.raises(lf.LanceDatasetError, match="unknown columns"):
+        lance_load(spark, f"{lance_db}/nation.lance", columns=["n_nam"])

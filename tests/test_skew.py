@@ -128,3 +128,39 @@ def test_skewed_hot_key_agg_two_phase_plan(spark, sf_dir):
     plan = skewed_hot_key_agg(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     # the salted partial stage appears as an agg keyed on the temp salt col
     assert "_salt_" in plan
+
+
+def test_skewed_hot_key_join_salted_plan_and_balance(spark, sf_dir):
+    """The fact⋈fact driver join must shuffle on (key, salt), never
+    on the bare hot key: the physical join keys include the salt
+    column, and no (hot key, salt) bucket on the big side holds more
+    than ~1/SKEW_SALTS of the hot key's rows (2x hash slack) — i.e.
+    no single task receives the hot key's full row set."""
+    from lance_duckdb_spark.operators.skew import (
+        SKEW_SALTS,
+        _hot_key,
+        skewed_hot_key_join,
+    )
+
+    df = skewed_hot_key_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "_salt_" in ln
+    ]
+    assert join_lines, plan  # salt participates in the join keys
+
+    # balance of the big side's join buckets (same salt formula the
+    # helper applies: hash(event_id) % SKEW_SALTS)
+    ev = load(spark, sf_dir, "events").withColumn("skew_key", _hot_key())
+    sizes = (
+        ev.where(F.col("skew_key") == -1)
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(SKEW_SALTS))
+        )
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    hot_total = sum(r["count"] for r in sizes)
+    assert hot_total > 0 and len(sizes) == SKEW_SALTS
+    assert max(r["count"] for r in sizes) <= 2 * hot_total / SKEW_SALTS
