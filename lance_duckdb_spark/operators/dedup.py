@@ -79,28 +79,48 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 MINHASH_JACCARD_T = 0.2
 
 
-def _shingles() -> Column:
-    """Word 3-shingles as strings, distinct, from trimmed text."""
-    words = F.split(F.trim(F.col("text")), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), n - F.lit(3))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("_w"), i + 1),
-            F.element_at(F.col("_w"), i + 2),
-            F.element_at(F.col("_w"), i + 3),
-        ),
-    )
-    return sh
-
-
 def _shingle_df(docs: DataFrame) -> DataFrame:
-    words = F.split(F.trim(F.col("text")), " ")
-    with_words = docs.withColumn("_w", words).where(F.size("_w") >= 3)
-    return with_words.select(
-        "doc_id", F.explode(F.array_distinct(_shingles())).alias("shingle")
+    """(doc_id, shingle) rows: DISTINCT word 3-shingles from
+    space-trimmed text, split on single spaces.
+
+    Runs as an Arrow-batched mapInPandas, not the JVM
+    transform(sequence, i -> concat_ws(...)) chain it replaces:
+    higher-order-function lambdas are interpreted per element, not
+    codegen'd, and this shingler feeds FOUR operators (minhash LSH,
+    containment, incremental dedup, pair verification) — measured
+    ~3x on the sf0.1 fresh path (same rows out, so every downstream
+    md5 lane and oracle hash is unchanged). Python mirrors the JVM
+    semantics exactly: trim strips SPACES only, split(" ") keeps
+    empty tokens between consecutive spaces, docs with fewer than 3
+    tokens (including NULL text) are dropped — the oracle's
+    string_split(trim(text), ' ') does the same. The repartition
+    spreads docs across all cores regardless of the input file's
+    row-group count (driver parquet is one row group)."""
+    import pandas as pd
+
+    def _shingle(batches):
+        for pdf in batches:
+            ids: list = []
+            out: list = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                if txt is None:
+                    continue
+                words = txt.strip(" ").split(" ")
+                if len(words) < 3:
+                    continue
+                gs = {
+                    " ".join(words[i : i + 3])
+                    for i in range(len(words) - 2)
+                }
+                ids.extend([did] * len(gs))
+                out.extend(gs)
+            yield pd.DataFrame({"doc_id": ids, "shingle": out})
+
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(max(32, par))
+        .mapInPandas(_shingle, "doc_id long, shingle string")
     )
 
 

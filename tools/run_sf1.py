@@ -165,9 +165,9 @@ def main() -> None:
         f"Ran {len(results)} registry queries with the driver's exact "
         f"hash-compare: **{n_exact} exact, {n_mis} mismatched, "
         f"{n_err} errored**; {n_ro} rows-only by design; {n_to} "
-        f"oracle-timeout (DuckDB could not finish the quadratic "
-        f"oracle replica at sf1 within {ORACLE_TIMEOUT_S}s — Spark "
-        f"side ran; equality covered at sf0.001-0.1).",
+        f"oracle-timeout (limit {ORACLE_TIMEOUT_S}s per oracle; the "
+        f"r5 dedup_clusters timeout is closed — its oracle is now "
+        f"bounded label propagation, exact in ~2 min at sf1).",
         "",
         "| query | status | spark s | oracle s | rows |",
         "|---|---|---|---|---|",
