@@ -4,8 +4,10 @@
 Design for 100 TB:
 - Exact dedup is a hash-groupBy — one shuffle on a 16-byte digest,
   map-side partial aggregation, no skew (hashes are uniform).
-- MinHash+LSH: shingling and the 32 hash lanes are higher-order
-  functions + ``md5`` (JVM codegen, zero Python). The LSH band join
+- MinHash+LSH: shingling is an Arrow-batched mapInPandas (r6 —
+  measured ~3x over the interpreted JVM higher-order-function
+  chain); the 32 hash lanes stay ``md5`` built-ins (JVM codegen).
+  The LSH band join
   is an *equi-join* on (band_idx, band_hash): the only pairs that
   ever shuffle are bucket collisions, never the O(n²) cross
   product — this is the property that survives a billion documents.
@@ -79,49 +81,76 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 MINHASH_JACCARD_T = 0.2
 
 
-def _shingle_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) rows: DISTINCT word 3-shingles from
-    space-trimmed text, split on single spaces.
+def _gram_rows(
+    docs: DataFrame,
+    extra_cols: list[str],
+    grams_of,
+    out_col: str,
+) -> DataFrame:
+    """Shared Arrow-batched shingling scaffold: one output row per
+    (doc, distinct gram), with ``extra_cols`` carried through.
 
-    Runs as an Arrow-batched mapInPandas, not the JVM
-    transform(sequence, i -> concat_ws(...)) chain it replaces:
+    mapInPandas, not a JVM transform(sequence, ...) chain:
     higher-order-function lambdas are interpreted per element, not
-    codegen'd, and this shingler feeds FOUR operators (minhash LSH,
-    containment, incremental dedup, pair verification) — measured
-    ~3x on the sf0.1 fresh path (same rows out, so every downstream
-    md5 lane and oracle hash is unchanged). Python mirrors the JVM
-    semantics exactly: trim strips SPACES only, split(" ") keeps
-    empty tokens between consecutive spaces, docs with fewer than 3
-    tokens (including NULL text) are dropped — the oracle's
-    string_split(trim(text), ' ') does the same. The repartition
-    spreads docs across all cores regardless of the input file's
-    row-group count (driver parquet is one row group)."""
+    codegen'd — the Python set-based grammers measured 3-4x faster
+    at sf0.1-sf1 with identical rows out (so every downstream md5
+    lane and oracle hash is unchanged). ``grams_of(text)`` returns
+    the doc's distinct-gram set, or falsy to drop the doc (NULL /
+    too-short text — the oracles' length gates do the same). The
+    repartition spreads docs across all cores regardless of the
+    input file's row-group count (driver parquet is one row group).
+    """
     import pandas as pd
 
-    def _shingle(batches):
+    schema = ", ".join(
+        ["doc_id long"]
+        + [f"{c} string" for c in extra_cols]
+        + [f"{out_col} string"]
+    )
+
+    def _run(batches):
         for pdf in batches:
-            ids: list = []
-            out: list = []
-            for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                if txt is None:
+            acc: dict[str, list] = {
+                c: [] for c in ["doc_id", *extra_cols, out_col]
+            }
+            for row in zip(
+                pdf["doc_id"], *(pdf[c] for c in extra_cols), pdf["text"]
+            ):
+                did, extras, txt = row[0], row[1:-1], row[-1]
+                gs = grams_of(txt)
+                if not gs:
                     continue
-                words = txt.strip(" ").split(" ")
-                if len(words) < 3:
-                    continue
-                gs = {
-                    " ".join(words[i : i + 3])
-                    for i in range(len(words) - 2)
-                }
-                ids.extend([did] * len(gs))
-                out.extend(gs)
-            yield pd.DataFrame({"doc_id": ids, "shingle": out})
+                acc["doc_id"].extend([did] * len(gs))
+                for c, v in zip(extra_cols, extras):
+                    acc[c].extend([v] * len(gs))
+                acc[out_col].extend(gs)
+            yield pd.DataFrame(acc)
 
     par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select("doc_id", "text")
+        docs.select("doc_id", *extra_cols, "text")
         .repartition(max(32, par))
-        .mapInPandas(_shingle, "doc_id long, shingle string")
+        .mapInPandas(_run, schema)
     )
+
+
+def _word3_grams(txt):
+    """DISTINCT word 3-shingles, mirroring the JVM/oracle semantics
+    exactly: trim strips SPACES only, split(" ") keeps empty tokens
+    between consecutive spaces, <3-token (and NULL) docs drop — the
+    oracle's string_split(trim(text), ' ') does the same."""
+    if txt is None:
+        return None
+    words = txt.strip(" ").split(" ")
+    if len(words) < 3:
+        return None
+    return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+
+
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct word 3-shingles — feeds minhash
+    LSH, containment, incremental dedup, and pair verification."""
+    return _gram_rows(docs, [], _word3_grams, "shingle")
 
 
 def _minhash_signatures(shingled: DataFrame) -> DataFrame:
@@ -443,45 +472,19 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     what bound the pair count)."""
     docs = load(spark, sf_dir, "documents")
 
-    # Shingling runs as an Arrow-batched mapInPandas: a Python set of
-    # str slices measures 4x faster at sf1 (4.9s vs 20.8s) than the
-    # JVM transform(sequence, i -> substring(...)) chain, whose
-    # higher-order-function lambdas are interpreted per character
-    # position, not codegen'd. Same output rows, linear scan; the
-    # repartition spreads docs across all cores regardless of the
-    # input file's row-group count.
-    import pandas as pd
+    # Arrow-batched char-5-gram shingling (4x the interpreted JVM
+    # HOF chain at sf1: 4.9s vs 20.8s) through the shared _gram_rows
+    # scaffold. NULL text drops (the oracle's WHERE len(text) >= N
+    # does the same via NULL comparison).
+    def _char_grams(txt):
+        if txt is None:
+            return None
+        n = len(txt) - NGRAM_N + 1
+        if n <= 0:
+            return None
+        return {txt[i : i + NGRAM_N] for i in range(n)}
 
-    def _shingle(batches):
-        for pdf in batches:
-            ids: list = []
-            srcs: list = []
-            grams: list = []
-            for did, src, txt in zip(
-                pdf["doc_id"], pdf["source"], pdf["text"]
-            ):
-                if txt is None:
-                    # oracle's WHERE len(text) >= N drops NULL rows
-                    # (NULL comparison); match it instead of crashing
-                    # the stage on len(None)
-                    continue
-                n = len(txt) - NGRAM_N + 1
-                if n <= 0:
-                    continue
-                gs = {txt[i : i + NGRAM_N] for i in range(n)}
-                ids.extend([did] * len(gs))
-                srcs.extend([src] * len(gs))
-                grams.extend(gs)
-            yield pd.DataFrame(
-                {"doc_id": ids, "source": srcs, "gram": grams}
-            )
-
-    par = spark.sparkContext.defaultParallelism
-    shingled = (
-        docs.select("doc_id", "source", "text")
-        .repartition(max(32, par))
-        .mapInPandas(_shingle, "doc_id long, source string, gram string")
-    )
+    shingled = _gram_rows(docs, ["source"], _char_grams, "gram")
     # ONE keyed shuffle does everything the gram table is needed
     # for: group by (source, gram) collecting the doc list AND the
     # df count together, then df-cap filter on the aggregate. The
