@@ -58,20 +58,102 @@ OFFSET_OF: dict[str, str] = {
 }
 
 
-def amplify(src_dir: str, dst_dir: str, k: int) -> None:
+def _decorrelate_documents(t: pa.Table, i: int) -> pa.Table:
+    """Replica i of documents with cross-replica near-dup structure
+    REMOVED while within-replica structure is preserved exactly:
+    every word gets a per-replica suffix (a bijection on the shingle
+    vocabulary — Jaccard/minhash relations between same-replica docs
+    are unchanged; cross-replica word-shingle sets become disjoint),
+    and source gets a replica suffix (ngram_jaccard blocks on
+    source, so its pair space is per-replica by construction).
+    Replica 0 is the untouched original."""
+    if i == 0:
+        return t
+    tag = f"_r{i}"
+    # empty tokens (leading/trailing/consecutive spaces) must stay
+    # empty: suffixing them would mint phantom words and change the
+    # replica's token count / shingle set vs replica 0
+    texts = [
+        None
+        if v is None
+        else " ".join((w + tag if w else w) for w in v.split(" "))
+        for v in t["text"].to_pylist()
+    ]
+    srcs = [
+        None if v is None else v + tag for v in t["source"].to_pylist()
+    ]
+    cols = {name: t[name] for name in t.column_names}
+    cols["text"] = pa.array(texts, type=t.schema.field("text").type)
+    cols["source"] = pa.array(srcs, type=t.schema.field("source").type)
+    return pa.Table.from_arrays(
+        [cols[n] for n in t.column_names], schema=t.schema
+    )
+
+
+def _decorrelate_embeddings(t: pa.Table, i: int) -> pa.Table:
+    """Replica i of embeddings under a per-replica diagonal ±1 sign
+    matrix S_i: cos(S_i a, S_i b) == cos(a, b) — within-replica
+    near-dup geometry is bit-preserved — while cross-replica dots
+    become random-sign sums ~0, so replicas are not near-dups of
+    each other. Deterministic signs from (replica, dim)."""
+    import hashlib
+
+    import numpy as np
+
+    if i == 0:
+        return t
+    embs = t["embedding"].combine_chunks()
+    flat = np.asarray(embs.flatten(), dtype=np.float32)
+    dim = len(flat) // t.num_rows
+    seed = int.from_bytes(
+        hashlib.md5(f"signflip:{i}".encode()).digest()[:8], "big"
+    )
+    rng = np.random.default_rng(seed)
+    signs = rng.choice(np.array([1.0, -1.0], dtype=np.float32), size=dim)
+    flipped = (flat.reshape(-1, dim) * signs).reshape(-1)
+    emb_type = t.schema.field("embedding").type
+    new = pa.ListArray.from_arrays(
+        embs.offsets, pa.array(flipped, type=emb_type.value_type)
+    ).cast(emb_type)
+    cols = [
+        new if n == "embedding" else t[n] for n in t.column_names
+    ]
+    return pa.Table.from_arrays(cols, schema=t.schema)
+
+
+_DECORRELATE = {
+    "documents": _decorrelate_documents,
+    "embeddings": _decorrelate_embeddings,
+}
+
+
+def amplify(
+    src_dir: str,
+    dst_dir: str,
+    k: int,
+    tables: list[str] | None = None,
+    decorrelate: bool = False,
+) -> None:
     os.makedirs(dst_dir, exist_ok=True)
-    # pass 1: max of every offsettable key, per its OWNING column
+    wanted = {t: KEYS[t] for t in (tables or KEYS)}
+    # pass 1: max of every offsettable key, per its OWNING column —
+    # over the FULL table universe, not the --tables subset: a kept
+    # table's FK (e.g. orders.o_custkey) may be owned by an excluded
+    # table (customer), and its offset must still resolve
     maxes: dict[str, int] = {}
     for table, keys in KEYS.items():
+        if not keys:
+            continue
         t = pq.read_table(os.path.join(src_dir, f"{table}.parquet"))
         for col in keys:
             owner = OFFSET_OF[col]
             if owner == col:
                 maxes[col] = pc.max(t[col]).as_py()
     # pass 2: replicate
-    for table, keys in KEYS.items():
+    for table, keys in wanted.items():
         path = os.path.join(src_dir, f"{table}.parquet")
         t = pq.read_table(path)
+        decor = _DECORRELATE.get(table) if decorrelate else None
         if not keys or k == 1:
             reps = [t] * (1 if not keys else k)
             out = pa.concat_tables(reps if keys else [t])
@@ -85,22 +167,36 @@ def amplify(src_dir: str, dst_dir: str, k: int) -> None:
                         off = i * (maxes[OFFSET_OF[name]] + 1)
                         col = pc.add(col, pa.scalar(off, type=col.type))
                     cols.append(col)
-                reps.append(pa.Table.from_arrays(cols, schema=t.schema))
+                rep = pa.Table.from_arrays(cols, schema=t.schema)
+                if decor is not None:
+                    rep = decor(rep, i)
+                reps.append(rep)
             out = pa.concat_tables(reps)
         pq.write_table(
             out,
             os.path.join(dst_dir, f"{table}.parquet"),
             compression="snappy",
         )
-        print(f"{table}: {t.num_rows} -> {out.num_rows}")
+        print(f"{table}: {t.num_rows} -> {out.num_rows}", flush=True)
 
 
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     dst = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        args[1]
+        if len(args) > 1
         else os.path.join(os.path.dirname(os.path.dirname(__file__)), ".data", "sf1")
     )
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    amplify(src, dst, k)
+    k = int(args[2]) if len(args) > 2 else 10
+    tables = None
+    for f in list(flags):
+        if f.startswith("--tables="):
+            tables = f.split("=", 1)[1].split(",")
+            flags.discard(f)
+    decorrelate = "--decorrelate" in flags
+    flags.discard("--decorrelate")
+    if flags:  # a typo'd flag silently dropped would mis-generate data
+        raise SystemExit(f"unknown flags: {sorted(flags)}")
+    amplify(src, dst, k, tables=tables, decorrelate=decorrelate)

@@ -1,0 +1,128 @@
+"""sf10 scale smoke for the heaviest operators (r5 VERDICT item 5).
+
+Runs the five heaviest pipeline operators at DECORRELATED sf1 and
+sf10 (tools/gen_sf.py --decorrelate: replicas carry per-replica word
+suffixes / embedding sign-flips, so within-replica near-dup
+structure is preserved exactly while cross-replica pairs vanish —
+10x the data must then produce ~10x the candidate/result pairs if
+the band/df-cap bounds hold; the driver's plain replication would
+make pair counts quadratic BY CONSTRUCTION, which tests the data
+generator, not the operators).
+
+For embedding near-dup the smoke runs ``lsh_neardup_pairs`` — the
+declared scale path — not the ``embedding_neardup_lsh`` driver
+wrapper, whose exact all-pairs recall baseline is the O(N^2)
+sf0.01-grade audit (SURVEY §2.C5: exact-by-design, weak at scale).
+
+Usage: python tools/run_scale_smoke.py [sfd1_dir sfd10_dir]
+Writes SCALE_SMOKE.json + SCALE_SMOKE.md at the repo root and exits
+non-zero if any pair-count ratio falls outside [5, 25] (linear
+within hash slack; quadratic blowup would be ~100x).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LINEAR_LO, LINEAR_HI = 5.0, 25.0
+
+
+def main() -> None:
+    sfd1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".data/sfd1")
+    sfd10 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".data/sfd10")
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from lance_duckdb_spark.operators import dedup, similarity, text
+    from lance_duckdb_spark.session import get_spark
+    from lance_duckdb_spark.tables import load
+
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def minhash_candidates(d: str) -> int:
+        docs = load(spark, d, "documents")
+        bands = dedup._band_hashes(
+            dedup._minhash_signatures(dedup._shingle_df(docs))
+        )
+        return dedup._lsh_candidates(bands).count()
+
+    OPS = {
+        # name -> (callable(sf_dir) -> rowcount, kind)
+        "dedup_minhash_lsh_pairs": (
+            lambda d: dedup.dedup_minhash_lsh(spark, d).count(), "pairs"),
+        "minhash_lsh_candidates": (minhash_candidates, "pairs"),
+        "dedup_incremental_pairs": (
+            lambda d: dedup.dedup_incremental(spark, d).count(), "pairs"),
+        "ngram_jaccard_pairs": (
+            lambda d: dedup.ngram_jaccard(spark, d).count(), "pairs"),
+        "embedding_lsh_neardup_pairs": (
+            lambda d: similarity.lsh_neardup_pairs(spark, d).count(), "pairs"),
+        "perplexity_score_rows": (
+            lambda d: text.perplexity_score(spark, d).count(), "rows"),
+    }
+
+    results: dict = {}
+    for name, (fn, kind) in OPS.items():
+        row: dict = {"kind": kind}
+        for tag, d in (("sf1", sfd1), ("sf10", sfd10)):
+            t0 = time.perf_counter()
+            n = fn(d)
+            row[f"{tag}_rows"] = n
+            row[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
+            print(name, tag, row, flush=True)
+        row["row_ratio"] = (
+            round(row["sf10_rows"] / row["sf1_rows"], 2)
+            if row["sf1_rows"]
+            else None
+        )
+        row["sec_ratio"] = (
+            round(row["sf10_sec"] / row["sf1_sec"], 2)
+            if row["sf1_sec"]
+            else None
+        )
+        if kind == "pairs":
+            r = row["row_ratio"]
+            row["linear_ok"] = r is not None and LINEAR_LO <= r <= LINEAR_HI
+        results[name] = row
+    spark.stop()
+
+    with open(os.path.join(REPO, "SCALE_SMOKE.json"), "w") as fh:
+        json.dump(results, fh, indent=1)
+    lines = [
+        "# SF10 scale smoke",
+        "",
+        "Decorrelated 10x/100x amplification of sf0.1 documents +",
+        "embeddings (`tools/gen_sf.py --decorrelate`; see module",
+        "docstring of tools/run_scale_smoke.py for why plain key-offset",
+        "replication cannot measure pair-count linearity). A pair-count",
+        f"ratio inside [{LINEAR_LO}, {LINEAR_HI}] for 10x data means the",
+        "LSH band / df-cap / bucket bounds hold one decade up — no",
+        "quadratic candidate blowup (which would show as ~100x).",
+        "",
+        "| metric | sf1 rows | sf10 rows | ratio | sf1 s | sf10 s | s ratio | linear |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, r in results.items():
+        lines.append(
+            f"| {name} | {r['sf1_rows']} | {r['sf10_rows']} "
+            f"| {r['row_ratio']} | {r['sf1_sec']} | {r['sf10_sec']} "
+            f"| {r['sec_ratio']} | {r.get('linear_ok', '-')} |"
+        )
+    with open(os.path.join(REPO, "SCALE_SMOKE.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    bad = [
+        n for n, r in results.items()
+        if r.get("linear_ok") is False
+    ]
+    print("BAD:", bad)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
