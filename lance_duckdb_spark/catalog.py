@@ -51,6 +51,20 @@ def _view_name(path: str) -> str:
     return name
 
 
+def _discover_datasets(root_dir: str) -> list[str]:
+    """Lance dataset directories under ``root_dir`` (one level of
+    nesting, like a database directory of tables); ``root_dir``
+    itself if it IS a dataset."""
+    if _is_lance_dataset(root_dir):
+        return [root_dir]
+    out = []
+    for entry in sorted(os.listdir(root_dir)):
+        p = os.path.join(root_dir, entry)
+        if os.path.isdir(p) and _is_lance_dataset(p):
+            out.append(p)
+    return out
+
+
 def register_lance_views(
     spark: SparkSession,
     root_dir: str,
@@ -75,15 +89,7 @@ def register_lance_views(
     latest (r4 ADVICE)."""
     ds.register(spark)
     out: dict[str, str] = {}
-    candidates = []
-    if _is_lance_dataset(root_dir):
-        candidates.append(root_dir)
-    else:
-        for entry in sorted(os.listdir(root_dir)):
-            p = os.path.join(root_dir, entry)
-            if os.path.isdir(p) and _is_lance_dataset(p):
-                candidates.append(p)
-    for path in candidates:
+    for path in _discover_datasets(root_dir):
         name = _view_name(path)
         if name in out:
             raise ValueError(
@@ -225,15 +231,51 @@ _CTAS_RE = re.compile(
 )
 
 
+# codecs the fragment writer actually accepts (datasource.py:817,
+# pq.write_table) — validate at parse time so a typo'd codec fails
+# the COPY statement instead of the first executor write task
+_COPY_CODECS = frozenset({"zstd", "snappy", "gzip", "none"})
+
+
+def _split_quote_aware(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside single/double quotes — the same
+    discipline ``_split_copy_to`` applies to the SELECT body. A bare
+    ``split(',')`` would break a quoted value containing a comma."""
+    out, buf, in_str = [], [], ""
+    for c in s:
+        if in_str:
+            buf.append(c)
+            if c == in_str:
+                in_str = ""
+        elif c in "'\"":
+            buf.append(c)
+            in_str = c
+        elif c == sep:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    out.append("".join(buf))
+    return out
+
+
 def _copy_options(opts: str) -> dict:
     """Parse the COPY option list: ``FORMAT LANCE, MODE 'append',
-    COMPRESSION 'zstd'``. Unknown keys are refused loudly — a typo'd
-    option silently ignored is how data ends up written wrong."""
+    COMPRESSION 'zstd'``. Unknown keys, malformed quoting, and
+    unknown codecs are refused loudly — a typo'd option silently
+    ignored is how data ends up written wrong."""
     out: dict = {}
-    for tok in filter(None, (t.strip() for t in opts.split(","))):
+    for tok in filter(None, (t.strip() for t in _split_quote_aware(opts))):
         parts = tok.split(None, 1)
         key = parts[0].lower()
-        val = parts[1].strip().strip("'\"").lower() if len(parts) > 1 else ""
+        raw = parts[1].strip() if len(parts) > 1 else ""
+        if len(raw) >= 2 and raw[0] in "'\"" and raw[-1] == raw[0]:
+            raw = raw[1:-1]
+        elif raw and (raw[0] in "'\"" or raw[-1] in "'\""):
+            raise lf.LanceDatasetError(
+                f"unbalanced quotes in COPY option value: {tok!r}"
+            )
+        val = raw.lower()
         if key == "format":
             if val != "lance":
                 raise lf.LanceDatasetError(
@@ -247,6 +289,11 @@ def _copy_options(opts: str) -> dict:
                 )
             out["mode"] = val
         elif key == "compression":
+            if val not in _COPY_CODECS:
+                raise lf.LanceDatasetError(
+                    f"unknown COPY COMPRESSION codec {val!r}; supported: "
+                    f"{sorted(_COPY_CODECS)}"
+                )
             out["compression"] = val
         else:
             raise lf.LanceDatasetError(f"unknown COPY option {key!r}")
@@ -392,3 +439,86 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
         return m.group(1) + name
 
     return spark.sql(_PATH_RE.sub(_sub, sql))
+
+
+class LanceWarehouse:
+    """Session-scoped catalog over a directory of lance datasets —
+    the ergonomic stand-in for the persistent catalog the reference
+    gets free from DuckDB (ATTACH + replacement scan,
+    cpp/lance_replacement.cpp): one call registers every dataset
+    under a warehouse root as a temp view, and every subsequent
+    ``.sql()`` transparently REFRESHES views whose dataset version
+    has moved (a Spark temp view snapshots the fragment list at
+    registration, so appends/overwrites after registration are
+    invisible until re-registered — verified in
+    tests/test_catalog.py).
+
+    The refresh is cheap and proportional to CHANGE, not warehouse
+    size: per query it lists each dataset's manifest directory (one
+    metadata listing per table, no data I/O, no plan rebuild) and
+    re-registers only new datasets and bumped versions; vanished
+    datasets get their views dropped. At 1000-table scale the steady
+    state is 1000 directory listings and zero re-registrations."""
+
+    def __init__(self, spark: SparkSession, root_dir: str):
+        self.spark = spark
+        self.root_dir = root_dir
+        # view -> (path, registered manifest version)
+        self._registered: dict[str, tuple[str, int]] = {}
+        ds.register(spark)
+        self.refresh()
+
+    def refresh(self) -> dict[str, str]:
+        """Sync views with the warehouse directory; returns the
+        {view: path} mapping of views (re-)registered THIS call."""
+        changed: dict[str, str] = {}
+        seen: dict[str, str] = {}
+        for path in _discover_datasets(self.root_dir):
+            name = _view_name(path)
+            if name in seen:
+                raise ValueError(
+                    f"view name collision: {path} and {seen[name]} both "
+                    f"map to '{name}'"
+                )
+            versions = lf.list_versions(path)
+            if not versions:
+                # a writer creates the manifest dir BEFORE linking
+                # the first version (lance_format.commit): a crashed
+                # or in-flight first commit leaves a versionless
+                # dataset. Skip it — it becomes visible on the
+                # refresh after its first commit lands — instead of
+                # poisoning every warehouse query with an error.
+                continue
+            seen[name] = path
+            ver = max(versions)
+            cur = self._registered.get(name)
+            if cur == (path, ver):
+                continue
+            self.spark.read.format("lance").load(path).createOrReplaceTempView(
+                name
+            )
+            self._registered[name] = (path, ver)
+            changed[name] = path
+        for name in list(self._registered):
+            if name not in seen:
+                self.spark.catalog.dropTempView(name)
+                del self._registered[name]
+        return changed
+
+    def views(self) -> dict[str, str]:
+        """Currently registered {view: dataset path}."""
+        return {n: p for n, (p, _) in self._registered.items()}
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over the warehouse views, refreshed first so the
+        query always sees each dataset's LATEST version (per-version
+        pins belong to :func:`register_lance_views`)."""
+        self.refresh()
+        return lance_sql(self.spark, query)
+
+
+def use_lance_warehouse(spark: SparkSession, root_dir: str) -> LanceWarehouse:
+    """Register every lance dataset under ``root_dir`` and return a
+    :class:`LanceWarehouse` whose ``.sql()`` keeps the views current
+    across version bumps (r6 VERDICT item 6)."""
+    return LanceWarehouse(spark, root_dir)

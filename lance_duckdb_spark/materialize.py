@@ -1,0 +1,102 @@
+"""Recoverable materialization for scale-path intermediates.
+
+``DataFrame.localCheckpoint`` pins blocks in EXECUTOR storage: they
+are not recomputable, so on a real cluster a single executor loss
+fails every downstream stage of the query (r6 VERDICT item 3). This
+module provides the recoverable alternative — an explicit parquet
+stage: write the frame once, read it back. On a cluster the spill
+root lives on the DFS, so the materialized frame survives executor
+loss exactly like any other shuffle-free scan, and re-reads get
+columnar compression + column pruning for free (an RDD
+``checkpoint()`` stores row-serialized blobs and gets neither).
+
+The spill root is configurable via ``spark.lance_duckdb_spark.spillDir``
+(set it to a DFS path on a cluster); locally it defaults to a
+per-process temp dir cleaned at interpreter exit.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+
+SPILL_DIR_CONF = "spark.lance_duckdb_spark.spillDir"
+
+_local_root: str | None = None
+
+
+def _spill_root(spark) -> str:
+    configured = spark.conf.get(SPILL_DIR_CONF, None)
+    if configured:
+        return configured
+    global _local_root
+    if _local_root is None:
+        _local_root = tempfile.mkdtemp(prefix="lance_duckdb_spark_spill_")
+        atexit.register(shutil.rmtree, _local_root, ignore_errors=True)
+    return _local_root
+
+
+def spill_to_parquet(df: DataFrame, label: str = "stage") -> DataFrame:
+    """Eagerly write ``df`` to a parquet stage and return a scan of
+    it. One execution of the upstream plan, N cheap consumers, and —
+    unlike localCheckpoint — the result is durable storage, not
+    executor memory: recomputable-by-reread after executor loss.
+
+    The read-back pins the writer's schema explicitly: an EMPTY
+    frame writes no part files, and schema inference over _SUCCESS
+    alone would fail.
+
+    Lifecycle: unlike localCheckpoint blocks (freed by Spark's
+    ContextCleaner on GC), a spill directory persists until
+    reclaimed. Iterative operators must :func:`release_spill` each
+    dead intermediate (see clustering.py's propagation loop); a
+    spill backing an operator's RETURNED frame stays live until the
+    consumer finishes — at most one small directory per query, swept
+    by the atexit cleanup of the local temp root or, for a
+    configured DFS spillDir, by :func:`purge_spill_root` between
+    jobs.
+    """
+    spark = df.sparkSession
+    path = os.path.join(_spill_root(spark), f"{label}-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.schema(df.schema).parquet(path)
+    out._spill_path = path  # consumed by release_spill
+    return out
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    """Delete ``path`` through the Hadoop FileSystem API — works for
+    the local temp root and for a DFS spillDir alike."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def release_spill(df: DataFrame) -> None:
+    """Reclaim the parquet stage backing a frame returned by
+    :func:`spill_to_parquet`. Only call once every consumer of the
+    frame has executed — the scan re-reads the files lazily. No-op
+    for frames that are not spills."""
+    path = getattr(df, "_spill_path", None)
+    if path is not None:
+        _hadoop_delete(df.sparkSession, path)
+        df._spill_path = None
+
+
+def purge_spill_root(spark) -> None:
+    """Delete the ENTIRE spill root — for pipelines on a configured
+    DFS ``spillDir`` to run between jobs (no live queries). The
+    local default root is additionally removed at interpreter
+    exit."""
+    global _local_root
+    root = spark.conf.get(SPILL_DIR_CONF, None) or _local_root
+    if root is not None:
+        _hadoop_delete(spark, root)
+    if root == _local_root:
+        _local_root = None

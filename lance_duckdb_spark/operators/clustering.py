@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..materialize import release_spill, spill_to_parquet
 from .dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
 
 MAX_ITERS = 20
@@ -57,14 +58,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # truncate lineage each iteration: without this, iteration i
-        # replays all previous join rounds (O(iters^2) recompute)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # replays all previous join rounds (O(iters^2) recompute).
+        # Parquet spill, not localCheckpoint: an executor-storage
+        # block lost mid-loop is unrecoverable and fails the whole
+        # propagation; the spilled label frame (one row per
+        # clustered doc) re-reads from durable storage instead.
+        new_labels = spill_to_parquet(new_labels, "lp_labels")
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the previous iteration's spill is dead once `changed` has
+        # executed — reclaim it so the loop holds ≤2 spill dirs, not
+        # MAX_ITERS (no-op on iteration 1, whose frame is not a
+        # spill). Only the FINAL labels spill outlives the loop: it
+        # backs the returned aggregation.
+        release_spill(labels)
         labels = new_labels
         if changed == 0:
             converged = True

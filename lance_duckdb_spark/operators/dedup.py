@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..materialize import spill_to_parquet
 from ..tables import load
 from .common import text_fingerprint
 
@@ -502,8 +503,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize once: two consumers below (sizes + pair stage)
     # would otherwise each re-run the Python shingler and the big
-    # shuffle. localCheckpoint also truncates lineage.
-    groups = groups.localCheckpoint(eager=False)
+    # shuffle. A parquet spill (not localCheckpoint) so the staged
+    # table lives in durable storage, not executor memory — at sf10
+    # the executor-storage blocks were what pushed the JVM over the
+    # heap, and at cluster scale a lost executor would have made the
+    # block unrecoverable mid-query.
+    groups = spill_to_parquet(groups, "ngram_groups")
     # per-doc kept-gram counts (Jaccard denominators): explode the
     # capped doc lists — rows = kept (gram, doc) pairs, one narrow
     # column through the shuffle
@@ -532,9 +537,21 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # Flush the packed-pair buffer to np.unique every ~32M pairs
+    # (256 MB): an Arrow batch of 10k df-capped groups can expand to
+    # ~200M pairs, and buffering a whole batch before the first
+    # np.unique is what killed the JVM at sf10 (r6 smoke). Partial
+    # count frames are merged by the downstream groupBy(pk).sum, so
+    # chunked flushing changes memory, not results.
+    FLUSH_PAIRS = 32 * 1024 * 1024
+
     def pair_counts(batches):
+        def _flush(parts):
+            pk, cnt = np.unique(np.concatenate(parts), return_counts=True)
+            return pd.DataFrame({"pk": pk, "pc": cnt})
+
         for pdf in batches:
-            parts = []
+            parts, buffered = [], 0
             for arr in pdf["docs"]:
                 d = np.sort(np.asarray(arr, dtype=np.int64))
                 if len(d) < 2:
@@ -547,10 +564,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ii, jj = np.triu_indices(len(d), k=1)
                 parts.append((d[ii] << 32) | d[jj])
-            if not parts:
-                continue
-            pk, cnt = np.unique(np.concatenate(parts), return_counts=True)
-            yield pd.DataFrame({"pk": pk, "pc": cnt})
+                buffered += parts[-1].size
+                if buffered >= FLUSH_PAIRS:
+                    yield _flush(parts)
+                    parts, buffered = [], 0
+            if parts:
+                yield _flush(parts)
 
     # the grouped table is tiny in BYTES (≤ cap doc-ids per row) but
     # quadratic in WORK per row — AQE's size-based coalescing would

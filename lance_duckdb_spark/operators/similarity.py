@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..materialize import spill_to_parquet
 from ..tables import load
 
 
@@ -476,10 +477,11 @@ def _with_recall_flag(
     approximate result against the exact rows is >= bound. The 1-row
     aggregate is broadcast back (the tpch_q15 shape). The exact
     frame feeds BOTH the audit aggregate and the returned rows, so
-    it is localCheckpoint'd — its (expensive) subtree executes once
-    and the small result is reused, instead of re-running the scan
-    per branch."""
-    exact = exact.localCheckpoint()
+    it is spilled to a parquet stage — its (expensive) subtree
+    executes once and the small result is re-read from durable
+    storage per branch (localCheckpoint would pin the blocks in
+    executor memory, unrecoverable after executor loss)."""
+    exact = spill_to_parquet(exact, "recall_exact")
     hits = exact.select(*keys).join(
         approx.select(*keys).withColumn("hit", F.lit(1)),
         list(keys),

@@ -180,22 +180,52 @@ _GREEN_R5 = {
     "url_domain_stats", "window_rank_functions",
 }
 
-# Queries whose HASHED OUTPUT changes in r6 go here (treated as
-# never-verified so they lead the window).
+# Queries whose HASHED OUTPUT changed in r6 (none — the r6 perf work
+# was hash-preserving); kept for the historical record.
 _RECHECK_R6: set = set()
+
+# All 50 rows CORRECTNESS_r06 recorded — every one hash-exact.
+_GREEN_R6 = {
+    "ann_topk_bruteforce", "bucketed_colocated_join", "contamination_check",
+    "continuous_aggregate", "cross_source_overlap", "dedup_clusters",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh", "dedup_simhash",
+    "domain_mix", "embedding_neardup", "event_transitions",
+    "events_json_extract", "fts_bm25", "fts_bm25_indexed",
+    "lance_bloom_pruning", "lance_delete_vector", "lance_native_write",
+    "lance_pushdown_scan", "lance_roundtrip", "lance_scalar_index",
+    "lance_schema_evolution", "lance_sql_copy", "lance_time_travel",
+    "lance_vacuum", "lance_version_diff", "lance_zorder_pruning",
+    "minhash_containment", "ngram_jaccard", "perplexity_score",
+    "repetition_filter", "sequence_packing", "session_window_native",
+    "skewed_hot_key_agg", "skewed_hot_key_join", "sql_api_priority_matrix",
+    "stream_dedup", "stream_sessionization", "stream_sink_roundtrip",
+    "stream_stream_join", "stream_windowed_counts", "string_agg_ordered",
+    "tpch_q1", "tpch_q10", "tpch_q14", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6",
+}
+
+# Queries whose HASHED OUTPUT changes in r7 go here (treated as
+# never-verified so they lead the window).
+_RECHECK_R7: set = set()
 
 
 def _rotate(merged: dict) -> dict:
-    # Round-6 window: (1) brand-new queries + r6 hash-output changes,
-    # (2) the 20 queries last green in r3 (stream_* block, the r3 lance
-    # maintenance ops, event_transitions/events_json_extract/
-    # session_window_native/sql_api_priority_matrix/string_agg_ordered,
-    # the r3-only dedup/ann block), (3) 30 of the r4-fresh set,
-    # (4) r5-fresh. Within each tier module order holds.
-    rounds = [_GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4, _GREEN_R5]
+    # Round-7 window: (1) brand-new queries + r7 hash-output changes,
+    # (2) the 20 queries last green in r4 (case_buckets,
+    # correlated_subquery, cube_revenue, dedup_keep_best,
+    # exists_correlated, filter_pipeline, lance_compact,
+    # lance_dataset_stats, lance_delete, lance_native_read,
+    # lance_upsert, monthly_revenue, multimodal_pipeline, set_ops,
+    # stratified_sample, stream_continuous_aggregate,
+    # stream_incremental_dedup, string_funcs, tfidf_top_terms,
+    # window_range_frames), (3) the 30 stalest r5-green entries,
+    # (4) r6-fresh. Within each tier module order holds.
+    rounds = [
+        _GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4, _GREEN_R5, _GREEN_R6,
+    ]
 
     def last_verified(k: str) -> int:
-        if k in _RECHECK_R6:
+        if k in _RECHECK_R7:
             return 0
         return max(
             (i + 1 for i, s in enumerate(rounds) if k in s), default=0

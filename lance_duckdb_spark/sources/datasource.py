@@ -542,6 +542,7 @@ class LanceStreamReader(DataSourceStreamReader):
         root: str,
         schema: StructType,
         max_fragments_per_trigger: int | None = None,
+        cap_first_batch: bool = False,
     ):
         self.root = root
         self.schema = schema
@@ -564,13 +565,19 @@ class LanceStreamReader(DataSourceStreamReader):
         # every subsequent trigger is capped. None = no knowledge.
         self._floor: int | None = None
         # Whether latestOffset has been called this run. The FIRST
-        # call is always uncapped: under trigger(availableNow=True)
-        # Spark pins the run's end target from that single snapshot
-        # and terminates there — a capped first answer would strand
-        # backlog beyond the cap when the query stops (r5 ADVICE).
-        # Processing-time runs get the cap from the second trigger
-        # on, which is also the documented cold-start behavior.
-        self._latest_called = False
+        # call is uncapped BY DEFAULT — a deliberate trade-off:
+        # under trigger(availableNow=True) Spark pins the run's end
+        # target from that single snapshot and terminates there, so
+        # a capped first answer would strand backlog beyond the cap
+        # when the query stops (r5 ADVICE). The cost is that a
+        # processing-time stream started fresh over a large backlog
+        # plans the whole backlog in batch one — the giant-batch
+        # scenario the cap exists to prevent. The Python DS API
+        # cannot see the trigger type, so the escape hatch is the
+        # explicit .option("capFirstBatch", true): processing-time
+        # users opt in to a capped cold start (and must NOT combine
+        # it with availableNow, which would strand backlog).
+        self._latest_called = cap_first_batch
 
     def _frags(self) -> list[lf.Fragment]:
         try:
@@ -845,10 +852,24 @@ class LanceDataSource(DataSource):
             "maxFragmentsPerTrigger",
             self.options.get("maxfragmentspertrigger"),
         )
+        cap_first = str(
+            self.options.get(
+                "capFirstBatch", self.options.get("capfirstbatch", "false")
+            )
+        ).lower() == "true"
+        if cap_first and mfpt is None:
+            # refuse loudly: with no per-trigger cap there is nothing
+            # to cap the first batch WITH — silently ignoring the
+            # option would hand the user the exact giant cold-start
+            # batch they asked to avoid
+            raise lf.LanceDatasetError(
+                "capFirstBatch requires maxFragmentsPerTrigger"
+            )
         return LanceStreamReader(
             self._root(),
             schema,
             max_fragments_per_trigger=int(mfpt) if mfpt is not None else None,
+            cap_first_batch=cap_first,
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> LanceStreamWriter:

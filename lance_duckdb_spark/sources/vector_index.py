@@ -33,6 +33,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..materialize import release_spill, spill_to_parquet
 from . import lance_format as lf
 from .datasource import register
 
@@ -633,10 +634,14 @@ def build_ivf_pq_index(
 
     bc = spark.sparkContext.broadcast(C)
     # the final assignment feeds the PQ seed collect, every
-    # _pq_train round, and the final encode — localCheckpoint so the
-    # normalize+assign Python chain executes once, not once per
-    # consumer (r5 review finding)
-    assigned = _assign_buckets(dfn, bc, column, id_col).localCheckpoint()
+    # _pq_train round, and the final encode — spill to a parquet
+    # stage so the normalize+assign Python chain executes once, not
+    # once per consumer (r5 review finding), and the staged frame
+    # survives executor loss (r6 finding: localCheckpoint blocks are
+    # unrecoverable executor storage)
+    assigned = spill_to_parquet(
+        _assign_buckets(dfn, bc, column, id_col), "pq_assigned"
+    )
 
     # deterministic PQ init: residuals of the ksub lowest-id vectors
     dsub = dim // m_sub
@@ -690,6 +695,9 @@ def build_ivf_pq_index(
     os.makedirs(os.path.join(root, PQ_INDEX_DIR), exist_ok=True)
     _write_meta_cas(_pq_meta_path(root), meta, expected_version=None)
     _reclaim_unreferenced_dirs(os.path.join(root, PQ_INDEX_DIR), meta)
+    # the postings write above was the last consumer of the assigned
+    # spill — reclaim it before returning
+    release_spill(assigned)
     return meta
 
 

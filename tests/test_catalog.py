@@ -290,3 +290,77 @@ def test_lance_load_narrows_scan_schema(spark, lance_db):
     assert len(lance_load(spark, f"{lance_db}/nation.lance").columns) == 3
     with pytest.raises(lf.LanceDatasetError, match="unknown columns"):
         lance_load(spark, f"{lance_db}/nation.lance", columns=["n_nam"])
+
+
+def test_copy_options_quote_aware_and_codec_validation(spark, tmp_path):
+    """r6 ADVICE: the option parser must tokenize quote-aware (a
+    quoted value containing a comma is one value) and refuse unknown
+    codecs at parse time, not at the first executor write."""
+    from lance_duckdb_spark.catalog import _copy_options
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    ds.register(spark)  # standalone-safe: don't rely on test order
+    assert _copy_options("FORMAT LANCE, MODE 'append'") == {"mode": "append"}
+    assert _copy_options("COMPRESSION 'zstd'") == {"compression": "zstd"}
+    # a quoted comma must not split the token — parses as ONE (bad)
+    # mode value and is refused as such, not as two broken tokens
+    with pytest.raises(lf.LanceDatasetError, match="MODE"):
+        _copy_options("MODE 'app,end'")
+    with pytest.raises(lf.LanceDatasetError, match="codec"):
+        _copy_options("COMPRESSION 'sznappy'")
+    with pytest.raises(lf.LanceDatasetError, match="unbalanced"):
+        _copy_options("MODE 'append")
+    # end-to-end: typo'd codec fails the statement before any write
+    src = str(tmp_path / "codec_src.lance")
+    spark.range(3).write.format("lance").mode("overwrite").save(src)
+    dst = str(tmp_path / "codec_dst.lance")
+    with pytest.raises(lf.LanceDatasetError, match="codec"):
+        lance_sql(
+            spark,
+            f"COPY (SELECT id FROM '{src}') TO '{dst}' "
+            "(FORMAT LANCE, COMPRESSION 'lzo')",
+        )
+    assert not os.path.isdir(dst)
+
+
+def test_use_lance_warehouse_refreshes_on_version_bump(spark, sf_dir, tmp_path):
+    """use_lance_warehouse: temp views snapshot the fragment list at
+    registration, so a bumped dataset version MUST be re-registered
+    for the view to serve it — wh.sql() does that transparently,
+    plus picks up brand-new datasets and drops vanished ones."""
+    import shutil
+
+    from lance_duckdb_spark.catalog import use_lance_warehouse
+
+    ds.register(spark)  # standalone-safe: don't rely on test order
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    spark.range(3).write.format("lance").mode("overwrite").save(
+        f"{root}/a.lance"
+    )
+    wh = use_lance_warehouse(spark, root)
+    assert wh.views() == {"a": f"{root}/a.lance"}
+    assert wh.sql("SELECT COUNT(*) AS n FROM a").first().n == 3
+
+    # version bump: a plain spark.sql over the stale view misses the
+    # append; wh.sql refreshes and sees it
+    spark.range(5).write.format("lance").mode("append").save(f"{root}/a.lance")
+    assert spark.sql("SELECT COUNT(*) AS n FROM a").first().n == 3
+    assert wh.sql("SELECT COUNT(*) AS n FROM a").first().n == 8
+
+    # steady state: no change -> no re-registration
+    assert wh.refresh() == {}
+
+    # new dataset appears
+    spark.range(2).write.format("lance").mode("overwrite").save(
+        f"{root}/b.lance"
+    )
+    got = wh.sql("SELECT (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b) AS n")
+    assert got.first().n == 10
+    assert set(wh.views()) == {"a", "b"}
+
+    # dataset vanishes -> view dropped
+    shutil.rmtree(f"{root}/b.lance")
+    wh.refresh()
+    assert set(wh.views()) == {"a"}
+    assert "b" not in [t.name for t in spark.catalog.listTables()]

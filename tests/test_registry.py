@@ -34,10 +34,13 @@ def test_oracle_sql_references_known_tables_only():
             if tbl in known:
                 continue
             assert (
-                re.search(rf"\b{tbl}\b\s+AS\s*\(", sql, re.IGNORECASE)
+                re.search(
+                    rf"\b{tbl}\b\s+AS\s+(?:(?:NOT\s+)?MATERIALIZED\s+)?\(",
+                    sql,
+                    re.IGNORECASE,
+                )
                 or re.search(rf"WITH\s+{tbl}\b", sql, re.IGNORECASE)
                 or re.search(rf"\)\s*(AS\s+)?{tbl}\b", sql, re.IGNORECASE)
-                or re.search(rf",\s*{tbl}\s+AS\s*\(", sql, re.IGNORECASE)
                 or re.search(rf"{tbl}\s*\(", sql)  # function call
                 or tbl in ("unnest",)
             ), f"{name}: unknown table reference '{tbl}'"

@@ -613,3 +613,52 @@ def test_staged_runs_tolerate_empty_events(spark, tmp_path):
     assert jobs.stream_dedup(spark, sf_tmp).count() == 0
     assert jobs.stream_stream_join(spark, sf_tmp).count() == 0
     assert jobs.stream_sink_roundtrip(spark, sf_tmp).count() == 0
+
+
+def test_cap_first_batch_option(spark, tmp_path):
+    """capFirstBatch (r6 ADVICE): processing-time users can opt into
+    a capped cold start. Reader-level: with the option, the FIRST
+    latestOffset after a fresh initialOffset is already capped;
+    without it, the first answer covers the whole backlog (the
+    availableNow-safe default). Setting capFirstBatch without
+    maxFragmentsPerTrigger is refused loudly — there is no cap to
+    apply."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from lance_duckdb_spark.sources import datasource as ds
+    from lance_duckdb_spark.sources import lance_format as lf2
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "capfirst.lance")
+    schema_json = (
+        '{"type":"struct","fields":'
+        '[{"name":"x","type":"long","nullable":true,"metadata":{}}]}'
+    )
+    t = pa.table({"x": [1]})
+    for _ in range(5):
+        lf2.commit(root, schema_json, [lf2.write_fragment(root, t)], "append")
+
+    uncapped = ds.LanceStreamReader(root, StructType([]), 2)
+    uncapped.initialOffset()
+    assert uncapped.latestOffset()["frag_count"] == 5  # availableNow-safe
+    assert uncapped.latestOffset()["frag_count"] == 2  # capped from #2
+
+    capped = ds.LanceStreamReader(
+        root, StructType([]), 2, cap_first_batch=True
+    )
+    capped.initialOffset()
+    assert capped.latestOffset()["frag_count"] == 2  # capped cold start
+
+    # restart from checkpoint (no initialOffset): no floor knowledge,
+    # capping blind would regress below the checkpoint — stays full
+    resumed = ds.LanceStreamReader(
+        root, StructType([]), 2, cap_first_batch=True
+    )
+    assert resumed.latestOffset()["frag_count"] == 5
+
+    src = ds.LanceDataSource(
+        {"path": root, "capFirstBatch": "true"}
+    )
+    with _pytest.raises(lf2.LanceDatasetError, match="maxFragmentsPerTrigger"):
+        src.streamReader(StructType([]))

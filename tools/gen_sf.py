@@ -103,8 +103,26 @@ def _decorrelate_embeddings(t: pa.Table, i: int) -> pa.Table:
     if i == 0:
         return t
     embs = t["embedding"].combine_chunks()
+    # flatten() drops null slots and from_arrays() below discards the
+    # validity bitmap — a null embedding would silently corrupt every
+    # later row's values via a miscomputed dim. Fail loudly instead.
+    if embs.null_count:
+        raise ValueError(
+            f"embeddings table has {embs.null_count} null embedding(s); "
+            "_decorrelate_embeddings requires a fully non-null column"
+        )
+    # per-row length uniqueness, not mere divisibility: lengths that
+    # AVERAGE to an integer (half 126, half 130) would pass a
+    # divisibility check and still misalign every row after the
+    # first short one
+    lens = embs.value_lengths().unique().to_pylist()
+    if len(lens) != 1:
+        raise ValueError(
+            f"ragged embedding column (row lengths {sorted(lens)[:5]}...); "
+            "sign-flip decorrelation needs one fixed dimension"
+        )
     flat = np.asarray(embs.flatten(), dtype=np.float32)
-    dim = len(flat) // t.num_rows
+    dim = lens[0]
     seed = int.from_bytes(
         hashlib.md5(f"signflip:{i}".encode()).digest()[:8], "big"
     )

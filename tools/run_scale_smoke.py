@@ -67,33 +67,63 @@ def main() -> None:
             lambda d: text.perplexity_score(spark, d).count(), "rows"),
     }
 
+    json_path = os.path.join(REPO, "SCALE_SMOKE.json")
+
+    def _dump(results: dict) -> None:
+        # rewrite after EVERY op (r6: a JVM crash on op 4 of 6 threw
+        # away three already-measured results — nothing had been
+        # persisted). A crash on op N now preserves ops 1..N-1 plus
+        # an explicit status:error row for op N.
+        with open(json_path, "w") as fh:
+            json.dump(results, fh, indent=1)
+
     results: dict = {}
     for name, (fn, kind) in OPS.items():
-        row: dict = {"kind": kind}
-        for tag, d in (("sf1", sfd1), ("sf10", sfd10)):
-            t0 = time.perf_counter()
-            n = fn(d)
-            row[f"{tag}_rows"] = n
-            row[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
-            print(name, tag, row, flush=True)
-        row["row_ratio"] = (
-            round(row["sf10_rows"] / row["sf1_rows"], 2)
-            if row["sf1_rows"]
-            else None
-        )
-        row["sec_ratio"] = (
-            round(row["sf10_sec"] / row["sf1_sec"], 2)
-            if row["sf1_sec"]
-            else None
-        )
-        if kind == "pairs":
-            r = row["row_ratio"]
-            row["linear_ok"] = r is not None and LINEAR_LO <= r <= LINEAR_HI
+        row: dict = {"kind": kind, "status": "ok"}
         results[name] = row
-    spark.stop()
-
-    with open(os.path.join(REPO, "SCALE_SMOKE.json"), "w") as fh:
-        json.dump(results, fh, indent=1)
+        try:
+            for tag, d in (("sf1", sfd1), ("sf10", sfd10)):
+                t0 = time.perf_counter()
+                n = fn(d)
+                row[f"{tag}_rows"] = n
+                row[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
+                print(name, tag, row, flush=True)
+                _dump(results)
+            row["row_ratio"] = (
+                round(row["sf10_rows"] / row["sf1_rows"], 2)
+                if row["sf1_rows"]
+                else None
+            )
+            row["sec_ratio"] = (
+                round(row["sf10_sec"] / row["sf1_sec"], 2)
+                if row["sf1_sec"]
+                else None
+            )
+            if kind == "pairs":
+                r = row["row_ratio"]
+                row["linear_ok"] = (
+                    r is not None and LINEAR_LO <= r <= LINEAR_HI
+                )
+        except Exception as exc:  # noqa: BLE001 — record, don't abort report
+            row["status"] = "error"
+            # one line, no pipes: Py4J errors are multi-line Java
+            # stack traces that would otherwise shred the md table
+            msg = f"{type(exc).__name__}: {exc}"[:500]
+            row["error"] = msg.replace("\n", " ").replace("|", "/")
+            print(name, "ERROR", row["error"], flush=True)
+            _dump(results)
+            # a dead JVM kills every later op too — stop measuring,
+            # the report stays partial-but-persisted
+            try:
+                spark.sql("SELECT 1").collect()
+            except Exception:
+                print("JVM unreachable; aborting remaining ops", flush=True)
+                break
+        _dump(results)
+    try:
+        spark.stop()
+    except Exception:
+        pass
     lines = [
         "# SF10 scale smoke",
         "",
@@ -109,6 +139,9 @@ def main() -> None:
         "|---|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
+        if r.get("status") == "error":
+            lines.append(f"| {name} | ERROR: {r['error'][:80]} | | | | | | |")
+            continue
         lines.append(
             f"| {name} | {r['sf1_rows']} | {r['sf10_rows']} "
             f"| {r['row_ratio']} | {r['sf1_sec']} | {r['sf10_sec']} "
@@ -118,7 +151,7 @@ def main() -> None:
         fh.write("\n".join(lines) + "\n")
     bad = [
         n for n, r in results.items()
-        if r.get("linear_ok") is False
+        if r.get("linear_ok") is False or r.get("status") == "error"
     ]
     print("BAD:", bad)
     sys.exit(1 if bad else 0)
