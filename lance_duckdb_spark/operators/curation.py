@@ -35,30 +35,25 @@ BENCH_MOD = 17  # doc_id % BENCH_MOD == 0 → "benchmark" member
 # make the check vacuous at the driver's gate scale)
 
 
-def _word_ngrams_udf(n: int):
-    """Distinct word-n-grams per doc as an Arrow-batched pandas_udf:
-    the JVM transform(sequence, i -> concat_ws(slice(...))) chain
-    interprets its lambda per gram position (HOFs are not
-    codegen'd) and measured 5.8x slower at sf1 (13.8s vs 2.4s for
-    the same 2.4M output rows) — same lesson as ngram_jaccard's
-    shingler. Output strings are identical: " ".join of n
-    consecutive whitespace-split words, distinct per doc."""
-    from pyspark.sql.functions import pandas_udf
+def _word_ngrams(n: int):
+    """Distinct-word-n-gram set per doc, for dedup._gram_rows (the
+    shared Arrow-batched shingling scaffold — one tokenization whose
+    byte-parity with the oracles is maintained in ONE place; a JVM
+    transform(sequence, ...) chain measured 5.8x slower at sf1,
+    13.8s vs 2.4s, because HOF lambdas are interpreted per gram).
+    strip SPACES only: SQL trim() does not touch \\t\\n\\r, and gram
+    strings must match the oracle byte-for-byte. Falsy return drops
+    the doc, mirroring the oracle's empty list_transform."""
 
-    def grams(texts):
-        import pandas as pd
+    def grams_of(txt):
+        if txt is None:
+            return None
+        w = txt.strip(" ").split(" ")
+        if len(w) < n:
+            return None
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
 
-        out = []
-        for t in texts:
-            # strip SPACES only: SQL trim() does not touch \t\n\r,
-            # and gram strings must match the oracle byte-for-byte
-            w = (t or "").strip(" ").split(" ")
-            out.append(
-                list({" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 0))})
-            )
-        return pd.Series(out)
-
-    return pandas_udf(grams, "array<string>")
+    return grams_of
 
 
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,16 +66,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is an equi-join on the gram string — at
     100 TB the benchmark side is tiny and broadcastable, the corpus
     side streams; no pair enumeration ever happens."""
+    from .dedup import _gram_rows
+
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(_word_ngrams_udf(CONTAM_N)(F.col("text"))).alias("gram"),
-    )
-    bench = (
-        grams.where(F.col("doc_id") % BENCH_MOD == 0)
-        .select(F.col("doc_id").alias("bench_doc"), "gram")
-        .distinct()
+    grams = _gram_rows(docs, ["source"], _word_ngrams(CONTAM_N), "gram")
+    # no .distinct(): _gram_rows emits each doc's grams as a set, so
+    # (bench_doc, gram) pairs are already unique — a distinct here is
+    # a pure no-op shuffle of the whole bench gram table
+    bench = grams.where(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_doc"), "gram"
     )
     hits = (
         grams.join(bench, "gram")
@@ -239,23 +233,24 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: D4
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas guarantees exactly ONE source per call —
+        # emit its single summary row directly
         pdf = pdf.sort_values("doc_id")
         seq_idx, fill = 0, None
-        seqs = []
         for tok in pdf["tok"]:
             if fill is None or fill + tok > PACK_BUDGET:
                 seq_idx += 1
                 fill = tok
             else:
                 fill += tok
-            seqs.append(seq_idx)
-        out = pdf.assign(seq_idx=seqs)
-        agg = out.groupby("source", as_index=False).agg(
-            n_docs=("doc_id", "count"),
-            n_sequences=("seq_idx", "max"),
-            total_tokens=("tok", "sum"),
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "n_sequences": [seq_idx],
+                "total_tokens": [int(pdf["tok"].sum())],
+            }
         )
-        return agg
 
     return (
         toks.groupBy("source")

@@ -537,13 +537,19 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # Flush the packed-pair buffer to np.unique every ~32M pairs
-    # (256 MB): an Arrow batch of 10k df-capped groups can expand to
-    # ~200M pairs, and buffering a whole batch before the first
-    # np.unique is what killed the JVM at sf10 (r6 smoke). Partial
-    # count frames are merged by the downstream groupBy(pk).sum, so
-    # chunked flushing changes memory, not results.
-    FLUSH_PAIRS = 32 * 1024 * 1024
+    # Flush the packed-pair buffer to np.unique every ~4M pairs: an
+    # Arrow batch of 10k df-capped groups can expand to ~200M pairs,
+    # and buffering a whole batch before the first np.unique is what
+    # killed the JVM at sf10 (r6 smoke). The flush size also bounds
+    # the OUTPUT batch: each yielded frame becomes ONE Arrow record
+    # batch on the JVM receive side, and 32 concurrent tasks each
+    # landing a 32M-row (~400 MB) batch blew the 24 GiB netty
+    # direct-memory ceiling in the r7 smoke — 4M pairs keeps every
+    # side (worker RSS, arrow batch, direct pool) at tens of MB per
+    # task at any scale. Partial count frames are merged by the
+    # downstream groupBy(pk).sum, so chunk size changes memory, not
+    # results.
+    FLUSH_PAIRS = 4 * 1024 * 1024
 
     def pair_counts(batches):
         def _flush(parts):

@@ -514,14 +514,20 @@ def _lsh_projections(dim: int = DIM, planes: int = LSH_PLANES):
 
 
 def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for C5: sign-random-projection signatures, banded
-    bucketing, candidates only from bucket collisions — O(collisions)
-    not O(N²) — then exact cosine verification. At a billion vectors
-    this is the only affordable shape; the bucket join is an
-    equi-join Spark shuffles on (band, bucket). This is the
-    user-facing operator; the driver query ``embedding_neardup_lsh``
-    wraps it with a recall audit against the exact pair scan so the
-    row hash-checks."""
+    """Sign-random-projection signatures, banded bucketing,
+    candidates only from bucket collisions, then exact cosine
+    verification. The driver query ``embedding_neardup_lsh`` wraps
+    it with a recall audit against the exact pair scan so the row
+    hash-checks.
+
+    Scale honesty (r7, measured in the sf10 smoke): with 3-bit
+    bands, two RANDOM vectors collide in some band with prob
+    1-(1-1/8)^6 ≈ 0.55 — the bucket scan prunes the quadratic pair
+    space only ~2×. Low-threshold near-dup (cos barely above the
+    random-cosine noise floor) is inherently unclusterable, so this
+    operator is the recall-audited SMALL-SCALE tool; the 100 TB
+    dedup path is ``ivf_neardup_pairs`` (high-similarity duplicates,
+    bucket count scaled to corpus size, linear work)."""
     import numpy as np
     import pandas as pd
 
@@ -743,6 +749,192 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rnk")
 
 
+# -- IVF-bucketed near-dup (the 100 TB dedup path) --------------------------
+
+# each vector joins its NDUP_ASSIGN nearest centroid buckets: a pair
+# is found iff the two bucket sets intersect. Multi-assignment is
+# the boundary remedy — a near-identical pair (the dedup target,
+# cos >= ~0.8) almost always shares its nearest centroid; pairs
+# split across a Voronoi boundary are caught via the second
+# assignment. SemDeDup-style cluster-then-compare.
+NDUP_ASSIGN = 2
+
+
+def ivf_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = NEARDUP_THRESHOLD,
+    k: int = IVF_K,
+) -> DataFrame:
+    """Near-duplicate pairs via IVF bucketing — the 100 TB shape for
+    EMBEDDING dedup (cf. the SemDeDup recipe: k-means cluster, then
+    compare only within clusters): assign every vector to its
+    ``NDUP_ASSIGN`` nearest of ``k`` deterministic seed centroids
+    (the k lowest-vec_id vectors — the ann_ivf convention), run the
+    exact pair scan WITHIN each bucket only, and union. With k
+    scaled to corpus size (k ≈ n/500), per-bucket work is bounded
+    and total work is O(n · bucket) — linear — versus the
+    sign-RP-LSH variant whose 3-bit bands prune random pairs only
+    ~2x (measured: quadratic candidate growth in the r7 sf10 smoke;
+    lsh_neardup_pairs remains the recall-audited small-scale tool,
+    this is the scale path).
+
+    Deterministic end to end (seed centroids, fold-ordered cosine,
+    explicit tie-breaks), so the DuckDB oracle replicates the
+    ALGORITHM itself and the driver row is hash-exact — including
+    which boundary pairs the bucketing misses. Honest scope: IVF
+    near-dup targets genuinely-similar duplicates; pairs barely
+    above the random-cosine noise floor (cos ~3σ, e.g. 0.4 at
+    dim 64) are not clusterable by ANY bucketing scheme without
+    quadratic work, and recall for those is audited in
+    tests/test_llm_ops.py, not promised.
+
+    Assignment is Arrow-batched numpy with DIMENSION-SEQUENTIAL
+    accumulation (the embedding_neardup fold trick): every
+    vector-centroid cosine is bit-identical to the scalar fold
+    DuckDB evaluates, so the rank-2 cut can never disagree with the
+    oracle's ROW_NUMBER. The in-bucket scan prefilters with one
+    dgemm at a proven-lossless 1e-6 margin, then the survivors are
+    exact-rechecked JVM-side with the same fold-ordered expression
+    the oracle uses."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+    )
+    C = np.array([r["embedding"] for r in cent_rows], dtype=np.float32).astype(
+        np.float64
+    )
+    c_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    c_nrm = _seq_norms(C)
+    bc = spark.sparkContext.broadcast((c_ids, C, c_nrm))
+
+    def assign(batches):
+        ids_c, Cm, nrm_c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float32).astype(
+                np.float64
+            )
+            nx = _seq_norms(X)
+            # dimension-sequential dot: acc order per (x, c) pair is
+            # the scalar fold — bit-identical to the oracle
+            acc = np.zeros((len(X), len(Cm)))
+            for d in range(Cm.shape[1]):
+                acc += X[:, d, None] * Cm[None, :, d]
+            cos = np.clip(acc / (nx[:, None] * nrm_c[None, :]), -1.0, 1.0)
+            # rank by (cos DESC, centroid_id ASC) — argsort on
+            # (-cos, id) lexicographic, stable and exact
+            order = np.lexsort((np.broadcast_to(ids_c, cos.shape), -cos), axis=1)
+            top = order[:, :NDUP_ASSIGN]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), NDUP_ASSIGN),
+                    "centroid_id": ids_c[top].reshape(-1),
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, centroid_id long"
+    )
+
+    def bucket_pairs(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        X = np.array(list(pdf["embedding"]), dtype=np.float32).astype(
+            np.float64
+        )
+        nrm = _seq_norms(X)
+        out_a, out_b = [], []
+        blk = 1024
+        for i0 in range(0, len(X), blk):
+            Cm = X[i0 : i0 + blk] @ X.T
+            Cm /= nrm[i0 : i0 + blk, None]
+            Cm /= nrm[None, :]
+            ii, jj = np.nonzero(Cm >= threshold - 1e-6)  # margin prefilter
+            ii += i0
+            keep = ids[ii] < ids[jj]
+            out_a.append(ids[ii][keep])
+            out_b.append(ids[jj][keep])
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b)}
+        )
+
+    cand = (
+        assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+        .groupBy("centroid_id")
+        .applyInPandas(bucket_pairs, schema="vec_a long, vec_b long")
+        .distinct()
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        norm("embedding").alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        norm("embedding").alias("norm_b"),
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            _clamp1(
+                _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the IVF-bucketed near-dup pair set at the
+    default threshold and seed-centroid count — hash-exact because
+    the oracle replicates the whole deterministic algorithm (seed
+    centroids, rank-2 assignment with explicit tie-breaks, in-bucket
+    exact pairs), misses and all."""
+    return ivf_neardup_pairs(spark, sf_dir)
+
+
+EMBEDDING_NEARDUP_IVF_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {IVF_K}
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(c.ce AS DOUBLE[])) DESC,
+                 c.centroid_id ASC) AS crnk
+    FROM embeddings e, c
+  ) WHERE crnk <= {NDUP_ASSIGN}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM assigned x JOIN assigned y
+    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+)
+SELECT p.vec_a, p.vec_b,
+  list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                         CAST(eb.embedding AS DOUBLE[])) AS cos_sim
+FROM cand p
+JOIN embeddings ea ON ea.vec_id = p.vec_a
+JOIN embeddings eb ON eb.vec_id = p.vec_b
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= {NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
@@ -750,9 +942,11 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_ivf_indexed": ann_ivf_indexed,
     "ann_ivf_pq": ann_ivf_pq,
+    "embedding_neardup_ivf": embedding_neardup_ivf,
 }
 
 ORACLE = {
+    "embedding_neardup_ivf": EMBEDDING_NEARDUP_IVF_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,

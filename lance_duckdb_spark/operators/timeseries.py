@@ -15,15 +15,18 @@ aggregation bit-for-bit, which is what the oracle computes (the
 driver's hash compare is the "rollup serves the same answers as raw"
 guarantee a serving system must give).
 
-Collect discipline: the rollup WRITE's closed-hour cutoff is a 1-row
-aggregate joined back broadcast (the tpch_q15 shape — no literal
-needed there); the QUERY's cutoff is a bounded 1-row collect because
-day-partition pruning requires a literal predicate (see
-rollup_query's docstring).
+Collect discipline: both the WRITE's closed-hour cutoff and the
+QUERY's window cutoff are bounded 1-row collects — the write must
+RECORD its coverage cutoff in the store's metadata (a query against
+a store built before newer events arrived must re-read raw from the
+STORE's cutoff, not from query-time now − TAIL_HOURS, or the hours
+in between would silently fall on neither side), and day-partition
+pruning requires a literal predicate.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -57,28 +60,52 @@ def _max_hour(hours: DataFrame) -> DataFrame:
     return hours.agg(F.max("hour_idx").alias("max_h"))
 
 
+_META_FILE = "_rollup_meta.json"  # underscore-prefixed: parquet readers skip it
+
+
+def _read_store_meta(store_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(store_dir, _META_FILE)) as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
 def build_rollup_store(
     spark: SparkSession, sf_dir: str, store_dir: str
 ) -> None:
     """Materialize closed hours (everything before the open tail):
     per (hour, event_type) bigint count + decimal(18,2) partial sum,
-    written as parquet partitioned by day for window pruning."""
+    written as parquet partitioned by day for window pruning.
+
+    The store records its COVERAGE CUTOFF (`closed_below_hour`) in
+    ``_rollup_meta.json``: every hour < cutoff is in the store,
+    every hour >= cutoff must come from raw. rollup_query reads the
+    cutoff back so a store built before newer events arrived serves
+    a longer raw tail instead of silently dropping the hours between
+    its cutoff and query-time now − TAIL_HOURS (r7 review finding).
+    """
     hours = _hourly(spark, sf_dir)
-    closed = hours.join(F.broadcast(_max_hour(hours))).where(
-        F.col("hour_idx") < F.col("max_h") - TAIL_HOURS
-    )
-    (
-        closed.groupBy("hour_idx", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("v").alias("sum_v"),
+    max_h = _max_hour(hours).first()["max_h"]  # bounded 1-row collect
+    cutoff = None if max_h is None else max_h - TAIL_HOURS
+    if cutoff is not None:
+        (
+            hours.where(F.col("hour_idx") < F.lit(cutoff))
+            .groupBy("hour_idx", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("sum_v"),
+            )
+            .withColumn("day_idx", F.expr("hour_idx DIV 24"))
+            .repartition("day_idx")
+            .write.mode("overwrite")
+            .partitionBy("day_idx")
+            .parquet(store_dir)
         )
-        .withColumn("day_idx", F.expr("hour_idx DIV 24"))
-        .repartition("day_idx")
-        .write.mode("overwrite")
-        .partitionBy("day_idx")
-        .parquet(store_dir)
-    )
+    else:
+        os.makedirs(store_dir, exist_ok=True)
+    with open(os.path.join(store_dir, _META_FILE), "w") as fh:
+        json.dump({"closed_below_hour": cutoff}, fh)
 
 
 def rollup_query(
@@ -102,20 +129,43 @@ def rollup_query(
         # with the contract schema instead (r4 ADVICE edge)
         return spark.createDataFrame([], DAILY_SUMMARY_SCHEMA)
     lo_hour = max_h - WINDOW_HOURS
-    closed = (
-        spark.read.parquet(store_dir)
-        .where(F.col("day_idx") >= lo_hour // 24)  # partition pruning
-        .where(F.col("hour_idx") > lo_hour)
-        .select("hour_idx", "event_type", "n", "sum_v")
+    # the raw/rollup boundary is the STORE's recorded cutoff, not
+    # query-time max_h - TAIL_HOURS: a store built before newer
+    # events arrived covers less than a fresh one would, and the
+    # difference must be served raw, not dropped. None (no closed
+    # hours at build, or a legacy store without metadata) = serve
+    # everything raw.
+    meta = _read_store_meta(store_dir)
+    cutoff = meta["closed_below_hour"] if meta else None
+    tail = hours.where(F.col("hour_idx") > lo_hour)
+    if cutoff is not None:
+        tail = tail.where(F.col("hour_idx") >= F.lit(cutoff))
+    tail = tail.groupBy("hour_idx", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v")
     )
-    tail = (
-        hours.where(F.col("hour_idx") >= max_h - TAIL_HOURS)
-        .where(F.col("hour_idx") > lo_hour)
-        .groupBy("hour_idx", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
-    )
+    if cutoff is None:
+        hourly = tail
+    else:
+        # explicit schema (tail's columns + the day_idx partition
+        # col): a store whose closed set was EMPTY at build holds no
+        # part files, and schema inference over _SUCCESS alone
+        # throws instead of serving the tail-only summary (r7 review
+        # finding)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        store_schema = StructType(
+            list(tail.schema.fields) + [StructField("day_idx", LongType())]
+        )
+        closed = (
+            spark.read.schema(store_schema)
+            .parquet(store_dir)
+            .where(F.col("day_idx") >= lo_hour // 24)  # partition pruning
+            .where(F.col("hour_idx") > lo_hour)
+            .select("hour_idx", "event_type", "n", "sum_v")
+        )
+        hourly = closed.unionByName(tail)
     return (
-        closed.unionByName(tail)
+        hourly
         .withColumn(
             "d", F.date_add(F.lit("1970-01-01"), F.expr("CAST(hour_idx DIV 24 AS INT)"))
         )

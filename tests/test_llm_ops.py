@@ -357,3 +357,52 @@ def test_ann_search_exclude_self_flag(spark, sf_dir):
         spark, root, probes, k_neighbors=3, nprobe=4, allow_stale=True
     ).collect()
     assert all(r.neighbor_id != r.probe_id for r in without)
+
+
+def test_ivf_neardup_planted_duplicates_recall(spark, tmp_path):
+    """The IVF near-dup scale path must find planted TRUE duplicates
+    (cos 0.95 copies — the workload shape embedding dedup exists
+    for) with high recall, at a bucket count scaled to corpus size.
+    Built on a corpus of isotropic noise + planted copies, exactly
+    how the sfd smoke corpora are constructed."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n, dim, every = 3000, 64, 20
+    X = rng.standard_normal((n, dim)).astype(np.float32)
+    base = np.arange(0, n, every)
+    V = X[base].astype(np.float64)
+    G = rng.standard_normal(V.shape)
+    vn = np.linalg.norm(V, axis=1, keepdims=True)
+    Gp = G - (np.sum(G * V, axis=1, keepdims=True) / vn**2) * V
+    Gp *= vn / np.linalg.norm(Gp, axis=1, keepdims=True)
+    th = np.arccos(0.95)
+    copies = (V * np.cos(th) + Gp * np.sin(th)).astype(np.float32)
+    all_vecs = np.vstack([X, copies])
+    sf = str(tmp_path / "planted")
+    os.makedirs(sf)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(len(all_vecs), dtype=np.int64),
+            "embedding": list(all_vecs),
+            "label": np.zeros(len(all_vecs), dtype=np.int32),
+        }
+    ).to_parquet(f"{sf}/embeddings.parquet")
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.ivf_neardup_pairs(
+            spark, sf, threshold=0.8, k=max(16, len(all_vecs) // 500)
+        ).collect()
+    }
+    planted = {(int(b), int(n + i)) for i, b in enumerate(base)}
+    assert got <= planted | got  # sanity
+    recall = len(got & planted) / len(planted)
+    # rank-2 assignment catches same-cluster copies and most
+    # boundary splits; misses are the documented residual
+    assert recall >= 0.85, f"planted-dup recall {recall}"
+    # no false positives at 6.4-sigma threshold on isotropic noise
+    assert got <= planted

@@ -32,6 +32,13 @@ AFFECTED = [
     "char_entropy",
     "text_normalize",
     "doc_fingerprint",
+    # r7: the redaction/provenance pair (size(regexp_extract_all(
+    # NULL)) vs len(NULL) must agree through the SUMs) and the
+    # contamination scan after its move onto the shared _gram_rows
+    # scaffold
+    "pii_redact",
+    "url_domain_stats",
+    "contamination_check",
 ]
 
 

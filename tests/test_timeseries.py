@@ -92,3 +92,66 @@ def test_sketch_rollup_error_bound_and_mergeability(spark, sf_dir):
         assert r.exact_distinct_users == e.d
         # the estimate itself is folded into the hashed flag (r5)
         assert r.sketch_within_tol
+
+
+def test_rollup_query_with_empty_closed_store(spark, tmp_path):
+    """Events spanning <= TAIL_HOURS: every hour is in the open
+    tail, the store holds no part files — the query must serve the
+    tail-only summary instead of crashing on schema inference over
+    a partitioned-but-empty parquet dir (r7 review finding)."""
+    import os
+
+    import pandas as pd
+
+    sf = str(tmp_path / "shortspan")
+    os.makedirs(sf)
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame(
+        {
+            "event_id": range(6),
+            "user_id": [1, 2, 1, 2, 1, 2],
+            "event_type": ["a", "b"] * 3,
+            "value": [1.25, 2.5, 3.0, 4.75, 5.0, 6.25],
+            "ts": [base + pd.Timedelta(hours=h) for h in range(6)],
+            "properties": ["{}"] * 6,
+        }
+    ).to_parquet(f"{sf}/events.parquet")
+    store = str(tmp_path / "short_store")
+    ts.build_rollup_store(spark, sf, store)
+    rows = ts.rollup_query(spark, sf, store).collect()
+    assert {(r.event_type, r.n_events) for r in rows} == {("a", 3), ("b", 3)}
+    assert abs(sum(r.sum_value for r in rows) - 22.75) < 1e-9
+
+
+def test_rollup_query_serves_hours_past_a_stale_store(spark, tmp_path):
+    """A store built BEFORE newer events arrived must not lose the
+    hours between its recorded cutoff and query-time now-TAIL_HOURS:
+    the raw tail starts at the STORE's cutoff (r7 review finding —
+    previously those hours were read from neither side)."""
+    import os
+
+    import pandas as pd
+
+    def write_events(path, n_hours):
+        os.makedirs(path, exist_ok=True)
+        base = pd.Timestamp("2024-01-01")
+        pd.DataFrame(
+            {
+                "event_id": range(n_hours),
+                "user_id": [1] * n_hours,
+                "event_type": ["a"] * n_hours,
+                "value": [1.0] * n_hours,
+                "ts": [base + pd.Timedelta(hours=h) for h in range(n_hours)],
+                "properties": ["{}"] * n_hours,
+            }
+        ).to_parquet(f"{path}/events.parquet")
+
+    sf = str(tmp_path / "staledata")
+    store = str(tmp_path / "stale_store")
+    write_events(sf, 60)  # store covers hours < 60-24 = 36
+    ts.build_rollup_store(spark, sf, store)
+    write_events(sf, 120)  # 60 newer hours, store now stale
+    rows = ts.rollup_query(spark, sf, store).collect()
+    # full 7-day window over 120 one-event hours: nothing dropped
+    assert sum(r.n_events for r in rows) == 120
+    assert abs(sum(r.sum_value for r in rows) - 120.0) < 1e-9

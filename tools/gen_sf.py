@@ -144,6 +144,58 @@ _DECORRELATE = {
     "embeddings": _decorrelate_embeddings,
 }
 
+# --plant-neardups: one perturbed near-copy per PLANT_EVERY embeddings
+# rows, at exactly cos = PLANT_COS to its base. The synthetic
+# embeddings are ~isotropic noise with no high-similarity structure
+# (measured r7: zero pairs above cos 0.7 even at sfd1), so a
+# near-dup-at-scale smoke needs TRUE duplicates planted — at a
+# threshold of 0.8 the planted pairs are the entire ground truth
+# (random 64-dim cosines are ~N(0, 1/8); 0.8 is 6.4 sigma) and the
+# truth grows linearly with replica count by construction.
+PLANT_EVERY = 20
+PLANT_COS = 0.95
+
+
+def _plant_neardups(t: pa.Table) -> pa.Table:
+    import hashlib
+
+    import numpy as np
+
+    embs = t["embedding"].combine_chunks()
+    if embs.null_count:
+        raise ValueError("planting requires non-null embeddings")
+    lens = embs.value_lengths().unique().to_pylist()
+    if len(lens) != 1:
+        raise ValueError("planting requires one fixed dimension")
+    dim = lens[0]
+    X = np.asarray(embs.flatten(), dtype=np.float64).reshape(-1, dim)
+    ids = np.asarray(t["vec_id"].combine_chunks(), dtype=np.int64)
+    labels = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+    base_idx = np.arange(0, len(X), PLANT_EVERY)
+    seed = int.from_bytes(hashlib.md5(b"plant-neardups").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    V = X[base_idx]
+    G = rng.standard_normal(V.shape)
+    # orthogonalize the noise to each base vector, then rotate by
+    # theta = acos(PLANT_COS) in the (v, g_perp) plane: the copy's
+    # cosine to its base is EXACTLY PLANT_COS (up to fp rounding)
+    vn = np.linalg.norm(V, axis=1, keepdims=True)
+    Gp = G - (np.sum(G * V, axis=1, keepdims=True) / (vn**2)) * V
+    Gp *= vn / np.linalg.norm(Gp, axis=1, keepdims=True)
+    theta = np.arccos(PLANT_COS)
+    copies = (V * np.cos(theta) + Gp * np.sin(theta)).astype(np.float32)
+    new_ids = ids.max() + 1 + np.arange(len(base_idx), dtype=np.int64)
+    emb_type = t.schema.field("embedding").type
+    planted = pa.Table.from_arrays(
+        [
+            pa.array(new_ids, type=t.schema.field("vec_id").type),
+            pa.array(list(copies), type=emb_type),
+            pa.array(labels[base_idx], type=t.schema.field("label").type),
+        ],
+        schema=t.schema,
+    )
+    return pa.concat_tables([t, planted])
+
 
 def amplify(
     src_dir: str,
@@ -151,6 +203,7 @@ def amplify(
     k: int,
     tables: list[str] | None = None,
     decorrelate: bool = False,
+    plant_neardups: bool = False,
 ) -> None:
     os.makedirs(dst_dir, exist_ok=True)
     wanted = {t: KEYS[t] for t in (tables or KEYS)}
@@ -190,6 +243,8 @@ def amplify(
                     rep = decor(rep, i)
                 reps.append(rep)
             out = pa.concat_tables(reps)
+        if table == "embeddings" and plant_neardups:
+            out = _plant_neardups(out)
         pq.write_table(
             out,
             os.path.join(dst_dir, f"{table}.parquet"),
@@ -215,6 +270,11 @@ if __name__ == "__main__":
             flags.discard(f)
     decorrelate = "--decorrelate" in flags
     flags.discard("--decorrelate")
+    plant = "--plant-neardups" in flags
+    flags.discard("--plant-neardups")
     if flags:  # a typo'd flag silently dropped would mis-generate data
         raise SystemExit(f"unknown flags: {sorted(flags)}")
-    amplify(src, dst, k, tables=tables, decorrelate=decorrelate)
+    amplify(
+        src, dst, k, tables=tables, decorrelate=decorrelate,
+        plant_neardups=plant,
+    )

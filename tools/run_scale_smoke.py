@@ -9,10 +9,22 @@ the band/df-cap bounds hold; the driver's plain replication would
 make pair counts quadratic BY CONSTRUCTION, which tests the data
 generator, not the operators).
 
-For embedding near-dup the smoke runs ``lsh_neardup_pairs`` — the
-declared scale path — not the ``embedding_neardup_lsh`` driver
-wrapper, whose exact all-pairs recall baseline is the O(N^2)
-sf0.01-grade audit (SURVEY §2.C5: exact-by-design, weak at scale).
+For embedding near-dup the smoke runs ``ivf_neardup_pairs`` — the
+declared scale path (SemDeDup-style cluster-then-compare, bucket
+count scaled to corpus size) — at threshold 0.8 over corpora with
+PLANTED true duplicates (gen_sf --plant-neardups: one cos-0.95 copy
+per 20 rows). Why not the LSH variant, and why 0.8: the r7 smoke
+measured both that sign-RP LSH's 3-bit bands prune random pairs
+only ~2x (quadratic candidate growth) AND that at threshold 0.4 the
+TRUTH itself grows quadratically — 64-dim random cosines are
+~N(0, 1/8), so decorrelated replicas still genuinely exceed 0.4 at
+~7e-4/pair; no operator can return fewer rows than the truth, and
+pairs barely above the noise floor are not clusterable by any
+bucketing scheme without quadratic work. At 0.8 (6.4 sigma) the
+planted pairs are the entire ground truth and grow linearly by
+construction, so result linearity again measures candidate
+bounding. ``embedding_neardup`` (exact) and ``lsh_neardup_pairs``
+remain the sf0.01-grade audit tools.
 
 Usage: python tools/run_scale_smoke.py [sfd1_dir sfd10_dir]
 Writes SCALE_SMOKE.json + SCALE_SMOKE.md at the repo root and exits
@@ -61,8 +73,18 @@ def main() -> None:
             lambda d: dedup.dedup_incremental(spark, d).count(), "pairs"),
         "ngram_jaccard_pairs": (
             lambda d: dedup.ngram_jaccard(spark, d).count(), "pairs"),
-        "embedding_lsh_neardup_pairs": (
-            lambda d: similarity.lsh_neardup_pairs(spark, d).count(), "pairs"),
+        "embedding_ivf_neardup_pairs": (
+            lambda d: similarity.ivf_neardup_pairs(
+                spark,
+                d,
+                threshold=0.8,
+                # bucket count scaled to corpus size: ~500 vectors
+                # per bucket regardless of scale — the setting that
+                # makes within-bucket pair work linear in n
+                k=max(16, load(spark, d, "embeddings").count() // 500),
+            ).count(),
+            "pairs",
+        ),
         "perplexity_score_rows": (
             lambda d: text.perplexity_score(spark, d).count(), "rows"),
     }
