@@ -22,6 +22,7 @@ from .operators import (
     retrieval,
     similarity,
     skew,
+    spans,
     sql_surface,
     sql_surface2,
     text,
@@ -45,6 +46,7 @@ _MODULES = [
     timeseries,
     similarity,
     skew,
+    spans,
     fts,
     dedup,
     clustering,
