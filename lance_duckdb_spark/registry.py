@@ -14,6 +14,7 @@ from .operators import (
     curation,
     dedup,
     fts,
+    hybrid,
     joins,
     lance_ops,
     multimodal,
@@ -48,6 +49,7 @@ _MODULES = [
     skew,
     spans,
     fts,
+    hybrid,
     dedup,
     clustering,
     lance_ops,
