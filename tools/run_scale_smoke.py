@@ -26,10 +26,13 @@ construction, so result linearity again measures candidate
 bounding. ``embedding_neardup`` (exact) and ``lsh_neardup_pairs``
 remain the sf0.01-grade audit tools.
 
-Usage: python tools/run_scale_smoke.py [sfd1_dir sfd10_dir]
+Usage: python tools/run_scale_smoke.py [sfd1_dir sfd10_dir] [--only=a,b]
 Writes SCALE_SMOKE.json + SCALE_SMOKE.md at the repo root and exits
 non-zero if any pair-count ratio falls outside [5, 25] (linear
-within hash slack; quadratic blowup would be ~100x).
+within hash slack; quadratic blowup would be ~100x). With --only,
+just the named ops re-run; every other op's row is carried over
+from the existing SCALE_SMOKE.json so one new op doesn't cost a
+full ~20-minute re-measure of the stable ones.
 """
 
 from __future__ import annotations
@@ -46,11 +49,20 @@ LINEAR_LO, LINEAR_HI = 5.0, 25.0
 
 
 def main() -> None:
-    sfd1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".data/sfd1")
-    sfd10 = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, ".data/sfd10")
+    only: set[str] | None = None
+    pos = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = {t for t in a.split("=", 1)[1].split(",") if t}
+        else:
+            pos.append(a)
+    sfd1 = pos[0] if len(pos) > 0 else os.path.join(REPO, ".data/sfd1")
+    sfd10 = pos[1] if len(pos) > 1 else os.path.join(REPO, ".data/sfd10")
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    from lance_duckdb_spark.operators import dedup, similarity, text
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.operators import dedup, similarity, spans, text
     from lance_duckdb_spark.session import get_spark
     from lance_duckdb_spark.tables import load
 
@@ -87,6 +99,17 @@ def main() -> None:
         ),
         "perplexity_score_rows": (
             lambda d: text.perplexity_score(spark, d).count(), "rows"),
+        # span-level dedup (r7): rows are per-doc, trivially 10x;
+        # the linearity signal is the duplicated-GRAM count — if the
+        # decorrelated replicas spuriously shared grams, dup_grams
+        # would grow quadratically. Summed as one long.
+        "dedup_span_dup_grams": (
+            lambda d: int(
+                spans.dedup_span_coverage(spark, d)
+                .agg(F.sum("dup_grams")).collect()[0][0]
+            ),
+            "pairs",
+        ),
     }
 
     json_path = os.path.join(REPO, "SCALE_SMOKE.json")
@@ -100,7 +123,18 @@ def main() -> None:
             json.dump(results, fh, indent=1)
 
     results: dict = {}
+    if only is not None:
+        unknown = only - OPS.keys()
+        if unknown:
+            raise SystemExit(f"--only names unknown ops: {sorted(unknown)}")
+        if os.path.exists(json_path):
+            with open(json_path) as fh:
+                results = {
+                    k: v for k, v in json.load(fh).items() if k not in only
+                }
     for name, (fn, kind) in OPS.items():
+        if only is not None and name not in only:
+            continue
         row: dict = {"kind": kind, "status": "ok"}
         results[name] = row
         try:
