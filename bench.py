@@ -78,6 +78,11 @@ HEADLINE = [
     # trivial filter, not a comparable unit of query work; they are
     # timed by the driver's correctness run instead)
     "dedup_incremental",
+    # r7 additions: RRF-fused hybrid retrieval and the IVF batch
+    # KNN join (the indexed/streamed variants are maintenance paths,
+    # timed by the driver's correctness run, same policy as r3)
+    "hybrid_search",
+    "ann_knn_join",
 ]
 
 

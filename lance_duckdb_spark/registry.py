@@ -16,6 +16,7 @@ from .operators import (
     fts,
     hybrid,
     joins,
+    knn_join,
     lance_ops,
     multimodal,
     pipeline,
@@ -46,6 +47,7 @@ _MODULES = [
     text,
     timeseries,
     similarity,
+    knn_join,
     skew,
     spans,
     fts,

@@ -439,6 +439,13 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 _FIVE_MIN_US = 5 * 60 * 1_000_000
 
+# Recall floor for the delta-maintained streaming-ingest index
+# (stream_index_ingest): sits below the measured 0.86-0.92 band the
+# way similarity.py's flag bounds sit below their measured bands, so
+# sf-to-sf variation can't flip a driver row while a real regression
+# (e.g. deltas not searched) still does.
+INGEST_RECALL_BOUND = 0.75
+
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: streaming exactly-once dedup via
@@ -858,6 +865,110 @@ def stream_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: streaming VECTOR-INDEX maintenance — the production ingest
+    loop for a 100 TB embedding store. Embeddings arrive as a lance
+    stream; every micro-batch is committed by the exactly-once lance
+    streaming sink, and after each sink pass the IVF index catches up
+    to the dataset head with ``extend_ivf_index`` — an O(appended
+    rows) bucket-partitioned postings DELTA against the frozen
+    k-means fit (sources/vector_index.py:890), never an O(corpus)
+    rebuild. Search over base + deltas stays partition-pruned to
+    nprobe/k of the postings.
+
+    Staging mirrors stream_sink_roundtrip: the Python DS stream
+    source has no AvailableNow, so arrivals are staged split-by-split
+    against one checkpoint — identical to live micro-batches. The
+    index is built on the BULK (the first two thirds — the realistic
+    shape: an index is fitted over the existing corpus, a stream
+    appends the increment); its k-means never sees the streamed
+    rows, so centroid drift is the documented cost of delta
+    maintenance, repaid by periodic rebuilds (measured: recall@10
+    0.90/0.86 at sf0.001/0.01 with a 1/3 streamed fraction at
+    nprobe=6, vs 0.93 for the all-batch ann_ivf_indexed).
+
+    Hash discipline: the streamed-into index's search output is
+    deterministic but its k-means centroids aren't SQL-replicable, so
+    the hashed rows are the exact brute-force top-k plus a constant
+    ``ingest_recall_ok`` flag (recall of the delta-served search vs
+    exact >= IVF_INDEXED_RECALL_BOUND), the ann_ivf_indexed pattern.
+    tests/test_stream_index_ingest.py additionally asserts >= 2
+    postings deltas were really published and pins tighter recall."""
+    from ..operators.similarity import (
+        IVF_K,
+        N_PROBES,
+        TOP_K,
+        _with_recall_flag,
+        ann_topk_bruteforce,
+    )
+    from ..sources.datasource import register
+    from ..sources.vector_index import (
+        ann_search,
+        build_ivf_index,
+        extend_ivf_index,
+        read_index_meta,
+    )
+
+    register(spark)
+    src = _fresh_stream_root(sf_dir, "ingestsrc")
+    dst = _fresh_stream_root(sf_dir, "ingestdst")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # contiguous vec_id ranges stand in for arrival order: the bulk
+    # (first 2/3) seeds the index, two streamed sixths extend it
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    if lo is None:
+        return spark.createDataFrame(
+            [],
+            "probe_id long, neighbor_id long, cos_sim double, "
+            "rnk int, ingest_recall_ok boolean",
+        )
+    span = hi - lo + 1
+    cuts = [lo, lo + (span * 4) // 6, lo + (span * 5) // 6, hi + 1]
+    splits = [
+        emb.where(
+            (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
+        )
+        for i in range(3)
+    ]
+
+    for i, part in enumerate(splits):
+        mode = "overwrite" if i == 0 else "append"
+        part.coalesce(1).write.format("lance").mode(mode).save(src)
+        q = (
+            spark.readStream.format("lance")
+            .load(src)
+            .writeStream.format("lance")
+            .option("checkpointLocation", dst + ".ckpt")
+            .option("txnappid", "index_ingest")
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        _await_or_raise(q)
+        if i == 0:
+            # index the initial corpus once; every later pass only
+            # extends — the maintenance cost a stream can afford
+            build_ivf_index(spark, dst, k=IVF_K, lloyd_iters=2)
+        else:
+            extend_ivf_index(spark, dst)
+
+    meta = read_index_meta(dst)
+    assert len(meta.get("delta_dirs", [])) >= 2, meta  # both passes indexed
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    # nprobe 8 (vs the all-batch index's 6) + a drift-adjusted bound:
+    # the streamed rows were bucketed by centroids that never saw
+    # them, costing a few recall points (measured 0.86-0.92 at
+    # nprobe=8 across sf0.001-0.01 vs 0.93 all-batch) — the honest
+    # price of O(append) maintenance until the next rebuild
+    approx = ann_search(spark, dst, probes, k_neighbors=TOP_K, nprobe=8)
+    exact = ann_topk_bruteforce(spark, sf_dir)
+    return _with_recall_flag(
+        exact, approx, INGEST_RECALL_BOUND, "ingest_recall_ok"
+    ).orderBy("probe_id", "rnk")
+
+
 QUERIES = {
     "stream_windowed_counts": batch_windowed_counts,
     "session_window_native": session_window_native,
@@ -867,6 +978,7 @@ QUERIES = {
     "stream_stream_join": stream_stream_join,
     "stream_incremental_dedup": stream_incremental_dedup,
     "stream_continuous_aggregate": stream_continuous_aggregate,
+    "stream_index_ingest": stream_index_ingest,
 }
 
 from ..operators.dedup import DEDUP_MINHASH_SQL as _FULL_MINHASH_SQL  # noqa: E402
@@ -874,9 +986,13 @@ from ..operators.timeseries import (  # noqa: E402
     CONTINUOUS_AGGREGATE_SQL as _CONT_AGG_SQL,
 )
 
+from ..operators.similarity import _topk_flag_sql as _flag_sql  # noqa: E402
+
 ORACLE = {
     # the streaming union must equal the FULL-corpus minhash dedup
     "stream_incremental_dedup": _FULL_MINHASH_SQL,
+    # exact top-k + literal-TRUE recall flag (ann_ivf_indexed pattern)
+    "stream_index_ingest": _flag_sql("ingest_recall_ok"),
     # the stream-built rollup must serve the same answers as a
     # direct aggregation over raw events
     "stream_continuous_aggregate": _CONT_AGG_SQL,

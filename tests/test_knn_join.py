@@ -1,0 +1,139 @@
+"""Batch KNN join (operators/knn_join.py): planted-geometry
+semantics, the 100 TB plan shape (shuffle-hash candidate join on the
+bucket id, no broadcast of either big side), and recall vs the exact
+answer on the real corpus. Oracle equality on the real testdata is
+covered by test_correctness.py."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from lance_duckdb_spark.operators import knn_join
+from lance_duckdb_spark.operators.similarity import IVF_K
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """IVF_K well-separated axis clusters, 8 vectors each (the
+    centroid seed = the cluster's axis vector, since seeds are the
+    lowest vec_ids): member j of cluster c is the axis vector e_c
+    tilted by j*0.02 in a per-cluster companion plane, so in-cluster
+    cosines are near 1 and cross-cluster cosines near 0. Every
+    vector's true top neighbors therefore sit in its own bucket, and
+    vec_id % 10 == 7 queries hit several distinct clusters."""
+    d = tmp_path_factory.mktemp("knn_sf")
+    n_per = 8
+    ids, vecs = [], []
+    for c in range(IVF_K):
+        for j in range(n_per):
+            vid = c if j == 0 else IVF_K + (c * (n_per - 1)) + (j - 1)
+            v = [0.0] * 64
+            v[c] = 1.0
+            if j:
+                v[(c + IVF_K) % 64] = 0.02 * j
+            ids.append(vid)
+            vecs.append(v)
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    emb = pa.table(
+        {
+            "vec_id": pa.array([ids[i] for i in order], pa.int64()),
+            "embedding": pa.array(
+                [vecs[i] for i in order], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+def test_knn_join_planted_neighbors(spark, planted_dir):
+    out = knn_join.ann_knn_join(spark, planted_dir).collect()
+    assert out, "query slice must be non-empty"
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r)
+    # per-query contract: exactly KNN_JOIN_K rows, ranks 1..K,
+    # scores non-increasing, no self-pairs
+    for qid, rows in got.items():
+        assert qid % knn_join.KNN_QUERY_MOD == knn_join.KNN_QUERY_REM
+        assert [r["rnk"] for r in rows] == list(
+            range(1, knn_join.KNN_JOIN_K + 1)
+        )
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rows)
+    # geometry: every query's nearest neighbor is in-cluster —
+    # cos >= 0.99 (cross-cluster pairs sit near 0)
+    for qid, rows in got.items():
+        assert rows[0]["cos_sim"] > 0.99, (qid, rows[0])
+
+
+def test_knn_join_plan_is_shuffle_hash_on_bucket(spark, planted_dir):
+    """The candidate join must be a ShuffledHashJoin keyed on
+    centroid_id — not a broadcast of the corpus (which dies at
+    100 TB) and not a sort-merge (needless sort of vector rows)."""
+    df = knn_join.ann_knn_join(spark, planted_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "ShuffledHashJoin" in ln and "centroid_id" in ln
+    ]
+    assert join_lines, plan
+    # the corpus/query sides must NOT be broadcast: the only
+    # BroadcastHashJoins in the plan are the IVF_K-row centroid fans
+    for ln in plan.splitlines():
+        if "BroadcastHashJoin" in ln:
+            assert "centroid" not in ln or "ShuffledHashJoin" not in ln
+
+
+def test_knn_join_recall_vs_exact(spark, sf_dir):
+    """On the real corpus the nprobe=4/K=16 geometry must keep
+    recall@5 against the exact answer >= 0.7 (same bound family as
+    the IVF search ops; measured ~0.8-0.95 across sf0.001-0.1)."""
+    from lance_duckdb_spark.operators.similarity import _clamp1, _dot, norm
+    from lance_duckdb_spark.tables import load
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(
+        F.col("vec_id") % knn_join.KNN_QUERY_MOD == knn_join.KNN_QUERY_REM
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm("embedding").alias("q_nrm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        norm("embedding").alias("n_nrm"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _clamp1(
+            _dot("qe", "ne") / (F.col("q_nrm") * F.col("n_nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= knn_join.KNN_JOIN_K)
+        .collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_join.ann_knn_join(spark, sf_dir).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.7
