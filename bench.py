@@ -78,11 +78,15 @@ HEADLINE = [
     # trivial filter, not a comparable unit of query work; they are
     # timed by the driver's correctness run instead)
     "dedup_incremental",
-    # r7 additions: RRF-fused hybrid retrieval and the IVF batch
-    # KNN join (the indexed/streamed variants are maintenance paths,
-    # timed by the driver's correctness run, same policy as r3)
+    # r7 additions: RRF-fused hybrid retrieval, the IVF batch KNN
+    # join, and the distilled linear quality gate (the indexed /
+    # streamed / iterative variants — hybrid_search_indexed,
+    # stream_index_ingest, cluster_canonical — are maintenance or
+    # driver-loop paths, timed by the driver's correctness run,
+    # same policy as r3)
     "hybrid_search",
     "ann_knn_join",
+    "quality_linear_probe",
 ]
 
 

@@ -30,7 +30,12 @@ from .dedup import DEDUP_MINHASH_SQL, dedup_minhash_lsh
 MAX_ITERS = 20
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _propagate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The converged (node, label) frame — min doc_id reachable over
+    the near-dup edge set. Shared by dedup_clusters (cluster census)
+    and cluster_canonical (keep-best resolution); the returned frame
+    is parquet-spilled, so each consumer re-reads durable storage
+    instead of replaying the propagation."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(
@@ -91,6 +96,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"label propagation did not converge in {MAX_ITERS} iterations "
             "(cluster diameter exceeds the cap); raise MAX_ITERS"
         )
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _propagate_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(
@@ -144,5 +154,93 @@ ORDER BY cluster_id
 """
 
 
-QUERIES = {"dedup_clusters": dedup_clusters}
-ORACLE = {"dedup_clusters": DEDUP_CLUSTERS_SQL}
+def cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48: the RESOLUTION step a dedup pipeline actually ships —
+    for every near-dup cluster, keep the best-quality member (the
+    doc the pipeline retains; everything else in the cluster is the
+    drop set). Canonical = highest quality_score, tie-broken by
+    lowest doc_id; NULL quality (NULL text) sorts last in BOTH
+    engines via explicit NULLS LAST (Spark's DESC default is
+    nulls-last, DuckDB's is nulls-first — left implicit this
+    diverges on planted-NULL corpora).
+
+    Scale shape: the label propagation is the proven dedup_clusters
+    loop (one spilled O(members) frame), quality is one corpus scan
+    (Arrow-batched counts), the join keys on doc_id, and the
+    per-cluster argmax is a window over cluster-partitioned slim
+    rows — no step holds a cluster's texts in one task."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    labels = _propagate_labels(spark, sf_dir)
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    ranked = (
+        labels.join(quality, labels.node == quality.doc_id)
+        .select(
+            F.col("label").alias("cluster_id"),
+            "doc_id",
+            "quality",
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc_nulls_last("quality"), F.asc("doc_id")
+                )
+            ),
+        )
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+    )
+    return (
+        ranked.where(F.col("rnk") == 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("quality").alias("canonical_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _canonical_sql() -> str:
+    from .text import QUALITY_SCORE_SQL
+
+    # reuse the cluster CTE chain up to final_labels, swap the census
+    # SELECT for the per-cluster argmax over the quality scores
+    idx = DEDUP_CLUSTERS_SQL.rindex("SELECT label AS cluster_id")
+    prefix = DEDUP_CLUSTERS_SQL[:idx].rstrip()
+    assert prefix.endswith(")"), prefix[-80:]
+    return f"""{prefix},
+quality AS MATERIALIZED (
+  SELECT doc_id, quality FROM ({QUALITY_SCORE_SQL})
+),
+ranked AS (
+  SELECT l.label AS cluster_id, q.doc_id, q.quality,
+    ROW_NUMBER() OVER (PARTITION BY l.label
+      ORDER BY q.quality DESC NULLS LAST, q.doc_id ASC) AS rnk,
+    COUNT(*) OVER (PARTITION BY l.label) AS n_members
+  FROM final_labels l JOIN quality q ON q.doc_id = l.node
+)
+SELECT cluster_id, n_members, doc_id AS canonical_doc,
+       quality AS canonical_quality
+FROM ranked WHERE rnk = 1
+ORDER BY cluster_id
+"""
+
+
+CLUSTER_CANONICAL_SQL = _canonical_sql()
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "cluster_canonical": cluster_canonical,
+}
+ORACLE = {
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "cluster_canonical": CLUSTER_CANONICAL_SQL,
+}

@@ -531,6 +531,134 @@ FROM per_doc GROUP BY source ORDER BY source
 PERPLEXITY_SQL = perplexity_sql()
 
 
+# ------------------------------------------------- linear quality probe
+
+# Cramer's rule for the 3x3 normal equations, written ONCE and
+# interpolated into BOTH engines (the Python driver solve and the
+# DuckDB oracle): given identical double inputs, identical IEEE
+# expression trees produce bit-identical coefficients — the whole
+# determinism argument, so neither side may reassociate. Variables:
+# n, sc, sw, scc, scw, sww (A = sum x x^T), sy, scy, swy (b).
+_CRAMER = {
+    "det": "{n}*({scc}*{sww} - {scw}*{scw})"
+           " - {sc}*({sc}*{sww} - {scw}*{sw})"
+           " + {sw}*({sc}*{scw} - {scc}*{sw})",
+    "w0": "({sy}*({scc}*{sww} - {scw}*{scw})"
+          " - {sc}*({scy}*{sww} - {scw}*{swy})"
+          " + {sw}*({scy}*{scw} - {scc}*{swy}))",
+    "w1": "({n}*({scy}*{sww} - {scw}*{swy})"
+          " - {sy}*({sc}*{sww} - {scw}*{sw})"
+          " + {sw}*({sc}*{swy} - {scy}*{sw}))",
+    "w2": "({n}*({scc}*{swy} - {scy}*{scw})"
+          " - {sc}*({sc}*{swy} - {scy}*{sw})"
+          " + {sy}*({sc}*{scw} - {scc}*{sw}))",
+}
+
+
+def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49: distill the UDF-computed quality signal into a linear
+    model served entirely JVM-side — the model-based-filter pattern
+    (CCNet's fasttext gate): an expensive scorer runs once to label,
+    a cheap probe scores everything thereafter. Closed-form least
+    squares of quality ~ (1, n_chars, n_words):
+
+    - ONE corpus scan aggregates the normal equations exactly —
+      integer feature cross-sums and DECIMAL(18,6)-weighted label
+      sums (quality is round(.,6), so the decimal cast is
+      value-exact) — order-independent, hence deterministic under
+      any partitioning;
+    - the 9 exact sums (a bounded 1-row collect) are cast to double
+      and solved by Cramer's rule on the driver with the SAME IEEE
+      expression tree the oracle uses (_CRAMER), so the coefficients
+      are bit-identical across engines with no rounding anywhere;
+    - serving is a codegen projection of broadcast double literals —
+      no Python in the scoring path.
+
+    At 100 TB the training pass is one map-side-combinable agg and
+    serving is expression-only; the probe's fit quality is the
+    documented trade (tests assert the planted relationship is
+    recovered and sign-correct)."""
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars_calc").cast("long").alias("c"),
+        F.col("n_words").cast("long").alias("w"),
+        "quality",
+    ).where(F.col("quality").isNotNull())
+    yd = F.col("quality").cast("decimal(18,6)")
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("c") * F.col("w")).alias("scw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+        F.sum(yd).alias("sy"),
+        F.sum(F.col("c") * yd).alias("scy"),
+        F.sum(F.col("w") * yd).alias("swy"),
+    ).first()
+    v = {k: float(s[k]) for k in
+         ("n", "sc", "sw", "scc", "scw", "sww", "sy", "scy", "swy")}
+    det = eval(_CRAMER["det"].format(**v))  # noqa: S307 — fixed template
+    w0 = eval(_CRAMER["w0"].format(**v)) / det  # noqa: S307
+    w1 = eval(_CRAMER["w1"].format(**v)) / det  # noqa: S307
+    w2 = eval(_CRAMER["w2"].format(**v)) / det  # noqa: S307
+    pred = (
+        F.lit(w0)
+        + (F.lit(w1) * F.col("c").cast("double"))
+        + (F.lit(w2) * F.col("w").cast("double"))
+    )
+    return q.select(
+        "doc_id",
+        F.col("c").alias("n_chars"),
+        F.col("w").alias("n_words"),
+        "quality",
+        pred.alias("pred_quality"),
+    ).orderBy("doc_id")
+
+
+def _probe_sql() -> str:
+    sums = {k: f"s.{k}" for k in
+            ("n", "sc", "sw", "scc", "scw", "sww", "sy", "scy", "swy")}
+    det = _CRAMER["det"].format(**sums)
+    w0 = _CRAMER["w0"].format(**sums)
+    w1 = _CRAMER["w1"].format(**sums)
+    w2 = _CRAMER["w2"].format(**sums)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT doc_id, CAST(n_chars_calc AS BIGINT) AS c,
+         CAST(n_words AS BIGINT) AS w, quality
+  FROM ({QUALITY_SCORE_SQL})
+  WHERE quality IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS sc,
+    CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS sw,
+    CAST(CAST(SUM(c*c) AS BIGINT) AS DOUBLE) AS scc,
+    CAST(CAST(SUM(c*w) AS BIGINT) AS DOUBLE) AS scw,
+    CAST(CAST(SUM(w*w) AS BIGINT) AS DOUBLE) AS sww,
+    CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+    CAST(SUM(c * CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS scy,
+    CAST(SUM(w * CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS swy
+  FROM q
+),
+m AS (
+  SELECT ({w0}) / ({det}) AS w0,
+         ({w1}) / ({det}) AS w1,
+         ({w2}) / ({det}) AS w2
+  FROM s
+)
+SELECT q.doc_id, q.c AS n_chars, q.w AS n_words, q.quality,
+  m.w0 + (m.w1 * CAST(q.c AS DOUBLE)) + (m.w2 * CAST(q.w AS DOUBLE))
+    AS pred_quality
+FROM q, m
+ORDER BY q.doc_id
+"""
+
+
+QUALITY_LINEAR_PROBE_SQL = _probe_sql()
+
+
 QUERIES = {
     "perplexity_score": perplexity_score,
     "lang_id": lang_id,
@@ -538,9 +666,11 @@ QUERIES = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "char_entropy": char_entropy,
+    "quality_linear_probe": quality_linear_probe,
 }
 
 ORACLE = {
+    "quality_linear_probe": QUALITY_LINEAR_PROBE_SQL,
     "perplexity_score": PERPLEXITY_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SCORE_SQL,
