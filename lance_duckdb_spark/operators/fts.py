@@ -154,45 +154,154 @@ def bucket_of(term: str) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % N_BUCKETS
 
 
+def _read_fts_meta(index_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(index_dir, "_meta.json")) as fh:
+        return json.load(fh)
+
+
+def _publish_fts_meta(index_dir: str, meta: dict) -> None:
+    """Atomic publish (tmp write + os.replace): a reader sees either
+    the old meta or the new one, never a torn file — the same
+    publish discipline as the vector index's CAS meta, minus the
+    compare (FTS extends are driven by one maintenance job here;
+    racing extenders would need the vector_index CAS pattern)."""
+    import json
+
+    tmp = os.path.join(index_dir, "_meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, "_meta.json"))
+
+
 def build_fts_index(
     spark: SparkSession, docs: DataFrame, index_dir: str
 ) -> None:
-    """Build the inverted index: postings parquet partitioned by
-    term bucket, one denormalized row per (term, doc): (bucket,
-    term, df, doc_id, tf, dl) — search is a single pruned scan.
-    Corpus stats go to a 1-row ``_stats`` parquet (sum_dl kept as an
-    exact integer so avgdl is re-derived bit-identically).
+    """Build the inverted index:
+
+    - ``postings/`` parquet partitioned by term bucket, one row per
+      (term, doc): (bucket, term, doc_id, tf, dl). Every field is
+      PER-DOC LOCAL (tf, dl never change when other docs arrive),
+      which is what makes incremental maintenance exact — appending
+      a doc appends posting rows and touches nothing else.
+    - ``_df_v0/`` parquet partitioned by the same bucket: (term,
+      df). df is the one corpus-global term statistic, so it lives
+      OUTSIDE the postings (the r7 layout change; denormalizing df
+      onto postings — the Lucene norms-in-postings shortcut — made
+      appends inexact, since every new doc shifts existing terms'
+      idf).
+    - ``_stats_v0/``: 1 row of exact integers (n_docs, sum_dl) so
+      avgdl re-derives bit-identically at any version.
+    - ``_meta.json``: which df/stats generation is current.
 
     Build cost is three shuffles over the corpus (tf, dl, df) — the
-    one-time cost any inverted index pays; incremental maintenance
-    would append new docs' postings and rebuild only df (a term-level
-    count), the same shape as the minhash signature store."""
+    one-time cost any inverted index pays; ``extend_fts_index`` then
+    maintains it at O(appended docs)."""
     tf = _term_freq(docs)
     dl = _doc_len(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = (
-        tf.join(dl, "doc_id")
-        .join(dfreq, "term")
-        .withColumn("bucket", _bucket_expr(F.col("term")))
+    postings = tf.join(dl, "doc_id").withColumn(
+        "bucket", _bucket_expr(F.col("term"))
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/postings"
     )
+    dfreq.withColumn("bucket", _bucket_expr(F.col("term"))).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{index_dir}/_df_v0")
     dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_stats")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_stats_v0")
+    _publish_fts_meta(
+        index_dir, {"version": 0, "df_dir": "_df_v0", "stats_dir": "_stats_v0"}
+    )
+
+
+def extend_fts_index(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> dict:
+    """Incremental index maintenance at O(appended docs) — the FTS
+    analogue of ``extend_ivf_index`` (Lance proper maintains its FTS
+    index the same append-then-merge way):
+
+    - the new docs' posting rows APPEND into the bucket-partitioned
+      ``postings/`` (existing files untouched — tf/dl are per-doc
+      local, so old postings stay exact);
+    - ``df`` and the corpus stats are the only global statistics:
+      the delta df (term-level counts over just the new docs) merges
+      with the current generation into ``_df_v{n+1}`` — an
+      O(distinct terms) aggregate, never a corpus re-scan — and the
+      stats add exact integer deltas;
+    - the new generations publish atomically via ``_meta.json``;
+      the superseded generation (two behind) is reclaimed on the
+      NEXT extend so in-flight readers of the previous meta never
+      lose their files mid-scan.
+
+    Search over the extended index is bit-identical to a full
+    rebuild over the union corpus (asserted in tests and by the
+    fts_bm25_incremental driver row, which shares the full-corpus
+    oracle)."""
+    import shutil as _shutil
+
+    meta = _read_fts_meta(index_dir)
+    tf = _term_freq(new_docs)
+    dl = _doc_len(tf)
+    tf.join(dl, "doc_id").withColumn(
+        "bucket", _bucket_expr(F.col("term"))
+    ).write.mode("append").partitionBy("bucket").parquet(
+        f"{index_dir}/postings"
+    )
+    version = meta["version"] + 1
+    old_df = spark.read.parquet(
+        os.path.join(index_dir, meta["df_dir"])
+    ).select("term", "df")
+    delta_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_dir = f"_df_v{version}"
+    (
+        old_df.unionByName(delta_df)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+        .withColumn("bucket", _bucket_expr(F.col("term")))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(index_dir, df_dir))
+    )
+    old_stats = spark.read.parquet(
+        os.path.join(index_dir, meta["stats_dir"])
+    ).first()
+    d_n, d_sum = dl.agg(
+        F.count(F.lit(1)), F.sum("dl").cast("long")
+    ).first()
+    stats_dir = f"_stats_v{version}"
+    spark.createDataFrame(
+        [(int(old_stats["n_docs"]) + int(d_n or 0),
+          int(old_stats["sum_dl"]) + int(d_sum or 0))],
+        "n_docs long, sum_dl long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, stats_dir)
+    )
+    new_meta = {"version": version, "df_dir": df_dir, "stats_dir": stats_dir}
+    _publish_fts_meta(index_dir, new_meta)
+    # reclaim generations two behind (current readers hold at most
+    # the PREVIOUS meta, whose dirs must survive this extend)
+    for stale in (f"_df_v{version - 2}", f"_stats_v{version - 2}"):
+        _shutil.rmtree(os.path.join(index_dir, stale), ignore_errors=True)
+    return new_meta
 
 
 def search_bm25(
     spark: SparkSession, index_dir: str, terms: list[str], k: int = TOP_K
 ) -> DataFrame:
     """Query the persisted index: read ONLY the partitions the query
-    terms hash into (parquet partition pruning on the bucket dirs),
-    score, top-k. No join touches the corpus. Query terms are
-    normalized exactly like the indexed tokens (lowercase, space
-    trim) — a raw-cased term would hash to a bucket holding no such
-    posting and silently return nothing (r5 review finding)."""
+    terms hash into — parquet partition pruning on BOTH the postings
+    scan and the (term, df) scan — then one broadcast of the few df
+    rows the query terms own. No join touches the corpus. Query
+    terms are normalized exactly like the indexed tokens (lowercase,
+    space trim) — a raw-cased term would hash to a bucket holding no
+    such posting and silently return nothing (r5 review finding)."""
+    meta = _read_fts_meta(index_dir)
     terms = [t.strip(" ").lower() for t in terms]
     buckets = sorted({bucket_of(t) for t in terms})
     postings = (
@@ -200,12 +309,22 @@ def search_bm25(
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(terms))
     )
-    stats = spark.read.parquet(f"{index_dir}/_stats").select(
+    dfreq = (
+        spark.read.parquet(os.path.join(index_dir, meta["df_dir"]))
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(
+        os.path.join(index_dir, meta["stats_dir"])
+    ).select(
         "n_docs",
         (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
-    comp = postings.crossJoin(F.broadcast(stats)).select(
-        "doc_id", _score_expr().alias("comp")
+    comp = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", _score_expr().alias("comp"))
     )
     return _topk(comp, k)
 
@@ -269,12 +388,49 @@ LIMIT {TOP_K}
 """
 
 
+def fts_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50: build the index on the BULK (first 2/3 of doc_ids), feed
+    the remaining third through TWO ``extend_fts_index`` passes (so
+    the generation rotation and the stale-dir reclaim really
+    exercise), then search — must be bit-identical to a full-corpus
+    build, so it shares fts_bm25's full-corpus oracle. The equality
+    is the point: df/stats merge + per-doc-local postings reconstruct
+    the exact full index at O(appended docs) maintenance cost."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    index_dir = os.path.join(
+        "/tmp/lance_duckdb_spark", tag, "fts_index_incr"
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_terms long, score double"
+        )
+    span = hi - lo + 1
+    cuts = [lo, lo + (span * 4) // 6, lo + (span * 5) // 6, hi + 1]
+    build_fts_index(
+        spark, docs.where(F.col("doc_id") < cuts[1]), index_dir
+    )
+    for i in (1, 2):
+        extend_fts_index(
+            spark,
+            index_dir,
+            docs.where(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            ),
+        )
+    return search_bm25(spark, index_dir, list(QUERY_TERMS))
+
+
 QUERIES = {
     "fts_bm25": fts_bm25,
     "fts_bm25_indexed": fts_bm25_indexed,
+    "fts_bm25_incremental": fts_bm25_incremental,
 }
 
 ORACLE = {
     "fts_bm25": FTS_BM25_SQL,
     "fts_bm25_indexed": FTS_BM25_SQL,
+    "fts_bm25_incremental": FTS_BM25_SQL,
 }

@@ -64,7 +64,29 @@ KNN_QUERY_MOD = 10  # query relation: vec_id % 10 == 7 (~10% slice)
 KNN_QUERY_REM = 7
 
 
-def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_knn_join(
+    spark: SparkSession, sf_dir: str, k_centroids: int = IVF_K
+) -> DataFrame:
+    """``k_centroids`` MUST scale with the corpus in production
+    (k ~ n/500, exactly like ivf_neardup_pairs): per-query candidate
+    work is corpus/k * nprobe * assign, so a FIXED k makes the join
+    quadratic in corpus size — the r7 scale smoke measured exactly
+    that (2e9 candidate dots at 10x with k=16). The driver query
+    keeps the IVF_K default because its oracle interpolates the
+    same constant.
+
+    Measured 10x limitation (r7 smoke, honestly recorded): even
+    with scaled k, this implementation's constants go superlinear
+    one decade up — the n*k centroid ranking is a SCALAR codegen
+    fan (n*k*64 flops with no row-vectorization) and the per-pair
+    Arrow scoring stage inherits hot-bucket skew (one straggler
+    task owned the worst bucket). The demonstrated-linear remedy is
+    the C42 ivf_neardup_pairs machinery: dimension-fold VECTORIZED
+    assignment (bit-exact, numpy rank-1 accumulation) and
+    per-bucket matrix scoring via applyInPandas, plus bucket
+    salting for the skewed few. This operator keeps the simpler
+    all-declarative form as the oracle-replicable reference
+    implementation; route >10x corpora through the C42-style path."""
     emb = load(spark, sf_dir, "embeddings")
     # norms projected ONCE before every join (the ann_topk_bruteforce
     # codegen lesson, proven bit-identical to list_cosine_similarity):
@@ -74,7 +96,7 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_n = emb.select(
         "vec_id", "embedding", norm("embedding").alias("nrm")
     )
-    centroids = emb_n.where(F.col("vec_id") < IVF_K).select(
+    centroids = emb_n.where(F.col("vec_id") < k_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("c_nrm"),

@@ -1,0 +1,104 @@
+"""Incremental FTS index maintenance (operators/fts.py): extended
+index == full rebuild bit-exact, base posting files untouched by the
+append, df/stats generations rotate with the two-behind reclaim.
+Oracle equality is covered by test_correctness.py."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_duckdb_spark.operators import fts
+from lance_duckdb_spark.tables import load
+
+
+def _posting_files(index_dir: str) -> set[str]:
+    out = set()
+    for root, _dirs, files in os.walk(os.path.join(index_dir, "postings")):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.join(root, f))
+    return out
+
+
+@pytest.fixture(scope="module")
+def incr_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ftsincr") / "index")
+    docs = load(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + ((hi - lo + 1) * 2) // 3
+    fts.build_fts_index(spark, docs.where(F.col("doc_id") < cut), d)
+    base_files = _posting_files(d)
+    fts.extend_fts_index(spark, d, docs.where(F.col("doc_id") >= cut))
+    return d, base_files
+
+
+def test_extend_appends_never_rewrites(spark, incr_dir):
+    d, base_files = incr_dir
+    after = _posting_files(d)
+    assert base_files <= after  # every base file survives verbatim
+    assert len(after) > len(base_files)  # and new files arrived
+
+
+def test_extended_equals_full_rebuild_bit_exact(
+    spark, sf_dir, incr_dir, tmp_path_factory
+):
+    d, _ = incr_dir
+    full = str(tmp_path_factory.mktemp("ftsfull") / "index")
+    fts.build_fts_index(spark, load(spark, sf_dir, "documents"), full)
+    a = fts.search_bm25(spark, d, list(fts.QUERY_TERMS)).collect()
+    b = fts.search_bm25(spark, full, list(fts.QUERY_TERMS)).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_generation_rotation_and_reclaim(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ftsrot") / "index")
+    docs = load(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = hi - lo + 1
+    cuts = [lo, lo + span // 2, lo + (span * 3) // 4, hi + 1]
+    fts.build_fts_index(spark, docs.where(F.col("doc_id") < cuts[1]), d)
+    for i in (1, 2):
+        meta = fts.extend_fts_index(
+            spark,
+            d,
+            docs.where(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            ),
+        )
+    assert meta["version"] == 2
+    assert fts._read_fts_meta(d) == meta
+    # the PREVIOUS generation must survive (readers of the old meta),
+    # the one two behind must be reclaimed
+    assert os.path.isdir(os.path.join(d, "_df_v1"))
+    assert os.path.isdir(os.path.join(d, "_stats_v1"))
+    assert not os.path.exists(os.path.join(d, "_df_v0"))
+    assert not os.path.exists(os.path.join(d, "_stats_v0"))
+    # merged stats are the exact full-corpus integers
+    row = spark.read.parquet(os.path.join(d, meta["stats_dir"])).first()
+    tf = fts._term_freq(docs)
+    n_docs, sum_dl = (
+        fts._doc_len(tf)
+        .agg(F.count(F.lit(1)), F.sum("dl").cast("long"))
+        .first()
+    )
+    assert (row["n_docs"], row["sum_dl"]) == (n_docs, sum_dl)
+
+
+def test_search_prunes_df_scan_too(spark, sf_dir, tmp_path_factory):
+    """Both the postings scan AND the df scan must carry bucket
+    partition filters — the df table is corpus-wide term rows and an
+    unpruned read of it would scale with vocabulary, not query."""
+    d = str(tmp_path_factory.mktemp("ftsprune") / "index")
+    fts.build_fts_index(spark, load(spark, sf_dir, "documents"), d)
+    term = fts.QUERY_TERMS[0]
+    plan = (
+        fts.search_bm25(spark, d, [term])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("PartitionFilters: [isnotnull(bucket") >= 2 or (
+        plan.count("PartitionFilters") >= 2
+        and str(fts.bucket_of(term)) in plan
+    )

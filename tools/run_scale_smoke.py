@@ -110,6 +110,17 @@ def main() -> None:
             ),
             "pairs",
         ),
+        # ann_knn_join is deliberately NOT in this roster: the r7
+        # smoke measured its flat-IVF geometry superlinear at 10x
+        # twice over — with the driver-default k=16 the candidate
+        # work is corpus^2/k by construction (2e9 dots at sfd10),
+        # and with the ~500-per-bucket scaled k the n*k scalar
+        # assignment plus a hot-bucket straggler in the per-pair
+        # Arrow scoring stage still dominated. The demonstrated
+        # linear path for bucketed embedding work at 10x is the
+        # C42 entry above (fold-ordered VECTORIZED assignment +
+        # per-bucket matrix scoring); ann_knn_join documents that
+        # as its scale remedy in its module docstring.
     }
 
     json_path = os.path.join(REPO, "SCALE_SMOKE.json")
