@@ -599,6 +599,16 @@ def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = {k: float(s[k]) for k in
          ("n", "sc", "sw", "scc", "scw", "sww", "sy", "scy", "swy")}
     det = eval(_CRAMER["det"].format(**v))  # noqa: S307 — fixed template
+    if det == 0.0:
+        # rank-deficient design (e.g. every doc the same length):
+        # refuse loudly — Python would raise a bare ZeroDivisionError
+        # here while DuckDB's x/0.0 yields NULLs, so the two engines
+        # can't even agree on the failure mode, let alone the fit
+        raise ValueError(
+            "quality_linear_probe: normal equations are singular "
+            "(features carry no variance); the probe needs a corpus "
+            "with varying n_chars/n_words"
+        )
     w0 = eval(_CRAMER["w0"].format(**v)) / det  # noqa: S307
     w1 = eval(_CRAMER["w1"].format(**v)) / det  # noqa: S307
     w2 = eval(_CRAMER["w2"].format(**v)) / det  # noqa: S307

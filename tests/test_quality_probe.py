@@ -58,3 +58,25 @@ def test_probe_explains_variance_on_real_corpus(spark, sf_dir):
     # features carry real signal and the fit is strictly better
     assert sse_model <= sse_mean
     assert len(rows) == len({r["doc_id"] for r in rows})
+
+
+def test_probe_refuses_rank_deficient_corpus(spark, tmp_path_factory):
+    """All docs identical => zero feature variance => singular
+    normal equations; the probe must refuse loudly (a bare
+    ZeroDivisionError / engine-divergent NULLs otherwise)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("probe_sing")
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["same words here"] * 3),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["web"] * 3),
+            "n_chars": pa.array([15] * 3, pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(str(d), "documents.parquet"))
+    with pytest.raises(ValueError, match="singular"):
+        quality_linear_probe(spark, str(d)).collect()
