@@ -86,11 +86,13 @@ def test_knn_join_plan_is_shuffle_hash_on_bucket(spark, planted_dir):
         if "ShuffledHashJoin" in ln and "centroid_id" in ln
     ]
     assert join_lines, plan
-    # the corpus/query sides must NOT be broadcast: the only
-    # BroadcastHashJoins in the plan are the IVF_K-row centroid fans
+    # the candidate join must not have been flipped to a broadcast
+    # of either big side: no BroadcastHashJoin keys on centroid_id
+    # anywhere in the plan (the centroid fans are nested-loop
+    # crossJoins of the IVF_K-row dim, a different node)
     for ln in plan.splitlines():
         if "BroadcastHashJoin" in ln:
-            assert "centroid" not in ln or "ShuffledHashJoin" not in ln
+            assert "centroid_id" not in ln, ln
 
 
 def test_knn_join_recall_vs_exact(spark, sf_dir):
