@@ -139,3 +139,39 @@ def test_knn_join_recall_vs_exact(spark, sf_dir):
         for r in knn_join.ann_knn_join(spark, sf_dir).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.7
+
+
+def test_vectorized_variant_bit_identical(spark, sf_dir):
+    """The C42-machinery scale variant must reproduce the
+    all-declarative reference implementation bit-for-bit — that
+    equality is what lets it share the oracle (and what proves the
+    fold-ordered numpy assignment/scoring is the same arithmetic)."""
+    a = sorted(map(tuple, knn_join.ann_knn_join(spark, sf_dir).collect()))
+    b = sorted(
+        map(
+            tuple,
+            knn_join.ann_knn_join_vectorized(spark, sf_dir).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_vectorized_variant_scaled_k(spark, sf_dir):
+    """At a non-default centroid count the two forms still agree —
+    the smoke runs the vectorized form at k ~ n/500, so the
+    equivalence must not be an artifact of k == IVF_K."""
+    a = sorted(
+        map(
+            tuple,
+            knn_join.ann_knn_join(spark, sf_dir, k_centroids=32).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            knn_join.ann_knn_join_vectorized(
+                spark, sf_dir, k_centroids=32
+            ).collect(),
+        )
+    )
+    assert a == b

@@ -62,7 +62,13 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import functions as F
 
-    from lance_duckdb_spark.operators import dedup, similarity, spans, text
+    from lance_duckdb_spark.operators import (
+        dedup,
+        knn_join,
+        similarity,
+        spans,
+        text,
+    )
     from lance_duckdb_spark.session import get_spark
     from lance_duckdb_spark.tables import load
 
@@ -110,17 +116,28 @@ def main() -> None:
             ),
             "pairs",
         ),
-        # ann_knn_join is deliberately NOT in this roster: the r7
-        # smoke measured its flat-IVF geometry superlinear at 10x
-        # twice over — with the driver-default k=16 the candidate
-        # work is corpus^2/k by construction (2e9 dots at sfd10),
-        # and with the ~500-per-bucket scaled k the n*k scalar
-        # assignment plus a hot-bucket straggler in the per-pair
-        # Arrow scoring stage still dominated. The demonstrated
-        # linear path for bucketed embedding work at 10x is the
-        # C42 entry above (fold-ordered VECTORIZED assignment +
-        # per-bucket matrix scoring); ann_knn_join documents that
-        # as its scale remedy in its module docstring.
+        # The all-declarative ann_knn_join is deliberately NOT in
+        # this roster: the r7 smoke measured its constants
+        # superlinear at 10x twice over — with the driver-default
+        # k=16 the candidate work is corpus^2/k by construction
+        # (2e9 dots at sfd10), and with the ~500-per-bucket scaled k
+        # the n*k scalar assignment plus a hot-bucket straggler in
+        # the per-pair Arrow scoring stage still dominated. What IS
+        # measured is the bit-identical C42-machinery scale variant
+        # (fold-vectorized assignment + per-bucket matrix scoring),
+        # at the same ~500-per-bucket k rule as the ivf_neardup
+        # entry; output rows are |Q|*5 (trivially 10x), the signal
+        # is the runtime ratio.
+        "ann_knn_join_vec_rows": (
+            lambda d: knn_join.ann_knn_join_vectorized(
+                spark,
+                d,
+                k_centroids=max(
+                    16, load(spark, d, "embeddings").count() // 500
+                ),
+            ).count(),
+            "rows",
+        ),
     }
 
     json_path = os.path.join(REPO, "SCALE_SMOKE.json")
