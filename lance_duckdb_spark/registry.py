@@ -215,14 +215,14 @@ _GREEN_R6 = {
 _RECHECK_R7: set = set()
 
 # r8 rotation note: the r7 driver window is the first 50 of the
-# current order — the 10 queries new in r7 (quality_linear_probe,
-# embedding_neardup_ivf, ann_knn_join, dedup_span_coverage,
-# chunk_documents, fts_bm25_incremental, hybrid_search,
-# hybrid_search_indexed, cluster_canonical, stream_index_ingest),
-# the 20 last green in r4, and the 20 stalest r5 entries. When
-# CORRECTNESS_r07.json lands, record its green set as _GREEN_R7 in
-# `rounds` so the r8 window sweeps the 30 r5 entries it skipped
-# plus the r6 set.
+# current order — the 11 queries new in r7 (quality_linear_probe,
+# embedding_neardup_ivf, ann_knn_join, ann_knn_join_vectorized,
+# dedup_span_coverage, chunk_documents, fts_bm25_incremental,
+# hybrid_search, hybrid_search_indexed, cluster_canonical,
+# stream_index_ingest), the 20 last green in r4, and the 19 stalest
+# r5 entries. When CORRECTNESS_r07.json lands, record its green set
+# as _GREEN_R7 in `rounds` so the r8 window sweeps the 31 r5
+# entries it skipped plus the r6 set.
 
 
 def _rotate(merged: dict) -> dict:
