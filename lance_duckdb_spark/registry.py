@@ -214,34 +214,57 @@ _GREEN_R6 = {
 # never-verified so they lead the window).
 _RECHECK_R7: set = set()
 
-# r8 rotation note: the r7 driver window is the first 50 of the
-# current order — the 11 queries new in r7 (quality_linear_probe,
-# embedding_neardup_ivf, ann_knn_join, ann_knn_join_vectorized,
-# dedup_span_coverage, chunk_documents, fts_bm25_incremental,
-# hybrid_search, hybrid_search_indexed, cluster_canonical,
-# stream_index_ingest), the 20 last green in r4, and the 19 stalest
-# r5 entries. When CORRECTNESS_r07.json lands, record its green set
-# as _GREEN_R7 in `rounds` so the r8 window sweeps the 31 r5
-# entries it skipped plus the r6 set.
+# All 50 rows CORRECTNESS_r07 recorded — every one green (the 11
+# r7-new queries, the 20 last green in r4, and the 19 stalest r5
+# entries).
+_GREEN_R7 = {
+    "ann_knn_join", "ann_knn_join_vectorized", "approx_quantiles_vs_exact",
+    "boilerplate_lines", "case_buckets", "chunk_documents",
+    "cluster_canonical", "cohort_retention", "correlated_subquery",
+    "cube_revenue", "dedup_keep_best", "dedup_span_coverage",
+    "distinct_counts", "embedding_neardup_ivf", "exists_correlated",
+    "filter_pipeline", "fts_bm25_incremental", "funnel_steps",
+    "hybrid_search", "hybrid_search_indexed", "lance_compact",
+    "lance_dataset_stats", "lance_delete", "lance_native_read",
+    "lance_upsert", "leakage_safe_split", "monthly_revenue",
+    "multimodal_pipeline", "percentiles", "pivot_events",
+    "quality_linear_probe", "robust_stats", "rollup_revenue",
+    "running_totals", "set_ops", "stats_moments", "stratified_sample",
+    "stream_continuous_aggregate", "stream_incremental_dedup",
+    "stream_index_ingest", "string_funcs", "temperature_resample",
+    "tfidf_top_terms", "top_revenue_per_segment", "tpch_q13", "tpch_q18",
+    "tpch_q19", "tpch_q22", "tpch_q7", "window_range_frames",
+}
+
+# Queries whose HASHED OUTPUT changes in r8 go here (treated as
+# never-verified so they lead the window).
+_RECHECK_R8: set = set()
+
+# r8 window note: with _GREEN_R7 folded in, the stalest tier is the
+# 31 r5-green entries the r7 window skipped (anti_semi_joins,
+# array_functions, asof_join_events_orders, char_entropy,
+# doc_fingerprint, embedding_neardup_lsh, group_quantile_arrays,
+# lance_stats_pushdown, lang_id, pii_redact, quality_score,
+# range_join_events, sessionize_events, sketch_distinct_rollup,
+# text_normalize, token_count, tpch_q2/q8/q9/q11/q12/q15/q16/q17/
+# q20/q21, url_domain_stats, window_rank_functions, ann_ivf,
+# ann_ivf_indexed, ann_ivf_pq), then r6-green entries fill the
+# remaining ~19 slots (module order). New r8 queries and
+# _RECHECK_R8 members lead.
 
 
 def _rotate(merged: dict) -> dict:
-    # Round-7 window: (1) brand-new queries + r7 hash-output changes,
-    # (2) the 20 queries last green in r4 (case_buckets,
-    # correlated_subquery, cube_revenue, dedup_keep_best,
-    # exists_correlated, filter_pipeline, lance_compact,
-    # lance_dataset_stats, lance_delete, lance_native_read,
-    # lance_upsert, monthly_revenue, multimodal_pipeline, set_ops,
-    # stratified_sample, stream_continuous_aggregate,
-    # stream_incremental_dedup, string_funcs, tfidf_top_terms,
-    # window_range_frames), (3) the 30 stalest r5-green entries,
-    # (4) r6-fresh. Within each tier module order holds.
+    # Round-8 window: (1) brand-new queries + r8 hash-output changes,
+    # (2) the 31 r5-green entries the r7 window skipped, (3) r6-green
+    # entries by module order until the window fills; r7-green is the
+    # freshest tier. Within each tier module order holds.
     rounds = [
         _GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4, _GREEN_R5, _GREEN_R6,
+        _GREEN_R7,
     ]
 
     def last_verified(k: str) -> int:
-        if k in _RECHECK_R7:
+        if k in _RECHECK_R8:
             return 0
         return max(
             (i + 1 for i, s in enumerate(rounds) if k in s), default=0
