@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import atexit
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -89,14 +90,26 @@ def release_spill(df: DataFrame) -> None:
         df._spill_path = None
 
 
+_SPILL_CHILD_RE = re.compile(r".+-[0-9a-f]{12}$")
+
+
 def purge_spill_root(spark) -> None:
-    """Delete the ENTIRE spill root — for pipelines on a configured
-    DFS ``spillDir`` to run between jobs (no live queries). The
-    local default root is additionally removed at interpreter
-    exit."""
-    global _local_root
+    """Reclaim spill stages under the root — for pipelines on a
+    configured DFS ``spillDir`` to run between jobs (no live
+    queries). Only children matching the ``{label}-{12-hex}`` spill
+    naming pattern are deleted (never the root itself), so a
+    spillDir pointed at a shared DFS directory cannot lose unrelated
+    data to a between-jobs purge (r7 ADVICE). The local default root
+    is additionally removed whole at interpreter exit."""
     root = spark.conf.get(SPILL_DIR_CONF, None) or _local_root
-    if root is not None:
-        _hadoop_delete(spark, root)
-    if root == _local_root:
-        _local_root = None
+    if root is None:
+        return
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return
+    for status in fs.listStatus(p):
+        child = status.getPath()
+        if _SPILL_CHILD_RE.fullmatch(child.getName()):
+            fs.delete(child, True)

@@ -193,7 +193,14 @@ def build_fts_index(
       idf).
     - ``_stats_v0/``: 1 row of exact integers (n_docs, sum_dl) so
       avgdl re-derives bit-identically at any version.
-    - ``_meta.json``: which df/stats generation is current.
+    - ``_meta.json``: which df/stats generation is current AND which
+      posting directories are live (``postings_dirs`` — the base plus
+      one ``_postings_d{n}`` delta per extend). ALL index state goes
+      through the atomic meta publish: a reader never sees postings
+      newer than the df generation they are scored with, and a
+      crashed extend leaves only an unreferenced delta dir that the
+      retry overwrites (r7 ADVICE — the previous in-place append made
+      a retried extend double-count its docs' BM25 contributions).
 
     Build cost is three shuffles over the corpus (tf, dl, df) — the
     one-time cost any inverted index pays; ``extend_fts_index`` then
@@ -215,7 +222,13 @@ def build_fts_index(
         F.sum("dl").cast("long").alias("sum_dl"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_stats_v0")
     _publish_fts_meta(
-        index_dir, {"version": 0, "df_dir": "_df_v0", "stats_dir": "_stats_v0"}
+        index_dir,
+        {
+            "version": 0,
+            "df_dir": "_df_v0",
+            "stats_dir": "_stats_v0",
+            "postings_dirs": ["postings"],
+        },
     )
 
 
@@ -226,18 +239,26 @@ def extend_fts_index(
     analogue of ``extend_ivf_index`` (Lance proper maintains its FTS
     index the same append-then-merge way):
 
-    - the new docs' posting rows APPEND into the bucket-partitioned
-      ``postings/`` (existing files untouched — tf/dl are per-doc
-      local, so old postings stay exact);
+    - the new docs' posting rows land in their OWN bucket-partitioned
+      delta dir ``_postings_d{n+1}`` (base and prior deltas untouched
+      — tf/dl are per-doc local, so old postings stay exact). The
+      delta is written with overwrite and becomes visible only via
+      the meta publish below: a crash before the publish leaves an
+      orphan no reader ever scans, and the retried extend (same
+      version) REPLACES it rather than double-appending;
     - ``df`` and the corpus stats are the only global statistics:
       the delta df (term-level counts over just the new docs) merges
       with the current generation into ``_df_v{n+1}`` — an
       O(distinct terms) aggregate, never a corpus re-scan — and the
       stats add exact integer deltas;
-    - the new generations publish atomically via ``_meta.json``;
-      the superseded generation (two behind) is reclaimed on the
-      NEXT extend so in-flight readers of the previous meta never
-      lose their files mid-scan.
+    - postings_dirs + the new generations publish atomically via ONE
+      ``_meta.json`` replace, so a concurrent reader scores a
+      consistent snapshot (never new postings against an old df
+      generation); the superseded df/stats generation (two behind)
+      is reclaimed on the NEXT extend so in-flight readers of the
+      previous meta never lose their files mid-scan. Delta dirs
+      accumulate until the next full ``build_fts_index`` (the
+      compaction — it resets postings_dirs to the base).
 
     Search over the extended index is bit-identical to a full
     rebuild over the union corpus (asserted in tests and by the
@@ -246,14 +267,15 @@ def extend_fts_index(
     import shutil as _shutil
 
     meta = _read_fts_meta(index_dir)
+    version = meta["version"] + 1
     tf = _term_freq(new_docs)
     dl = _doc_len(tf)
+    postings_delta = f"_postings_d{version}"
     tf.join(dl, "doc_id").withColumn(
         "bucket", _bucket_expr(F.col("term"))
-    ).write.mode("append").partitionBy("bucket").parquet(
-        f"{index_dir}/postings"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(index_dir, postings_delta)
     )
-    version = meta["version"] + 1
     old_df = spark.read.parquet(
         os.path.join(index_dir, meta["df_dir"])
     ).select("term", "df")
@@ -282,7 +304,13 @@ def extend_fts_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, stats_dir)
     )
-    new_meta = {"version": version, "df_dir": df_dir, "stats_dir": stats_dir}
+    new_meta = {
+        "version": version,
+        "df_dir": df_dir,
+        "stats_dir": stats_dir,
+        "postings_dirs": meta.get("postings_dirs", ["postings"])
+        + [postings_delta],
+    }
     _publish_fts_meta(index_dir, new_meta)
     # reclaim generations two behind (current readers hold at most
     # the PREVIOUS meta, whose dirs must survive this extend)
@@ -304,8 +332,20 @@ def search_bm25(
     meta = _read_fts_meta(index_dir)
     terms = [t.strip(" ").lower() for t in terms]
     buckets = sorted({bucket_of(t) for t in terms})
+    # every live posting dir comes from the meta snapshot (base +
+    # extend deltas) — orphan deltas from a crashed extend are never
+    # scanned. Each dir is its own bucket-partitioned root, read
+    # separately and unioned (a multi-path read would demand one
+    # shared basePath); the bucket/term filters push down THROUGH the
+    # union into every scan, so pruning holds per dir.
+    from functools import reduce
+
+    posting_scans = [
+        spark.read.parquet(os.path.join(index_dir, d))
+        for d in meta.get("postings_dirs", ["postings"])
+    ]
     postings = (
-        spark.read.parquet(f"{index_dir}/postings")
+        reduce(lambda a, b: a.unionByName(b), posting_scans)
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(terms))
     )

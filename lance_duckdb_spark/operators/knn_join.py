@@ -96,10 +96,21 @@ def ann_knn_join(
     emb_n = emb.select(
         "vec_id", "embedding", norm("embedding").alias("nrm")
     )
-    centroids = emb_n.where(F.col("vec_id") < k_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("ce"),
-        F.col("nrm").alias("c_nrm"),
+    # seed centroids are the k LOWEST vec_ids — the same lowest-k
+    # selection ann_knn_join_vectorized and ivf_neardup_pairs use
+    # (orderBy + limit, a TakeOrderedAndProject over the id column,
+    # never a full sort). A `vec_id < k` predicate coincides only on
+    # dense 0-based ids; after deletes the two variants would pick
+    # different centroid sets and silently break the documented
+    # bit-identity contract (r7 ADVICE).
+    centroids = (
+        emb_n.orderBy("vec_id")
+        .limit(k_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("c_nrm"),
+        )
     )
 
     # ONE centroid ranking serves both sides: a vector's bucket
@@ -200,7 +211,7 @@ WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
 c AS (
-  SELECT vec_id AS centroid_id, emb AS ce FROM e WHERE vec_id < {IVF_K}
+  SELECT vec_id AS centroid_id, emb AS ce FROM e ORDER BY vec_id LIMIT {IVF_K}
 ),
 assign AS (
   SELECT neighbor_id, centroid_id, ne FROM (

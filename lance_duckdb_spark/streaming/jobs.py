@@ -891,7 +891,7 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic but its k-means centroids aren't SQL-replicable, so
     the hashed rows are the exact brute-force top-k plus a constant
     ``ingest_recall_ok`` flag (recall of the delta-served search vs
-    exact >= IVF_INDEXED_RECALL_BOUND), the ann_ivf_indexed pattern.
+    exact >= INGEST_RECALL_BOUND), the ann_ivf_indexed pattern.
     tests/test_stream_index_ingest.py additionally asserts >= 2
     postings deltas were really published and pins tighter recall."""
     from ..operators.similarity import (
@@ -953,7 +953,11 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             extend_ivf_index(spark, dst)
 
     meta = read_index_meta(dst)
-    assert len(meta.get("delta_dirs", [])) >= 2, meta  # both passes indexed
+    if len(meta.get("delta_dirs", [])) < 2:  # both passes must have indexed
+        raise RuntimeError(
+            f"stream_index_ingest published {meta} — expected >=2 postings "
+            "deltas (one per streamed split); an extend pass was skipped"
+        )
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )

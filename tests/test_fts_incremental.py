@@ -16,10 +16,11 @@ from lance_duckdb_spark.tables import load
 
 def _posting_files(index_dir: str) -> set[str]:
     out = set()
-    for root, _dirs, files in os.walk(os.path.join(index_dir, "postings")):
-        for f in files:
-            if f.endswith(".parquet"):
-                out.add(os.path.join(root, f))
+    for d in fts._read_fts_meta(index_dir)["postings_dirs"]:
+        for root, _dirs, files in os.walk(os.path.join(index_dir, d)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(os.path.join(root, f))
     return out
 
 
@@ -40,6 +41,53 @@ def test_extend_appends_never_rewrites(spark, incr_dir):
     after = _posting_files(d)
     assert base_files <= after  # every base file survives verbatim
     assert len(after) > len(base_files)  # and new files arrived
+    # the new files live in a versioned DELTA dir published via meta,
+    # never inside the base postings/ (r7 ADVICE: all posting state
+    # goes through the atomic _meta.json snapshot)
+    meta = fts._read_fts_meta(d)
+    assert meta["postings_dirs"] == ["postings", "_postings_d1"]
+    assert all(
+        os.path.join(d, "_postings_d1") in f for f in after - base_files
+    )
+
+
+def test_crashed_extend_is_invisible_then_retry_replaces(
+    spark, sf_dir, tmp_path_factory, monkeypatch
+):
+    """A crash between the postings-delta write and the meta publish
+    must leave search untouched (the orphan delta is unreferenced),
+    and the RETRIED extend must replace — not double-append — the
+    orphan, landing bit-identical to a clean extend."""
+    d = str(tmp_path_factory.mktemp("ftscrash") / "index")
+    docs = load(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + ((hi - lo + 1) * 2) // 3
+    bulk = docs.where(F.col("doc_id") < cut)
+    tail = docs.where(F.col("doc_id") >= cut)
+    fts.build_fts_index(spark, bulk, d)
+    bulk_hits = fts.search_bm25(spark, d, list(fts.QUERY_TERMS)).collect()
+
+    def boom(index_dir, meta):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(fts, "_publish_fts_meta", boom)
+    with pytest.raises(RuntimeError, match="crash before publish"):
+        fts.extend_fts_index(spark, d, tail)
+    monkeypatch.undo()
+    # orphan delta exists but no reader sees it
+    assert os.path.isdir(os.path.join(d, "_postings_d1"))
+    assert fts._read_fts_meta(d)["postings_dirs"] == ["postings"]
+    crashed_hits = fts.search_bm25(spark, d, list(fts.QUERY_TERMS)).collect()
+    assert [r.asDict() for r in crashed_hits] == [
+        r.asDict() for r in bulk_hits
+    ]
+    # retry: same version, overwrite semantics — no double counting
+    fts.extend_fts_index(spark, d, tail)
+    full = str(tmp_path_factory.mktemp("ftscrashfull") / "index")
+    fts.build_fts_index(spark, docs, full)
+    a = fts.search_bm25(spark, d, list(fts.QUERY_TERMS)).collect()
+    b = fts.search_bm25(spark, full, list(fts.QUERY_TERMS)).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
 
 
 def test_extended_equals_full_rebuild_bit_exact(
