@@ -114,6 +114,158 @@ SELECT source, COUNT(DISTINCT doc_id) AS contaminated_docs,
 FROM hits GROUP BY source ORDER BY source
 """
 
+# -- bloom-prefiltered contamination ----------------------------------------
+
+BLOOM_BITS_PER_KEY = 16  # m/n=16, k=11 → ~5e-4 false-positive rate
+BLOOM_K = 11
+
+
+def _bloom_positions(gram: str, m_mask: int):
+    """The k bit positions of ``gram`` in an m-bit bloom (m a power
+    of two, ``m_mask = m-1``): double hashing over the two md5
+    halves, h2 forced odd so the k probes never collapse. Build and
+    probe share THIS one function — no cross-engine hash parity is
+    even needed, because bloom false positives are removed by an
+    exact recheck and false negatives are impossible."""
+    import hashlib
+
+    d = hashlib.md5(gram.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [((h1 + i * h2) & 0x7FFFFFFFFFFFFFFF) & m_mask for i in range(BLOOM_K)]
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C53: benchmark decontamination via a BROADCAST BLOOM
+    prefilter + exact recheck — the zero-shuffle 100 TB shape of
+    ``contamination_check`` (same grams, same aggregate, and — since
+    a bloom filter has no false negatives and the recheck join
+    removes its false positives — the EXACT same result, so it
+    shares CONTAMINATION_SQL).
+
+    Why this operator exists next to the plain equi-join: at 100 TB
+    the corpus side of contamination_check materializes every corpus
+    gram as a JVM row feeding a join (~10^12 rows even though the
+    bench side broadcasts). Here the corpus grams never leave the
+    Arrow worker that shingled them: each is probed against a
+    broadcast fixed-size bitmap (16 bits/key — a 1M-gram benchmark
+    is a 2 MB bitmap, vs a multi-GB broadcast hash table of gram
+    strings) and only the ~5e-4 false-positive fraction plus the
+    true hits ever become rows. The exact recheck join then runs on
+    that ε-sized candidate set against the tiny bench gram table.
+    This bloom-prefilter + exact-recheck composition is the same
+    proven-lossless pattern as embedding_neardup's BLAS prefilter.
+
+    Scale ledger: corpus — ONE scan, no shuffle (probe output is
+    candidates only); bench slice — two small shuffles (bitmap OR +
+    recheck build side); driver — m/64 int64 words (the bitmap),
+    never gram strings. Reference anchor: the reference's DuckDB
+    core ships the same idea as JoinFilterPushdown/bloom on hash
+    joins; here it is lifted to the shingle layer where the 100 TB
+    win actually is."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _gram_rows
+
+    docs = load(spark, sf_dir, "documents")
+    bench_docs = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    bench = _gram_rows(
+        bench_docs, [], _word_ngrams(CONTAM_N), "gram"
+    ).select(F.col("doc_id").alias("bench_doc"), "gram")
+
+    # size the bitmap off the bench gram count (one tiny job over the
+    # 1/BENCH_MOD slice), then build it DISTRIBUTED: workers emit
+    # per-batch OR-partials of 64-bit words, one groupBy(word_idx)
+    # bit_or reduces them, and the driver collects only m/64 words.
+    n_keys = bench.count()
+    m_bits = 1 << max(10, (int(n_keys) * BLOOM_BITS_PER_KEY).bit_length())
+    m_mask = m_bits - 1
+
+    def or_partials(batches):
+        for pdf in batches:
+            words: dict[int, int] = {}
+            for gram in pdf["gram"]:
+                for pos in _bloom_positions(gram, m_mask):
+                    words[pos >> 6] = words.get(pos >> 6, 0) | (
+                        1 << (pos & 63)
+                    )
+            # 64-bit words travel as SIGNED int64 (Arrow/Spark long):
+            # a same-bytes view, not a value cast — bit_or is
+            # sign-agnostic and the driver masks back to unsigned
+            yield pd.DataFrame(
+                {
+                    "word_idx": np.array(list(words), dtype=np.int64),
+                    "bits": np.array(
+                        list(words.values()), dtype=np.uint64
+                    ).view(np.int64),
+                }
+            )
+
+    word_rows = (
+        bench.select("gram")
+        .mapInPandas(or_partials, "word_idx long, bits long")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .collect()
+    )
+    bitmap = np.zeros(m_bits >> 6, dtype=np.uint64)
+    for r in word_rows:
+        bitmap[r["word_idx"]] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    bc = spark.sparkContext.broadcast((bitmap, m_mask))
+
+    def probe(batches):
+        bmp, mask = bc.value
+        for pdf in batches:
+            out_doc, out_src, out_gram = [], [], []
+            for did, src, txt in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                gs = _word_ngrams(CONTAM_N)(txt)
+                if not gs:
+                    continue
+                for g in gs:
+                    hit = True
+                    for pos in _bloom_positions(g, mask):
+                        if not (
+                            int(bmp[pos >> 6]) >> (pos & 63)
+                        ) & 1:
+                            hit = False
+                            break
+                    if hit:
+                        out_doc.append(did)
+                        out_src.append(src)
+                        out_gram.append(g)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "source": out_src, "gram": out_gram}
+            ).astype({"doc_id": "int64"})
+
+    par = spark.sparkContext.defaultParallelism
+    candidates = (
+        docs.select("doc_id", "source", "text")
+        .repartition(max(32, par))
+        .mapInPandas(probe, "doc_id long, source string, gram string")
+    )
+    # exact recheck: candidates are true-hits + ~5e-4 false positives;
+    # the join against the real bench gram table (broadcast — it is
+    # the small side by construction) removes the latter, restoring
+    # exact equality with contamination_check.
+    hits = (
+        candidates.join(F.broadcast(bench), "gram")
+        .where(F.col("doc_id") != F.col("bench_doc"))
+        .select("doc_id", "source", "gram")
+        .distinct()
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("contaminated_docs"),
+            F.count(F.lit(1)).alias("contaminated_grams"),
+        )
+        .orderBy("source")
+    )
+
+
 # -- repetition filter ------------------------------------------------------
 
 REP_N = 2  # bigrams: word-salad corpora repeat these measurably
@@ -611,6 +763,7 @@ FROM line_df GROUP BY source ORDER BY source
 
 QUERIES = {
     "contamination_check": contamination_check,
+    "contamination_bloom": contamination_bloom,
     "repetition_filter": repetition_filter,
     "sequence_packing": sequence_packing,
     "domain_mix": domain_mix,
@@ -622,6 +775,8 @@ QUERIES = {
 
 ORACLE = {
     "contamination_check": CONTAMINATION_SQL,
+    # bloom prefilter + exact recheck is lossless — shares the oracle
+    "contamination_bloom": CONTAMINATION_SQL,
     "repetition_filter": REPETITION_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "domain_mix": DOMAIN_MIX_SQL,

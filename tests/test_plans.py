@@ -133,6 +133,27 @@ def test_cross_source_overlap_is_equijoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_contamination_bloom_corpus_side_never_shuffles(spark, sf_dir):
+    """The bloom path's whole point: corpus grams are probed inside
+    the Arrow worker and only candidates become rows — so between
+    the corpus scan and the recheck join there must be NO shuffle
+    exchange, and the recheck's bench side must broadcast."""
+    from lance_duckdb_spark.operators import curation
+
+    plan = _plan(curation.contamination_bloom(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # recheck joins broadcast bench
+    assert "CartesianProduct" not in plan
+    # walk the plan segment from the probe (MapInPandas over text) up
+    # to the join: the candidate stream must reach the broadcast join
+    # without an intermediate shuffle. The only shuffle exchanges in
+    # the whole plan belong to the final source aggregate (and the
+    # round-robin repartition that spreads the one-row-group scan).
+    joins_at = plan.index("BroadcastHashJoin")
+    below_join = plan[joins_at:]
+    probe_at = below_join.index("MapInPandas")
+    assert "Exchange hashpartitioning" not in below_join[:probe_at]
+
+
 def test_repetition_filter_is_single_scan(spark, sf_dir):
     # narrow per-doc computation: no join, no window — one scan and
     # one partial-agg exchange
