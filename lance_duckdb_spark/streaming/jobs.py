@@ -973,6 +973,95 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rnk")
 
 
+def stream_fts_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: streaming FULL-TEXT index maintenance — the BM25 twin of
+    the vector ingest loop (D9). Documents arrive as a lance stream;
+    every micro-batch is committed by the exactly-once lance sink,
+    and after each sink pass the inverted index catches up via
+    ``extend_fts_index`` — an O(appended docs) postings delta plus an
+    O(distinct terms) df/stats generation, all published through ONE
+    atomic ``_meta.json`` replace (operators/fts.py, r8 layout), so a
+    reader racing the stream always scores a consistent snapshot.
+    The maintained docs are read back from the SUNK dataset, not the
+    source frame — the index serves exactly what the table committed.
+
+    Staging mirrors stream_sink_roundtrip: the Python DS stream
+    source has no AvailableNow, so arrivals stage split-by-split
+    against one checkpoint — identical to live micro-batches. The
+    bulk (first two thirds) builds the index; two streamed sixths
+    extend it.
+
+    Unlike the vector ingest, FTS maintenance is EXACT — per-doc
+    postings never change and df/stats merge losslessly, so the
+    extended index is bit-identical to a full rebuild and the search
+    result shares fts_bm25's full-corpus oracle with NO quality flag
+    (the strongest hash discipline a streamed index can offer)."""
+    import shutil as _shutil
+
+    from ..operators.fts import (
+        QUERY_TERMS,
+        _read_fts_meta,
+        build_fts_index,
+        extend_fts_index,
+        search_bm25,
+    )
+    from ..sources.datasource import register
+
+    register(spark)
+    src = _fresh_stream_root(sf_dir, "ftsingestsrc")
+    dst = _fresh_stream_root(sf_dir, "ftsingestdst")
+    index_dir = dst + ".ftsidx"
+    _shutil.rmtree(index_dir, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return spark.createDataFrame(
+            [], "doc_id long, n_terms long, score double"
+        )
+    span = hi - lo + 1
+    cuts = [lo, lo + (span * 4) // 6, lo + (span * 5) // 6, hi + 1]
+
+    for i in range(3):
+        part = docs.where(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        )
+        mode = "overwrite" if i == 0 else "append"
+        part.coalesce(1).write.format("lance").mode(mode).save(src)
+        q = (
+            spark.readStream.format("lance")
+            .load(src)
+            .writeStream.format("lance")
+            .option("checkpointLocation", dst + ".ckpt")
+            .option("txnappid", "fts_ingest")
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        _await_or_raise(q)
+        # maintain the index from what the table COMMITTED this pass
+        batch = (
+            spark.read.format("lance")
+            .load(dst)
+            .where(
+                (F.col("doc_id") >= cuts[i])
+                & (F.col("doc_id") < cuts[i + 1])
+            )
+        )
+        if i == 0:
+            build_fts_index(spark, batch, index_dir)
+        else:
+            extend_fts_index(spark, index_dir, batch)
+
+    meta = _read_fts_meta(index_dir)
+    if meta["version"] != 2 or len(meta.get("postings_dirs", [])) != 3:
+        raise RuntimeError(
+            f"stream_fts_ingest published {meta} — expected two extend "
+            "generations (version 2) over three posting dirs"
+        )
+    return search_bm25(spark, index_dir, list(QUERY_TERMS))
+
+
 QUERIES = {
     "stream_windowed_counts": batch_windowed_counts,
     "session_window_native": session_window_native,
@@ -983,6 +1072,7 @@ QUERIES = {
     "stream_incremental_dedup": stream_incremental_dedup,
     "stream_continuous_aggregate": stream_continuous_aggregate,
     "stream_index_ingest": stream_index_ingest,
+    "stream_fts_ingest": stream_fts_ingest,
 }
 
 from ..operators.dedup import DEDUP_MINHASH_SQL as _FULL_MINHASH_SQL  # noqa: E402
@@ -992,9 +1082,14 @@ from ..operators.timeseries import (  # noqa: E402
 
 from ..operators.similarity import _topk_flag_sql as _flag_sql  # noqa: E402
 
+from ..operators.fts import FTS_BM25_SQL as _FTS_SQL  # noqa: E402
+
 ORACLE = {
     # the streaming union must equal the FULL-corpus minhash dedup
     "stream_incremental_dedup": _FULL_MINHASH_SQL,
+    # FTS maintenance is exact: the streamed-into index must serve
+    # the full-corpus BM25 answer bit-for-bit, no quality flag
+    "stream_fts_ingest": _FTS_SQL,
     # exact top-k + literal-TRUE recall flag (ann_ivf_indexed pattern)
     "stream_index_ingest": _flag_sql("ingest_recall_ok"),
     # the stream-built rollup must serve the same answers as a
