@@ -1,0 +1,177 @@
+"""Scalar-quantized (SQ8) vector search with PROVABLY LOSSLESS exact
+top-k (SURVEY.md §2.C — the quantization tier Lance proper ships as
+its SQ index family; reference anchor: rust/lib.rs exposes Lance's
+index surface, of which IVF/PQ/SQ are the standard members; this repo
+already covers IVF and IVF_PQ in similarity.py / vector_index.py).
+
+The 100 TB motivation is bandwidth, not candidates: an int8 code
+vector is 4x smaller than float32 (8x smaller than the DOUBLE the
+exact fold needs), so a quantized scan reads a quarter of the bytes
+and runs the heavy probe-x-corpus scoring as a BLAS GEMM over codes.
+What makes it a first-class operator rather than an approximation:
+
+- per-vector symmetric quantization, scale s = 127/max|v_d|, code =
+  floor(v*s + 0.5): reconstruction error per dimension is <= 0.5/s;
+- the quantized cosine therefore carries a COMPUTABLE per-pair error
+  bound eps = (0.5/s_y * L1(x_hat) + 0.5/s_x * L1(y)) / (|x||y|)
+  (triangle inequality over the dot), inflated by a float-rounding
+  guard;
+- per Arrow batch, rows whose upper bound clears the batch's k-th
+  best lower bound are EXACT-rescored with the bit-exact sequential
+  fold (similarity.py numeric discipline) — a provable superset of
+  the batch's true top-k, so the batch winners are exact, so the
+  global window over batch winners is exact. The same
+  prefilter-then-exact-recheck pattern as embedding_neardup's BLAS
+  margin: quantization decides only WHICH rows pay the exact fold,
+  never what any emitted score is.
+
+Consequently ann_sq8_topk's output is bit-identical to
+ann_topk_bruteforce and SHARES its DuckDB oracle — the strongest
+correctness statement a compressed-domain search can make.
+
+Scale ledger: corpus — one scan, no shuffle (each worker emits at
+most TOP_K rows per probe per batch); probes — broadcast (N_PROBES
+rows); driver — never sees a vector. Shuffle volume is
+O(batches * probes * k) slim rows into the final window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .similarity import ANN_TOPK_SQL, N_PROBES, TOP_K
+
+SQ8_MAX_CODE = 127.0
+
+
+def _quantize(X):
+    """Symmetric per-vector SQ8: returns (codes float32 — exact
+    integers in [-127,127], scales float64). Zero vectors quantize
+    to zero codes with scale 1 (their cosine is NaN either way and
+    the testdata has none; the guard just keeps arithmetic finite).
+    Codes stay in float32 because 127*127*64 < 2^24 — the GEMM over
+    them is exact integer arithmetic on BLAS floats."""
+    import numpy as np
+
+    amax = np.abs(X).max(axis=1)
+    scales = np.where(amax > 0, SQ8_MAX_CODE / np.where(amax > 0, amax, 1.0), 1.0)
+    codes = np.floor(X * scales[:, None] + 0.5)
+    return codes.astype(np.float32), scales
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C54: exact ANN top-k served from SQ8-quantized codes — the
+    compressed-domain scan with a lossless-bound rescore. Output and
+    oracle are ann_topk_bruteforce's, bit for bit."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe_rows = (
+        emb.where(F.col("vec_id") < N_PROBES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cos_sim double, rnk int"
+        )
+    P = np.array([r["embedding"] for r in probe_rows], dtype=np.float32).astype(
+        np.float64
+    )
+    p_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    Pc, p_scales = _quantize(P)
+    P_hat = Pc.astype(np.float64) / p_scales[:, None]  # dequantized probes
+    # exact probe norms: the SEQUENTIAL fold, dimension by dimension,
+    # matching list_cosine_similarity's accumulation order
+    p_nrm = np.zeros(len(P))
+    for d in range(P.shape[1]):
+        p_nrm += P[:, d] * P[:, d]
+    p_nrm = np.sqrt(p_nrm)
+    p_l1_hat = np.abs(P_hat).sum(axis=1)
+    bc = spark.sparkContext.broadcast(
+        (p_ids, P, Pc, p_scales, p_nrm, p_l1_hat)
+    )
+
+    def scan(batches):
+        ids_p, Pm, Pcm, s_p, nrm_p, l1_hat_p = bc.value
+        k = TOP_K
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Y = np.array(list(pdf["embedding"]), dtype=np.float32).astype(
+                np.float64
+            )
+            y_ids = pdf["vec_id"].to_numpy()
+            Yc, s_y = _quantize(Y)
+            # exact corpus norms, sequential fold order
+            y_nrm = np.zeros(len(Y))
+            for d in range(Y.shape[1]):
+                y_nrm += Y[:, d] * Y[:, d]
+            y_nrm = np.sqrt(y_nrm)
+            y_l1 = np.abs(Y).sum(axis=1)
+            # the compressed-domain GEMM: exact integer dot of codes
+            # (float32 BLAS; products and sums stay under 2^24)
+            Dq = (Yc @ Pcm.T).astype(np.float64) / (
+                s_y[:, None] * s_p[None, :]
+            )
+            denom = y_nrm[:, None] * nrm_p[None, :]
+            approx = Dq / denom
+            # lossless bound: quantization error + float-round guard
+            eps = (
+                (0.5 / s_y)[:, None] * l1_hat_p[None, :]
+                + (0.5 / s_p)[None, :] * y_l1[:, None]
+            ) / denom
+            eps = eps * (1.0 + 1e-9) + 1e-12
+            self_pair = y_ids[:, None] == ids_p[None, :]
+            lb = np.where(self_pair, -np.inf, approx - eps)
+            ub = np.where(self_pair, -np.inf, approx + eps)
+            out = {"probe_id": [], "neighbor_id": [], "cos_sim": []}
+            for j in range(Pm.shape[0]):
+                n_rows = (~self_pair[:, j]).sum()
+                if n_rows == 0:
+                    continue
+                kk = min(k, int(n_rows))
+                # batch threshold: the kk-th best LOWER bound —
+                # any true top-kk row must have ub >= it
+                thresh = np.partition(lb[:, j], len(lb) - kk)[len(lb) - kk]
+                cand = np.nonzero(ub[:, j] >= thresh)[0]
+                # exact rescore of the provable superset only
+                acc = np.zeros(len(cand))
+                for d in range(Pm.shape[1]):
+                    acc += Y[cand, d] * Pm[j, d]
+                cos = np.clip(acc / (y_nrm[cand] * nrm_p[j]), -1.0, 1.0)
+                order = np.lexsort((y_ids[cand], -cos))[:kk]
+                sel = cand[order]
+                out["probe_id"].extend([ids_p[j]] * len(sel))
+                out["neighbor_id"].extend(y_ids[sel].tolist())
+                out["cos_sim"].extend(cos[order].tolist())
+            yield pd.DataFrame(out).astype(
+                {"probe_id": "int64", "neighbor_id": "int64",
+                 "cos_sim": "float64"}
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    winners = (
+        emb.select("vec_id", "embedding")
+        .repartition(max(32, par))
+        .mapInPandas(
+            scan, "probe_id long, neighbor_id long, cos_sim double"
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        winners.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rnk")
+        .orderBy("probe_id", "rnk")
+    )
+
+
+QUERIES = {"ann_sq8_topk": ann_sq8_topk}
+# lossless bound + exact rescore — bit-identical to brute force
+ORACLE = {"ann_sq8_topk": ANN_TOPK_SQL}

@@ -20,6 +20,7 @@ from .operators import (
     lance_ops,
     multimodal,
     pipeline,
+    quantize,
     redaction,
     retrieval,
     similarity,
@@ -47,6 +48,7 @@ _MODULES = [
     text,
     timeseries,
     similarity,
+    quantize,
     knn_join,
     skew,
     spans,

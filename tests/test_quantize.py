@@ -1,0 +1,70 @@
+"""SQ8 compressed-domain search (operators/quantize.py): the error
+bound really bounds, the output really equals brute force, and the
+plan really never shuffles vectors. Oracle equality is covered by
+test_correctness.py."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lance_duckdb_spark.operators.quantize import _quantize, ann_sq8_topk
+from lance_duckdb_spark.operators.similarity import ann_topk_bruteforce
+
+
+def test_sq8_equals_bruteforce_bit_exact(spark, sf_dir):
+    a = ann_sq8_topk(spark, sf_dir).collect()
+    b = ann_topk_bruteforce(spark, sf_dir).collect()
+    assert len(a) > 0
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_quantization_error_bound_holds():
+    """Property test of the lossless-candidate math: for every pair,
+    |quantized cosine - exact cosine| <= eps, where eps is exactly
+    the bound the scan computes. 10k random pairs, adversarial
+    scales mixed in (tiny and huge magnitudes)."""
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(100, 64))
+    Y = rng.normal(size=(100, 64))
+    X[:25] *= 1e-6
+    Y[25:50] *= 1e6
+    Xc, s_x = _quantize(X)
+    Yc, s_y = _quantize(Y)
+    X_hat = Xc.astype(np.float64) / s_x[:, None]
+    x_nrm = np.sqrt((X * X).sum(axis=1))
+    y_nrm = np.sqrt((Y * Y).sum(axis=1))
+    exact = (Y @ X.T) / (y_nrm[:, None] * x_nrm[None, :])
+    approx = (Yc @ Xc.T).astype(np.float64) / (
+        s_y[:, None] * s_x[None, :]
+    ) / (y_nrm[:, None] * x_nrm[None, :])
+    eps = (
+        (0.5 / s_y)[:, None] * np.abs(X_hat).sum(axis=1)[None, :]
+        + (0.5 / s_x)[None, :] * np.abs(Y).sum(axis=1)[:, None]
+    ) / (y_nrm[:, None] * x_nrm[None, :])
+    eps = eps * (1.0 + 1e-9) + 1e-12
+    assert (np.abs(approx - exact) <= eps).all()
+
+
+def test_codes_are_int8_range_exact_integers():
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(50, 64)) * rng.choice([1e-5, 1.0, 1e7], size=(50, 1))
+    codes, scales = _quantize(X)
+    assert codes.dtype == np.float32
+    assert (codes == np.round(codes)).all()  # exact integers
+    assert codes.min() >= -127 and codes.max() <= 127
+    # per-dim reconstruction error within the advertised 0.5/s
+    err = np.abs(X - codes.astype(np.float64) / scales[:, None])
+    assert (err <= (0.5 / scales)[:, None] * (1 + 1e-12)).all()
+
+
+def test_sq8_plan_never_shuffles_vectors(spark, sf_dir):
+    from lance_duckdb_spark.plans.checks import executed_plan
+
+    plan = executed_plan(ann_sq8_topk(spark, sf_dir))
+    # the only hash exchange carries the slim winner rows into the
+    # per-probe window — no embedding column crosses a shuffle
+    at = plan.index("MapInPandas")
+    assert "embedding" not in plan[:at].split("Scan")[0]
+    for seg in plan[:at].split("\n"):
+        if "Exchange hashpartitioning" in seg:
+            assert "embedding" not in seg
