@@ -100,3 +100,28 @@ def doc_bucket(col: Column | str = "doc_id") -> Column:
 
 
 SQL_DOC_BUCKET = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)"
+
+
+def spread(df, min_parts: int = 32):
+    """Round-robin repartition ONLY when the input is under-
+    partitioned for the session's parallelism (the driver testdata is
+    one parquet row group, so its scans start single-task). On a
+    corpus already laid out across >= min(parallelism, min_parts)
+    splits this is a no-op — the scan stays shuffle-free, keeping the
+    'one scan, no shuffle' ledger of the operators that call it true
+    on real data (r8 review finding)."""
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    par = max(min_parts, df.sparkSession.sparkContext.defaultParallelism)
+    return df.repartition(par)
+
+
+def bulk_two_sixths_cuts(lo: int, hi: int) -> list[int]:
+    """The shared incremental-maintenance staging split: bulk (first
+    four sixths) + two streamed/extended sixths, as [lo, c1, c2,
+    hi+1) range boundaries. ONE definition for fts_bm25_incremental,
+    stream_index_ingest and stream_fts_ingest — a drift in any copy
+    would silently diverge their split semantics (r8 review
+    finding)."""
+    span = hi - lo + 1
+    return [lo, lo + (span * 4) // 6, lo + (span * 5) // 6, hi + 1]

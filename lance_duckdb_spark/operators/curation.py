@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .common import doc_bucket, text_fingerprint
+from .common import doc_bucket, spread as _spread, text_fingerprint
 
 # -- contamination ----------------------------------------------------------
 
@@ -136,7 +136,7 @@ def _bloom_positions(gram: str, m_mask: int):
 
 
 def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C53: benchmark decontamination via a BROADCAST BLOOM
+    """C52: benchmark decontamination via a BROADCAST BLOOM
     prefilter + exact recheck — the zero-shuffle 100 TB shape of
     ``contamination_check`` (same grams, same aggregate, and — since
     a bloom filter has no false negatives and the recheck join
@@ -166,18 +166,26 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from ..materialize import spill_to_parquet
     from .dedup import _gram_rows
 
     docs = load(spark, sf_dir, "documents")
     bench_docs = docs.where(F.col("doc_id") % BENCH_MOD == 0)
-    bench = _gram_rows(
-        bench_docs, [], _word_ngrams(CONTAM_N), "gram"
-    ).select(F.col("doc_id").alias("bench_doc"), "gram")
+    # the bench gram table is consumed THREE times (bitmap sizing,
+    # bitmap build, exact recheck) and the doc_id % BENCH_MOD filter
+    # is not parquet-prunable — spill the shingled slice once so the
+    # documents table is scanned once for it, not three times
+    bench = spill_to_parquet(
+        _gram_rows(bench_docs, [], _word_ngrams(CONTAM_N), "gram").select(
+            F.col("doc_id").alias("bench_doc"), "gram"
+        ),
+        label="benchgrams",
+    )
 
-    # size the bitmap off the bench gram count (one tiny job over the
-    # 1/BENCH_MOD slice), then build it DISTRIBUTED: workers emit
-    # per-batch OR-partials of 64-bit words, one groupBy(word_idx)
-    # bit_or reduces them, and the driver collects only m/64 words.
+    # size the bitmap off the bench gram count (a count of the spill),
+    # then build it DISTRIBUTED: workers emit per-batch OR-partials of
+    # 64-bit words, one groupBy(word_idx) bit_or reduces them, and the
+    # driver collects only m/64 words.
     n_keys = bench.count()
     m_bits = 1 << max(10, (int(n_keys) * BLOOM_BITS_PER_KEY).bit_length())
     m_mask = m_bits - 1
@@ -240,11 +248,9 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": out_doc, "source": out_src, "gram": out_gram}
             ).astype({"doc_id": "int64"})
 
-    par = spark.sparkContext.defaultParallelism
-    candidates = (
-        docs.select("doc_id", "source", "text")
-        .repartition(max(32, par))
-        .mapInPandas(probe, "doc_id long, source string, gram string")
+    corpus = docs.select("doc_id", "source", "text")
+    candidates = _spread(corpus).mapInPandas(
+        probe, "doc_id long, source string, gram string"
     )
     # exact recheck: candidates are true-hits + ~5e-4 false positives;
     # the join against the real bench gram table (broadcast — it is

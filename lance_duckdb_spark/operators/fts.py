@@ -230,6 +230,23 @@ def build_fts_index(
             "postings_dirs": ["postings"],
         },
     )
+    # a rebuild IS the compaction: prune every generation dir the
+    # fresh meta no longer references (delta postings and df/stats
+    # generations of the previous index life) — the vector_index
+    # keep-set pattern; without this the 'compaction' claim would
+    # leak the old deltas on disk forever (r8 review finding)
+    import shutil as _shutil
+
+    keep = {"postings", "_df_v0", "_stats_v0", "_meta.json"}
+    for entry in os.listdir(index_dir):
+        if entry not in keep and (
+            entry.startswith("_postings_d")
+            or entry.startswith("_df_v")
+            or entry.startswith("_stats_v")
+        ):
+            _shutil.rmtree(
+                os.path.join(index_dir, entry), ignore_errors=True
+            )
 
 
 def extend_fts_index(
@@ -270,6 +287,14 @@ def extend_fts_index(
     version = meta["version"] + 1
     tf = _term_freq(new_docs)
     dl = _doc_len(tf)
+    d_n, d_sum = dl.agg(
+        F.count(F.lit(1)), F.sum("dl").cast("long")
+    ).first()
+    if not d_n:
+        # empty increment: a no-op, NOT a new generation — an empty
+        # delta dir would hold no part files and crash every later
+        # search on parquet schema inference (r8 review finding)
+        return meta
     postings_delta = f"_postings_d{version}"
     tf.join(dl, "doc_id").withColumn(
         "bucket", _bucket_expr(F.col("term"))
@@ -292,9 +317,6 @@ def extend_fts_index(
     )
     old_stats = spark.read.parquet(
         os.path.join(index_dir, meta["stats_dir"])
-    ).first()
-    d_n, d_sum = dl.agg(
-        F.count(F.lit(1)), F.sum("dl").cast("long")
     ).first()
     stats_dir = f"_stats_v{version}"
     spark.createDataFrame(
@@ -447,8 +469,9 @@ def fts_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id long, n_terms long, score double"
         )
-    span = hi - lo + 1
-    cuts = [lo, lo + (span * 4) // 6, lo + (span * 5) // 6, hi + 1]
+    from .common import bulk_two_sixths_cuts
+
+    cuts = bulk_two_sixths_cuts(lo, hi)
     build_fts_index(
         spark, docs.where(F.col("doc_id") < cuts[1]), index_dir
     )

@@ -45,6 +45,20 @@ from .similarity import ANN_TOPK_SQL, N_PROBES, TOP_K
 
 SQ8_MAX_CODE = 127.0
 
+# float32 GEMM over codes is exact integer arithmetic only while
+# 127*127*dim < 2^24 (every product <= 16129 is exact; the sum stays
+# under the 24-bit mantissa). Above this, the GEMM runs in float64 —
+# still exact for any practical dim (products exact in 53 bits, sums
+# exact to dim ~ 2^29) — so the lossless bound holds at 768/1536-dim
+# production embeddings too, just without the 4-byte GEMM operands.
+SQ8_F32_GEMM_MAX_DIM = (1 << 24) // (127 * 127)  # = 1040
+
+
+def _gemm_dtype(dim: int):
+    import numpy as np
+
+    return np.float32 if dim <= SQ8_F32_GEMM_MAX_DIM else np.float64
+
 
 def _quantize(X):
     """Symmetric per-vector SQ8: returns (codes float32 — exact
@@ -62,7 +76,7 @@ def _quantize(X):
 
 
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C54: exact ANN top-k served from SQ8-quantized codes — the
+    """C53: exact ANN top-k served from SQ8-quantized codes — the
     compressed-domain scan with a lossless-bound rescore. Output and
     oracle are ann_topk_bruteforce's, bit for bit."""
     import numpy as np
@@ -113,10 +127,12 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             y_nrm = np.sqrt(y_nrm)
             y_l1 = np.abs(Y).sum(axis=1)
             # the compressed-domain GEMM: exact integer dot of codes
-            # (float32 BLAS; products and sums stay under 2^24)
-            Dq = (Yc @ Pcm.T).astype(np.float64) / (
-                s_y[:, None] * s_p[None, :]
-            )
+            # (float32 BLAS while 127^2*dim < 2^24, float64 above —
+            # see SQ8_F32_GEMM_MAX_DIM; either way exact integers)
+            gt = _gemm_dtype(Y.shape[1])
+            Dq = (Yc.astype(gt) @ Pcm.astype(gt).T).astype(
+                np.float64
+            ) / (s_y[:, None] * s_p[None, :])
             denom = y_nrm[:, None] * nrm_p[None, :]
             approx = Dq / denom
             # lossless bound: quantization error + float-round guard
@@ -153,13 +169,10 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "cos_sim": "float64"}
             )
 
-    par = spark.sparkContext.defaultParallelism
-    winners = (
-        emb.select("vec_id", "embedding")
-        .repartition(max(32, par))
-        .mapInPandas(
-            scan, "probe_id long, neighbor_id long, cos_sim double"
-        )
+    from .common import spread
+
+    winners = spread(emb.select("vec_id", "embedding")).mapInPandas(
+        scan, "probe_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.common import money
+from ..operators.common import bulk_two_sixths_cuts as _cuts, money
 from ..tables import US_PER_HOUR, load
 
 WATERMARK = "10 minutes"
@@ -923,8 +923,7 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id long, neighbor_id long, cos_sim double, "
             "rnk int, ingest_recall_ok boolean",
         )
-    span = hi - lo + 1
-    cuts = [lo, lo + (span * 4) // 6, lo + (span * 5) // 6, hi + 1]
+    cuts = _cuts(lo, hi)
     splits = [
         emb.where(
             (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
@@ -1020,8 +1019,7 @@ def stream_fts_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id long, n_terms long, score double"
         )
-    span = hi - lo + 1
-    cuts = [lo, lo + (span * 4) // 6, lo + (span * 5) // 6, hi + 1]
+    cuts = _cuts(lo, hi)
 
     for i in range(3):
         part = docs.where(

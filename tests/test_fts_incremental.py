@@ -135,6 +135,51 @@ def test_generation_rotation_and_reclaim(spark, sf_dir, tmp_path_factory):
     assert (row["n_docs"], row["sum_dl"]) == (n_docs, sum_dl)
 
 
+def test_empty_extend_is_a_noop_not_a_generation(
+    spark, sf_dir, tmp_path_factory
+):
+    """An empty increment must not publish a new generation: an empty
+    delta dir holds no part files and would crash every later search
+    on parquet schema inference (r8 review finding)."""
+    d = str(tmp_path_factory.mktemp("ftsempty") / "index")
+    docs = load(spark, sf_dir, "documents")
+    fts.build_fts_index(spark, docs, d)
+    before = fts._read_fts_meta(d)
+    hits_before = fts.search_bm25(spark, d, list(fts.QUERY_TERMS)).collect()
+    meta = fts.extend_fts_index(spark, d, docs.where(F.lit(False)))
+    assert meta == before
+    assert fts._read_fts_meta(d) == before
+    assert not os.path.exists(os.path.join(d, "_postings_d1"))
+    hits_after = fts.search_bm25(spark, d, list(fts.QUERY_TERMS)).collect()
+    assert [r.asDict() for r in hits_after] == [
+        r.asDict() for r in hits_before
+    ]
+
+
+def test_rebuild_compacts_previous_generations(
+    spark, sf_dir, tmp_path_factory
+):
+    """build_fts_index over an extended index is the compaction: every
+    dir the fresh meta no longer references must be reclaimed."""
+    d = str(tmp_path_factory.mktemp("ftscompact") / "index")
+    docs = load(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut = lo + ((hi - lo + 1) * 2) // 3
+    fts.build_fts_index(spark, docs.where(F.col("doc_id") < cut), d)
+    fts.extend_fts_index(spark, d, docs.where(F.col("doc_id") >= cut))
+    assert os.path.isdir(os.path.join(d, "_postings_d1"))
+    fts.build_fts_index(spark, docs, d)
+    leftovers = [
+        e
+        for e in os.listdir(d)
+        if e.startswith(("_postings_d",))
+        or (e.startswith("_df_v") and e != "_df_v0")
+        or (e.startswith("_stats_v") and e != "_stats_v0")
+    ]
+    assert leftovers == []
+    assert fts._read_fts_meta(d)["postings_dirs"] == ["postings"]
+
+
 def test_search_prunes_df_scan_too(spark, sf_dir, tmp_path_factory):
     """Both the postings scan AND the df scan must carry bucket
     partition filters — the df table is corpus-wide term rows and an

@@ -57,6 +57,41 @@ def test_codes_are_int8_range_exact_integers():
     assert (err <= (0.5 / scales)[:, None] * (1 + 1e-12)).all()
 
 
+def test_gemm_dtype_guard_and_highdim_bound():
+    """Above 1040 dims a float32 GEMM over codes stops being exact
+    integer arithmetic (127^2*dim >= 2^24); the scan must switch to
+    float64 — verify the switch point and that the bound still holds
+    at a production dim (1536)."""
+    from lance_duckdb_spark.operators.quantize import (
+        SQ8_F32_GEMM_MAX_DIM,
+        _gemm_dtype,
+    )
+
+    assert SQ8_F32_GEMM_MAX_DIM == 1040
+    assert _gemm_dtype(64) == np.float32
+    assert _gemm_dtype(1536) == np.float64
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(20, 1536))
+    Y = rng.normal(size=(20, 1536))
+    Xc, s_x = _quantize(X)
+    Yc, s_y = _quantize(Y)
+    gt = _gemm_dtype(1536)
+    X_hat = Xc.astype(np.float64) / s_x[:, None]
+    x_nrm = np.sqrt((X * X).sum(axis=1))
+    y_nrm = np.sqrt((Y * Y).sum(axis=1))
+    denom = y_nrm[:, None] * x_nrm[None, :]
+    exact = (Y @ X.T) / denom
+    approx = (Yc.astype(gt) @ Xc.astype(gt).T).astype(np.float64) / (
+        s_y[:, None] * s_x[None, :]
+    ) / denom
+    eps = (
+        (0.5 / s_y)[:, None] * np.abs(X_hat).sum(axis=1)[None, :]
+        + (0.5 / s_x)[None, :] * np.abs(Y).sum(axis=1)[:, None]
+    ) / denom
+    eps = eps * (1.0 + 1e-9) + 1e-12
+    assert (np.abs(approx - exact) <= eps).all()
+
+
 def test_sq8_plan_never_shuffles_vectors(spark, sf_dir):
     from lance_duckdb_spark.plans.checks import executed_plan
 
