@@ -46,6 +46,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 LINEAR_LO, LINEAR_HI = 5.0, 25.0
+SCAN_SEC_HI = 20.0  # "scan"-kind ops gate on runtime ratio instead
 
 
 def main() -> None:
@@ -63,8 +64,10 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from lance_duckdb_spark.operators import (
+        curation,
         dedup,
         knn_join,
+        quantize,
         similarity,
         spans,
         text,
@@ -138,6 +141,25 @@ def main() -> None:
             ).count(),
             "rows",
         ),
+        # r8: bloom-prefiltered decontamination — decorrelated
+        # replicas share no cross-replica grams, so contaminated-gram
+        # hits must grow ~10x; a leaky bloom candidate bound (or a
+        # broken recheck) would show as superlinear growth.
+        "contamination_bloom_grams": (
+            lambda d: int(
+                curation.contamination_bloom(spark, d)
+                .agg(F.sum("contaminated_grams"))
+                .collect()[0][0]
+            ),
+            "pairs",
+        ),
+        # r8: SQ8 compressed-domain exact top-k — output rows are
+        # constant (N_PROBES*k) by construction, so the linearity
+        # signal is RUNTIME: one corpus scan against fixed broadcast
+        # probes must cost ~10x at 10x data, never ~100x ("scan"
+        # kind gates sec_ratio instead of row_ratio).
+        "ann_sq8_topk_scan": (
+            lambda d: quantize.ann_sq8_topk(spark, d).count(), "scan"),
     }
 
     json_path = os.path.join(REPO, "SCALE_SMOKE.json")
@@ -188,6 +210,12 @@ def main() -> None:
                 row["linear_ok"] = (
                     r is not None and LINEAR_LO <= r <= LINEAR_HI
                 )
+            elif kind == "scan":
+                # constant-output scans: gate the runtime ratio —
+                # 10x data must cost O(10x), generously bounded
+                # (timer noise on the small sf1 leg), never ~100x
+                s = row["sec_ratio"]
+                row["linear_ok"] = s is not None and s <= SCAN_SEC_HI
         except Exception as exc:  # noqa: BLE001 — record, don't abort report
             row["status"] = "error"
             # one line, no pipes: Py4J errors are multi-line Java
