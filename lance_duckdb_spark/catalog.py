@@ -88,6 +88,11 @@ def register_lance_views(
     pass a mapping ``{view_name: version}``; unlisted views read
     latest (r4 ADVICE)."""
     ds.register(spark)
+    # VALIDATE EVERYTHING FIRST, mutate the session catalog only
+    # after: a failed call must not leave some views registered and
+    # others not (r8 review finding — a typo'd mapping key used to
+    # raise after every createOrReplaceTempView had already run).
+    plan: list[tuple[str, str, int | None]] = []
     out: dict[str, str] = {}
     for path in _discover_datasets(root_dir):
         name = _view_name(path)
@@ -113,10 +118,7 @@ def register_lance_views(
                     "mapping {view_name: version} instead of one "
                     "number for unaligned directories"
                 )
-        reader = spark.read.format("lance")
-        if pin is not None:
-            reader = reader.option("version", str(pin))
-        reader.load(path).createOrReplaceTempView(name)
+        plan.append((name, path, pin))
         out[name] = path
     if isinstance(version, dict):
         unknown = set(version) - set(out)
@@ -128,6 +130,11 @@ def register_lance_views(
                 f"version mapping names unknown views {sorted(unknown)}; "
                 f"registered views: {sorted(out)}"
             )
+    for name, path, pin in plan:
+        reader = spark.read.format("lance")
+        if pin is not None:
+            reader = reader.option("version", str(pin))
+        reader.load(path).createOrReplaceTempView(name)
     return out
 
 
@@ -332,10 +339,14 @@ def lance_load(
     .load(p).select("one_col")`` still scans every column; the
     reference gets pruning free from DuckDB's bind,
     cpp/lance_scan.cpp). ``columns=None`` reads the full schema;
-    otherwise the scan schema is exactly the requested columns, in
-    dataset order — the same identifier narrowing ``lance_sql``
-    applies automatically (plan-asserted in tests/test_catalog.py).
-    Unknown column names are refused loudly."""
+    otherwise the scan schema is exactly the requested columns and
+    the result carries them in REQUESTED order for both dataset
+    flavors (r8 review: the manifest path used to return dataset
+    order while the native path returned requested order — a silent
+    column swap for positional consumers on format migration) — the
+    same identifier narrowing ``lance_sql`` applies automatically
+    (plan-asserted in tests/test_catalog.py). Unknown column names
+    are refused loudly."""
     from pyspark.sql.types import StructType
 
     from .sources import lance_native as ln
@@ -364,7 +375,7 @@ def lance_load(
                 f"(dataset has {[f.name for f in full.fields]})"
             )
         kept = StructType([f for f in full.fields if f.name in set(columns)])
-        reader = reader.schema(kept)
+        return reader.schema(kept).load(path).select(*columns)
     return reader.load(path)
 
 
@@ -436,9 +447,33 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
         if narrowed is not None:
             reader = reader.schema(narrowed)
         reader.load(path).createOrReplaceTempView(name)
+        _remember_narrowed_view(spark, name)
         return m.group(1) + name
 
     return spark.sql(_PATH_RE.sub(_sub, sql))
+
+
+# Narrowed views are content-addressed per (path, column-set), so a
+# long session issuing many DISTINCT projections over the same tables
+# would otherwise grow the session catalog without bound (r8 review
+# finding). An LRU cap reclaims the oldest; dropping is safe for
+# already-returned DataFrames because temp-view resolution happens at
+# spark.sql() analysis time, not execution time.
+_NARROWED_VIEW_CAP = 64
+_narrowed_views: dict[int, dict[str, None]] = {}
+
+
+def _remember_narrowed_view(spark: SparkSession, name: str) -> None:
+    lru = _narrowed_views.setdefault(id(spark), {})
+    lru.pop(name, None)
+    lru[name] = None  # most-recently-used at the end
+    while len(lru) > _NARROWED_VIEW_CAP:
+        oldest = next(iter(lru))
+        del lru[oldest]
+        try:
+            spark.catalog.dropTempView(oldest)
+        except Exception:
+            pass
 
 
 class LanceWarehouse:
@@ -463,10 +498,25 @@ class LanceWarehouse:
     def __init__(self, spark: SparkSession, root_dir: str):
         self.spark = spark
         self.root_dir = root_dir
-        # view -> (path, registered manifest version)
-        self._registered: dict[str, tuple[str, int]] = {}
+        # view -> (path, registered version, manifest file identity)
+        self._registered: dict[str, tuple[str, int, tuple]] = {}
         ds.register(spark)
         self.refresh()
+
+    @staticmethod
+    def _manifest_token(path: str, ver: int) -> tuple:
+        """Identity of a dataset LIFE, not just its version number: a
+        dataset deleted and recreated from scratch can reach the same
+        max version with different contents — (path, ver) equality
+        would then keep serving the stale pre-delete view (r8 review
+        finding). The latest manifest file's (mtime_ns, size) changes
+        on any recreate, so it completes the staleness key."""
+        mp = os.path.join(path, lf.MANIFEST_DIR, f"{ver}.manifest")
+        try:
+            st = os.stat(mp)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return ("missing",)
 
     def refresh(self) -> dict[str, str]:
         """Sync views with the warehouse directory; returns the
@@ -491,13 +541,14 @@ class LanceWarehouse:
                 continue
             seen[name] = path
             ver = max(versions)
+            token = self._manifest_token(path, ver)
             cur = self._registered.get(name)
-            if cur == (path, ver):
+            if cur == (path, ver, token):
                 continue
             self.spark.read.format("lance").load(path).createOrReplaceTempView(
                 name
             )
-            self._registered[name] = (path, ver)
+            self._registered[name] = (path, ver, token)
             changed[name] = path
         for name in list(self._registered):
             if name not in seen:
@@ -507,7 +558,7 @@ class LanceWarehouse:
 
     def views(self) -> dict[str, str]:
         """Currently registered {view: dataset path}."""
-        return {n: p for n, (p, _) in self._registered.items()}
+        return {n: info[0] for n, info in self._registered.items()}
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the warehouse views, refreshed first so the

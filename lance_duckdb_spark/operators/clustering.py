@@ -32,10 +32,12 @@ MAX_ITERS = 20
 
 def _propagate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The converged (node, label) frame — min doc_id reachable over
-    the near-dup edge set. Shared by dedup_clusters (cluster census)
-    and cluster_canonical (keep-best resolution); the returned frame
-    is parquet-spilled, so each consumer re-reads durable storage
-    instead of replaying the propagation."""
+    the near-dup edge set. Called by dedup_clusters (cluster census)
+    and cluster_canonical (keep-best resolution) — each CALL runs its
+    own propagation (the driver's hermetic-query contract; there is
+    no cross-query result sharing). WITHIN a call the returned frame
+    is parquet-spilled, so its consumers re-read durable storage
+    instead of replaying the join loop."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(
@@ -47,50 +49,56 @@ def _propagate_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.cache()
     converged = False
-    for _ in range(MAX_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.node)
-            .groupBy(F.col("doc_a").alias("n2"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("n2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+    try:
+        for _ in range(MAX_ITERS):
+            neighbor_min = (
+                edges.join(labels, edges.doc_b == labels.node)
+                .groupBy(F.col("doc_a").alias("n2"))
+                .agg(F.min("label").alias("nbr_label"))
             )
-        )
-        # truncate lineage each iteration: without this, iteration i
-        # replays all previous join rounds (O(iters^2) recompute).
-        # Parquet spill, not localCheckpoint: an executor-storage
-        # block lost mid-loop is unrecoverable and fails the whole
-        # propagation; the spilled label frame (one row per
-        # clustered doc) re-reads from durable storage instead.
-        new_labels = spill_to_parquet(new_labels, "lp_labels")
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # the previous iteration's spill is dead once `changed` has
-        # executed — reclaim it so the loop holds ≤2 spill dirs, not
-        # MAX_ITERS (no-op on iteration 1, whose frame is not a
-        # spill). Only the FINAL labels spill outlives the loop: it
-        # backs the returned aggregation.
-        release_spill(labels)
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    # release the pinned edge blocks: the driver session is long-lived
-    # and runs 100+ queries — leaked caches accumulate in executor
-    # storage and evict useful blocks (r5 review finding). The final
-    # labels checkpoint is tiny (one row per clustered doc) and is
-    # consumed by the aggregation below before going out of scope.
-    edges.unpersist()
+            new_labels = (
+                labels.join(neighbor_min, labels.node == F.col("n2"), "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce("nbr_label", F.col("label")),
+                    ).alias("label"),
+                )
+            )
+            # truncate lineage each iteration: without this,
+            # iteration i replays all previous join rounds
+            # (O(iters^2) recompute). Parquet spill, not
+            # localCheckpoint: an executor-storage block lost
+            # mid-loop is unrecoverable and fails the whole
+            # propagation; the spilled label frame (one row per
+            # clustered doc) re-reads from durable storage instead.
+            new_labels = spill_to_parquet(new_labels, "lp_labels")
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            # the previous iteration's spill is dead once `changed`
+            # has executed — reclaim it so the loop holds ≤2 spill
+            # dirs, not MAX_ITERS (no-op on iteration 1, whose frame
+            # is not a spill). Only the FINAL labels spill outlives
+            # the loop: it backs the returned aggregation.
+            release_spill(labels)
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # release the pinned edge blocks EVEN ON FAILURE: the driver
+        # session is long-lived and runs 100+ queries — a leaked
+        # cache accumulates in executor storage and evicts useful
+        # blocks (r5 review finding; r8: moved into finally so a
+        # mid-loop exception can't leak it). The final labels spill
+        # is tiny (one row per clustered doc) and is consumed by the
+        # caller's aggregation before going out of scope.
+        edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"label propagation did not converge in {MAX_ITERS} iterations "

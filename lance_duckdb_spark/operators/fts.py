@@ -117,10 +117,12 @@ def _topk(components: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 for a fixed conjunctive-OR term query, computed
-    directly from the corpus (the index-free baseline; the indexed
-    path must reproduce it bit-for-bit)."""
+def fts_bm25(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """BM25 top-k (default 20) for a fixed conjunctive-OR term query,
+    computed directly from the corpus (the index-free baseline; the
+    indexed path must reproduce it bit-for-bit). ``k`` exists so
+    hybrid_search's lexical arm reuses THIS pipeline at its deeper
+    RANK_CAP instead of duplicating it (r8 review finding)."""
     docs = load(spark, sf_dir, "documents")
     tf = _term_freq(docs)
     dl = _doc_len(tf)
@@ -133,7 +135,7 @@ def fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", _score_expr().alias("comp"))
     )
-    return _topk(comp)
+    return _topk(comp, k)
 
 
 # ------------------------------------------------------- persisted index

@@ -65,20 +65,9 @@ def _rank(topk: DataFrame, rank_col: str) -> DataFrame:
 
 def _lex_arm_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-RANK_CAP computed straight from the corpus — the
-    exact fts_bm25 pipeline with a deeper cut."""
-    docs = load(spark, sf_dir, "documents")
-    tf = fts._term_freq(docs)
-    dl = fts._doc_len(tf)
-    stats = fts._corpus_stats(dl)
-    qtf = tf.where(F.col("term").isin(list(fts.QUERY_TERMS)))
-    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    comp = (
-        qtf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", fts._score_expr().alias("comp"))
-    )
-    return fts._topk(comp, RANK_CAP)
+    ONE fts_bm25 pipeline at a deeper cut (r8 review: this used to
+    be a verbatim copy of its body, a silent-desync hazard)."""
+    return fts.fts_bm25(spark, sf_dir, k=RANK_CAP)
 
 
 def _vec_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,8 +152,6 @@ def hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ oracle
-
-_LEX_CTE = fts.FTS_BM25_SQL  # reuse the proven CTE chain via textwrap below
 
 
 def _strip_final_select(sql: str) -> str:

@@ -180,20 +180,26 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN index stage (similarity.py). Output carries the chunk's md5
     (not its text) so the hashed driver row stays narrow; a real
     pipeline selects the text column instead — same plan, wider
-    rows. A document always yields its position-0 chunk (shorter
-    docs produce one truncated chunk), then one chunk per full
-    stride step.
+    rows. EVERY token lands in at least one chunk: starts advance by
+    CHUNK_STRIDE until a window reaches the end of the document, the
+    final chunk truncating to the tail (r8 review: the previous
+    full-windows-only rule silently left up to CHUNK_STRIDE-1
+    trailing tokens of every long document unindexed — unretrievable
+    content in a retrieval-unit producer).
 
     Plan: transform+posexplode per row — no shuffle at all until the
     final presentation sort; chunking 100 TB is embarrassingly
     parallel and this plan keeps it that way."""
     toks = F.split(F.trim(F.col("text")), " ")
     n = F.size(toks)
-    # starts: 0, STRIDE, 2*STRIDE, ... while start + TOKENS <= n,
-    # plus the bare 0 chunk for docs shorter than CHUNK_TOKENS
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.floor((n - CHUNK_TOKENS) / CHUNK_STRIDE).cast("int") + 1,
+    # starts: 0, STRIDE, 2*STRIDE, ...; the last start is the first
+    # one with start + TOKENS >= n, so the tail is always covered:
+    # n_chunks = 1 + max(0, ceil((n - TOKENS) / STRIDE))
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.floor(
+            (n - CHUNK_TOKENS + CHUNK_STRIDE - 1) / CHUNK_STRIDE
+        ).cast("int"),
     )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -229,8 +235,9 @@ WITH toks AS (
 ),
 n_chunks AS (
   SELECT doc_id, source, t,
-    GREATEST(1, CAST(FLOOR((len(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0)
-      AS INTEGER) + 1) AS nc
+    1 + GREATEST(0, CAST(FLOOR(
+      (len(t) - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0
+    ) AS INTEGER)) AS nc
   FROM toks
 )
 SELECT doc_id, source, c - 1 AS chunk_id,

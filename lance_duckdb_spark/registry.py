@@ -240,7 +240,12 @@ _GREEN_R7 = {
 
 # Queries whose HASHED OUTPUT changes in r8 go here (treated as
 # never-verified so they lead the window).
-_RECHECK_R8: set = set()
+_RECHECK_R8: set = {
+    # r8: the chunker now covers document tails (a truncated final
+    # chunk per long doc) — more rows, new hashes; oracle changed in
+    # lockstep
+    "chunk_documents",
+}
 
 # r8 window note: with _GREEN_R7 folded in, the stalest tier is the
 # 31 r5-green entries the r7 window skipped (anti_semi_joins,

@@ -100,17 +100,57 @@ def test_chunking_covers_and_overlaps(spark, planted_dir):
 
 
 def test_chunking_stride_math(spark, tmp_path):
-    """A 80-token doc with window 32 / stride 24: starts 0,24,48 ->
-    3 chunks (start 72 would leave only 8 tokens < window, and
-    floor((80-32)/24)+1 = 3)."""
+    """Window 32 / stride 24. An 80-token doc tiles exactly: starts
+    0,24,48 (48+32=80), 3 full chunks. A 90-token doc does NOT tile:
+    starts 0,24,48,72 — the final chunk truncates to the 18-token
+    tail, so every token is covered (r8: the old full-windows-only
+    rule dropped tokens 81..90 entirely)."""
     docs = pa.table(
         {
-            "doc_id": pa.array([1], pa.int64()),
-            "source": pa.array(["web"]),
-            "text": pa.array([" ".join(f"t{i}" for i in range(80))]),
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": pa.array(["web", "web"]),
+            "text": pa.array(
+                [
+                    " ".join(f"t{i}" for i in range(80)),
+                    " ".join(f"t{i}" for i in range(90)),
+                ]
+            ),
         }
     )
     pq.write_table(docs, os.path.join(str(tmp_path), "documents.parquet"))
     rows = spans.chunk_documents(spark, str(tmp_path)).collect()
-    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
-    assert all(r["chunk_tokens"] == 32 for r in rows)
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]
+    assert all(r["chunk_tokens"] == 32 for r in d1)
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert [r["chunk_id"] for r in d2] == [0, 1, 2, 3]
+    assert [r["chunk_tokens"] for r in d2] == [32, 32, 32, 18]
+
+
+def test_chunking_covers_every_token(spark, planted_dir):
+    """Union of [start, start+chunk_tokens) per doc must equal
+    [0, n_tokens) — no unindexed tail anywhere in the corpus."""
+    from lance_duckdb_spark.operators.spans import CHUNK_STRIDE
+    from lance_duckdb_spark.tables import load
+    from pyspark.sql import functions as F
+
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, planted_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.size(F.split(F.trim("text"), " ")).alias("n")
+        )
+        .collect()
+    }
+    rows = spans.chunk_documents(spark, planted_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for did, chunks in by_doc.items():
+        covered = set()
+        for c in chunks:
+            start = c["chunk_id"] * CHUNK_STRIDE
+            covered.update(range(start, start + c["chunk_tokens"]))
+        assert covered == set(range(docs[did])), did
