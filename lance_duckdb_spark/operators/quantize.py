@@ -185,6 +185,183 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"ann_sq8_topk": ann_sq8_topk}
+def build_sq8_store(spark: SparkSession, emb: DataFrame, store_dir: str) -> None:
+    """Persist the SQ8 tier: per vector, the int8 codes plus the
+    three doubles the lossless search bound needs — scale, the
+    EXACT sequential-fold norm of the original, and its L1 mass.
+    The store is 4x smaller than float32 vectors (codes are
+    array<tinyint>; the three doubles amortize over dim) and, once
+    written, serving never recomputes anything from originals except
+    the final exact rescore of bound-surviving candidates."""
+    import numpy as np
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float32).astype(
+                np.float64
+            )
+            codes, scales = _quantize(X)
+            nrm = np.zeros(len(X))
+            for d in range(X.shape[1]):
+                nrm += X[:, d] * X[:, d]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes.astype(np.int8)),
+                    "scale": scales,
+                    "nrm": np.sqrt(nrm),
+                    "l1": np.abs(X).sum(axis=1),
+                }
+            )
+
+    emb.select("vec_id", "embedding").mapInPandas(
+        encode,
+        "vec_id long, codes array<tinyint>, scale double, "
+        "nrm double, l1 double",
+    ).write.mode("overwrite").parquet(store_dir)
+
+
+def ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C54: the PERSISTED-store spelling of ann_sq8_topk — build the
+    int8 code store once, serve the search by scanning the store
+    (a quarter of the vector bytes) and touching original vectors
+    only in the exact rescore of bound-surviving candidates (a
+    broadcast semi-join over one narrow pass of the original table;
+    on a vec_id-partitioned layout that pass prunes to point reads).
+    Same lossless-bound candidate logic as ann_sq8_topk, so the
+    output is bit-identical to ann_topk_bruteforce and shares its
+    oracle — the storage tier changes WHERE bytes are read, never
+    what any emitted score is."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from .common import spread
+    from .similarity import _dot_arrow, _clamp1, norm as _norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store_dir = os.path.join("/tmp/lance_duckdb_spark", tag, "sq8_store")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    build_sq8_store(spark, emb, store_dir)
+
+    probe_rows = (
+        emb.where(F.col("vec_id") < N_PROBES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not probe_rows:
+        return spark.createDataFrame(
+            [], "probe_id long, neighbor_id long, cos_sim double, rnk int"
+        )
+    P = np.array(
+        [r["embedding"] for r in probe_rows], dtype=np.float32
+    ).astype(np.float64)
+    p_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    Pc, p_scales = _quantize(P)
+    P_hat = Pc.astype(np.float64) / p_scales[:, None]
+    p_nrm = np.zeros(len(P))
+    for d in range(P.shape[1]):
+        p_nrm += P[:, d] * P[:, d]
+    p_nrm = np.sqrt(p_nrm)
+    p_l1_hat = np.abs(P_hat).sum(axis=1)
+    bc = spark.sparkContext.broadcast((p_ids, Pc, p_scales, p_nrm, p_l1_hat))
+
+    def probe_store(batches):
+        ids_p, Pcm, s_p, nrm_p, l1_hat_p = bc.value
+        k = TOP_K
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Yc = np.stack(
+                [np.asarray(c, dtype=np.int8) for c in pdf["codes"]]
+            )
+            y_ids = pdf["vec_id"].to_numpy()
+            s_y = pdf["scale"].to_numpy()
+            y_nrm = pdf["nrm"].to_numpy()
+            y_l1 = pdf["l1"].to_numpy()
+            gt = _gemm_dtype(Yc.shape[1])
+            Dq = (Yc.astype(gt) @ Pcm.astype(gt).T).astype(
+                np.float64
+            ) / (s_y[:, None] * s_p[None, :])
+            denom = y_nrm[:, None] * nrm_p[None, :]
+            approx = Dq / denom
+            eps = (
+                (0.5 / s_y)[:, None] * l1_hat_p[None, :]
+                + (0.5 / s_p)[None, :] * y_l1[:, None]
+            ) / denom
+            eps = eps * (1.0 + 1e-9) + 1e-12
+            self_pair = y_ids[:, None] == ids_p[None, :]
+            lb = np.where(self_pair, -np.inf, approx - eps)
+            ub = np.where(self_pair, -np.inf, approx + eps)
+            out_p, out_n = [], []
+            for j in range(Pcm.shape[0]):
+                n_rows = (~self_pair[:, j]).sum()
+                if n_rows == 0:
+                    continue
+                kk = min(k, int(n_rows))
+                thresh = np.partition(lb[:, j], len(lb) - kk)[len(lb) - kk]
+                cand = np.nonzero(ub[:, j] >= thresh)[0]
+                out_p.extend([ids_p[j]] * len(cand))
+                out_n.extend(y_ids[cand].tolist())
+            yield pd.DataFrame({"probe_id": out_p, "neighbor_id": out_n}).astype(
+                {"probe_id": "int64", "neighbor_id": "int64"}
+            )
+
+    store = spark.read.parquet(store_dir)
+    candidates = spread(store).mapInPandas(
+        probe_store, "probe_id long, neighbor_id long"
+    )
+    # exact rescore: candidates are slim and bounded (<= batches*k+eps
+    # per probe) — broadcast them against ONE narrow pass of the
+    # original vectors, probes re-joined as a broadcast 10-row dim
+    probes_df = (
+        emb.where(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            _norm("embedding").alias("p_nrm"),
+        )
+    )
+    emb_n = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        _norm("embedding").alias("n_nrm"),
+    )
+    scored = (
+        emb_n.join(F.broadcast(candidates), "neighbor_id")
+        .join(F.broadcast(probes_df), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _clamp1(
+                _dot_arrow(F.col("pe"), F.col("ne"))
+                / (F.col("p_nrm") * F.col("n_nrm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rnk")
+        .orderBy("probe_id", "rnk")
+    )
+
+
+QUERIES = {
+    "ann_sq8_topk": ann_sq8_topk,
+    "ann_sq8_indexed": ann_sq8_indexed,
+}
 # lossless bound + exact rescore — bit-identical to brute force
-ORACLE = {"ann_sq8_topk": ANN_TOPK_SQL}
+ORACLE = {
+    "ann_sq8_topk": ANN_TOPK_SQL,
+    "ann_sq8_indexed": ANN_TOPK_SQL,
+}

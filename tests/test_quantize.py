@@ -92,6 +92,33 @@ def test_gemm_dtype_guard_and_highdim_bound():
     assert (np.abs(approx - exact) <= eps).all()
 
 
+def test_sq8_indexed_equals_bruteforce_and_store_is_int8(spark, sf_dir):
+    """The persisted-store spelling must serve the identical answer,
+    and the store must really hold tinyint codes (the 4x tier), the
+    exact fold norm, scale and L1 — nothing else."""
+    import os
+
+    from lance_duckdb_spark.operators.quantize import ann_sq8_indexed
+
+    a = ann_sq8_indexed(spark, sf_dir).collect()
+    b = ann_topk_bruteforce(spark, sf_dir).collect()
+    assert len(a) > 0
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    tag = os.path.basename(str(sf_dir).rstrip("/"))
+    store = spark.read.parquet(
+        os.path.join("/tmp/lance_duckdb_spark", tag, "sq8_store")
+    )
+    assert dict(store.dtypes) == {
+        "vec_id": "bigint",
+        "codes": "array<tinyint>",
+        "scale": "double",
+        "nrm": "double",
+        "l1": "double",
+    }
+    row = store.orderBy("vec_id").first()
+    assert all(-127 <= c <= 127 for c in row["codes"])
+
+
 def test_sq8_plan_never_shuffles_vectors(spark, sf_dir):
     from lance_duckdb_spark.plans.checks import executed_plan
 
