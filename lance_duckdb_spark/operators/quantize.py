@@ -185,14 +185,17 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def build_sq8_store(spark: SparkSession, emb: DataFrame, store_dir: str) -> None:
-    """Persist the SQ8 tier: per vector, the int8 codes plus the
-    three doubles the lossless search bound needs — scale, the
-    EXACT sequential-fold norm of the original, and its L1 mass.
-    The store is 4x smaller than float32 vectors (codes are
-    array<tinyint>; the three doubles amortize over dim) and, once
-    written, serving never recomputes anything from originals except
-    the final exact rescore of bound-surviving candidates."""
+_SQ8_STORE_SCHEMA = (
+    "vec_id long, codes array<tinyint>, scale double, "
+    "nrm double, l1 double"
+)
+
+
+def _encoded(emb: DataFrame) -> DataFrame:
+    """(vec_id, codes, scale, nrm, l1) — the SQ8 row for each vector:
+    int8 codes plus the three doubles the lossless search bound
+    needs (scale, the EXACT sequential-fold norm of the original,
+    its L1 mass). ONE encoder for build and extend."""
     import numpy as np
     import pandas as pd
 
@@ -217,11 +220,33 @@ def build_sq8_store(spark: SparkSession, emb: DataFrame, store_dir: str) -> None
                 }
             )
 
-    emb.select("vec_id", "embedding").mapInPandas(
-        encode,
-        "vec_id long, codes array<tinyint>, scale double, "
-        "nrm double, l1 double",
-    ).write.mode("overwrite").parquet(store_dir)
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode, _SQ8_STORE_SCHEMA
+    )
+
+
+def build_sq8_store(spark: SparkSession, emb: DataFrame, store_dir: str) -> None:
+    """Persist the SQ8 tier — 4x smaller than float32 vectors (codes
+    are array<tinyint>; the three bound doubles amortize over dim).
+    Once written, serving never recomputes anything from originals
+    except the final exact rescore of bound-surviving candidates."""
+    _encoded(emb).write.mode("overwrite").parquet(store_dir)
+
+
+def extend_sq8_store(
+    spark: SparkSession, new_emb: DataFrame, store_dir: str
+) -> None:
+    """O(appended vectors) store maintenance: SQ8 encoding is purely
+    per-vector (scale, codes, norm, L1 never depend on other rows),
+    so extending the store is an append of newly encoded rows — no
+    global statistic to merge, no generation to version, exact by
+    construction. The df/stats generation machinery the FTS index
+    needs (operators/fts.py) is unnecessary here; a crashed append
+    leaves a partial parquet write that Spark's _SUCCESS-less dir
+    read ignores at worst and a retry overwrites at best — for
+    stricter semantics write increments to their own subdirs and
+    list them in a meta, exactly the FTS pattern."""
+    _encoded(new_emb).write.mode("append").parquet(store_dir)
 
 
 def ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

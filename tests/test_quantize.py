@@ -119,6 +119,31 @@ def test_sq8_indexed_equals_bruteforce_and_store_is_int8(spark, sf_dir):
     assert all(-127 <= c <= 127 for c in row["codes"])
 
 
+def test_sq8_store_extend_equals_full_build(spark, sf_dir, tmp_path):
+    """Append-maintained store == full-build store, row for row (SQ8
+    encoding is per-vector, so extends are exact by construction)."""
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.operators.quantize import (
+        build_sq8_store,
+        extend_sq8_store,
+    )
+    from lance_duckdb_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cut = lo + ((hi - lo + 1) * 2) // 3
+    incr = str(tmp_path / "incr")
+    full = str(tmp_path / "full")
+    build_sq8_store(spark, emb.where(F.col("vec_id") < cut), incr)
+    extend_sq8_store(spark, emb.where(F.col("vec_id") >= cut), incr)
+    build_sq8_store(spark, emb, full)
+    a = spark.read.parquet(incr).orderBy("vec_id").collect()
+    b = spark.read.parquet(full).orderBy("vec_id").collect()
+    assert len(a) > 0
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
 def test_sq8_plan_never_shuffles_vectors(spark, sf_dir):
     from lance_duckdb_spark.plans.checks import executed_plan
 
