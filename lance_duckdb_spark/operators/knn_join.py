@@ -299,6 +299,12 @@ def ann_knn_join_vectorized(
 
     def assign(batches):
         ids_c, Cm, nrm_c = bc.value
+        # fewer centroids than ranks wanted (tiny corpus or small
+        # k_centroids): keep every available rank — the declarative
+        # twin ranks all centroids and filters, same result (r8
+        # review: the fixed n_keep slice crashed on k < 4 with
+        # mismatched column lengths)
+        keep = min(n_keep, len(Cm))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -313,19 +319,31 @@ def ann_knn_join_vectorized(
             order = np.lexsort(
                 (np.broadcast_to(ids_c, cos.shape), -cos), axis=1
             )
-            top = order[:, :n_keep]
+            top = order[:, :keep]
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_keep),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), keep),
                     "centroid_id": ids_c[top].reshape(-1),
                     "crnk": np.tile(
-                        np.arange(1, n_keep + 1), len(X)
+                        np.arange(1, keep + 1), len(X)
                     ),
                 }
             )
 
-    assigned = emb.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id long, centroid_id long, crnk int"
+    # the n*k assignment pass is THE cost this variant exists to
+    # bound — spill it once so the two role filters below read the
+    # parquet stage instead of each re-running the Arrow scoring of
+    # the whole corpus (r8 review: the union's branches are distinct
+    # subtrees, ReuseExchange cannot deduplicate them). The spill
+    # backs the returned frame and is swept by the session's spill
+    # lifecycle (materialize.py).
+    from ..materialize import spill_to_parquet
+
+    assigned = spill_to_parquet(
+        emb.select("vec_id", "embedding").mapInPandas(
+            assign, schema="vec_id long, centroid_id long, crnk int"
+        ),
+        label="knn_assign",
     )
     tagged = (
         assigned.where(F.col("crnk") <= KNN_ASSIGN)

@@ -342,9 +342,14 @@ def ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = spread(store).mapInPandas(
         probe_store, "probe_id long, neighbor_id long"
     )
-    # exact rescore: candidates are slim and bounded (<= batches*k+eps
-    # per probe) — broadcast them against ONE narrow pass of the
-    # original vectors, probes re-joined as a broadcast 10-row dim
+    # exact rescore over ONE narrow pass of the original vectors.
+    # The candidate relation is slim (two longs per row) and NORMALLY
+    # tiny (<= batches*k per probe plus bound-overlap extras), but on
+    # a pathologically uniform corpus — every cosine within eps of
+    # the k-th — it can approach corpus x N_PROBES rows, so it is NOT
+    # force-broadcast (r8 review): AQE broadcasts it when it is small
+    # and falls back to a shuffle join when it is not; correctness is
+    # unaffected either way. Probes stay a broadcast 10-row dim.
     probes_df = (
         emb.where(F.col("vec_id") < N_PROBES)
         .select(
@@ -359,7 +364,7 @@ def ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm("embedding").alias("n_nrm"),
     )
     scored = (
-        emb_n.join(F.broadcast(candidates), "neighbor_id")
+        emb_n.join(candidates, "neighbor_id")
         .join(F.broadcast(probes_df), "probe_id")
         .select(
             "probe_id",

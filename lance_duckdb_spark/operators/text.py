@@ -2,10 +2,12 @@
 §2.C8-C11): language-ID, quality scoring, token counting, document
 fingerprinting.
 
-All computation is JVM-side (split/filter/md5/regexp built-ins —
-whole-stage codegen, no Python in the hot path) and deliberately
-engine-portable: the DuckDB oracles run the *identical* integer /
-string semantics, so results are bit-exact.
+Hot paths are either JVM-side codegen built-ins (split/md5/regexp)
+or Arrow-batched pandas UDFs where higher-order-function lambdas
+would run interpreted (quality_score r5, char_entropy r2, lang_id
+r8, perplexity_score r6) — and deliberately engine-portable either
+way: the DuckDB oracles run the *identical* integer / string
+semantics, so results are bit-exact.
 
 Note on this corpus: the synthetic `documents` table uses one shared
 vocabulary for every `lang` label, so no classifier can beat chance
@@ -44,22 +46,45 @@ def _words() -> Column:
     return F.split(F.trim(F.col("text")), " ")
 
 
-def _marker_hits(lang: str) -> Column:
-    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-    return F.size(F.filter(_words(), lambda w: F.array_contains(markers, w)))
+def _marker_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, s_en..s_zh) in ONE Arrow pass: five interpreted
+    size(filter(words, w -> array_contains(...))) HOF chains per row
+    were the exact never-codegen'd shape the r5 quality_score
+    rewrite removed (r8 review finding) — a per-batch Python loop
+    over a frozenset-per-language is the same semantics (every
+    occurrence counts, trim strips SPACES only, split keeps empty
+    tokens) at Arrow speed."""
+    import pandas as pd
+
+    marker_sets = [
+        (lang, frozenset(LANG_MARKERS[lang])) for lang in LANG_ORDER
+    ]
+    schema = "doc_id long, " + ", ".join(
+        f"s_{lang} int" for lang in LANG_ORDER
+    )
+
+    def count(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {"doc_id": list(pdf["doc_id"])}
+            per_lang: list[list[int]] = [[] for _ in marker_sets]
+            for txt in pdf["text"]:
+                words = txt.strip(" ").split(" ")
+                for i, (_, ms) in enumerate(marker_sets):
+                    per_lang[i].append(sum(w in ms for w in words))
+            for (lang, _), counts in zip(marker_sets, per_lang):
+                cols[f"s_{lang}"] = pd.array(counts, dtype="int32")
+            yield pd.DataFrame(cols)
+
+    return docs.select("doc_id", "text").mapInPandas(count, schema)
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL text: Spark's size(filter(NULL)) = -1 per marker list
-    # would argmax to 'en' while the oracle scores NULL — a NULL
-    # document is no document; drop in both engines
+    # NULL text: a NULL document is no document; drop in both
+    # engines (the oracle's WHERE text IS NOT NULL does the same)
     docs = load(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    scored = docs.select(
-        "doc_id",
-        *[_marker_hits(lang).alias(f"s_{lang}") for lang in LANG_ORDER],
-    )
+    scored = _marker_counts(docs)
     # argmax with deterministic tie-break = LANG_ORDER position
     pred = None
     for lang in reversed(LANG_ORDER):

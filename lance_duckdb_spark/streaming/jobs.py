@@ -153,7 +153,14 @@ def stateful_sessions_stream(events: DataFrame) -> DataFrame:
                     start_ts, n_events = None, 0
                 if start_ts is None:
                     start_ts = t
-                last_ts = t
+                # cross-batch disorder: a watermark-legal LATE event
+                # (t inside the open session) must never move last_ts
+                # backward — a later in-gap event would compute its
+                # gap from the stale earlier instant and falsely
+                # close the session (r8 review finding). Within a
+                # batch ts is sorted; across batches take min/max.
+                start_ts = min(start_ts, t)
+                last_ts = t if last_ts is None else max(last_ts, t)
                 n_events += 1
             state.update((start_ts, last_ts, n_events))
             # timeout is in MILLIS of event time; fires once the
@@ -729,6 +736,12 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        # empty corpus: no batches to run (the arithmetic below
+        # would TypeError on None — r8 review finding)
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double"
+        )
     step = (hi - lo) // 3 + 1
     slices = [
         docs.where(
