@@ -193,12 +193,17 @@ def _lsh_candidates(bands: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..materialize import spill_to_parquet
+
     docs = load(spark, sf_dir, "documents")
-    cand = _lsh_candidates(
-        _band_hashes(_minhash_signatures(_shingle_df(docs)))
-    )
+    # shingle ONCE: the signature path and the verification's three
+    # consumers (sizes, sa, sb) are distinct plan subtrees, so
+    # without a spill Spark re-runs the full-corpus Arrow shingling
+    # four times per query (r8 review finding; ~5s/pass at sf1)
+    shingled = spill_to_parquet(_shingle_df(docs), "shingles")
+    cand = _lsh_candidates(_band_hashes(_minhash_signatures(shingled)))
     # verify candidates with exact Jaccard over distinct shingles
-    return verify_candidate_pairs(cand, docs)
+    return verify_candidate_pairs(cand, docs, shingled=shingled)
 
 
 def _minhash_cand_cte() -> str:
@@ -562,11 +567,14 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = np.sort(np.asarray(arr, dtype=np.int64))
                 if len(d) < 2:
                     continue
-                if d[-1] >= 1 << 32:
+                if d[-1] >= 1 << 32 or d[0] < 0:
+                    # a negative id would corrupt the packed key
+                    # silently (sign bits bleed through the shift) —
+                    # reject it as loudly as the overflow (r8 review)
                     raise ValueError(
                         "ngram_jaccard packs doc-id pairs into int64; "
-                        "doc_id must be < 2^32 (repartition ids or use "
-                        "the unpacked two-column variant)"
+                        "doc_id must be in [0, 2^32) (repartition ids "
+                        "or use the unpacked two-column variant)"
                     )
                 ii, jj = np.triu_indices(len(d), k=1)
                 parts.append((d[ii] << 32) | d[jj])
@@ -701,12 +709,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_candidate_pairs(cand, docs)
 
 
-def _pair_overlap(cand: DataFrame, docs: DataFrame) -> DataFrame:
+def _pair_overlap(
+    cand: DataFrame, docs: DataFrame, shingled: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b, n_inter, sz_a, sz_b) for candidate pairs —
     inner joins restrict the shingle scan to candidate docs. Shared
     numerator/denominator base for Jaccard AND containment scoring
-    (identical arithmetic ⇒ identical doubles across operators)."""
-    shingled = _shingle_df(docs)
+    (identical arithmetic ⇒ identical doubles across operators).
+    ``shingled`` lets a caller that already spilled the shingle
+    frame share it; otherwise it is spilled HERE, because the three
+    consumers below (sizes, sa, sb) are distinct plan subtrees that
+    would each re-run the Arrow shingling (r8 review finding)."""
+    if shingled is None:
+        from ..materialize import spill_to_parquet
+
+        shingled = spill_to_parquet(_shingle_df(docs), "shingles")
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -721,11 +738,13 @@ def _pair_overlap(cand: DataFrame, docs: DataFrame) -> DataFrame:
     return inter.join(za, "doc_a").join(zb, "doc_b")
 
 
-def verify_candidate_pairs(cand: DataFrame, docs: DataFrame) -> DataFrame:
+def verify_candidate_pairs(
+    cand: DataFrame, docs: DataFrame, shingled: DataFrame | None = None
+) -> DataFrame:
     """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs;
     emits pairs ≥ MINHASH_JACCARD_T ordered. Shared by
     dedup_incremental and the streaming incremental dedup job."""
-    jac = _pair_overlap(cand, docs).select(
+    jac = _pair_overlap(cand, docs, shingled=shingled).select(
         "doc_a",
         "doc_b",
         (
@@ -812,11 +831,14 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     to symmetric dedup. Same LSH candidate bound (band equi-join,
     never all-pairs) and the same exact-overlap verification base as
     dedup_minhash_lsh (_pair_overlap)."""
+    from ..materialize import spill_to_parquet
+
     docs = load(spark, sf_dir, "documents")
-    cand = _lsh_candidates(
-        _band_hashes(_minhash_signatures(_shingle_df(docs)))
-    )
-    ov = _pair_overlap(cand, docs)
+    # shingle once, shared with verification (same spill rationale as
+    # dedup_minhash_lsh)
+    shingled = spill_to_parquet(_shingle_df(docs), "shingles")
+    cand = _lsh_candidates(_band_hashes(_minhash_signatures(shingled)))
+    ov = _pair_overlap(cand, docs, shingled=shingled)
     scored = ov.select(
         "doc_a",
         "doc_b",

@@ -25,6 +25,7 @@ a native connector would produce.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import dataclasses
@@ -121,6 +122,40 @@ _SUPPORTED = (
 )
 
 
+def _pushable(f: Filter) -> bool:
+    """True when the source may FULLY consume the filter. NaN
+    operands are never pushable: Spark SQL's EqualTo treats
+    NaN = NaN as TRUE while pyarrow compares IEEE (always false), so
+    consuming such a filter here would silently drop the matching
+    NaN rows (r8 review finding) — yield it back and let Spark
+    evaluate it with its own semantics."""
+    if not (isinstance(f, _SUPPORTED) and len(f.attribute) == 1):
+        return False
+
+    def _is_nan(v) -> bool:
+        return isinstance(v, float) and v != v
+
+    if isinstance(f, In):
+        return not any(_is_nan(v) for v in f.value)
+    return not _is_nan(getattr(f, "value", None))
+
+
+@functools.lru_cache(maxsize=4096)
+def _load_bloom_file(path: str) -> dict:
+    """Parse a bloom side file ONCE per process: fragments are
+    immutable, so the parsed blooms never change for a given path.
+    Uncached, a single point-lookup over a ~200k-fragment dataset
+    would open+json.load 200k files synchronously on the driver per
+    PLAN — the same planning-I/O bottleneck class the r5 manifest
+    fix removed (r8 review finding). Missing/corrupt side files keep
+    the fragment (conservative, as before)."""
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
 def _fragment_may_match(
     fragment, pushed: list[Filter], root: str | None = None
 ) -> bool:
@@ -145,11 +180,7 @@ def _fragment_may_match(
             and isinstance(f.value, (str, int, float, bool))
         ]
         if eqs:
-            try:
-                with open(os.path.join(root, fragment.bloom_file)) as fh:
-                    blooms = json.load(fh)
-            except OSError:
-                blooms = {}
+            blooms = _load_bloom_file(os.path.join(root, fragment.bloom_file))
             for f in eqs:
                 b = blooms.get(f.attribute[0])
                 if b and not lf.bloom_may_contain(b, f.value):
@@ -270,24 +301,10 @@ class LanceScanReader(DataSourceReader):
             # in between (delete/upsert/compact) breaks append-only
             # lineage and the diff would be wrong — fail loudly.
             begin = lf.read_manifest(root, begin_version)
-            # append-only means more than the same FILE NAMES
-            # surviving: a deletion-vector delete keeps f.file but
-            # changes its deletion state, and a name-only check would
-            # silently omit those deleted rows from the "row diff"
-            # (r5 review finding — same identity rule as the
-            # vector-index delta guard). Compare the full
-            # (file, deletion_file, num_deleted) identity.
-            head_by_file = {f.file: f for f in self.manifest.fragments}
-            gone = [
-                f.file
-                for f in begin.fragments
-                if f.file not in head_by_file
-                or (
-                    head_by_file[f.file].deletion_file,
-                    head_by_file[f.file].num_deleted,
-                )
-                != (f.deletion_file, f.num_deleted)
-            ]
+            # the (file, deletion_file, num_deleted) identity rule
+            # lives in ONE shared helper (lance_format) — see its
+            # docstring for why name-only survival is not enough
+            gone = lf.append_only_violations(begin, self.manifest)
             if gone:
                 raise ValueError(
                     "begin_version diff requires append-only history: "
@@ -311,13 +328,9 @@ class LanceScanReader(DataSourceReader):
         # assign, never append: Spark may reuse this reader across
         # plannings of DataFrames derived from one load(); appending
         # would accumulate filters from earlier queries
-        self.pushed = [
-            f
-            for f in filters
-            if isinstance(f, _SUPPORTED) and len(f.attribute) == 1
-        ]
+        self.pushed = [f for f in filters if _pushable(f)]
         for f in filters:
-            if not (isinstance(f, _SUPPORTED) and len(f.attribute) == 1):
+            if not _pushable(f):
                 yield f  # Spark keeps evaluating these
 
     def partitions(self):
@@ -402,13 +415,9 @@ class NativeScanReader(DataSourceReader):
         self.pushed: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        self.pushed = [
-            f
-            for f in filters
-            if isinstance(f, _SUPPORTED) and len(f.attribute) == 1
-        ]
+        self.pushed = [f for f in filters if _pushable(f)]
         for f in filters:
-            if not (isinstance(f, _SUPPORTED) and len(f.attribute) == 1):
+            if not _pushable(f):
                 yield f
 
     def partitions(self):

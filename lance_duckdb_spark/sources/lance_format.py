@@ -825,3 +825,26 @@ def cleanup_old_versions(
         "files_removed": files_removed,
         "bytes_reclaimed": bytes_reclaimed,
     }
+
+
+def append_only_violations(base: Manifest, head: Manifest) -> list[str]:
+    """Files present at ``base`` that were rewritten — or had their
+    DELETION STATE changed — by ``head``. Append-only means more than
+    the same file names surviving: a deletion-vector delete keeps
+    f.file but changes (deletion_file, num_deleted), and a name-only
+    check would silently serve/deliver deleted rows (the r5 review
+    finding). ONE definition of the fragment identity rule, shared by
+    the CDC begin_version diff (datasource.LanceScanReader) and the
+    vector-index delta guard (vector_index._require_append_only) so
+    the rule cannot drift between them (r8 review finding)."""
+    head_by_file = {f.file: f for f in head.fragments}
+    return [
+        f.file
+        for f in base.fragments
+        if f.file not in head_by_file
+        or (
+            head_by_file[f.file].deletion_file,
+            head_by_file[f.file].num_deleted,
+        )
+        != (f.deletion_file, f.num_deleted)
+    ]

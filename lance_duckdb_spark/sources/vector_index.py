@@ -49,7 +49,10 @@ def _index_meta_path(root: str) -> str:
 
 
 def _write_meta_cas(
-    path: str, meta: dict, expected_version: int | None
+    path: str,
+    meta: dict,
+    expected_version: int | None,
+    reclaim_idx_dir: str | None = None,
 ) -> None:
     """Compare-and-swap meta publish for index MAINTENANCE (the
     commit() expected_version discipline applied to index metadata):
@@ -90,6 +93,15 @@ def _write_meta_cas(
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, path)
+        if reclaim_idx_dir is not None:
+            # rebuilds sweep superseded dirs INSIDE the publish lock:
+            # publishers are serialized here, so the meta just
+            # written is current and no concurrent maintainer can
+            # publish a new dir between our publish and our sweep
+            # (r8 review: the sweep used to run after the lock
+            # released, able to delete a dir a racing maintainer had
+            # published in the meantime)
+            _reclaim_unreferenced_dirs(reclaim_idx_dir, meta)
     finally:
         os.close(fd)
         os.unlink(lock)
@@ -324,8 +336,12 @@ def build_ivf_index(
         "postings_dir": pname,
     }
     os.makedirs(os.path.join(root, INDEX_DIR), exist_ok=True)
-    _write_meta_cas(_index_meta_path(root), meta, expected_version=None)
-    _reclaim_unreferenced_dirs(os.path.join(root, INDEX_DIR), meta)
+    _write_meta_cas(
+        _index_meta_path(root),
+        meta,
+        expected_version=None,
+        reclaim_idx_dir=os.path.join(root, INDEX_DIR),
+    )
     return meta
 
 
@@ -389,6 +405,16 @@ def ann_search(
     # from the wrong buckets (r5 review finding; ann_search_pq
     # already built its probe vectors this way)
     probe_rows = probes.collect()  # small query set by contract
+    seen_pids = [r["probe_id"] for r in probe_rows]
+    if len(seen_pids) != len(set(seen_pids)):
+        # a duplicate probe_id would silently interleave two queries'
+        # candidates in one top-k window (and, for PQ, overwrite the
+        # first vector's LUTs) — refuse loudly (r8 review finding)
+        dupes = sorted({i for i in seen_pids if seen_pids.count(i) > 1})
+        raise lf.LanceDatasetError(
+            f"probes contain duplicate probe_id values {dupes[:5]}; "
+            "probe ids must be unique per search"
+        )
     pb_rows = []
     all_buckets: set[int] = set()
     for r in probe_rows:
@@ -693,8 +719,12 @@ def build_ivf_pq_index(
         "postings_dir": pname,
     }
     os.makedirs(os.path.join(root, PQ_INDEX_DIR), exist_ok=True)
-    _write_meta_cas(_pq_meta_path(root), meta, expected_version=None)
-    _reclaim_unreferenced_dirs(os.path.join(root, PQ_INDEX_DIR), meta)
+    _write_meta_cas(
+        _pq_meta_path(root),
+        meta,
+        expected_version=None,
+        reclaim_idx_dir=os.path.join(root, PQ_INDEX_DIR),
+    )
     # the postings write above was the last consumer of the assigned
     # spill — reclaim it before returning
     release_spill(assigned)
@@ -756,6 +786,16 @@ def ann_search_pq(
     c_nrm[c_nrm == 0] = 1.0
 
     probe_rows = probes.collect()  # small query set by contract
+    seen_pids = [r["probe_id"] for r in probe_rows]
+    if len(seen_pids) != len(set(seen_pids)):
+        # a duplicate probe_id would silently interleave two queries'
+        # candidates in one top-k window (and, for PQ, overwrite the
+        # first vector's LUTs) — refuse loudly (r8 review finding)
+        dupes = sorted({i for i in seen_pids if seen_pids.count(i) > 1})
+        raise lf.LanceDatasetError(
+            f"probes contain duplicate probe_id values {dupes[:5]}; "
+            "probe ids must be unique per search"
+        )
     pb_rows = []
     luts: dict[tuple[int, int], "np.ndarray"] = {}
     all_buckets: set[int] = set()
@@ -825,9 +865,15 @@ def ann_search_pq(
         .where(F.col("arnk") <= refine * k_neighbors)
         .select("probe_id", "cand_id")
     )
-    # exact rerank: take-by-id on the dataset for just the refined set
+    # exact rerank: take-by-id on the dataset for just the refined
+    # set — pinned at the INDEXED version, not HEAD: with allow_stale
+    # the contract is "search the indexed snapshot", and an unpinned
+    # read would silently drop candidates deleted after the build
+    # (r8 review finding; ann_search reranks from postings-stored
+    # vectors and honors the snapshot already)
     data = (
         spark.read.format("lance")
+        .option("version", str(meta["dataset_version"]))
         .load(root)
         .select(F.col(id_col).alias("cand_id"), F.col(column).alias("__v"))
     )
@@ -865,17 +911,7 @@ def _require_append_only(base, head, rebuild_hint: str) -> list:
     delete keeps f.file but changes its deletion state, and silently
     accepting it would leave base postings serving deleted rows.
     Returns head's NEW fragments."""
-    head_by_file = {f.file: f for f in head.fragments}
-    changed = [
-        f.file
-        for f in base.fragments
-        if f.file not in head_by_file
-        or (
-            head_by_file[f.file].deletion_file,
-            head_by_file[f.file].num_deleted,
-        )
-        != (f.deletion_file, f.num_deleted)
-    ]
+    changed = lf.append_only_violations(base, head)
     if changed:
         raise lf.LanceDatasetError(
             f"fragments {changed[:3]} from indexed version "
@@ -921,9 +957,16 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
         _write_meta_cas(_index_meta_path(root), meta, start_version)
         return meta
     column, id_col = meta["column"], meta["id_col"]
+    # pin the scan's END at the head this extend is publishing for:
+    # unpinned, a racing append landing between the manifest read and
+    # the scan's planning would be INDEXED here but not RECORDED in
+    # dataset_version, so the next extend would index it again —
+    # duplicate postings give one neighbor two ranks in ann_search
+    # (r8 review finding)
     new_rows = (
         spark.read.format("lance")
         .option("begin_version", str(meta["dataset_version"]))
+        .option("version", str(head.version))
         .load(root)
         .select(id_col, column)
     )
@@ -978,9 +1021,12 @@ def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
     column, id_col = meta["column"], meta["id_col"]
     C = np.array(meta["centroids"], dtype=np.float64)
     CB = np.array(meta["codebooks"], dtype=np.float64)
+    # pinned end version: same racing-append double-index hazard as
+    # extend_ivf_index (r8 review finding)
     new_rows = (
         spark.read.format("lance")
         .option("begin_version", str(meta["dataset_version"]))
+        .option("version", str(head.version))
         .load(root)
         .select(id_col, column)
     )

@@ -1093,3 +1093,33 @@ def test_stream_complete_mode_overwrites_per_epoch(spark, sf_dir, tmp_path):
     assert out.count() == n_types  # one row per group, not per epoch
     total = out.agg(F.sum("n")).first()[0]
     assert total == ev.count()
+
+
+def test_nan_equality_filter_not_consumed_by_pushdown(spark, tmp_path):
+    """Spark SQL's EqualTo treats NaN = NaN as TRUE; pyarrow compares
+    IEEE (always false). A NaN-operand filter must be yielded back to
+    Spark, never fully consumed by the source (r8 review finding)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.sources.datasource import register
+
+    register(spark)
+    path = str(tmp_path / "nan.lance")
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, 2.5), (4, float("nan"))],
+        "id long, d double",
+    )
+    df.write.format("lance").mode("overwrite").save(path)
+    back = spark.read.format("lance").load(path)
+    hits = back.where(
+        F.col("d") == F.lit(float("nan")).cast("double")
+    ).collect()
+    assert sorted(r["id"] for r in hits) == [2, 4]
+    assert all(math.isnan(r["d"]) for r in hits)
+    # In-list containing NaN: same semantics
+    hits_in = back.where(
+        F.col("d").isin([float("nan"), 1.5])
+    ).collect()
+    assert sorted(r["id"] for r in hits_in) == [1, 2, 4]
