@@ -211,15 +211,19 @@ def main() -> None:
             "Steady-state per-query numbers under ~0.25s are "
             "jitter-dominated: a median-of-5 rerun of fts_bm25 at "
             "sf0.1 in one session spanned 0.13-0.23s (r7), dwarfing "
-            "the r5->r6 0.068->0.101 delta the r6 VERDICT flagged — "
-            "not a regression. The fresh_vs_duckdb_ratio also "
-            "carries run-to-run spread from the DuckDB side: six r7 "
-            "runs of the identical code spanned 1.01-1.21 "
-            "(duck_total 30.4-34.7s, spark fresh 37-39s on 40-41 "
-            "queries) — compare rounds on the band, not one draw; "
-            "the three r7 headline additions contribute ~3s of "
-            "fixed fresh-plan JIT/AQE cost at toy scale (their "
-            "steady-state is 0.04-0.24s each)."
+            "small round-over-round deltas. The fresh_vs_duckdb_"
+            "ratio also carries run-to-run spread from the DuckDB "
+            "side — compare rounds on the band, not one draw. r8 "
+            "band: 1.05-1.13 over three identical-code runs (spark "
+            "fresh 33-36s / duck 31.5-31.7s on 41 queries), down "
+            "from the 47s/1.38 the r7 driver drew: the KNN join is "
+            "timed via its bit-identical vectorized scale path "
+            "(the declarative form's 7s fresh was pure codegen/JIT "
+            "compile of the 64-term dot fan), the minhash family "
+            "shingles once per query via a parquet spill instead of "
+            "4x, and lang_id's marker scoring moved from five "
+            "interpreted HOF chains to one Arrow pass (sf1: 3.9s vs "
+            "the oracle's 16.5s)."
         ),
     )
     try:
