@@ -122,13 +122,31 @@ _SUPPORTED = (
 )
 
 
-def _pushable(f: Filter) -> bool:
-    """True when the source may FULLY consume the filter. NaN
-    operands are never pushable: Spark SQL's EqualTo treats
-    NaN = NaN as TRUE while pyarrow compares IEEE (always false), so
-    consuming such a filter here would silently drop the matching
-    NaN rows (r8 review finding) — yield it back and let Spark
-    evaluate it with its own semantics."""
+def _float_cols(schema: StructType) -> frozenset:
+    return frozenset(
+        fld.name
+        for fld in schema.fields
+        if fld.dataType.typeName() in ("float", "double")
+    )
+
+
+def _pushable(f: Filter, float_cols: frozenset = frozenset()) -> bool:
+    """True when the source may FULLY consume the filter. Two Spark
+    NaN-semantics divergences are never pushable (r8 review):
+
+    - NaN OPERANDS: Spark's EqualTo treats NaN = NaN as TRUE (and
+      orders NaN above everything) while pyarrow compares IEEE
+      (always false) — consuming such a filter silently drops the
+      matching NaN rows.
+    - GreaterThan/GreaterThanOrEqual on FLOATING columns: Spark says
+      a NaN DATA row matches col > x for every x; pyarrow says it
+      never does, and the NaN-skipping zone maps would prune the
+      whole fragment on top. (LT/LTE/EqualTo with non-NaN operands
+      agree between the engines: NaN matches neither.)
+
+    Yielded-back filters are evaluated by Spark with its own
+    semantics — correctness is preserved, only pushdown is lost on
+    these rare shapes."""
     if not (isinstance(f, _SUPPORTED) and len(f.attribute) == 1):
         return False
 
@@ -137,6 +155,11 @@ def _pushable(f: Filter) -> bool:
 
     if isinstance(f, In):
         return not any(_is_nan(v) for v in f.value)
+    if (
+        isinstance(f, (GreaterThan, GreaterThanOrEqual))
+        and f.attribute[0] in float_cols
+    ):
+        return False
     return not _is_nan(getattr(f, "value", None))
 
 
@@ -224,19 +247,50 @@ def _read_fragment_evolved(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from pyspark.sql.pandas.types import to_arrow_schema
+
     want = schema.fieldNames()
     file_names = set(
         pq.read_schema(os.path.join(root, frag.file)).names
     )
-    present = [c for c in want if c in file_names]
-    missing = [c for c in want if c not in file_names]
-    filter_expr = _to_arrow_filter(pushed)
+    # a FULLY-CONSUMED filter may reference a column Spark pruned
+    # from the projection (r8 review finding — the deletion-aware
+    # and null-fill paths filtered AFTER projecting and crashed on
+    # the absent field). Three cases:
+    #  - filter column in the file: decode it too, filter, project
+    #    back to `want`;
+    #  - filter column absent from the file AND from `want`: its
+    #    value is NULL on every row of this fragment, so any value
+    #    predicate / IS NOT NULL matches nothing (return empty) and
+    #    IS NULL matches everything (drop the filter);
+    #  - filter column absent but in `want`: the existing null-fill
+    #    path already evaluates it with exact NULL semantics.
+    absent_only = [
+        f
+        for f in pushed
+        if f.attribute
+        and f.attribute[0] not in file_names
+        and f.attribute[0] not in want
+    ]
+    if any(not isinstance(f, IsNull) for f in absent_only):
+        return to_arrow_schema(schema).empty_table()
+    eff_pushed = [f for f in pushed if f not in absent_only]
+    extra = [
+        c
+        for c in dict.fromkeys(
+            f.attribute[0] for f in eff_pushed if f.attribute
+        )
+        if c not in want and c in file_names
+    ]
+    read_want = want + extra
+    present = [c for c in read_want if c in file_names]
+    missing = [c for c in read_want if c not in file_names]  # subset of want
+    filter_expr = _to_arrow_filter(eff_pushed)
     if not missing:
-        return lf.read_fragment(
+        table = lf.read_fragment(
             root, frag, columns=present or None, filter_expr=filter_expr
         )
-    from pyspark.sql.pandas.types import to_arrow_schema
-
+        return table.select(want) if extra else table
     table = lf.read_fragment(root, frag, columns=present or None)
     target = to_arrow_schema(schema)
     for name in missing:
@@ -244,12 +298,11 @@ def _read_fragment_evolved(
         table = table.append_column(
             fld, pa.nulls(table.num_rows, fld.type)
         )
-    table = table.select(want)
     if filter_expr is not None:
         import pyarrow.dataset as pads
 
         table = pads.dataset(table).to_table(filter=filter_expr)
-    return table
+    return table.select(want)
 
 
 class LanceScanReader(DataSourceReader):
@@ -328,9 +381,10 @@ class LanceScanReader(DataSourceReader):
         # assign, never append: Spark may reuse this reader across
         # plannings of DataFrames derived from one load(); appending
         # would accumulate filters from earlier queries
-        self.pushed = [f for f in filters if _pushable(f)]
+        fc = _float_cols(self.schema)
+        self.pushed = [f for f in filters if _pushable(f, fc)]
         for f in filters:
-            if not _pushable(f):
+            if not _pushable(f, fc):
                 yield f  # Spark keeps evaluating these
 
     def partitions(self):
@@ -406,6 +460,9 @@ class NativeScanReader(DataSourceReader):
         # files alone would silently resurrect deleted rows (r5
         # review finding)
         ln._refuse_deletions(self.manifest, root)
+        # column-split fragments would be concatenated vertically by
+        # the per-file loop below — refuse with the accurate reason
+        ln._refuse_multi_file_fragments(self.manifest, root)
         # computed once driver-side and pickled to executors: every
         # partition shares one manifest version, so tasks must not
         # re-open and re-parse the protobuf manifest per fragment
@@ -415,9 +472,10 @@ class NativeScanReader(DataSourceReader):
         self.pushed: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        self.pushed = [f for f in filters if _pushable(f)]
+        fc = _float_cols(self.schema)
+        self.pushed = [f for f in filters if _pushable(f, fc)]
         for f in filters:
-            if not _pushable(f):
+            if not _pushable(f, fc):
                 yield f
 
     def partitions(self):
@@ -447,15 +505,29 @@ class NativeScanReader(DataSourceReader):
         columns = [
             c for c in self.schema.fieldNames() if c in arrow_schema.names
         ]
+        # a fully-consumed filter may reference a column Spark pruned
+        # from the projection — decode it too, filter, then project
+        # back to the requested columns (r8 review: table.filter on
+        # the pruned table raised field-not-found)
+        filter_cols = [
+            f.attribute[0]
+            for f in self.pushed
+            if f.attribute
+            and f.attribute[0] in arrow_schema.names
+            and f.attribute[0] not in columns
+        ]
+        read_cols = (columns + filter_cols) if columns else None
         filter_expr = _to_arrow_filter(self.pushed)
         for rel in partition.files:
             table = ln.read_data_file(
                 os.path.join(partition.root, "data", rel),
                 arrow_schema,
-                columns=columns or None,
+                columns=read_cols,
             )
             if filter_expr is not None:
                 table = table.filter(filter_expr)
+            if filter_cols and columns:
+                table = table.select(columns)
             yield from table.to_batches()
 
 

@@ -335,8 +335,15 @@ def write_fragment(
         and any(ok(table.schema.field(c).type) for ok in safe)
     ]
     if wanted:
+        import pyarrow.compute as pc
+
+        # dedup in native code first: to_pylist() on the raw column
+        # allocated one Python object per ROW before build_bloom's
+        # set() collapsed them — O(rows) interpreter churn per write
+        # task on low-cardinality columns (r8 review finding)
         blooms = {
-            c: build_bloom(table.column(c).to_pylist()) for c in wanted
+            c: build_bloom(pc.unique(table.column(c)).to_pylist())
+            for c in wanted
         }
         os.makedirs(os.path.join(root, BLOOM_DIR), exist_ok=True)
         bloom_rel = os.path.join(BLOOM_DIR, name.replace(".parquet", ".json"))
@@ -548,14 +555,19 @@ def read_fragment(
     """
     path = os.path.join(root, fragment.file)
     if fragment.file.endswith(".lance"):  # pragma: no cover
-        try:
-            import lance  # noqa: F401
-        except ImportError as e:
-            raise LanceDatasetError(
-                ".lance binary fragments require the 'lance' package"
-            ) from e
-        ds = lance.dataset(root)
-        return ds.to_table(columns=columns, filter=filter_expr)
+        # a JSON manifest referencing .lance binary fragments is a
+        # hybrid this reader cannot serve PER FRAGMENT: the lance
+        # wheel's dataset API has no by-manifest-entry read, and the
+        # previous ds.to_table() fallback returned the WHOLE dataset
+        # for every fragment — N fragments yielded N copies, deletion
+        # vectors ignored (r8 review finding). Refuse accurately.
+        raise LanceDatasetError(
+            f"fragment {fragment.file!r} is a .lance binary file "
+            "inside a JSON-manifest dataset; per-fragment reads of "
+            "this hybrid are not supported — read the dataset with "
+            "sources.lance_native (plain v2 encodings) or the lance "
+            "wheel's dataset API"
+        )
     if fragment.deletion_file is not None:
         # positions index PHYSICAL rows: read unfiltered (columns
         # pruning keeps row order), mask, then value-filter
@@ -820,6 +832,25 @@ def cleanup_old_versions(
             files_removed += 1
     for v in drop_versions:
         os.remove(_manifest_path(root, v))
+    # a writer killed between staging '<N>.manifest.tmp.<hex>' and
+    # os.link leaks the tmp forever (nothing else ever deletes it —
+    # r8 review finding); reclaim stale ones under the same
+    # older_than grace that protects in-flight commits
+    mdir = os.path.join(root, MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        now = _time.time()
+        for name in os.listdir(mdir):
+            if ".manifest.tmp." not in name:
+                continue
+            p = os.path.join(mdir, name)
+            try:
+                if now - os.path.getmtime(p) < older_than_seconds:
+                    continue
+                bytes_reclaimed += os.path.getsize(p)
+                os.remove(p)
+                files_removed += 1
+            except OSError:
+                continue
     return {
         "versions_removed": len(drop_versions),
         "files_removed": files_removed,

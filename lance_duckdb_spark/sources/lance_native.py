@@ -528,6 +528,14 @@ def read_data_file(
     arrays, fields = [], []
     for name in names:
         idx = schema.get_field_index(name)
+        if idx < 0:
+            # get_field_index returns -1 for a missing name, and
+            # schema.field(-1)/metas[-1] would silently decode the
+            # LAST column under the wrong name (r8 review finding)
+            raise LanceNativeError(
+                f"{path}: no column {name!r} in schema "
+                f"(has {schema.names})"
+            )
         f = schema.field(idx)
         chunks = [_decode_page(raw, p, f.type) for p in metas[idx]]
         arrays.append(pa.chunked_array(chunks, type=f.type))
@@ -550,6 +558,24 @@ def _refuse_deletions(man: "NativeManifest", root: str) -> None:
         )
 
 
+def _refuse_multi_file_fragments(man: "NativeManifest", root: str) -> None:
+    """A fragment with several data files is COLUMN-split (Lance
+    proper's add_columns layout): its files must be stitched
+    horizontally via column_indices, not concatenated vertically.
+    Refuse with the accurate reason — before this guard the reader
+    fell through to read_data_file's column-count check and raised a
+    corruption-style 'N columns in file, M in schema' for a
+    perfectly valid dataset (r8 review finding)."""
+    bad = [f.id for f in man.fragments if len(f.files) > 1]
+    if bad:
+        raise LanceNativeUnsupported(
+            f"{root}: fragments {bad[:3]} are column-split across "
+            "multiple data files (Lance add_columns layout); "
+            "horizontal stitching is not implemented — read this "
+            "dataset with the lance wheel"
+        )
+
+
 def read_dataset(
     root: str,
     version: int | None = None,
@@ -558,6 +584,7 @@ def read_dataset(
     """Read a genuine Lance dataset directory into one Arrow table."""
     man = open_dataset(root, version)
     _refuse_deletions(man, root)
+    _refuse_multi_file_fragments(man, root)
     schema = man.arrow_schema()
     tables = []
     for frag in man.fragments:

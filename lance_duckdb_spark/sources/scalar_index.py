@@ -105,19 +105,55 @@ def build_scalar_index(
         list(base_to_rel.items()), schema="__file string, fragment string"
     )
     idx_dir = _index_dir(root, column)
+    # stage into a FRESH uniquely-named entries dir and publish it
+    # via the meta, exactly the vector-index rebuild discipline: an
+    # in-place overwrite of the live entries/ let a concurrent scan
+    # list the dir mid-rewrite and compute a fragment allowlist from
+    # a SUBSET of the index — silently missing rows (r8 review
+    # finding); a crash between the two writes likewise left new
+    # entries under the old meta. Superseded entry dirs are swept
+    # inside the publish lock.
+    import uuid as _uuid
+
+    entries_name = f"entries_{_uuid.uuid4().hex[:8]}"
     (
         rows.join(F.broadcast(mapping), "__file")
         .select("value", "fragment", "n_rows")
         .sort("value")
         .write.mode("overwrite")
-        .parquet(os.path.join(idx_dir, "entries"))
+        .parquet(os.path.join(idx_dir, entries_name))
     )
-    meta = {"column": column, "dataset_version": manifest.version}
+    meta = {
+        "column": column,
+        "dataset_version": manifest.version,
+        "entries_dir": entries_name,
+    }
     os.makedirs(idx_dir, exist_ok=True)
-    tmp = os.path.join(idx_dir, "index.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(idx_dir, "index.json"))
+    meta_path = os.path.join(idx_dir, "index.json")
+    lock = meta_path + ".lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise lf.LanceDatasetError(
+            f"concurrent scalar-index build detected ({lock} exists); "
+            "retry after the other builder finishes (or remove the "
+            "lock if its holder crashed)"
+        )
+    try:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+        for name in os.listdir(idx_dir):
+            if name.startswith("entries") and name != entries_name:
+                import shutil as _shutil
+
+                _shutil.rmtree(
+                    os.path.join(idx_dir, name), ignore_errors=True
+                )
+    finally:
+        os.close(fd)
+        os.unlink(lock)
     return meta
 
 
@@ -156,7 +192,9 @@ def scalar_index_scan(
             "indexed snapshot)"
         )
     entries = spark.read.parquet(
-        os.path.join(_index_dir(root, column), "entries")
+        os.path.join(
+            _index_dir(root, column), meta.get("entries_dir", "entries")
+        )
     )
     if eq is not None:
         entries = entries.where(F.col("value") == eq)

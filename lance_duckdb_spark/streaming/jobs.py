@@ -690,9 +690,16 @@ def incdedup_process_batch(
         .distinct()
     )
     # verify against the corpus committed SO FAR (the stream
-    # source's current snapshot contains every candidate doc)
+    # source's current snapshot contains every candidate doc).
+    # shingled is passed EXPLICITLY (lazy, unspilled): the batch
+    # operators' default shingle spill amortizes across one query,
+    # but here it would write the full snapshot's shingle table once
+    # PER MICRO-BATCH — measured 70s vs 32s at sf1 (r8); the lazy
+    # 3x recompute is the cheaper trade under a per-batch loop.
     snapshot = spark.read.format("lance").load(src)
-    verify_candidate_pairs(cand, snapshot).write.mode("overwrite").parquet(
+    verify_candidate_pairs(
+        cand, snapshot, shingled=_shingle_df(snapshot)
+    ).write.mode("overwrite").parquet(
         os.path.join(results_dir, f"epoch={epoch}")
     )
     bands.write.mode("overwrite").parquet(

@@ -38,8 +38,9 @@ def ds_root(spark, sf_dir, tmp_path_factory):
 
 
 def _fragments_for(spark, root, column, eq):
+    meta = si.read_scalar_index_meta(root, column)
     entries = spark.read.parquet(
-        os.path.join(si._index_dir(root, column), "entries")
+        os.path.join(si._index_dir(root, column), meta["entries_dir"])
     )
     return {
         r.fragment
