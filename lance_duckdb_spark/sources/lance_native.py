@@ -246,7 +246,20 @@ class NativeManifest:
                 "nested fields not supported by the native reader"
             )
         return pa.schema(
-            [pa.field(f.name, f.arrow_type, f.nullable) for f in top]
+            [
+                pa.field(
+                    f.name,
+                    f.arrow_type,
+                    f.nullable,
+                    # the PHYSICAL logical type rides along as field
+                    # metadata so the page decoder can decode widened
+                    # types (uint8->int16 etc.) at their real byte
+                    # width and cast, instead of misdiagnosing the
+                    # page as compressed (r8 review finding)
+                    metadata={"lance_logical": f.logical_type},
+                )
+                for f in top
+            ]
         )
 
     def num_rows(self) -> int:
@@ -383,9 +396,36 @@ _FIXED_WIDTH = {
     pa.uint16(): "H",
     pa.uint32(): "I",
     pa.uint64(): "Q",
+    pa.float16(): "e",
     pa.float32(): "f",
     pa.float64(): "d",
 }
+
+# physical decode type for logical types LOGICAL_TO_ARROW widens
+# (Spark has no unsigned/float16/date64, so the SCHEMA presents the
+# widened type, but the PAGES hold the physical width — decode at
+# that width, then _cast_widened to the schema type; r8 review: the
+# widened-width size check used to misdiagnose every such plain page
+# as 'bit-packed/compressed')
+_PHYSICAL_FOR = {
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "date64": pa.int64(),
+    "date64:ms": pa.int64(),
+}
+
+
+def _cast_widened(arr: pa.ChunkedArray, logical: str, target: pa.DataType):
+    """Cast a physically-decoded column to its widened schema type.
+    date64 is epoch MILLISECONDS: int64 -> timestamp(ms) -> date32
+    (calendar-day floor, correct for pre-epoch values too); the
+    unsigned ints fit their widened targets losslessly (uint64 ->
+    decimal128(20,0))."""
+    if logical in ("date64", "date64:ms"):
+        return arr.cast(pa.timestamp("ms")).cast(target)
+    return arr.cast(target)
 
 
 @dataclass
@@ -537,8 +577,16 @@ def read_data_file(
                 f"(has {schema.names})"
             )
         f = schema.field(idx)
-        chunks = [_decode_page(raw, p, f.type) for p in metas[idx]]
-        arrays.append(pa.chunked_array(chunks, type=f.type))
+        logical = (
+            (f.metadata or {}).get(b"lance_logical", b"").decode()
+        )
+        phys = _PHYSICAL_FOR.get(logical)
+        dec_type = phys if phys is not None else f.type
+        chunks = [_decode_page(raw, p, dec_type) for p in metas[idx]]
+        arr = pa.chunked_array(chunks, type=dec_type)
+        if dec_type != f.type:
+            arr = _cast_widened(arr, logical, f.type)
+        arrays.append(arr)
         fields.append(f)
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 

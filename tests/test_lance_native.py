@@ -357,3 +357,90 @@ def test_native_writer_refuses_existing_dataset_and_fsl_string(tmp_path):
         lw.write_dataset(
             pa.table({"v": fsl}), str(tmp_path / "ds2")
         )
+
+
+def test_widened_types_decode_at_physical_width():
+    """uint8/16/32 pages are 1/2/4 bytes per row; the schema widens
+    them (Spark has no unsigned) but the decoder must read the
+    PHYSICAL width and cast — not misdiagnose the page as compressed
+    (r8 review finding)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_duckdb_spark.sources import lance_native as ln
+
+    for np_t, phys, logical, widened in [
+        (np.uint8, pa.uint8(), "uint8", pa.int16()),
+        (np.uint16, pa.uint16(), "uint16", pa.int32()),
+        (np.uint32, pa.uint32(), "uint32", pa.int64()),
+        (np.uint64, pa.uint64(), "uint64", pa.decimal128(20, 0)),
+    ]:
+        vals = np.array([0, 1, np.iinfo(np_t).max], dtype=np_t)
+        raw = vals.tobytes()
+        page = ln._Page((0,), (len(raw),), len(vals))
+        arr = ln._decode_page(raw, page, phys)
+        assert arr.to_pylist() == vals.tolist()
+        widened_arr = ln._cast_widened(
+            pa.chunked_array([arr]), logical, widened
+        )
+        assert widened_arr.type == widened
+        assert [int(v) for v in widened_arr.to_pylist()] == vals.tolist()
+
+
+def test_date64_ms_casts_to_calendar_days():
+    import pyarrow as pa
+    import struct as _struct
+
+    from lance_duckdb_spark.sources import lance_native as ln
+
+    ms_per_day = 86_400_000
+    # one day after epoch at noon, epoch, one day BEFORE epoch at noon
+    vals = [ms_per_day + 43_200_000, 0, -ms_per_day + 43_200_000]
+    raw = _struct.pack("<3q", *vals)
+    page = ln._Page((0,), (len(raw),), 3)
+    arr = ln._decode_page(raw, page, pa.int64())
+    out = ln._cast_widened(
+        pa.chunked_array([arr]), "date64", pa.date32()
+    ).to_pylist()
+    import datetime
+
+    assert out == [
+        datetime.date(1970, 1, 2),
+        datetime.date(1970, 1, 1),
+        datetime.date(1969, 12, 31),
+    ]
+
+
+def test_float16_pages_decode_plain():
+    import numpy as np
+    import pyarrow as pa
+
+    from lance_duckdb_spark.sources import lance_native as ln
+
+    vals = np.array([0.5, -2.0, 1.25], dtype=np.float16)
+    raw = vals.tobytes()
+    page = ln._Page((0,), (len(raw),), 3)
+    arr = ln._decode_page(raw, page, pa.float16())
+    assert np.array_equal(
+        np.array(arr.to_pylist(), dtype=np.float16), vals
+    )
+
+
+def test_missing_column_raises_not_wrong_column(tmp_path, spark):
+    """read_data_file with an unknown column name must raise, never
+    silently decode the last column under the wrong name."""
+    import pytest
+
+    from lance_duckdb_spark.sources import lance_native as ln
+    from lance_duckdb_spark.sources.datasource import register
+    from lance_duckdb_spark.sources import lance_native_write as lw
+
+    register(spark)
+    root = str(tmp_path / "nat.lance")
+    import pyarrow as pa
+
+    table = pa.table({"a": pa.array([1, 2], pa.int64()),
+                      "b": pa.array(["x", "y"], pa.string())})
+    lw.write_dataset(table, root)
+    with pytest.raises(ln.LanceNativeError, match="no column 'zzz'"):
+        ln.read_dataset(root, columns=["zzz"])
