@@ -258,6 +258,15 @@ _RECHECK_R8: set = {
 # ann_ivf_indexed, ann_ivf_pq), then r6-green entries fill the
 # remaining ~19 slots (module order). New r8 queries and
 # _RECHECK_R8 members lead.
+#
+# r9 rotation note: the r8 driver window is the first 50 of the
+# current order — the 4 queries new in r8 (contamination_bloom,
+# ann_sq8_topk, ann_sq8_indexed, stream_fts_ingest), the
+# hash-changed chunk_documents (_RECHECK_R8, tail-covering chunker),
+# the 31 stalest r5 entries above, and 14 r6-green fills. When
+# CORRECTNESS_r08.json lands, record its green set as _GREEN_R8 in
+# `rounds` so the r9 window sweeps the remaining r6 entries plus the
+# now-stalest r7 set. Registry total at r8 close: 135.
 
 
 def _rotate(merged: dict) -> dict:
