@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .common import doc_bucket, spread as _spread, text_fingerprint
+from .common import (
+    SQL_DOC_BUCKET,
+    SQL_FINGERPRINT,
+    doc_bucket,
+    spread as _spread,
+    text_fingerprint,
+)
 
 # -- contamination ----------------------------------------------------------
 
@@ -482,7 +488,7 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOMAIN_MIX_SQL = """
+DOMAIN_MIX_SQL = f"""
 WITH per_lang AS (
   SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
 ),
@@ -494,7 +500,7 @@ rates AS (
 SELECT d.lang AS lang, COUNT(*) AS n_kept,
   CAST(SUM(n_chars) AS BIGINT) AS kept_chars
 FROM documents d JOIN rates r ON d.lang = r.lang
-WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+WHERE {SQL_DOC_BUCKET}
       % 10000 < r.keep_bp
 GROUP BY d.lang ORDER BY d.lang
 """
@@ -546,7 +552,7 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEMPERATURE_RESAMPLE_SQL = """
+TEMPERATURE_RESAMPLE_SQL = f"""
 WITH per_lang AS (
   SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
 ),
@@ -563,7 +569,7 @@ SELECT d.lang AS lang,
   CAST(MAX(r.keep_bp) AS BIGINT) AS keep_bp,
   CAST(SUM(n_chars) AS BIGINT) AS kept_chars
 FROM documents d JOIN rates r ON d.lang = r.lang
-WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+WHERE {SQL_DOC_BUCKET}
       % 10000 < r.keep_bp
 GROUP BY d.lang ORDER BY d.lang
 """
@@ -682,10 +688,10 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LEAKAGE_SAFE_SPLIT_SQL = """
+LEAKAGE_SAFE_SPLIT_SQL = f"""
 WITH docs AS (
   SELECT doc_id, source,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         {SQL_FINGERPRINT} AS fp
   FROM documents
   WHERE text IS NOT NULL
 ),

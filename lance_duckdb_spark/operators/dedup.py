@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..materialize import spill_to_parquet
 from ..tables import load
-from .common import text_fingerprint
+from .common import SQL_FINGERPRINT, text_fingerprint
 
 # ---------------------------------------------------------------- C1
 
@@ -55,10 +55,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_EXACT_SQL = """
+DEDUP_EXACT_SQL = f"""
 WITH hashed AS (
   SELECT doc_id, source,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         {SQL_FINGERPRINT} AS h
   FROM documents
 ),
 clusters AS (

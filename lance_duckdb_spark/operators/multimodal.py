@@ -103,14 +103,22 @@ def decode_image(payload: bytes) -> dict:
         if len(payload) < 54:
             raise ValueError("truncated BMP header")
         data_off = struct.unpack_from("<I", payload, 10)[0]
-        hdr_size, w, h = struct.unpack_from("<IiI", payload, 14)[:3]
-        h_signed = struct.unpack_from("<i", payload, 22)[0]
-        planes, bpp = struct.unpack_from("<HH", payload, 26)
-        compression = struct.unpack_from("<I", payload, 30)[0]
-        if hdr_size < 40 or compression != 0 or bpp not in (8, 24):
+        # one unpack covers hdr_size/width/height/planes/bpp/compression
+        # (the old double-read of height as unsigned-then-signed invited
+        # edits against the wrong value; r8 review)
+        hdr_size, w, h_signed, planes, bpp, compression = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+        if (
+            hdr_size < 40
+            or planes != 1  # BMP spec: always 1; reject malformed loudly
+            or compression != 0
+            or bpp not in (8, 24)
+        ):
             raise ValueError(
-                f"unsupported BMP (hdr={hdr_size}, comp={compression}, "
-                f"bpp={bpp}); only uncompressed 8/24-bit supported"
+                f"unsupported BMP (hdr={hdr_size}, planes={planes}, "
+                f"comp={compression}, bpp={bpp}); only uncompressed "
+                "single-plane 8/24-bit supported"
             )
         top_down = h_signed < 0
         h = abs(h_signed)

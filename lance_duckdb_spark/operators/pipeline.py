@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .common import doc_bucket, text_fingerprint
+from .common import (
+    SQL_DOC_BUCKET,
+    SQL_FINGERPRINT,
+    doc_bucket,
+    text_fingerprint,
+)
 
 SAMPLE_PCT = 20  # per-stratum sample rate (percent)
 
@@ -44,7 +49,7 @@ SELECT lang, COUNT(*) AS n_sampled,
   CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
   MIN(doc_id) AS first_doc
 FROM documents
-WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 < {SAMPLE_PCT}
+WHERE {SQL_DOC_BUCKET} % 100 < {SAMPLE_PCT}
 GROUP BY lang
 ORDER BY lang
 """
@@ -112,11 +117,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_KEEP_BEST_SQL = """
+DEDUP_KEEP_BEST_SQL = f"""
 WITH ranked AS (
   SELECT lang, n_chars, doc_id,
     ROW_NUMBER() OVER (
-      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      PARTITION BY {SQL_FINGERPRINT}
       ORDER BY n_chars DESC, doc_id ASC) AS rnk
   FROM documents
 )

@@ -227,9 +227,9 @@ FROM urls GROUP BY domain ORDER BY domain
 
 # -- text normalization -----------------------------------------------------
 
-# case/punctuation/whitespace noise planted deterministically: every
-# 2nd doc is uppercased, every 3rd gets a punctuation tail, and every
-# doc gets doubled spaces around ' table ' occurrences.
+# case/punctuation noise planted deterministically: every 2nd doc is
+# uppercased, every 3rd gets a punctuation tail (whose doubled spaces
+# also exercise the whitespace-collapse step).
 _NORM_ENRICH_SPARK = (
     "concat(CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END,"
     " CASE WHEN doc_id % 3 = 0 THEN ' !!! Extra,, Noise?? ' ELSE '' END)"

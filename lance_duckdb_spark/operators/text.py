@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .common import text_fingerprint
+from .common import SQL_FINGERPRINT, text_fingerprint
 
 # Small disjoint stopword marker lists (real-language markers; 'a'
 # and 'the' intentionally included since the synthetic corpus is
@@ -267,9 +267,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-DOC_FINGERPRINT_SQL = """
+DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id, source,
-  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  {SQL_FINGERPRINT} AS fingerprint
 FROM documents
 ORDER BY doc_id
 """

@@ -67,7 +67,11 @@ def _read_store_meta(store_dir: str) -> dict | None:
     try:
         with open(os.path.join(store_dir, _META_FILE)) as fh:
             return json.load(fh)
-    except OSError:
+    except (OSError, ValueError):
+        # missing OR corrupt/truncated meta (a writer killed mid-dump
+        # before the atomic replace existed) — both take the
+        # serve-everything-raw fallback instead of failing the query
+        # (r8 review finding)
         return None
 
 
@@ -84,7 +88,17 @@ def build_rollup_store(
     cutoff back so a store built before newer events arrived serves
     a longer raw tail instead of silently dropping the hours between
     its cutoff and query-time now − TAIL_HOURS (r7 review finding).
-    """
+
+    INGESTION CONTRACT (r8 review): the cutoff design assumes event
+    time is ingested within a bounded watermark — an event arriving
+    AFTER the build with hour < cutoff is in neither the store nor
+    the raw tail and would be undercounted. That is the same
+    assumption every watermark-based streaming aggregate makes (the
+    stream-maintained twin, D8 contagg, is immune: it folds each
+    committed micro-batch regardless of its event hours). TAIL_HOURS
+    (24h) IS the watermark here: rebuild at least daily, or rebuild
+    whenever late data beyond it is possible — the driver query
+    rebuilds per call and is exact by construction."""
     hours = _hourly(spark, sf_dir)
     max_h = _max_hour(hours).first()["max_h"]  # bounded 1-row collect
     cutoff = None if max_h is None else max_h - TAIL_HOURS
@@ -104,8 +118,13 @@ def build_rollup_store(
         )
     else:
         os.makedirs(store_dir, exist_ok=True)
-    with open(os.path.join(store_dir, _META_FILE), "w") as fh:
+    # atomic publish (tmp + replace): a reader never sees a torn meta
+    # and a crashed writer leaves the previous generation intact
+    meta_path = os.path.join(store_dir, _META_FILE)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"closed_below_hour": cutoff}, fh)
+    os.replace(tmp, meta_path)
 
 
 def rollup_query(
@@ -283,10 +302,23 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct_users",
             "n_daily_sketches",
             "n_events",
+            # zero guard: a group whose user_ids are all NULL has
+            # exact = approx = 0, and 0/0 = NaN would fail the <=
+            # (flag false vs the oracle's literal TRUE; r8 review) —
+            # an exact zero matched by an approx zero IS within tol
             (
-                F.abs(F.col("approx_distinct") - F.col("exact_distinct_users"))
-                / F.col("exact_distinct_users")
-                <= SKETCH_RELTOL
+                (
+                    (F.col("exact_distinct_users") == 0)
+                    & (F.col("approx_distinct") == 0)
+                )
+                | (
+                    F.abs(
+                        F.col("approx_distinct")
+                        - F.col("exact_distinct_users")
+                    )
+                    / F.col("exact_distinct_users")
+                    <= SKETCH_RELTOL
+                )
             ).alias("sketch_within_tol"),
         )
         .orderBy("event_type")
