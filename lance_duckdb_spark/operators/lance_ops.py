@@ -784,7 +784,131 @@ ORDER BY o_orderstatus
 """
 
 
+def take_rows(
+    spark: SparkSession,
+    root: str,
+    indices: list[int],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Lance's ``Dataset::take`` (rust/lib.rs dataset surface): fetch
+    rows by GLOBAL POSITION in the committed fragment order — the
+    point-read primitive serving feature-store lookups and ANN
+    rescore fetches.
+
+    Scale shape: the index→fragment mapping is pure MANIFEST
+    arithmetic on the driver (no data IO); only the HIT fragments
+    become tasks, each decoding one fragment (column-pruned) and
+    taking its local positions worker-side — IO is proportional to
+    fragments hit, never to the corpus. Positions are positional over
+    physical rows, so datasets with deletion vectors are refused
+    loudly (a take would need the mask to re-map logical positions;
+    same cannot-honor-it contract as the native reader)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from ..sources import lance_format as lf
+
+    man = lf.read_manifest(root)
+    schema = StructType.fromJson(_json.loads(man.schema_json))
+    if columns is not None:
+        missing = set(columns) - set(schema.fieldNames())
+        if missing:
+            raise lf.LanceDatasetError(
+                f"take_rows: unknown columns {sorted(missing)}"
+            )
+        schema = StructType(
+            [f for f in schema.fields if f.name in set(columns)]
+        )
+    n_total = sum(f.num_rows for f in man.fragments)
+    bad = [i for i in indices if i < 0 or i >= n_total]
+    if bad:
+        raise lf.LanceDatasetError(
+            f"take_rows: indices {bad[:5]} out of range [0, {n_total})"
+        )
+    # driver-side mapping: global index -> (fragment, local position)
+    per_frag: dict[str, list[int]] = {}
+    start = 0
+    for frag in man.fragments:
+        end = start + frag.num_rows
+        local = [i - start for i in indices if start <= i < end]
+        if local:
+            if frag.deletion_file is not None:
+                raise lf.LanceDatasetError(
+                    f"take_rows: fragment {frag.file!r} carries a "
+                    "deletion vector; positional take over masked "
+                    "rows is not supported — compact() first"
+                )
+            per_frag[frag.file] = sorted(local)
+        start = end
+    if not per_frag:
+        return spark.createDataFrame([], schema)
+    tasks = spark.createDataFrame(
+        [(f, p) for f, p in per_frag.items()],
+        "file string, positions array<long>",
+    ).repartition(len(per_frag))
+    cols = [f.name for f in schema.fields]
+
+    def fetch(batches):
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            for file, positions in zip(pdf["file"], pdf["positions"]):
+                tbl = _pq.read_table(
+                    os.path.join(root, file), columns=cols
+                ).take([int(p) for p in positions])
+                yield tbl.to_pandas()
+
+    return tasks.mapInPandas(fetch, schema)
+
+
+def lance_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the take() point-read served over a deterministic layout —
+    orders sorted by o_orderkey into one fragment, so global position
+    == sort rank and the DuckDB oracle replicates it with a
+    row_number. The multi-fragment pruning behavior (only hit
+    fragments become tasks) is asserted in tests/test_lance_take.py."""
+    register(spark)
+    root = _fresh_root(sf_dir, "take")
+    (
+        load(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .coalesce(1)
+        .write.format("lance")
+        .mode("overwrite")
+        .save(root)
+    )
+    taken = take_rows(
+        spark,
+        root,
+        list(TAKE_POSITIONS),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return taken.select(
+        "o_orderkey",
+        "o_custkey",
+        money("o_totalprice").cast("double").alias("total_price"),
+    ).orderBy("o_orderkey")
+
+
+TAKE_POSITIONS = (0, 7, 42, 999, 1234)
+
+LANCE_TAKE_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+FROM ranked
+WHERE pos IN ({", ".join(str(p) for p in TAKE_POSITIONS)})
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "lance_take": lance_take,
     "lance_sql_copy": lance_sql_copy,
     "lance_stats_pushdown": lance_stats_pushdown,
     "lance_roundtrip": lance_roundtrip,
@@ -806,6 +930,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lance_take": LANCE_TAKE_SQL,
     "lance_sql_copy": LANCE_SQL_COPY_SQL,
     "lance_stats_pushdown": LANCE_STATS_PUSHDOWN_SQL,
     "lance_roundtrip": LANCE_ROUNDTRIP_SQL,
