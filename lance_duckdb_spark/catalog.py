@@ -144,7 +144,12 @@ def register_lance_views(
 # reference's replacement scan gets the same positional context from
 # DuckDB's parser
 _PATH_RE = re.compile(
-    r"""((?:FROM|JOIN)\s+)(['"`])([^'"`]+\.lance)\2""", re.IGNORECASE
+    # the fixed-width negative lookbehind rejects `IS [NOT] DISTINCT
+    # FROM '<path>.lance'` — there FROM is an operator keyword, not a
+    # table position, and rewriting the literal produced an
+    # unresolvable column reference (r8 review finding)
+    r"""(?<!DISTINCT\s)\b((?:FROM|JOIN)\s+)(['"`])([^'"`]+\.lance)\2""",
+    re.IGNORECASE,
 )
 
 
@@ -431,6 +436,8 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
         df = lance_sql(spark, ctas.group("select"))
         return _write_and_count(spark, df, path, "overwrite", None)
 
+    used_views: set[str] = set()
+
     def _sub(m: re.Match) -> str:
         path = m.group(3)
         if not _is_lance_dataset(path):
@@ -447,10 +454,15 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
         if narrowed is not None:
             reader = reader.schema(narrowed)
         reader.load(path).createOrReplaceTempView(name)
-        _remember_narrowed_view(spark, name)
+        used_views.add(name)
         return m.group(1) + name
 
-    return spark.sql(_PATH_RE.sub(_sub, sql))
+    rewritten = _PATH_RE.sub(_sub, sql)
+    # cap the LRU only AFTER the rewrite, protecting every view THIS
+    # statement references — a 65-dataset federated query must not
+    # evict its own first views before spark.sql analyzes (r8 review)
+    _remember_narrowed_views(spark, used_views)
+    return spark.sql(rewritten)
 
 
 # Narrowed views are content-addressed per (path, column-set), so a
@@ -458,17 +470,25 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
 # would otherwise grow the session catalog without bound (r8 review
 # finding). An LRU cap reclaims the oldest; dropping is safe for
 # already-returned DataFrames because temp-view resolution happens at
-# spark.sql() analysis time, not execution time.
+# spark.sql() analysis time, not execution time. The LRU lives as an
+# attribute ON the session (not a module dict keyed by id(spark),
+# which leaked per dead session and could collide on id reuse).
 _NARROWED_VIEW_CAP = 64
-_narrowed_views: dict[int, dict[str, None]] = {}
 
 
-def _remember_narrowed_view(spark: SparkSession, name: str) -> None:
-    lru = _narrowed_views.setdefault(id(spark), {})
-    lru.pop(name, None)
-    lru[name] = None  # most-recently-used at the end
-    while len(lru) > _NARROWED_VIEW_CAP:
-        oldest = next(iter(lru))
+def _remember_narrowed_views(spark: SparkSession, names: set[str]) -> None:
+    lru: dict[str, None] | None = getattr(
+        spark, "_lance_narrowed_lru", None
+    )
+    if lru is None:
+        lru = {}
+        spark._lance_narrowed_lru = lru
+    for name in names:
+        lru.pop(name, None)
+        lru[name] = None  # most-recently-used at the end
+    evictable = [n for n in lru if n not in names]
+    excess = len(lru) - _NARROWED_VIEW_CAP
+    for oldest in evictable[: max(0, excess)]:
         del lru[oldest]
         try:
             spark.catalog.dropTempView(oldest)
@@ -520,9 +540,13 @@ class LanceWarehouse:
 
     def refresh(self) -> dict[str, str]:
         """Sync views with the warehouse directory; returns the
-        {view: path} mapping of views (re-)registered THIS call."""
-        changed: dict[str, str] = {}
+        {view: path} mapping of views (re-)registered THIS call.
+        VALIDATES the whole directory before touching the session
+        catalog — a name collision raises with the catalog unchanged,
+        never half-refreshed (r8 review; the same discipline as
+        register_lance_views)."""
         seen: dict[str, str] = {}
+        plan: list[tuple[str, str, int, tuple]] = []
         for path in _discover_datasets(self.root_dir):
             name = _view_name(path)
             if name in seen:
@@ -542,9 +566,10 @@ class LanceWarehouse:
             seen[name] = path
             ver = max(versions)
             token = self._manifest_token(path, ver)
-            cur = self._registered.get(name)
-            if cur == (path, ver, token):
-                continue
+            if self._registered.get(name) != (path, ver, token):
+                plan.append((name, path, ver, token))
+        changed: dict[str, str] = {}
+        for name, path, ver, token in plan:
             self.spark.read.format("lance").load(path).createOrReplaceTempView(
                 name
             )

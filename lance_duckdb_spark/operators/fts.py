@@ -177,6 +177,32 @@ def _publish_fts_meta(index_dir: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(index_dir, "_meta.json"))
 
 
+def _reclaim_fts_dirs(
+    index_dir: str, meta: dict, prev: dict | None = None
+) -> None:
+    """Sweep index dirs referenced by NEITHER the just-published meta
+    (live + its stale_dirs grace set) NOR the immediately-previous
+    meta: crashed-staging orphans and generations two-plus behind.
+    Readers hold at most the previous meta, whose dirs survive."""
+    keep = set(meta.get("postings_dirs", [])) | {
+        meta.get("df_dir"),
+        meta.get("stats_dir"),
+        "_meta.json",
+    } | set(meta.get("stale_dirs", []))
+    if prev:
+        keep |= set(prev.get("postings_dirs", [])) | {
+            prev.get("df_dir"),
+            prev.get("stats_dir"),
+        }
+    for entry in os.listdir(index_dir):
+        if entry not in keep and entry.startswith(
+            ("postings", "_postings_d", "_df_v", "_stats_v")
+        ):
+            shutil.rmtree(
+                os.path.join(index_dir, entry), ignore_errors=True
+            )
+
+
 def build_fts_index(
     spark: SparkSession, docs: DataFrame, index_dir: str
 ) -> None:
@@ -187,68 +213,86 @@ def build_fts_index(
       PER-DOC LOCAL (tf, dl never change when other docs arrive),
       which is what makes incremental maintenance exact — appending
       a doc appends posting rows and touches nothing else.
-    - ``_df_v0/`` parquet partitioned by the same bucket: (term,
-      df). df is the one corpus-global term statistic, so it lives
-      OUTSIDE the postings (the r7 layout change; denormalizing df
-      onto postings — the Lucene norms-in-postings shortcut — made
+    - ``_df_v0_<hex>/`` parquet partitioned by the same bucket:
+      (term, df). df is the one corpus-global term statistic, so it
+      lives OUTSIDE the postings (the r7 layout change; denormalizing
+      df onto postings — the Lucene norms-in-postings shortcut — made
       appends inexact, since every new doc shifts existing terms'
       idf).
-    - ``_stats_v0/``: 1 row of exact integers (n_docs, sum_dl) so
-      avgdl re-derives bit-identically at any version.
+    - ``_stats_v0_<hex>/``: 1 row of exact integers (n_docs, sum_dl)
+      so avgdl re-derives bit-identically at any version.
     - ``_meta.json``: which df/stats generation is current AND which
-      posting directories are live (``postings_dirs`` — the base plus
-      one ``_postings_d{n}`` delta per extend). ALL index state goes
-      through the atomic meta publish: a reader never sees postings
-      newer than the df generation they are scored with, and a
-      crashed extend leaves only an unreferenced delta dir that the
-      retry overwrites (r7 ADVICE — the previous in-place append made
-      a retried extend double-count its docs' BM25 contributions).
+      posting directories are live (``postings_dirs``). ALL index
+      state goes through the atomic meta publish, and EVERY dir name
+      carries a unique suffix, so a rebuild never overwrites a dir an
+      in-flight reader is scanning (r8 review: the in-place overwrite
+      of postings/ plus immediate reclaim broke the reader-snapshot
+      guarantee this docstring makes). The superseded life's dirs are
+      recorded as ``stale_dirs`` and reclaimed one maintenance
+      operation LATER — readers of the previous meta keep their files
+      (the two-behind discipline extends already used for df/stats).
+
+    Refuses an EMPTY corpus loudly: a partitioned write of an empty
+    frame leaves no part files and every later search would crash on
+    parquet schema inference (r8 review; same contract as
+    build_scalar_index).
 
     Build cost is three shuffles over the corpus (tf, dl, df) — the
     one-time cost any inverted index pays; ``extend_fts_index`` then
     maintains it at O(appended docs)."""
+    import uuid as _uuid
+
     tf = _term_freq(docs)
     dl = _doc_len(tf)
+    n_docs, sum_dl = dl.agg(
+        F.count(F.lit(1)), F.sum("dl").cast("long")
+    ).first()
+    if not n_docs:
+        raise ValueError(
+            "build_fts_index: corpus has no indexable documents "
+            "(empty/NULL text everywhere) — an empty inverted index "
+            "cannot be served; append data first"
+        )
+    suffix = _uuid.uuid4().hex[:8]
+    pname = f"postings_{suffix}"
+    df_name = f"_df_v0_{suffix}"
+    stats_name = f"_stats_v0_{suffix}"
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     postings = tf.join(dl, "doc_id").withColumn(
         "bucket", _bucket_expr(F.col("term"))
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{index_dir}/postings"
+        os.path.join(index_dir, pname)
     )
     dfreq.withColumn("bucket", _bucket_expr(F.col("term"))).write.mode(
         "overwrite"
-    ).partitionBy("bucket").parquet(f"{index_dir}/_df_v0")
-    dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_stats_v0")
-    _publish_fts_meta(
-        index_dir,
-        {
-            "version": 0,
-            "df_dir": "_df_v0",
-            "stats_dir": "_stats_v0",
-            "postings_dirs": ["postings"],
-        },
+    ).partitionBy("bucket").parquet(os.path.join(index_dir, df_name))
+    spark.createDataFrame(
+        [(int(n_docs), int(sum_dl))], "n_docs long, sum_dl long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, stats_name)
     )
-    # a rebuild IS the compaction: prune every generation dir the
-    # fresh meta no longer references (delta postings and df/stats
-    # generations of the previous index life) — the vector_index
-    # keep-set pattern; without this the 'compaction' claim would
-    # leak the old deltas on disk forever (r8 review finding)
-    import shutil as _shutil
-
-    keep = {"postings", "_df_v0", "_stats_v0", "_meta.json"}
-    for entry in os.listdir(index_dir):
-        if entry not in keep and (
-            entry.startswith("_postings_d")
-            or entry.startswith("_df_v")
-            or entry.startswith("_stats_v")
-        ):
-            _shutil.rmtree(
-                os.path.join(index_dir, entry), ignore_errors=True
-            )
+    try:
+        prev = _read_fts_meta(index_dir)
+    except (OSError, ValueError):
+        prev = None
+    new_meta = {
+        "version": 0,
+        "df_dir": df_name,
+        "stats_dir": stats_name,
+        "postings_dirs": [pname],
+        # the previous life's dirs survive THIS rebuild (in-flight
+        # readers of the previous meta keep their files) and are
+        # reclaimed by the NEXT maintenance operation
+        "stale_dirs": (
+            prev.get("postings_dirs", [])
+            + [prev["df_dir"], prev["stats_dir"]]
+            if prev
+            else []
+        ),
+    }
+    _publish_fts_meta(index_dir, new_meta)
+    _reclaim_fts_dirs(index_dir, new_meta, prev)
 
 
 def extend_fts_index(
@@ -258,69 +302,81 @@ def extend_fts_index(
     analogue of ``extend_ivf_index`` (Lance proper maintains its FTS
     index the same append-then-merge way):
 
-    - the new docs' posting rows land in their OWN bucket-partitioned
-      delta dir ``_postings_d{n+1}`` (base and prior deltas untouched
-      — tf/dl are per-doc local, so old postings stay exact). The
-      delta is written with overwrite and becomes visible only via
-      the meta publish below: a crash before the publish leaves an
-      orphan no reader ever scans, and the retried extend (same
-      version) REPLACES it rather than double-appending;
+    - the new docs' posting rows land in their OWN uniquely-named
+      bucket-partitioned delta dir ``_postings_d{n+1}_<hex>`` (base
+      and prior deltas untouched — tf/dl are per-doc local, so old
+      postings stay exact). The delta becomes visible only via the
+      meta publish below: a crash before the publish leaves an
+      orphan no reader ever scans (reclaimed by a later
+      maintenance sweep), and a RETRY stages its own fresh dir —
+      no path by which an increment can be double-counted;
     - ``df`` and the corpus stats are the only global statistics:
       the delta df (term-level counts over just the new docs) merges
-      with the current generation into ``_df_v{n+1}`` — an
+      with the current generation into ``_df_v{n+1}_<hex>`` — an
       O(distinct terms) aggregate, never a corpus re-scan — and the
       stats add exact integer deltas;
     - postings_dirs + the new generations publish atomically via ONE
       ``_meta.json`` replace, so a concurrent reader scores a
       consistent snapshot (never new postings against an old df
-      generation); the superseded df/stats generation (two behind)
-      is reclaimed on the NEXT extend so in-flight readers of the
-      previous meta never lose their files mid-scan. Delta dirs
-      accumulate until the next full ``build_fts_index`` (the
-      compaction — it resets postings_dirs to the base).
+      generation); the superseded df/stats generation is recorded in
+      ``stale_dirs`` and reclaimed one maintenance operation LATER,
+      so in-flight readers of the previous meta never lose their
+      files mid-scan. Delta dirs accumulate until the next full
+      ``build_fts_index`` (the compaction — it resets postings_dirs
+      to one fresh base).
+
+    The increment's term-frequency frame is persisted for the three
+    actions that consume it (emptiness check, postings write, df
+    merge) — recomputable lineage, so an executor loss only
+    recomputes, never corrupts (r8 review: the unpersisted form
+    re-tokenized the increment three times).
 
     Search over the extended index is bit-identical to a full
     rebuild over the union corpus (asserted in tests and by the
     fts_bm25_incremental driver row, which shares the full-corpus
     oracle)."""
-    import shutil as _shutil
+    import uuid as _uuid
 
     meta = _read_fts_meta(index_dir)
     version = meta["version"] + 1
-    tf = _term_freq(new_docs)
-    dl = _doc_len(tf)
-    d_n, d_sum = dl.agg(
-        F.count(F.lit(1)), F.sum("dl").cast("long")
-    ).first()
-    if not d_n:
-        # empty increment: a no-op, NOT a new generation — an empty
-        # delta dir would hold no part files and crash every later
-        # search on parquet schema inference (r8 review finding)
-        return meta
-    postings_delta = f"_postings_d{version}"
-    tf.join(dl, "doc_id").withColumn(
-        "bucket", _bucket_expr(F.col("term"))
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(index_dir, postings_delta)
-    )
-    old_df = spark.read.parquet(
-        os.path.join(index_dir, meta["df_dir"])
-    ).select("term", "df")
-    delta_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    df_dir = f"_df_v{version}"
-    (
-        old_df.unionByName(delta_df)
-        .groupBy("term")
-        .agg(F.sum("df").cast("long").alias("df"))
-        .withColumn("bucket", _bucket_expr(F.col("term")))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(index_dir, df_dir))
-    )
+    tf = _term_freq(new_docs).persist()
+    try:
+        dl = _doc_len(tf)
+        d_n, d_sum = dl.agg(
+            F.count(F.lit(1)), F.sum("dl").cast("long")
+        ).first()
+        if not d_n:
+            # empty increment: a no-op, NOT a new generation — an
+            # empty delta dir would hold no part files and crash
+            # every later search on parquet schema inference
+            return meta
+        suffix = _uuid.uuid4().hex[:8]
+        postings_delta = f"_postings_d{version}_{suffix}"
+        tf.join(dl, "doc_id").withColumn(
+            "bucket", _bucket_expr(F.col("term"))
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(index_dir, postings_delta)
+        )
+        old_df = spark.read.parquet(
+            os.path.join(index_dir, meta["df_dir"])
+        ).select("term", "df")
+        delta_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        df_dir = f"_df_v{version}_{suffix}"
+        (
+            old_df.unionByName(delta_df)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .withColumn("bucket", _bucket_expr(F.col("term")))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(index_dir, df_dir))
+        )
+    finally:
+        tf.unpersist()
     old_stats = spark.read.parquet(
         os.path.join(index_dir, meta["stats_dir"])
     ).first()
-    stats_dir = f"_stats_v{version}"
+    stats_dir = f"_stats_v{version}_{suffix}"
     spark.createDataFrame(
         [(int(old_stats["n_docs"]) + int(d_n or 0),
           int(old_stats["sum_dl"]) + int(d_sum or 0))],
@@ -334,12 +390,14 @@ def extend_fts_index(
         "stats_dir": stats_dir,
         "postings_dirs": meta.get("postings_dirs", ["postings"])
         + [postings_delta],
+        # the superseded df/stats generation survives THIS extend
+        # (readers of the previous meta) and is reclaimed next time
+        "stale_dirs": [meta["df_dir"], meta["stats_dir"]],
     }
     _publish_fts_meta(index_dir, new_meta)
-    # reclaim generations two behind (current readers hold at most
-    # the PREVIOUS meta, whose dirs must survive this extend)
-    for stale in (f"_df_v{version - 2}", f"_stats_v{version - 2}"):
-        _shutil.rmtree(os.path.join(index_dir, stale), ignore_errors=True)
+    # reclaim what the PREVIOUS meta already marked stale, plus any
+    # unreferenced staging orphans older than one maintenance op
+    _reclaim_fts_dirs(index_dir, new_meta, meta)
     return new_meta
 
 

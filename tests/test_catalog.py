@@ -364,3 +364,24 @@ def test_use_lance_warehouse_refreshes_on_version_bump(spark, sf_dir, tmp_path):
     wh.refresh()
     assert set(wh.views()) == {"a"}
     assert "b" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_distinct_from_literal_is_not_a_table_ref(spark, lance_db):
+    """`IS DISTINCT FROM '<path>.lance'` uses FROM as an operator
+    keyword — the literal is data, not a table position, and must
+    not be rewritten (r8 review finding)."""
+    from lance_duckdb_spark.catalog import lance_sql
+
+    path = f"{lance_db}/nation.lance"
+    out = lance_sql(
+        spark,
+        f"SELECT n_name FROM '{path}' "
+        f"WHERE n_name IS DISTINCT FROM '{path}' ORDER BY n_name",
+    ).collect()
+    # the query must ANALYZE (pre-fix the literal was rewritten into
+    # an unresolvable view name) and keep every row, since all nation
+    # names differ from the path literal
+    total = lance_sql(
+        spark, f"SELECT COUNT(*) AS n FROM '{path}'"
+    ).first()["n"]
+    assert len(out) == total > 0

@@ -42,12 +42,16 @@ def test_extend_appends_never_rewrites(spark, incr_dir):
     assert base_files <= after  # every base file survives verbatim
     assert len(after) > len(base_files)  # and new files arrived
     # the new files live in a versioned DELTA dir published via meta,
-    # never inside the base postings/ (r7 ADVICE: all posting state
-    # goes through the atomic _meta.json snapshot)
+    # never inside the base postings dir (r7 ADVICE: all posting
+    # state goes through the atomic _meta.json snapshot; r8: names
+    # carry unique suffixes so rebuilds/retries never overwrite)
     meta = fts._read_fts_meta(d)
-    assert meta["postings_dirs"] == ["postings", "_postings_d1"]
+    assert len(meta["postings_dirs"]) == 2
+    base_dir, delta_dir = meta["postings_dirs"]
+    assert base_dir.startswith("postings")
+    assert delta_dir.startswith("_postings_d1")
     assert all(
-        os.path.join(d, "_postings_d1") in f for f in after - base_files
+        os.path.join(d, delta_dir) in f for f in after - base_files
     )
 
 
@@ -75,13 +79,19 @@ def test_crashed_extend_is_invisible_then_retry_replaces(
         fts.extend_fts_index(spark, d, tail)
     monkeypatch.undo()
     # orphan delta exists but no reader sees it
-    assert os.path.isdir(os.path.join(d, "_postings_d1"))
-    assert fts._read_fts_meta(d)["postings_dirs"] == ["postings"]
+    orphans = [
+        e for e in os.listdir(d) if e.startswith("_postings_d1")
+    ]
+    assert len(orphans) == 1
+    meta0 = fts._read_fts_meta(d)
+    assert len(meta0["postings_dirs"]) == 1
+    assert orphans[0] not in meta0["postings_dirs"]
     crashed_hits = fts.search_bm25(spark, d, list(fts.QUERY_TERMS)).collect()
     assert [r.asDict() for r in crashed_hits] == [
         r.asDict() for r in bulk_hits
     ]
-    # retry: same version, overwrite semantics — no double counting
+    # retry: stages its OWN fresh dir; only the published one is
+    # ever scanned — no double counting
     fts.extend_fts_index(spark, d, tail)
     full = str(tmp_path_factory.mktemp("ftscrashfull") / "index")
     fts.build_fts_index(spark, docs, full)
@@ -120,10 +130,11 @@ def test_generation_rotation_and_reclaim(spark, sf_dir, tmp_path_factory):
     assert fts._read_fts_meta(d) == meta
     # the PREVIOUS generation must survive (readers of the old meta),
     # the one two behind must be reclaimed
-    assert os.path.isdir(os.path.join(d, "_df_v1"))
-    assert os.path.isdir(os.path.join(d, "_stats_v1"))
-    assert not os.path.exists(os.path.join(d, "_df_v0"))
-    assert not os.path.exists(os.path.join(d, "_stats_v0"))
+    entries = os.listdir(d)
+    assert any(e.startswith("_df_v1") for e in entries)
+    assert any(e.startswith("_stats_v1") for e in entries)
+    assert not any(e.startswith("_df_v0") for e in entries)
+    assert not any(e.startswith("_stats_v0") for e in entries)
     # merged stats are the exact full-corpus integers
     row = spark.read.parquet(os.path.join(d, meta["stats_dir"])).first()
     tf = fts._term_freq(docs)
@@ -167,17 +178,23 @@ def test_rebuild_compacts_previous_generations(
     cut = lo + ((hi - lo + 1) * 2) // 3
     fts.build_fts_index(spark, docs.where(F.col("doc_id") < cut), d)
     fts.extend_fts_index(spark, d, docs.where(F.col("doc_id") >= cut))
-    assert os.path.isdir(os.path.join(d, "_postings_d1"))
+    assert any(
+        e.startswith("_postings_d1") for e in os.listdir(d)
+    )
     fts.build_fts_index(spark, docs, d)
-    leftovers = [
-        e
-        for e in os.listdir(d)
-        if e.startswith(("_postings_d",))
-        or (e.startswith("_df_v") and e != "_df_v0")
-        or (e.startswith("_stats_v") and e != "_stats_v0")
-    ]
-    assert leftovers == []
-    assert fts._read_fts_meta(d)["postings_dirs"] == ["postings"]
+    meta = fts._read_fts_meta(d)
+    assert len(meta["postings_dirs"]) == 1  # fresh base only
+    # the superseded life's dirs SURVIVE this rebuild as stale_dirs
+    # (in-flight readers of the previous meta keep their files)...
+    for stale in meta["stale_dirs"]:
+        assert os.path.isdir(os.path.join(d, stale)), stale
+    # ...and the NEXT maintenance op reclaims them
+    fts.extend_fts_index(
+        spark, d, docs.where(F.col("doc_id") >= cut)
+    )
+    entries = set(os.listdir(d))
+    for stale in meta["stale_dirs"]:
+        assert stale not in entries, stale
 
 
 def test_search_prunes_df_scan_too(spark, sf_dir, tmp_path_factory):
@@ -195,3 +212,10 @@ def test_search_prunes_df_scan_too(spark, sf_dir, tmp_path_factory):
         plan.count("PartitionFilters") >= 2
         and str(fts.bucket_of(term)) in plan
     )
+
+
+def test_build_refuses_empty_corpus(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ftsempty2") / "index")
+    docs = load(spark, sf_dir, "documents").where(F.lit(False))
+    with pytest.raises(ValueError, match="no indexable documents"):
+        fts.build_fts_index(spark, docs, d)

@@ -36,8 +36,8 @@ def test_streamed_index_meta_has_three_posting_dirs(
     index_dir = os.path.join(_STREAM_WORKDIR, tag, "ftsingestdst.lance.ftsidx")
     meta = _read_fts_meta(index_dir)
     assert meta["version"] == 2
-    assert meta["postings_dirs"] == [
-        "postings", "_postings_d1", "_postings_d2",
-    ]
-    for d in meta["postings_dirs"]:
+    assert len(meta["postings_dirs"]) == 3
+    prefixes = ("postings", "_postings_d1", "_postings_d2")
+    for d, pre in zip(meta["postings_dirs"], prefixes):
+        assert d.startswith(pre)
         assert os.path.isdir(os.path.join(index_dir, d))
