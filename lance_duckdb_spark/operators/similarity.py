@@ -192,36 +192,55 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 64x (one dgemm pass vs 64 broadcast passes): sf1 pair
         # scan 54s -> ~8s.
         c_ids, C, c_nrm = bc.value
+        # BLOCK the corpus columns: an unblocked batch x corpus
+        # score matrix is batch_rows*n_corpus*8 bytes — far past
+        # executor memory well under the NEARDUP_MAX_CORPUS guard
+        # (r8 review finding; the bucket_verify sibling blocks for
+        # the same reason). Pair selection and the exact fold are
+        # per-pair, so blocking changes no value.
+        blk = max(1, (64 << 20) // max(1, 8 * 4096))  # ~2048 cols
         for pdf in batches:
             X = np.array(list(pdf["embedding"]), dtype=np.float32).astype(np.float64)
             x_ids = pdf["vec_id"].to_numpy()
             if len(X) == 0:
                 continue
             x_nrm = _seq_norms(X)
-            approx = X @ C.T
-            denom = x_nrm[:, None] * c_nrm[None, :]
-            ai, bi = np.nonzero(
-                (x_ids[:, None] < c_ids[None, :])
-                & (approx >= (NEARDUP_THRESHOLD - 1e-6) * denom)
-            )
-            if len(ai) == 0:
+            out_a, out_b, out_c = [], [], []
+            for s in range(0, C.shape[0], blk):
+                Cb = C[s : s + blk]
+                cb_ids = c_ids[s : s + blk]
+                cb_nrm = c_nrm[s : s + blk]
+                approx = X @ Cb.T
+                denom = x_nrm[:, None] * cb_nrm[None, :]
+                ai, bi = np.nonzero(
+                    (x_ids[:, None] < cb_ids[None, :])
+                    & (approx >= (NEARDUP_THRESHOLD - 1e-6) * denom)
+                )
+                if len(ai) == 0:
+                    continue
+                A, B = X[ai], Cb[bi]
+                acc = np.zeros(len(ai))
+                for i in range(C.shape[1]):  # exact sequential fold
+                    acc += A[:, i] * B[:, i]
+                # DuckDB clamps cosine into [-1, 1] — mirror it
+                cos = np.clip(
+                    acc / (x_nrm[ai] * cb_nrm[bi]), -1.0, 1.0
+                )
+                keep = cos >= NEARDUP_THRESHOLD
+                out_a.append(x_ids[ai][keep])
+                out_b.append(cb_ids[bi][keep])
+                out_c.append(cos[keep])
+            if not out_a:
                 yield pd.DataFrame(
                     {"vec_a": [], "vec_b": [], "cos_sim": []}
                 ).astype({"vec_a": "int64", "vec_b": "int64",
                           "cos_sim": "float64"})
                 continue
-            A, B = X[ai], C[bi]
-            acc = np.zeros(len(ai))
-            for i in range(C.shape[1]):  # exact sequential fold
-                acc += A[:, i] * B[:, i]
-            # DuckDB clamps cosine into [-1, 1] — mirror it
-            cos = np.clip(acc / (x_nrm[ai] * c_nrm[bi]), -1.0, 1.0)
-            keep = cos >= NEARDUP_THRESHOLD
             yield pd.DataFrame(
                 {
-                    "vec_a": x_ids[ai][keep],
-                    "vec_b": c_ids[bi][keep],
-                    "cos_sim": cos[keep],
+                    "vec_a": np.concatenate(out_a),
+                    "vec_b": np.concatenate(out_b),
+                    "cos_sim": np.concatenate(out_c),
                 }
             )
 
@@ -334,25 +353,38 @@ IVF_NPROBE = 4
 def _ivf_assignments(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Deterministic IVF: centroids are the K lowest-vec_id vectors
     (stand-in for a k-means fit, which would be precomputed and
-    broadcast in production). Returns (centroids, assignments)."""
+    broadcast in production). Returns (centroids, assignments).
+
+    Norms are projected BEFORE the fan-out join (the
+    ann_topk_bruteforce discipline): an inlined cosine() holds three
+    unrolled 64-term dots per projection — past janino's 64 KB
+    method limit, forcing the whole assignment stage back to
+    interpreted eval (r8 review; arithmetic unchanged:
+    dot/(nrm*c_nrm), same fold, same clamp)."""
     from pyspark.sql import Window
 
-    centroids = emb.where(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    emb_n = emb.select(
+        "vec_id", "embedding", norm("embedding").alias("nrm")
     )
-    scored = emb.select(
-        F.col("vec_id"), F.col("embedding")
-    ).crossJoin(F.broadcast(centroids)).select(
+    centroids = emb_n.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    scored = emb_n.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "embedding",
+        "nrm",
         "centroid_id",
-        cosine("embedding", "ce").alias("c_sim"),
+        _clamp1(
+            _dot("embedding", "ce") / (F.col("nrm") * F.col("c_nrm"))
+        ).alias("c_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("centroid_id"))
     assignments = (
         scored.withColumn("crnk", F.row_number().over(w))
         .where(F.col("crnk") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select("vec_id", "embedding", "nrm", "centroid_id")
     )
     return centroids, assignments
 
@@ -371,15 +403,20 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     centroids, assignments = _ivf_assignments(emb)
+    # probe norms projected once, same rationale as _ivf_assignments
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        norm("embedding").alias("p_nrm"),
     )
     # nearest IVF_NPROBE buckets per probe
     probe_buckets = (
         probes.crossJoin(F.broadcast(centroids))
         .select(
-            "probe_id", "pe", "centroid_id",
-            cosine("pe", "ce").alias("c_sim"),
+            "probe_id", "pe", "p_nrm", "centroid_id",
+            _clamp1(
+                _dot("pe", "ce") / (F.col("p_nrm") * F.col("c_nrm"))
+            ).alias("c_sim"),
         )
         .withColumn(
             "brnk",
@@ -390,7 +427,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("brnk") <= IVF_NPROBE)
-        .select("probe_id", "pe", "centroid_id")
+        .select("probe_id", "pe", "p_nrm", "centroid_id")
     )
     # search only assigned buckets (equi-join on centroid_id)
     cands = probe_buckets.join(assignments, "centroid_id").where(
@@ -399,7 +436,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cands.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine("pe", "embedding").alias("cos_sim"),
+        _clamp1(
+            _dot("pe", "embedding") / (F.col("p_nrm") * F.col("nrm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -578,7 +617,11 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             C = X[i0 : i0 + blk] @ X.T
             C /= nrm[i0 : i0 + blk, None]
             C /= nrm[None, :]
-            ii, jj = np.nonzero(C >= NEARDUP_THRESHOLD)
+            # the proven-lossless 1e-6 margin (the `score` prefilter
+            # discipline): a borderline true pair whose BLAS cosine
+            # rounds a ulp under the threshold must still reach the
+            # exact JVM recheck, which alone decides (r8 review)
+            ii, jj = np.nonzero(C >= NEARDUP_THRESHOLD - 1e-6)
             ii += i0
             keep = ids[ii] < ids[jj]
             out_a.append(ids[ii][keep])
@@ -813,6 +856,19 @@ def ivf_neardup_pairs(
 
     def assign(batches):
         ids_c, Cm, nrm_c = bc.value
+        # clamp for tiny corpora / small k (r8 review: a fixed slice
+        # crashed with mismatched column lengths when k < NDUP_ASSIGN)
+        keep_n = min(NDUP_ASSIGN, len(Cm))
+        # BLOCK the centroids: at the operator's own k ~ n/500 recipe
+        # a dense batch x k accumulator is (rows*k*8) bytes — 160 GB
+        # per task at n=1e9 (r8 review). Per-block top-keep_n
+        # candidates then one merge select the same global top set:
+        # every per-pair cosine is still the full-dimension
+        # sequential fold (bit-identical), and any global top-keep_n
+        # member is its block's top-keep_n, so the candidate union
+        # provably contains the answer; the final lexsort applies
+        # the same (cos DESC, id ASC) tie-break.
+        cblk = 4096
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -820,20 +876,37 @@ def ivf_neardup_pairs(
                 np.float64
             )
             nx = _seq_norms(X)
-            # dimension-sequential dot: acc order per (x, c) pair is
-            # the scalar fold — bit-identical to the oracle
-            acc = np.zeros((len(X), len(Cm)))
-            for d in range(Cm.shape[1]):
-                acc += X[:, d, None] * Cm[None, :, d]
-            cos = np.clip(acc / (nx[:, None] * nrm_c[None, :]), -1.0, 1.0)
-            # rank by (cos DESC, centroid_id ASC) — argsort on
-            # (-cos, id) lexicographic, stable and exact
-            order = np.lexsort((np.broadcast_to(ids_c, cos.shape), -cos), axis=1)
-            top = order[:, :NDUP_ASSIGN]
+            rows = np.arange(len(X))[:, None]
+            cand_cos, cand_ids = [], []
+            for s in range(0, len(Cm), cblk):
+                Cb = Cm[s : s + cblk]
+                ib = ids_c[s : s + cblk]
+                nb = nrm_c[s : s + cblk]
+                # dimension-sequential dot: acc order per (x, c)
+                # pair is the scalar fold — bit-identical to the
+                # oracle regardless of blocking
+                acc = np.zeros((len(X), len(Cb)))
+                for d in range(Cb.shape[1]):
+                    acc += X[:, d, None] * Cb[None, :, d]
+                cos = np.clip(
+                    acc / (nx[:, None] * nb[None, :]), -1.0, 1.0
+                )
+                order = np.lexsort(
+                    (np.broadcast_to(ib, cos.shape), -cos), axis=1
+                )
+                t = order[:, : min(keep_n, len(Cb))]
+                cand_cos.append(cos[rows, t])
+                cand_ids.append(ib[t])
+            CC = np.concatenate(cand_cos, axis=1)
+            CI = np.concatenate(cand_ids, axis=1)
+            merged = np.lexsort((CI, -CC), axis=1)[:, :keep_n]
+            top_ids = CI[rows, merged]
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), NDUP_ASSIGN),
-                    "centroid_id": ids_c[top].reshape(-1),
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), keep_n
+                    ),
+                    "centroid_id": top_ids.reshape(-1),
                 }
             )
 

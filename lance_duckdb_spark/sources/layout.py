@@ -56,27 +56,52 @@ def write_zordered(
     n_fragments: int = 16,
     bits: int = Z_BITS,
     mode: str = "overwrite",
+    expected_version: int | None = None,
 ) -> None:
     """Write ``df`` as a lance dataset clustered by the Z-order of
-    ``cols`` across ``n_fragments`` fragments."""
+    ``cols`` across ``n_fragments`` fragments. ``expected_version``
+    adds the optimistic-concurrency option for OPTIMIZE's
+    read-then-overwrite (one implementation — the previous CAS twin
+    was a byte-level clone of this body; r8 review).
+
+    Refuses columns whose values cast('double') to NULL (non-numeric
+    strings, arrays): a NULL bucket silently degenerates every row
+    to bucket 0 on that dimension and the caller believes 2-D
+    pruning is in place while range scans prune nothing (r8
+    review)."""
     ca, cb = cols
     stats = df.agg(
         F.min(F.col(ca).cast("double")).alias("a_mn"),
         F.max(F.col(ca).cast("double")).alias("a_mx"),
         F.min(F.col(cb).cast("double")).alias("b_mn"),
         F.max(F.col(cb).cast("double")).alias("b_mx"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
+    if stats.n and (stats.a_mn is None or stats.b_mn is None):
+        bad = [
+            c
+            for c, mn in ((ca, stats.a_mn), (cb, stats.b_mn))
+            if mn is None
+        ]
+        raise ValueError(
+            f"write_zordered: columns {bad} have no numeric values "
+            "(cast to double is NULL everywhere) — a Z-order over "
+            "them would silently collapse to one dimension; pick "
+            "numeric/temporal columns"
+        )
     za = _bucket(F.col(ca), F.lit(stats.a_mn), F.lit(stats.a_mx), bits)
     zb = _bucket(F.col(cb), F.lit(stats.b_mn), F.lit(stats.b_mx), bits)
     keyed = df.withColumn("__z", z_value(za, zb, bits))
-    (
+    writer = (
         keyed.repartitionByRange(n_fragments, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.format("lance")
         .mode(mode)
-        .save(path)
     )
+    if expected_version is not None:
+        writer = writer.option("expectedVersion", str(expected_version))
+    writer.save(path)
 
 
 def optimize(
@@ -116,31 +141,13 @@ def optimize(
         .option("version", str(start_version))
         .load(root)
     )
-    _write_zordered_with_cas(
-        head, root, zorder_cols, n_fragments, bits, start_version
+    write_zordered(
+        head,
+        root,
+        zorder_cols,
+        n_fragments,
+        bits,
+        mode="overwrite",
+        expected_version=start_version,
     )
     return lf.read_manifest(root)
-
-
-def _write_zordered_with_cas(
-    df, path: str, cols, n_fragments: int, bits: int, expected_version: int
-) -> None:
-    ca, cb = cols
-    stats = df.agg(
-        F.min(F.col(ca).cast("double")).alias("a_mn"),
-        F.max(F.col(ca).cast("double")).alias("a_mx"),
-        F.min(F.col(cb).cast("double")).alias("b_mn"),
-        F.max(F.col(cb).cast("double")).alias("b_mx"),
-    ).first()
-    za = _bucket(F.col(ca), F.lit(stats.a_mn), F.lit(stats.a_mx), bits)
-    zb = _bucket(F.col(cb), F.lit(stats.b_mn), F.lit(stats.b_mx), bits)
-    keyed = df.withColumn("__z", z_value(za, zb, bits))
-    (
-        keyed.repartitionByRange(n_fragments, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.format("lance")
-        .mode("overwrite")
-        .option("expectedVersion", str(expected_version))
-        .save(path)
-    )

@@ -43,7 +43,12 @@ def upsert(
     spark: SparkSession, root: str, updates: DataFrame, key: str
 ) -> None:
     """Merge ``updates`` into the dataset at ``root`` by ``key``:
-    rows with matching keys are replaced, others appended."""
+    a KEY-SET REPLACE — every stored row whose key appears in
+    updates is dropped, every update row lands (so multiple update
+    rows per key replace the key's whole row-set; one-row-per-key
+    merges must deduplicate first). Updates must carry exactly the
+    dataset's schema — validated in both the overlapping and the
+    pure-append path (r8 review)."""
     register(spark)
     manifest = lf.read_manifest(root)
     # count alongside min/max: an all-NULL-key batch has lo==hi==None
@@ -51,6 +56,28 @@ def upsert(
     # append their null-key rows; all-null batches previously
     # returned early — inconsistent). Merge-by-NULL-key is undefined,
     # so reject loudly.
+    # schema check runs in BOTH paths: with no overlapping fragment
+    # the old flow committed updates verbatim under the old
+    # schema_json — a missing column silently null-filled on read, an
+    # extra one silently vanished (r8 review; the overlap path's
+    # unionByName raised loudly for the same input)
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    committed = StructType.fromJson(_json.loads(manifest.schema_json))
+    want = {f.name: f.dataType for f in committed.fields}
+    got = {f.name: f.dataType for f in updates.schema.fields}
+    if want != got:
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        retyped = sorted(
+            n for n in set(want) & set(got) if want[n] != got[n]
+        )
+        raise lf.LanceDatasetError(
+            "upsert updates schema does not match the dataset: "
+            f"missing={missing} extra={extra} retyped={retyped}"
+        )
     bounds = updates.selectExpr(
         f"min({key}) lo", f"max({key}) hi", "count(*) n",
         f"count({key}) n_keyed",
@@ -64,10 +91,19 @@ def upsert(
             "key, so these rows cannot merge — filter them or choose "
             "a non-null key"
         )
-    affected = [
-        f for f in manifest.fragments if _overlaps(f, key, bounds.lo, bounds.hi)
-    ]
-    carried = [f for f in manifest.fragments if f not in affected]
+    # NOTE on duplicate update keys (r8 review considered refusing
+    # them): this upsert is a KEY-SET REPLACE — every stored row
+    # whose key appears in updates is dropped and ALL update rows
+    # land, so multiple update rows per key are well-defined (the
+    # lance_upsert driver query replaces multi-row lineitem order
+    # keys this way). Callers wanting one-row-per-key merge must
+    # deduplicate (e.g. keep-latest) first.
+    # single pass + file-name identity: `f not in affected` was
+    # O(fragments x affected) deep dataclass comparisons including
+    # per-column stats dicts (r8 review)
+    affected, carried = [], []
+    for f in manifest.fragments:
+        (affected if _overlaps(f, key, bounds.lo, bounds.hi) else carried).append(f)
 
     # rewrite only the affected fragments: survivors ∪ updates go
     # through the lance writer into a staging dataset, then the
@@ -81,11 +117,6 @@ def upsert(
         # rewrite (data loss). Spark's parquet reader null-fills
         # columns absent from a given file when given an explicit
         # schema — the same semantics as the evolved scan path.
-        import json as _json
-
-        from pyspark.sql.types import StructType
-
-        committed = StructType.fromJson(_json.loads(manifest.schema_json))
         current = spark.read.schema(committed).parquet(*paths)
         with_dels = [f for f in affected if f.deletion_file]
         if with_dels:
