@@ -144,36 +144,48 @@ def main() -> None:
 
     # reference-engine baseline: the SAME headline queries, as their
     # DuckDB oracle SQL, on the same parquet with all cores — the
-    # apples-to-apples single-node number the repo is graded against
+    # apples-to-apples single-node number the repo is graded against.
+    # Failures are PER QUERY (recorded in errors): one bad oracle
+    # must lose one baseline point, never silently wipe the whole
+    # graded baseline (r8 review).
     duck_timings: dict[str, float] = {}
-    duck_total = 0.0
     try:
         import duckdb
 
-        from lance_duckdb_spark.registry import ORACLE_REGISTRY
+        from lance_duckdb_spark.tables import TABLES
 
         con = duckdb.connect()
-        for t in [
-            "region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events", "documents", "embeddings",
-        ]:
+        for t in TABLES:
             con.execute(
                 f"create view {t} as select * from "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
+    except Exception as e:  # no duckdb / unreadable data dir
+        errors["__duckdb_setup__"] = str(e)[:200]
+        con = None
+    if con is not None:
+        from lance_duckdb_spark.registry import ORACLE_REGISTRY
+
         for name in names:
             sql = ORACLE_REGISTRY.get(name)
             if sql is None or name in errors:
                 continue
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            duck_timings[name] = round(best, 4)
-            duck_total += best
-    except Exception:
-        duck_timings, duck_total = {}, 0.0
+            try:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    best = min(best, time.perf_counter() - t0)
+                duck_timings[name] = round(best, 4)
+            except Exception as e:
+                errors[f"duckdb:{name}"] = str(e)[:200]
+    duck_total = sum(duck_timings.values())
+    # the ratio compares MATCHED query sets only: a query that timed
+    # fresh but errored later (or whose oracle failed) contributes to
+    # neither side (r8 review — a one-sided entry skewed the band)
+    matched = [n for n in duck_timings if n in fresh_timings]
+    fresh_matched = sum(fresh_timings[n] for n in matched)
+    duck_matched = sum(duck_timings[n] for n in matched)
 
     # The driver records only the TAIL of stdout (~3 KB observed in
     # r4, which truncated the summary totals). So: the ONE printed
@@ -181,19 +193,27 @@ def main() -> None:
     # (~1.5 KB), and the full per-query breakdown (fresh-plan +
     # DuckDB baselines) is written to BENCH_DETAIL.json at the repo
     # root for the judge.
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        # a non-sf<NUM> dir basename must not throw AWAY a finished
+        # run at summary time (r8 review)
+        sf_num = None
     summary = {
         "metric": "headline_queries_total_steady_state",
         "value": round(total, 4),
         "unit": "sec",
-        "sf": float(sf) if sf else None,
+        "sf": sf_num,
         "n_queries": len(names),
         "cold_total_sec": round(cold_total, 4),
         "fresh_plan_total_sec": round(fresh_total, 4),
         **(
             {
                 "duckdb_total_sec": round(duck_total, 4),
-                "fresh_vs_duckdb_ratio": round(fresh_total / duck_total, 4)
-                if duck_total
+                "fresh_vs_duckdb_ratio": round(
+                    fresh_matched / duck_matched, 4
+                )
+                if duck_matched
                 else None,
             }
             if duck_timings

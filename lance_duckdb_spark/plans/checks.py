@@ -11,7 +11,15 @@ from pyspark.sql import DataFrame
 
 
 def executed_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The FINAL physical plan. After an AQE plan diverges (the
+    DataFrame was executed and adaptive re-planning changed it),
+    toString prints BOTH '== Final Plan ==' and '== Initial Plan =='
+    trees — keeping the initial tree would double-count exchanges
+    and report joins from the superseded plan (r8 review), so it is
+    sliced off."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    cut = plan.find("== Initial Plan ==")
+    return plan if cut < 0 else plan[:cut]
 
 
 def pushed_filters(df: DataFrame) -> str:
@@ -59,6 +67,7 @@ def exchange_count(df: DataFrame) -> int:
 
 def assert_no_quadratic_join(df: DataFrame) -> None:
     kinds = join_kinds(df)
-    assert "CartesianProduct" not in kinds and "BroadcastNestedLoopJoin" not in kinds, (
-        f"quadratic join in plan: {kinds}"
-    )
+    # explicit raise, not a bare assert: python -O strips asserts
+    # and would turn this guard into a silent no-op (r8 review)
+    if "CartesianProduct" in kinds or "BroadcastNestedLoopJoin" in kinds:
+        raise AssertionError(f"quadratic join in plan: {kinds}")

@@ -72,7 +72,15 @@ _MODULES = [
 def _merge(attr: str) -> dict:
     merged: dict = {}
     for mod in _MODULES:
-        entries = getattr(mod, attr, {})
+        if not hasattr(mod, attr):
+            # fail fast: a module silently contributing nothing would
+            # shrink the driver's window / strip oracles with no
+            # error — every listed module is mandatory declared
+            # surface (r8 review; module docstring contract)
+            raise AttributeError(
+                f"operator module {mod.__name__} has no {attr} dict"
+            )
+        entries = getattr(mod, attr)
         overlap = merged.keys() & entries.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
@@ -260,13 +268,14 @@ _RECHECK_R8: set = {
 # _RECHECK_R8 members lead.
 #
 # r9 rotation note: the r8 driver window is the first 50 of the
-# current order — the 4 queries new in r8 (contamination_bloom,
-# ann_sq8_topk, ann_sq8_indexed, stream_fts_ingest), the
-# hash-changed chunk_documents (_RECHECK_R8, tail-covering chunker),
-# the 31 stalest r5 entries above, and 14 r6-green fills. When
+# current order — the 5 queries new in r8 (contamination_bloom,
+# ann_sq8_topk, ann_sq8_indexed, stream_fts_ingest, lance_take),
+# the hash-changed chunk_documents (_RECHECK_R8, tail-covering
+# chunker), the 31 stalest r5 entries above, and 13 r6-green fills
+# (6 + 31 + 13 = 50; verified by executing the rotation). When
 # CORRECTNESS_r08.json lands, record its green set as _GREEN_R8 in
-# `rounds` so the r9 window sweeps the remaining r6 entries plus the
-# now-stalest r7 set. Registry total at r8 close: 135.
+# `rounds` so the r9 window sweeps the remaining r6 entries plus
+# the now-stalest r7 set. Registry total at r8 close: 136.
 
 
 def _rotate(merged: dict) -> dict:
