@@ -267,29 +267,47 @@ _RECHECK_R8: set = {
 # remaining ~19 slots (module order). New r8 queries and
 # _RECHECK_R8 members lead.
 #
-# r9 rotation note: the r8 driver window is the first 50 of the
-# current order — the 5 queries new in r8 (contamination_bloom,
-# ann_sq8_topk, ann_sq8_indexed, stream_fts_ingest, lance_take),
-# the hash-changed chunk_documents (_RECHECK_R8, tail-covering
-# chunker), the 31 stalest r5 entries above, and 13 r6-green fills
-# (6 + 31 + 13 = 50; verified by executing the rotation). When
-# CORRECTNESS_r08.json lands, record its green set as _GREEN_R8 in
-# `rounds` so the r9 window sweeps the remaining r6 entries plus
-# the now-stalest r7 set. Registry total at r8 close: 136.
+# All 50 rows CORRECTNESS_r08 recorded — every one hash-exact (the 5
+# r8-new queries, the hash-changed chunk_documents, the 31 stalest r5
+# entries, and 13 r6-green fills).
+_GREEN_R8 = {
+    "ann_ivf", "ann_ivf_indexed", "ann_ivf_pq", "ann_sq8_indexed",
+    "ann_sq8_topk", "anti_semi_joins", "array_functions",
+    "asof_join_events_orders", "bucketed_colocated_join", "char_entropy",
+    "chunk_documents", "contamination_bloom", "contamination_check",
+    "cross_source_overlap", "doc_fingerprint", "domain_mix",
+    "embedding_neardup_lsh", "group_quantile_arrays", "lance_stats_pushdown",
+    "lance_take", "lang_id", "pii_redact", "quality_score",
+    "range_join_events", "repetition_filter", "sequence_packing",
+    "sessionize_events", "sketch_distinct_rollup", "stream_fts_ingest",
+    "text_normalize", "token_count", "tpch_q1", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q2",
+    "tpch_q20", "tpch_q21", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q8", "tpch_q9", "url_domain_stats", "window_rank_functions",
+}
+
+# Queries whose HASHED OUTPUT changes in r9 go here (treated as
+# never-verified so they lead the window).
+_RECHECK_R9: set = set()
+
+# r9 rotation note: with _GREEN_R8 folded in, the window leads with
+# any r9-new queries + _RECHECK_R9 members, then the stalest tier —
+# the 37 r6-green entries the r8 window did not re-sweep — then
+# r7-green entries (stale one round) fill the remainder. r8-green is
+# the freshest tier. Verified by executing the rotation before
+# commit. Registry total at r8 close: 136.
 
 
 def _rotate(merged: dict) -> dict:
-    # Round-8 window: (1) brand-new queries + r8 hash-output changes,
-    # (2) the 31 r5-green entries the r7 window skipped, (3) r6-green
-    # entries by module order until the window fills; r7-green is the
-    # freshest tier. Within each tier module order holds.
+    # Tiers by last-verified round (never-verified / recheck first);
+    # within each tier the natural module order holds.
     rounds = [
         _GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4, _GREEN_R5, _GREEN_R6,
-        _GREEN_R7,
+        _GREEN_R7, _GREEN_R8,
     ]
 
     def last_verified(k: str) -> int:
-        if k in _RECHECK_R8:
+        if k in _RECHECK_R9:
             return 0
         return max(
             (i + 1 for i, s in enumerate(rounds) if k in s), default=0
