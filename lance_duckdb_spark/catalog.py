@@ -144,13 +144,23 @@ def register_lance_views(
 # reference's replacement scan gets the same positional context from
 # DuckDB's parser
 _PATH_RE = re.compile(
-    # the fixed-width negative lookbehind rejects `IS [NOT] DISTINCT
-    # FROM '<path>.lance'` — there FROM is an operator keyword, not a
-    # table position, and rewriting the literal produced an
-    # unresolvable column reference (r8 review finding)
-    r"""(?<!DISTINCT\s)\b((?:FROM|JOIN)\s+)(['"`])([^'"`]+\.lance)\2""",
+    r"""\b((?:FROM|JOIN)\s+)(['"`])([^'"`]+\.lance)\2""",
     re.IGNORECASE,
 )
+
+# `IS [NOT] DISTINCT FROM '<path>.lance'` — there FROM is an operator
+# keyword, not a table position, and rewriting the literal produced an
+# unresolvable column reference (r8 review finding). A lookbehind can't
+# guard this (Python lookbehinds are fixed-width; `DISTINCT\s` misses
+# `DISTINCT  FROM` / tab / newline, r9 advice), so the matcher checks
+# the preceding token explicitly.
+_DISTINCT_TAIL_RE = re.compile(r"(?is)\bDISTINCT\s*$")
+
+
+def _in_table_position(sql: str, m: re.Match) -> bool:
+    """False when the FROM the match starts with is the operator in
+    ``IS [NOT] DISTINCT FROM`` rather than a table clause."""
+    return _DISTINCT_TAIL_RE.search(sql, 0, m.start()) is None
 
 
 def _narrowed_schema(path: str, sql: str):
@@ -439,6 +449,8 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     used_views: set[str] = set()
 
     def _sub(m: re.Match) -> str:
+        if not _in_table_position(sql, m):
+            return m.group(0)
         path = m.group(3)
         if not _is_lance_dataset(path):
             return m.group(0)

@@ -829,18 +829,31 @@ def take_rows(
     # driver-side mapping: global index -> (fragment, local position)
     per_frag: dict[str, list[int]] = {}
     start = 0
+    last_hit_end = 0  # physical end offset of the last fragment with a hit
     for frag in man.fragments:
         end = start + frag.num_rows
         local = [i - start for i in indices if start <= i < end]
         if local:
-            if frag.deletion_file is not None:
-                raise lf.LanceDatasetError(
-                    f"take_rows: fragment {frag.file!r} carries a "
-                    "deletion vector; positional take over masked "
-                    "rows is not supported — compact() first"
-                )
             per_frag[frag.file] = sorted(local)
+            last_hit_end = end
         start = end
+    # Offsets above use PHYSICAL num_rows, so a deletion vector on any
+    # fragment at-or-before the last hit shifts every later logical
+    # position — a non-hit dv fragment corrupts the mapping just as a
+    # hit one does. Refuse for the whole prefix, not only hit
+    # fragments (r9 advice: lance_ops take_rows dv-prefix gap).
+    start = 0
+    for frag in man.fragments:
+        if start >= last_hit_end:
+            break
+        if frag.deletion_file is not None:
+            raise lf.LanceDatasetError(
+                f"take_rows: fragment {frag.file!r} carries a "
+                "deletion vector at-or-before the last requested "
+                "position; positional take over masked rows is not "
+                "supported — compact() first"
+            )
+        start += frag.num_rows
     if not per_frag:
         return spark.createDataFrame([], schema)
     tasks = spark.createDataFrame(

@@ -225,12 +225,61 @@ def _encoded(emb: DataFrame) -> DataFrame:
     )
 
 
+def _sq8_meta_path(store_dir: str) -> str:
+    import os
+
+    return os.path.join(store_dir, "_meta.json")
+
+
+def _publish_sq8_meta(store_dir: str, meta: dict) -> None:
+    """Atomic publish (tmp write + os.replace) — a reader sees either
+    the old part list or the new one, never a torn state. Same
+    discipline as the FTS index meta (operators/fts.py)."""
+    import json as _json
+    import os
+
+    tmp = _sq8_meta_path(store_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    os.replace(tmp, _sq8_meta_path(store_dir))
+
+
+def _sq8_parts(store_dir: str) -> list[str]:
+    import json as _json
+
+    with open(_sq8_meta_path(store_dir)) as fh:
+        return _json.load(fh)["parts"]
+
+
+def read_sq8_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The served view of the store: the union of exactly the parts
+    the published meta lists — staged-but-unpublished increments
+    (crash debris, in-flight retries) are invisible."""
+    import os
+
+    return spark.read.parquet(
+        *[os.path.join(store_dir, p) for p in _sq8_parts(store_dir)]
+    )
+
+
 def build_sq8_store(spark: SparkSession, emb: DataFrame, store_dir: str) -> None:
     """Persist the SQ8 tier — 4x smaller than float32 vectors (codes
     are array<tinyint>; the three bound doubles amortize over dim).
     Once written, serving never recomputes anything from originals
-    except the final exact rescore of bound-surviving candidates."""
-    _encoded(emb).write.mode("overwrite").parquet(store_dir)
+    except the final exact rescore of bound-surviving candidates.
+
+    Layout: each build/extend increment is its own uniquely-named
+    ``part_<hex>`` subdir; ONE atomic ``_meta.json`` replace names
+    the served parts (the FTS index publish pattern, fts.py)."""
+    import os
+    import uuid as _uuid
+
+    os.makedirs(store_dir, exist_ok=True)
+    part = f"part_{_uuid.uuid4().hex[:8]}"
+    _encoded(emb).write.mode("overwrite").parquet(
+        os.path.join(store_dir, part)
+    )
+    _publish_sq8_meta(store_dir, {"parts": [part]})
 
 
 def extend_sq8_store(
@@ -238,15 +287,26 @@ def extend_sq8_store(
 ) -> None:
     """O(appended vectors) store maintenance: SQ8 encoding is purely
     per-vector (scale, codes, norm, L1 never depend on other rows),
-    so extending the store is an append of newly encoded rows — no
-    global statistic to merge, no generation to version, exact by
-    construction. The df/stats generation machinery the FTS index
-    needs (operators/fts.py) is unnecessary here; a crashed append
-    leaves a partial parquet write that Spark's _SUCCESS-less dir
-    read ignores at worst and a retry overwrites at best — for
-    stricter semantics write increments to their own subdirs and
-    list them in a meta, exactly the FTS pattern."""
-    _encoded(new_emb).write.mode("append").parquet(store_dir)
+    so extending the store is one newly-encoded part — no global
+    statistic to merge. Crash safety comes from the staged-publish
+    layout, not from parquet append semantics: the increment lands
+    in its own ``part_<hex>`` subdir and becomes visible only via
+    the atomic meta replace, so a crash at ANY point (mid-write or
+    between write and publish) leaves the served store untouched,
+    and a retry writes a fresh part and publishes once — never a
+    double-append (r9 advice: mode('append') retries duplicated
+    rows, and duplicate (probe, neighbor) candidates double-rank a
+    neighbor in the served top-k)."""
+    import os
+    import uuid as _uuid
+
+    part = f"part_{_uuid.uuid4().hex[:8]}"
+    _encoded(new_emb).write.mode("overwrite").parquet(
+        os.path.join(store_dir, part)
+    )
+    _publish_sq8_meta(
+        store_dir, {"parts": _sq8_parts(store_dir) + [part]}
+    )
 
 
 def ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,7 +398,7 @@ def ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"probe_id": "int64", "neighbor_id": "int64"}
             )
 
-    store = spark.read.parquet(store_dir)
+    store = read_sq8_store(spark, store_dir)
     candidates = spread(store).mapInPandas(
         probe_store, "probe_id long, neighbor_id long"
     )

@@ -84,6 +84,38 @@ ORDER BY hour_idx, event_type
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
+def _merge_session_intervals(
+    state: tuple | None, ts: list[int]
+) -> tuple[list[tuple], tuple]:
+    """The cross-batch session algebra of stateful_sessions_stream,
+    extracted for direct unit testing (the streaming harness cannot
+    produce its hardest input — a watermark-legal event more than a
+    gap before the open session's start — while gap > watermark
+    delay). Returns (closed_intervals, open_state); each interval is
+    (start_ts, last_ts, n_events). ``ts`` must be sorted ascending;
+    ``ts`` non-empty or ``state`` not None."""
+    intervals: list[list] = []
+    if state is not None:
+        intervals.append(list(state))
+    cur = None
+    for t in ts:
+        if cur is not None and t - cur[1] <= SESSION_GAP_US:
+            cur[1] = t
+            cur[2] += 1
+        else:
+            cur = [t, t, 1]
+            intervals.append(cur)
+    intervals.sort(key=lambda iv: (iv[0], iv[1]))
+    merged: list[list] = []
+    for iv in intervals:
+        if merged and iv[0] - merged[-1][1] <= SESSION_GAP_US:
+            merged[-1][1] = max(merged[-1][1], iv[1])
+            merged[-1][2] += iv[2]
+        else:
+            merged.append(iv)
+    return [tuple(iv) for iv in merged[:-1]], tuple(merged[-1])
+
+
 def stateful_sessions_stream(events: DataFrame) -> DataFrame:
     """Per-user gap sessionization with explicit state across
     micro-batches (applyInPandasWithState) and *watermark-driven
@@ -99,7 +131,11 @@ def stateful_sessions_stream(events: DataFrame) -> DataFrame:
     against an unbounded stream at 100 TB/day.
 
     Session bounds use the same convention as
-    :func:`session_window_native`: ``end = last_ts + gap``.
+    :func:`session_window_native`: ``end = last_ts + gap``. A
+    watermark-legal event more than a gap BEFORE the open session's
+    start forms its own earlier session (emitted at once) rather
+    than stretching the open session backward — the split the native
+    convention implies (r9 advice).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -141,31 +177,28 @@ def stateful_sessions_stream(events: DataFrame) -> DataFrame:
             for pdf in pdfs:
                 ts.extend(pdf["ts_us"].tolist())
             ts.sort()
-            if state.exists:
-                start_ts, last_ts, n_events = state.get
-            else:
-                start_ts, last_ts, n_events = None, None, 0
-            for t in ts:
-                if last_ts is not None and t - last_ts > SESSION_GAP_US:
-                    closed.append(
-                        (key[0], start_ts, last_ts + SESSION_GAP_US, n_events)
-                    )
-                    start_ts, n_events = None, 0
-                if start_ts is None:
-                    start_ts = t
-                # cross-batch disorder: a watermark-legal LATE event
-                # (t inside the open session) must never move last_ts
-                # backward — a later in-gap event would compute its
-                # gap from the stale earlier instant and falsely
-                # close the session (r8 review finding). Within a
-                # batch ts is sorted; across batches take min/max.
-                start_ts = min(start_ts, t)
-                last_ts = t if last_ts is None else max(last_ts, t)
-                n_events += 1
-            state.update((start_ts, last_ts, n_events))
-            # timeout is in MILLIS of event time; fires once the
-            # watermark passes the instant the session's gap expires
-            state.setTimeoutTimestamp((last_ts + SESSION_GAP_US) // 1000)
+            # Interval algebra over cross-batch disorder (r8/r9
+            # findings): batch events gap-split into (first, last, n)
+            # intervals; the open state session is one more interval.
+            # Chains within SESSION_GAP_US merge (an in-session late
+            # event lands INSIDE the state span and must not move
+            # last_ts backward or falsely close anything); a
+            # severely-late event — start_ts - t > gap, watermark-
+            # legal — stays its OWN earlier interval (emitted at
+            # once: bounded state, one open interval per user),
+            # matching the session_window_native convention instead
+            # of being absorbed backward into the open session.
+            if ts or state.exists:
+                done, open_iv = _merge_session_intervals(
+                    state.get if state.exists else None, ts
+                )
+                for s0, l0, n0 in done:
+                    closed.append((key[0], s0, l0 + SESSION_GAP_US, n0))
+                s0, l0, n0 = open_iv
+                state.update((s0, l0, n0))
+                # timeout is in MILLIS of event time; fires once the
+                # watermark passes the session's gap-expiry instant
+                state.setTimeoutTimestamp((l0 + SESSION_GAP_US) // 1000)
         yield pd.DataFrame(
             closed, columns=["user_id", "start_us", "end_us", "n_events"]
         )

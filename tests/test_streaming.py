@@ -167,6 +167,49 @@ def test_session_state_eviction_on_timeout(spark, tmp_path):
     )
 
 
+def test_session_interval_merge_algebra():
+    """Direct unit coverage of the cross-batch session algebra (r9
+    advice): a severely-late event splits into its own EARLIER
+    session instead of stretching the open session backward; in-gap
+    late events merge without moving last_ts backward; forward gaps
+    still close."""
+    from lance_duckdb_spark.streaming.jobs import (
+        SESSION_GAP_US as GAP,
+        _merge_session_intervals as merge,
+    )
+
+    t0 = 1_600_000_000_000_000
+    # forward gap closes the open session
+    done, open_iv = merge((t0, t0 + 10, 3), [t0 + GAP + 11])
+    assert done == [(t0, t0 + 10, 3)]
+    assert open_iv == (t0 + GAP + 11, t0 + GAP + 11, 1)
+    # in-gap late event: absorbed, last_ts NOT moved backward
+    done, open_iv = merge((t0, t0 + 1000, 2), [t0 + 500])
+    assert done == []
+    assert open_iv == (t0, t0 + 1000, 3)
+    # severely-late event (> gap before start): its OWN earlier
+    # session, open session untouched (pre-fix: start stretched back)
+    late = t0 - GAP - 5
+    done, open_iv = merge((t0, t0 + 10, 2), [late])
+    assert done == [(late, late, 1)]
+    assert open_iv == (t0, t0 + 10, 2)
+    # two severely-late stragglers within a gap of each other form
+    # ONE earlier session (far enough back that neither bridges)
+    late2 = t0 - 2 * GAP
+    done, open_iv = merge((t0, t0 + 10, 2), [late2, late2 + 100])
+    assert done == [(late2, late2 + 100, 2)]
+    assert open_iv == (t0, t0 + 10, 2)
+    # late event within a gap of the open START bridges into it
+    near_late = t0 - GAP
+    done, open_iv = merge((t0, t0 + 10, 2), [near_late])
+    assert done == []
+    assert open_iv == (near_late, t0 + 10, 3)
+    # fresh state (no prior session)
+    done, open_iv = merge(None, [t0, t0 + 1, t0 + GAP + 2])
+    assert done == [(t0, t0 + 1, 2)]
+    assert open_iv == (t0 + GAP + 2, t0 + GAP + 2, 1)
+
+
 def test_stream_sink_restart_is_exactly_once(spark, sf_dir, events_lance, tmp_path):
     """Re-running the stream with the same checkpoint AND a stable
     txnAppId must not double-append (epoch replay detection is keyed
