@@ -64,10 +64,24 @@ KNN_QUERY_MOD = 10  # query relation: vec_id % 10 == 7 (~10% slice)
 KNN_QUERY_REM = 7
 
 
+# The all-declarative KNN join is QUARANTINED as a small-scale
+# diagnostic: the r7 sf10 smoke measured its constants superlinear
+# one decade up even at scaled k (scalar n*k codegen assignment fan +
+# hot-bucket skew in the per-pair Arrow scoring stage — details in
+# the ann_knn_join docstring). It refuses corpora past this bound and
+# points at ann_knn_join_vectorized, the bit-identical
+# (test-asserted) measured-linear scale path.
+KNN_DECLARATIVE_MAX_CORPUS = 100_000
+
+
 def ann_knn_join(
     spark: SparkSession, sf_dir: str, k_centroids: int = IVF_K
 ) -> DataFrame:
-    """``k_centroids`` MUST scale with the corpus in production
+    """SMALL-SCALE DIAGNOSTIC / ORACLE-REFERENCE ONLY — not a 100 TB
+    path (see KNN_DECLARATIVE_MAX_CORPUS above;
+    ann_knn_join_vectorized is the bit-identical scale route).
+
+    ``k_centroids`` MUST scale with the corpus in production
     (k ~ n/500, exactly like ivf_neardup_pairs): per-query candidate
     work is corpus/k * nprobe * assign, so a FIXED k makes the join
     quadratic in corpus size — the r7 scale smoke measured exactly
@@ -88,6 +102,15 @@ def ann_knn_join(
     all-declarative form as the oracle-replicable reference
     implementation; route >10x corpora through the C42-style path."""
     emb = load(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    if n_corpus > KNN_DECLARATIVE_MAX_CORPUS:
+        raise ValueError(
+            f"ann_knn_join is the small-scale declarative reference "
+            f"form (measured superlinear one decade up) and refuses "
+            f"corpora past {KNN_DECLARATIVE_MAX_CORPUS} vectors (got "
+            f"{n_corpus}); use ann_knn_join_vectorized — bit-identical "
+            "output, measured-linear constants"
+        )
     # norms projected ONCE before every join (the ann_topk_bruteforce
     # codegen lesson, proven bit-identical to list_cosine_similarity):
     # inlining cosine() in the assignment stages would re-unroll both

@@ -172,8 +172,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"embedding_neardup is the exact O(N²) baseline and bounds "
             f"its broadcast corpus at {NEARDUP_MAX_CORPUS} vectors "
-            f"(got {n_corpus}); use embedding_neardup_lsh, the "
-            "bucketed scale path, for larger corpora"
+            f"(got {n_corpus}); use embedding_neardup_ivf (the "
+            "SemDeDup-style bucketed scale path) for larger corpora"
         )
     ids, corpus = _corpus_matrix(emb)
     corpus_norms = _seq_norms(corpus)
@@ -670,16 +670,37 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("vec_a", "vec_b")
 
 
+# embedding_neardup_lsh is QUARANTINED as a small-scale diagnostic:
+# the r7 sf10 smoke measured its 3-bit sign-RP bands pruning random
+# pairs only ~2x (quadratic candidate growth), so it was RETIRED from
+# the 100 TB claim (SURVEY C18). It refuses corpora past this bound
+# and points at embedding_neardup_ivf, the measured-linear scale
+# path, instead of letting a user mistake it for production.
+LSH_DIAGNOSTIC_MAX_CORPUS = 100_000
+
+
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query (hash-exact as of r5; previously rows-only): the
-    exact near-dup pair set (same rows as ``embedding_neardup``,
-    DuckDB-replicable) plus one constant ``lsh_recall_ok`` boolean —
-    the banded-LSH pair set recalls >= LSH_RECALL_BOUND of the exact
-    pairs. The seeded random hyperplanes make the LSH set
-    deterministic but not SQL-expressible, so the recall AUDIT is the
-    hashed artifact: the oracle asserts TRUE, and a recall regression
-    flips the flag and fails the driver hash. tests/test_llm_ops.py
-    keeps the tighter per-sf recall assertion."""
+    """SMALL-SCALE DIAGNOSTIC ONLY — not a 100 TB path (see
+    LSH_DIAGNOSTIC_MAX_CORPUS above; embedding_neardup_ivf is the
+    scale route). Driver query (hash-exact as of r5; previously
+    rows-only): the exact near-dup pair set (same rows as
+    ``embedding_neardup``, DuckDB-replicable) plus one constant
+    ``lsh_recall_ok`` boolean — the banded-LSH pair set recalls >=
+    LSH_RECALL_BOUND of the exact pairs. The seeded random
+    hyperplanes make the LSH set deterministic but not
+    SQL-expressible, so the recall AUDIT is the hashed artifact: the
+    oracle asserts TRUE, and a recall regression flips the flag and
+    fails the driver hash. tests/test_llm_ops.py keeps the tighter
+    per-sf recall assertion."""
+    n_corpus = load(spark, sf_dir, "embeddings").count()
+    if n_corpus > LSH_DIAGNOSTIC_MAX_CORPUS:
+        raise ValueError(
+            f"embedding_neardup_lsh is a small-scale recall DIAGNOSTIC "
+            f"(sign-RP bands measured pruning random pairs only ~2x at "
+            f"10x data) and refuses corpora past "
+            f"{LSH_DIAGNOSTIC_MAX_CORPUS} vectors (got {n_corpus}); "
+            "use embedding_neardup_ivf, the measured-linear scale path"
+        )
     exact = embedding_neardup(spark, sf_dir)
     lsh = lsh_neardup_pairs(spark, sf_dir)
     return _with_recall_flag(

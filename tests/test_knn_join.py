@@ -175,3 +175,13 @@ def test_vectorized_variant_scaled_k(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_declarative_form_refuses_large_corpus(spark, sf_dir, monkeypatch):
+    """The quarantine guard (r8 VERDICT item 3): the all-declarative
+    form is a small-scale diagnostic — past the documented corpus
+    bound it must refuse loudly and name the bit-identical
+    vectorized scale path, never run superlinear work silently."""
+    monkeypatch.setattr(knn_join, "KNN_DECLARATIVE_MAX_CORPUS", 1)
+    with pytest.raises(ValueError, match="ann_knn_join_vectorized"):
+        knn_join.ann_knn_join(spark, sf_dir).collect()

@@ -406,3 +406,14 @@ def test_ivf_neardup_planted_duplicates_recall(spark, tmp_path):
     assert recall >= 0.85, f"planted-dup recall {recall}"
     # no false positives at 6.4-sigma threshold on isotropic noise
     assert got <= planted
+
+
+def test_lsh_diagnostic_refuses_large_corpus(spark, sf_dir, monkeypatch):
+    """The quarantine guard (r8 VERDICT item 3): the sign-RP LSH
+    recall diagnostic must refuse corpora past its documented bound
+    and name embedding_neardup_ivf as the scale path."""
+    import pytest
+
+    monkeypatch.setattr(similarity, "LSH_DIAGNOSTIC_MAX_CORPUS", 1)
+    with pytest.raises(ValueError, match="embedding_neardup_ivf"):
+        similarity.embedding_neardup_lsh(spark, sf_dir).collect()
