@@ -33,6 +33,26 @@ within hash slack; quadratic blowup would be ~100x). With --only,
 just the named ops re-run; every other op's row is carried over
 from the existing SCALE_SMOKE.json so one new op doesn't cost a
 full ~20-minute re-measure of the stable ones.
+
+Tier 3 (r9, the second measured decade): ``--tier3 [sfd100_dir]``
+re-runs the TIER3 roster at a 1000-fold decorrelated amplification
+(.data/sfd100 by default, gen_sf.py k=1000) and records
+sf100_rows/sf100_sec plus ratios AGAINST THE sf10 LEG — two
+independently measured decades. Roster notes (no silent caps):
+
+- ngram_jaccard is EXCLUDED at tier 3 for output size, not operator
+  cost: its result set is itself ~0.5B rows at sfd100 (11x per
+  decade, measured) — a ~2h count-only run that measures the
+  parquet writer more than the operator. Its one-decade linearity
+  stands as measured.
+- embedding_ivf_neardup / ann_knn_join_vec are EXCLUDED at tier 3
+  by ALGEBRA, not evasion: with the ~500-per-bucket rule their flat
+  centroid assignment is O(n*k) = O(n^2/500) BY CONSTRUCTION — at
+  2.1M vectors that is ~560G rank-1 MACs and a per-task n_part*k
+  score matrix in the GBs. The third decade of a flat IVF requires
+  a coarse-quantizer level (route rows to a sqrt(k)-sized first
+  tier, then assign within); documented as the known flat-IVF bound
+  in similarity.py / knn_join.py rather than half-measured here.
 """
 
 from __future__ import annotations
@@ -49,16 +69,34 @@ LINEAR_LO, LINEAR_HI = 5.0, 25.0
 SCAN_SEC_HI = 20.0  # "scan"-kind ops gate on runtime ratio instead
 
 
+# The ops re-measured one decade further at --tier3, cheap-first so
+# a crash preserves the most rows (see module docstring for why
+# ngram_jaccard and the two IVF legs are excluded there).
+TIER3_OPS = [
+    "ann_sq8_topk_scan",
+    "minhash_lsh_candidates",
+    "dedup_minhash_lsh_pairs",
+    "dedup_incremental_pairs",
+    "contamination_bloom_grams",
+    "perplexity_score_rows",
+    "dedup_span_dup_grams",
+]
+
+
 def main() -> None:
     only: set[str] | None = None
+    tier3 = False
     pos = []
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = {t for t in a.split("=", 1)[1].split(",") if t}
+        elif a == "--tier3":
+            tier3 = True
         else:
             pos.append(a)
     sfd1 = pos[0] if len(pos) > 0 else os.path.join(REPO, ".data/sfd1")
     sfd10 = pos[1] if len(pos) > 1 else os.path.join(REPO, ".data/sfd10")
+    sfd100 = pos[2] if len(pos) > 2 else os.path.join(REPO, ".data/sfd100")
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import functions as F
@@ -172,6 +210,75 @@ def main() -> None:
         with open(json_path, "w") as fh:
             json.dump(results, fh, indent=1)
 
+    if tier3:
+        # second measured decade: amend existing rows in place, never
+        # re-run the sf1/sf10 legs (they are the carried baseline)
+        with open(json_path) as fh:
+            results = json.load(fh)
+        roster = [
+            n for n in TIER3_OPS if only is None or n in only
+        ]
+        for name in roster:
+            fn, kind = OPS[name]
+            row = results[name]
+            if "sf10_rows" not in row:
+                raise SystemExit(
+                    f"{name} has no sf10 leg to ratio against — run the "
+                    "two-tier smoke first"
+                )
+            try:
+                t0 = time.perf_counter()
+                n = fn(sfd100)
+                row["sf100_rows"] = n
+                row["sf100_sec"] = round(time.perf_counter() - t0, 2)
+                row["row_ratio_100"] = (
+                    round(row["sf100_rows"] / row["sf10_rows"], 2)
+                    if row["sf10_rows"]
+                    else None
+                )
+                row["sec_ratio_100"] = (
+                    round(row["sf100_sec"] / row["sf10_sec"], 2)
+                    if row["sf10_sec"]
+                    else None
+                )
+                if kind == "pairs":
+                    r = row["row_ratio_100"]
+                    row["linear_ok_100"] = (
+                        r is not None and LINEAR_LO <= r <= LINEAR_HI
+                    )
+                else:
+                    s = row["sec_ratio_100"]
+                    row["linear_ok_100"] = (
+                        s is not None and s <= SCAN_SEC_HI
+                    )
+                print(name, "sf100", row, flush=True)
+            except Exception as exc:  # noqa: BLE001
+                row["status"] = "error"
+                msg = f"{type(exc).__name__}: {exc}"[:500]
+                row["error"] = msg.replace("\n", " ").replace("|", "/")
+                print(name, "ERROR", row["error"], flush=True)
+                _dump(results)
+                try:
+                    spark.sql("SELECT 1").collect()
+                except Exception:
+                    print("JVM unreachable; aborting remaining ops",
+                          flush=True)
+                    break
+            _dump(results)
+        _write_md(results)
+        bad = [
+            n for n, r in results.items()
+            if r.get("linear_ok") is False
+            or r.get("linear_ok_100") is False
+            or r.get("status") == "error"
+        ]
+        print("BAD:", bad)
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        sys.exit(1 if bad else 0)
+
     results: dict = {}
     if only is not None:
         unknown = only - OPS.keys()
@@ -236,37 +343,55 @@ def main() -> None:
         spark.stop()
     except Exception:
         pass
+    _write_md(results)
+    bad = [
+        n for n, r in results.items()
+        if r.get("linear_ok") is False
+        or r.get("linear_ok_100") is False
+        or r.get("status") == "error"
+    ]
+    print("BAD:", bad)
+    sys.exit(1 if bad else 0)
+
+
+def _write_md(results: dict) -> None:
     lines = [
-        "# SF10 scale smoke",
+        "# Scale smoke (two measured decades)",
         "",
-        "Decorrelated 10x/100x amplification of sf0.1 documents +",
+        "Decorrelated 10x/100x/1000x amplification of sf0.1 documents +",
         "embeddings (`tools/gen_sf.py --decorrelate`; see module",
         "docstring of tools/run_scale_smoke.py for why plain key-offset",
         "replication cannot measure pair-count linearity). A pair-count",
         f"ratio inside [{LINEAR_LO}, {LINEAR_HI}] for 10x data means the",
         "LSH band / df-cap / bucket bounds hold one decade up — no",
-        "quadratic candidate blowup (which would show as ~100x).",
+        "quadratic candidate blowup (which would show as ~100x). The",
+        "sf100 columns are the SECOND measured decade (sfd100 vs sfd10,",
+        "`--tier3`); blank = not in the tier-3 roster (module docstring",
+        "records exactly why each exclusion exists).",
         "",
-        "| metric | sf1 rows | sf10 rows | ratio | sf1 s | sf10 s | s ratio | linear |",
-        "|---|---|---|---|---|---|---|---|",
+        "| metric | sf1 rows | sf10 rows | ratio | sf1 s | sf10 s | s ratio | linear | sf100 rows | ratio | sf100 s | s ratio | linear |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
         if r.get("status") == "error":
-            lines.append(f"| {name} | ERROR: {r['error'][:80]} | | | | | | |")
+            lines.append(
+                f"| {name} | ERROR: {r['error'][:80]} | | | | | | | | | | | |"
+            )
             continue
+        t3 = (
+            f" {r['sf100_rows']} | {r['row_ratio_100']} "
+            f"| {r['sf100_sec']} | {r['sec_ratio_100']} "
+            f"| {r.get('linear_ok_100', '-')} "
+            if "sf100_rows" in r
+            else "  |  |  |  |  "
+        )
         lines.append(
             f"| {name} | {r['sf1_rows']} | {r['sf10_rows']} "
             f"| {r['row_ratio']} | {r['sf1_sec']} | {r['sf10_sec']} "
-            f"| {r['sec_ratio']} | {r.get('linear_ok', '-')} |"
+            f"| {r['sec_ratio']} | {r.get('linear_ok', '-')} |{t3}|"
         )
     with open(os.path.join(REPO, "SCALE_SMOKE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    bad = [
-        n for n, r in results.items()
-        if r.get("linear_ok") is False or r.get("status") == "error"
-    ]
-    print("BAD:", bad)
-    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
