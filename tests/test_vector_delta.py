@@ -168,3 +168,87 @@ def test_write_meta_cas_guards(tmp_path):
     open(p + ".lock", "w").close()  # a live maintainer holds the lock
     with _pytest.raises(lf2.LanceDatasetError, match="concurrent"):
         vi2._write_meta_cas(p, {"dataset_version": 5}, 4)
+
+
+def test_crashed_extend_is_invisible_then_retry_replaces(
+    spark, sf_dir, tmp_path_factory, monkeypatch
+):
+    """Mirror of the FTS crash-injection test (r8 VERDICT item 4): a
+    crash between the delta-postings write and the meta CAS publish
+    must leave search serving the OLD index generation intact (the
+    orphan delta is unreferenced), and the RETRY must stage its own
+    fresh dir and count the increment exactly ONCE — every vec_id
+    appears exactly once across the meta-referenced postings dirs
+    (single-assignment argmax), so a double-append would double a
+    row's multiplicity and hand one neighbor two ranks."""
+    root = str(tmp_path_factory.mktemp("vcrash") / "emb.lance")
+    register(spark)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb.where(F.col("vec_id") % 2 == 0).write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    vi.build_ivf_index(spark, root, k=IVF_K, lloyd_iters=2)
+    emb.where(F.col("vec_id") % 2 == 1).write.format("lance").mode(
+        "append"
+    ).save(root)
+    probes = _probes(spark, sf_dir)
+    before = sorted(
+        map(
+            tuple,
+            vi.ann_search(
+                spark, root, probes, k_neighbors=TOP_K, allow_stale=True
+            ).collect(),
+        )
+    )
+
+    real_cas = vi._write_meta_cas
+
+    def boom(path, meta, expect_version):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(vi, "_write_meta_cas", boom)
+    with pytest.raises(RuntimeError, match="crash before publish"):
+        vi.extend_ivf_index(spark, root)
+    monkeypatch.setattr(vi, "_write_meta_cas", real_cas)
+
+    # orphan delta staged on disk but referenced by no meta; search
+    # still serves the pre-extend generation bit-identically
+    idx = os.path.join(root, vi.INDEX_DIR)
+    orphans = [n for n in os.listdir(idx) if n.startswith("postings_delta_")]
+    assert len(orphans) == 1
+    meta0 = vi.read_index_meta(root)
+    assert meta0.get("delta_dirs", []) == []
+    assert meta0["dataset_version"] == 1  # still pinned at the base
+    after_crash = sorted(
+        map(
+            tuple,
+            vi.ann_search(
+                spark, root, probes, k_neighbors=TOP_K, allow_stale=True
+            ).collect(),
+        )
+    )
+    assert after_crash == before
+
+    # retry publishes its OWN fresh dir; the orphan stays unreferenced
+    meta1 = vi.extend_ivf_index(spark, root)
+    assert len(meta1["delta_dirs"]) == 1
+    assert meta1["delta_dirs"][0] not in orphans
+    # exactly-once: every vector appears exactly once across the
+    # meta-referenced postings dirs (base + published delta)
+    live_dirs = [vi._postings_dir(root, meta1)] + [
+        os.path.join(idx, d) for d in meta1["delta_dirs"]
+    ]
+    from functools import reduce
+
+    posting_ids = reduce(
+        lambda a, b: a.unionByName(b),
+        [spark.read.parquet(d).select("vec_id") for d in live_dirs],
+    )
+    dup = (
+        posting_ids.groupBy("vec_id")
+        .count()
+        .where(F.col("count") != 1)
+        .count()
+    )
+    assert dup == 0
+    assert posting_ids.count() == emb.count()
