@@ -93,6 +93,16 @@ HEADLINE = [
     "hybrid_search",
     "ann_knn_join_vectorized",
     "quality_linear_probe",
+    # r9 additions (r8 VERDICT item 5): the r8 operators join the
+    # tracked set so their perf moves round-over-round — the
+    # zero-shuffle bloom decontamination, SQ8 compressed-domain
+    # exact top-k, the positional take, and one indexed-serving
+    # entry (fts_bm25_indexed: build+search the persisted index;
+    # hybrid_search_indexed stays driver-timed, same policy as r7)
+    "contamination_bloom",
+    "ann_sq8_topk",
+    "lance_take",
+    "fts_bm25_indexed",
 ]
 
 

@@ -253,6 +253,271 @@ _CTAS_RE = re.compile(
 )
 
 
+# ------------------------------------------------------------ MERGE
+
+_MERGE_START_RE = re.compile(r"(?is)^\s*MERGE\b")
+_MERGE_HEAD_RE = re.compile(
+    r"(?is)^\s*MERGE\s+INTO\s+(['\"`])(?P<path>[^'\"`]+\.lance)\1"
+    r"\s+(?:AS\s+)?(?P<talias>[A-Za-z_]\w*)\s+USING\s+"
+)
+_MERGE_DIALECT = (
+    "MERGE INTO '<path>.lance' [AS] t USING (<select>) | "
+    "'<src>.lance' [AS] s ON t.<col> = s.<col> then any of: "
+    "WHEN MATCHED THEN UPDATE SET * / WHEN MATCHED THEN DELETE / "
+    "WHEN NOT MATCHED THEN INSERT *"
+)
+
+
+def _scan_balanced(s: str, i: int) -> int:
+    """Index of the ')' matching the '(' at ``s[i]``, quote-aware
+    (the same discipline as ``_split_copy_to``'s inline scanner);
+    -1 when unbalanced."""
+    depth, j, in_str = 0, i, None
+    while j < len(s):
+        c = s[j]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in "'\"":
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    return -1
+
+
+def _merge_err(msg: str) -> "lf.LanceDatasetError":
+    return lf.LanceDatasetError(
+        f"{msg}; the supported MERGE dialect is: {_MERGE_DIALECT}"
+    )
+
+
+def _parse_merge(sql: str) -> dict | None:
+    """Parse the supported MERGE dialect. Returns None when the
+    statement is not a MERGE at all; raises loudly (never silently
+    narrows semantics) on any MERGE clause outside the dialect —
+    column-level SET, conditional WHEN ... AND, NOT MATCHED BY
+    SOURCE, non-equality ON — per the refusal contract the COPY
+    option parser set."""
+    if not _MERGE_START_RE.match(sql):
+        return None
+    m = _MERGE_HEAD_RE.match(sql)
+    if m is None:
+        raise _merge_err("unsupported MERGE INTO head")
+    path, talias = m.group("path"), m.group("talias")
+    rest = sql[m.end():]
+    src_path = src_select = None
+    m2 = re.match(r"(?s)^\s*(['\"`])([^'\"`]+\.lance)\1", rest)
+    if m2:
+        src_path = m2.group(2)
+        rest = rest[m2.end():]
+    else:
+        lp = re.match(r"(?s)^\s*\(", rest)
+        if not lp:
+            raise _merge_err(
+                "MERGE USING must name a '<path>.lance' dataset or a "
+                "parenthesized subquery"
+            )
+        i = lp.end() - 1
+        j = _scan_balanced(rest, i)
+        if j < 0:
+            raise _merge_err("unbalanced parentheses in MERGE USING")
+        src_select = rest[i + 1 : j]
+        rest = rest[j + 1 :]
+    m3 = re.match(r"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)\s+ON\s+", rest)
+    if not m3:
+        raise _merge_err("MERGE requires a source alias and an ON clause")
+    salias = m3.group(1)
+    if salias.lower() == talias.lower():
+        raise _merge_err(
+            f"target and source aliases are both {salias!r}; they must "
+            "differ so the ON columns resolve"
+        )
+    rest = rest[m3.end():]
+    wm = re.search(r"(?i)\bWHEN\b", rest)
+    if not wm:
+        raise _merge_err("MERGE requires at least one WHEN clause")
+    on = rest[: wm.start()].strip()
+    om = re.match(
+        r"(?s)^([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
+        r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)$",
+        on,
+    )
+    if not om:
+        raise _merge_err(
+            f"unsupported ON condition {on!r}: exactly one qualified "
+            "equality t.<col> = s.<col> is supported (no AND chains, "
+            "no expressions)"
+        )
+    a_al, a_col, b_al, b_col = om.groups()
+    aliases = {a_al.lower(): a_col, b_al.lower(): b_col}
+    if set(aliases) != {talias.lower(), salias.lower()}:
+        raise _merge_err(
+            f"ON condition {on!r} must reference both aliases "
+            f"{talias!r} and {salias!r}"
+        )
+    key_t = aliases[talias.lower()]
+    key_s = aliases[salias.lower()]
+    actions: set[str] = set()
+    for part in re.split(r"(?i)\bWHEN\b", rest[wm.start():])[1:]:
+        low = " ".join(part.strip().rstrip(";").strip().lower().split())
+        if low.startswith(("matched and", "not matched and")):
+            raise _merge_err(
+                "conditional WHEN ... AND <cond> clauses are not "
+                "supported"
+            )
+        if low.startswith("not matched by source"):
+            raise _merge_err("WHEN NOT MATCHED BY SOURCE is not supported")
+        if low == "matched then update set *":
+            act = "update"
+        elif low == "matched then delete":
+            act = "delete"
+        elif low in (
+            "not matched then insert *",
+            "not matched by target then insert *",
+        ):
+            act = "insert"
+        elif low.startswith("matched then update"):
+            raise _merge_err(
+                "only UPDATE SET * (full-row replace) is supported; "
+                "column-level SET assignments are not"
+            )
+        elif low.startswith("not matched"):
+            raise _merge_err(
+                "only INSERT * is supported; column lists / VALUES "
+                "forms are not"
+            )
+        else:
+            raise _merge_err(f"unsupported MERGE clause: WHEN {low!r}")
+        if act in actions:
+            raise _merge_err(f"duplicate WHEN clause for action {act!r}")
+        actions.add(act)
+    if {"update", "delete"} <= actions:
+        raise _merge_err(
+            "at most one WHEN MATCHED action (UPDATE SET * or DELETE) "
+            "is supported per statement"
+        )
+    return {
+        "path": path,
+        "src_path": src_path,
+        "src_select": src_select,
+        "key_t": key_t,
+        "key_s": key_s,
+        "actions": actions,
+    }
+
+
+def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
+    """Lower a parsed MERGE onto the fragment-pruned maintenance
+    machinery (sources/maintenance.py): UPDATE SET * + INSERT * is
+    exactly the key-set-replace upsert; UPDATE-only upserts the
+    matched source rows; INSERT-only appends the unmatched ones;
+    DELETE drops the matched key set via the same pruned rewrite
+    (``delete_keys``). Returns one row (rows_updated, rows_inserted,
+    rows_deleted) counting SOURCE rows routed to update/insert and
+    TARGET rows deleted.
+
+    Both the source and the target key column are SPILLED to a
+    parquet stage before any join logic, for two reasons: (1) the
+    match sets must be decided against the pre-merge state (a DELETE
+    + INSERT pair classifies every source row against the same
+    snapshot, never re-reading its own writes), and (2) Spark 4.1
+    plans a Python-DataSource relation ONCE per relation instance —
+    when the optimizer clones one relation into several scan
+    positions with DIFFERENT derived filters (e.g. a semi join
+    pushed through a UNION turns one branch's constant key into a
+    `col = <lit>` pushdown on one clone only), every position is
+    served by the single planned scan, silently mis-filtering the
+    others (r9 finding; observed, not theoretical). A parquet stage
+    is a native file-source scan, which Spark plans per-position —
+    the join graph below must never reference a lance relation."""
+    from pyspark.sql import functions as F
+
+    from .materialize import release_spill, spill_to_parquet
+    from .sources.maintenance import delete_keys, upsert
+
+    path = parsed["path"]
+    if not _is_lance_dataset(path):
+        raise lf.LanceDatasetError(
+            f"MERGE INTO target {path!r} is not a lance dataset"
+        )
+    if parsed["src_path"] is not None:
+        if not _is_lance_dataset(parsed["src_path"]):
+            raise lf.LanceDatasetError(
+                f"MERGE USING source {parsed['src_path']!r} is not a "
+                "lance dataset"
+            )
+        src = spark.read.format("lance").load(parsed["src_path"])
+    else:
+        src = lance_sql(spark, parsed["src_select"])
+    key = parsed["key_t"]
+    if parsed["key_s"] != key:
+        if key in src.columns:
+            raise lf.LanceDatasetError(
+                f"MERGE source already has a column named {key!r}; "
+                f"cannot also rename join column {parsed['key_s']!r} "
+                "onto it"
+            )
+        src = src.withColumnRenamed(parsed["key_s"], key)
+    src = spill_to_parquet(src, "merge-src")
+    tgt_keys = spill_to_parquet(
+        spark.read.format("lance").load(path).select(key).distinct(),
+        "merge-tgt-keys",
+    )
+    try:
+        actions = parsed["actions"]
+        n_upd = n_ins = n_del = 0
+        if actions == {"update", "insert"}:
+            n_upd = src.join(tgt_keys, key, "left_semi").count()
+            n_ins = src.join(tgt_keys, key, "left_anti").count()
+            upsert(spark, path, src, key)
+        elif actions == {"update"}:
+            upd = src.join(tgt_keys, key, "left_semi")
+            n_upd = upd.count()
+            upsert(spark, path, upd, key)
+        elif actions == {"insert"}:
+            ins = src.join(tgt_keys, key, "left_anti")
+            n_ins = ins.count()
+            if n_ins:
+                upsert(spark, path, ins, key)
+        else:  # delete, optionally + insert
+            src_keys = (
+                src.select(key).where(F.col(key).isNotNull()).distinct()
+            )
+            # counts TARGET ROWS (not distinct keys): a fresh
+            # non-distinct key scan; single join position, so the
+            # lance relation is never optimizer-cloned here
+            n_del = (
+                spark.read.format("lance")
+                .load(path)
+                .select(key)
+                .join(src_keys, key, "left_semi")
+                .count()
+            )
+            ins = (
+                src.join(tgt_keys, key, "left_anti")
+                if "insert" in actions
+                else None
+            )
+            if ins is not None:
+                n_ins = ins.count()
+            if n_del:
+                delete_keys(spark, path, src_keys, key)
+            if ins is not None and n_ins:
+                upsert(spark, path, ins, key)
+    finally:
+        release_spill(src)
+        release_spill(tgt_keys)
+    return spark.createDataFrame(
+        [(n_upd, n_ins, n_del)],
+        "rows_updated long, rows_inserted long, rows_deleted long",
+    )
+
+
 # codecs the fragment writer actually accepts (datasource.py:817,
 # pq.write_table) — validate at parse time so a typo'd codec fails
 # the COPY statement instead of the first executor write task
@@ -410,6 +675,14 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
       replacing the target. Returns one row ``rows_copied``.
     - ``CREATE [OR REPLACE] TABLE '<path>.lance' AS <select>`` is the
       CTAS spelling: refuses if the dataset exists unless OR REPLACE.
+    - ``MERGE INTO '<path>.lance' [AS] t USING (<select>) [AS] s ON
+      t.<col> = s.<col> WHEN MATCHED THEN UPDATE SET * / WHEN MATCHED
+      THEN DELETE / WHEN NOT MATCHED THEN INSERT *`` lowers onto the
+      fragment-pruned upsert / key-set-delete machinery
+      (sources/maintenance.py); anything outside that dialect —
+      column-level SET, conditional ``WHEN ... AND``, ``NOT MATCHED
+      BY SOURCE`` — is refused loudly. Returns one row
+      (rows_updated, rows_inserted, rows_deleted).
 
     Each distinct quoted ``.lance`` path that exists on disk is
     registered as a deterministic temp view and the literal is
@@ -445,8 +718,12 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
             )
         df = lance_sql(spark, ctas.group("select"))
         return _write_and_count(spark, df, path, "overwrite", None)
+    merge = _parse_merge(sql)
+    if merge is not None:
+        return _run_merge(spark, merge)
 
     used_views: set[str] = set()
+    occurrence: dict[str, int] = {}
 
     def _sub(m: re.Match) -> str:
         if not _in_table_position(sql, m):
@@ -456,12 +733,25 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
             return m.group(0)
         narrowed = _narrowed_schema(path, sql)
         cols_key = ",".join(f.name for f in narrowed.fields) if narrowed else "*"
+        # ONE VIEW PER OCCURRENCE, not per path: Spark's Python
+        # DataSource keeps a single reader instance per relation, and
+        # pushFilters state is shared across every scan node of that
+        # relation — two branches of one query scanning the same view
+        # with different WHEREs cross-contaminate (last pushFilters
+        # wins for BOTH branches' read path; observed as a UNION ALL
+        # whose first branch silently inherited the second branch's
+        # pushed filter, r9). A distinct view per textual occurrence
+        # gives every scan its own relation and reader. The occurrence
+        # index is deterministic (textual order), so re-running the
+        # same statement reuses the same view names.
+        occ = occurrence.get(path, 0)
+        occurrence[path] = occ + 1
         digest = hashlib.md5(
-            (os.path.abspath(path) + "\0" + cols_key).encode()
+            (os.path.abspath(path) + "\0" + cols_key + f"\0{occ}").encode()
         ).hexdigest()[:10]
         name = f"lance_ds_{digest}"
-        # idempotent per session: re-registering the same path+cols
-        # is a no-op
+        # idempotent per session: re-registering the same
+        # path+cols+occurrence is a no-op
         reader = spark.read.format("lance")
         if narrowed is not None:
             reader = reader.schema(narrowed)

@@ -250,6 +250,98 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def lance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the SQL surface (catalog.lance_sql — the
+    lakehouse verb DuckDB ships natively and the reference would get
+    via its DuckDB host; r8 VERDICT item 7): write customer as a
+    lance dataset, then run TWO MERGE statements —
+
+    1. ``WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+       INSERT *`` with a source that modifies every 7th key's balance
+       and mints brand-new keys (the lance_upsert shapes, but driven
+       entirely from SQL; the source subquery reads the target path
+       itself via the replacement scan), lowering onto the
+       fragment-pruned upsert;
+    2. ``WHEN MATCHED THEN DELETE`` for every 11th key of the merged
+       state, lowering onto the fragment-pruned key-set delete
+       (sources/maintenance.py delete_keys).
+
+    The hashed artifact is the post-merge per-segment aggregate —
+    equal to the oracle's recomputed merge+delete iff both lowerings
+    replace/append/delete exactly and commit atomically. Unsupported
+    MERGE clauses are refusal-tested in tests/test_catalog.py."""
+    from ..catalog import lance_sql
+
+    register(spark)
+    root = _fresh_root(sf_dir, "merge")
+    load(spark, sf_dir, "customer").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(
+        spark,
+        f"""
+MERGE INTO '{root}' t USING (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 1000.00 AS DOUBLE)
+           AS c_acctbal,
+         c_mktsegment
+  FROM '{root}' WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM '{root}' WHERE c_custkey % 13 = 5
+) s ON t.c_custkey = s.c_custkey
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *
+""",
+    ).collect()
+    lance_sql(
+        spark,
+        f"""
+MERGE INTO '{root}' t USING (
+  SELECT c_custkey FROM '{root}' WHERE c_custkey % 11 = 3
+) s ON t.c_custkey = s.c_custkey
+WHEN MATCHED THEN DELETE
+""",
+    ).collect()
+    merged = spark.read.format("lance").load(root)
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(money("c_acctbal"), "total_bal"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LANCE_MERGE_SQL = """
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 1000.00 AS DOUBLE) AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 5
+),
+merged AS (
+  SELECT * FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+  UNION ALL
+  SELECT * FROM upd
+),
+final AS (
+  SELECT * FROM merged WHERE c_custkey % 11 <> 3
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  COUNT(DISTINCT c_custkey) AS n_keys
+FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def lance_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance parity (lance_format.py delete_where): write
     orders, DELETE WHERE o_totalprice > 150000, read the surviving
@@ -935,6 +1027,7 @@ QUERIES = {
     "lance_dataset_stats": lance_dataset_stats,
     "lance_native_read": lance_native_read,
     "lance_upsert": lance_upsert,
+    "lance_merge": lance_merge,
     "lance_delete": lance_delete,
     "lance_delete_vector": lance_delete_vector,
     "lance_compact": lance_compact,
@@ -957,6 +1050,7 @@ ORACLE = {
     "lance_dataset_stats": LANCE_DATASET_STATS_SQL,
     "lance_native_read": LANCE_NATIVE_READ_SQL,
     "lance_upsert": LANCE_UPSERT_SQL,
+    "lance_merge": LANCE_MERGE_SQL,
     "lance_delete": LANCE_DELETE_SQL,
     "lance_delete_vector": LANCE_DELETE_VECTOR_SQL,
     "lance_compact": LANCE_COMPACT_SQL,

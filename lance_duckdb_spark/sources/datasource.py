@@ -65,6 +65,18 @@ class FragmentPartition(InputPartition):
     file: str
     num_rows: int
     deletion_file: str | None = None
+    # the filters THIS planning pushed, bound into the partition at
+    # partitions() time: read() must never consult the reader
+    # object's mutable pushed-filter state, because Spark keeps ONE
+    # python reader per relation while the optimizer can clone the
+    # relation into several scan positions with DIFFERENT derived
+    # filters (e.g. a semi join pushed through a UNION turns one
+    # branch's constant key into `col = 777` on one clone only) —
+    # last-writer-wins on shared state silently over-filtered the
+    # other clone (r9 MERGE finding). Partition-bound filters make
+    # each scan's executors see exactly the filters of the planning
+    # that produced their partition list.
+    pushed: tuple = ()
 
 
 @dataclass
@@ -403,7 +415,13 @@ class LanceScanReader(DataSourceReader):
             # calls read(None) if the partition list is empty)
             return [FragmentPartition(self.root, "", 0)]
         return [
-            FragmentPartition(self.root, f.file, f.num_rows, f.deletion_file)
+            FragmentPartition(
+                self.root,
+                f.file,
+                f.num_rows,
+                f.deletion_file,
+                tuple(self.pushed),
+            )
             for f in kept
         ]
 
@@ -429,7 +447,8 @@ class LanceScanReader(DataSourceReader):
                 deletion_file=partition.deletion_file,
             ),
             self.schema,
-            self.pushed,
+            # partition-bound, NEVER self.pushed — see FragmentPartition
+            list(partition.pushed),
         )
         yield from table.to_batches()
 
@@ -439,6 +458,9 @@ class NativeFragmentPartition(InputPartition):
     root: str
     files: tuple  # data-file relative paths for one fragment
     version: int
+    # planning-time filters, partition-bound for the same shared-
+    # reader-state reason as FragmentPartition.pushed
+    pushed: tuple = ()
 
 
 class NativeScanReader(DataSourceReader):
@@ -484,6 +506,7 @@ class NativeScanReader(DataSourceReader):
                 self.root,
                 tuple(df.path for df in frag.files),
                 self.manifest.version,
+                tuple(self.pushed),
             )
             for frag in self.manifest.fragments
         ]
@@ -502,6 +525,8 @@ class NativeScanReader(DataSourceReader):
         if not partition.files:
             return
         arrow_schema = self._arrow_schema
+        # partition-bound, NEVER self.pushed — see FragmentPartition
+        pushed = list(partition.pushed)
         columns = [
             c for c in self.schema.fieldNames() if c in arrow_schema.names
         ]
@@ -511,13 +536,13 @@ class NativeScanReader(DataSourceReader):
         # the pruned table raised field-not-found)
         filter_cols = [
             f.attribute[0]
-            for f in self.pushed
+            for f in pushed
             if f.attribute
             and f.attribute[0] in arrow_schema.names
             and f.attribute[0] not in columns
         ]
         read_cols = (columns + filter_cols) if columns else None
-        filter_expr = _to_arrow_filter(self.pushed)
+        filter_expr = _to_arrow_filter(pushed)
         for rel in partition.files:
             table = ln.read_data_file(
                 os.path.join(partition.root, "data", rel),

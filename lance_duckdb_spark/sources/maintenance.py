@@ -39,6 +39,14 @@ def _overlaps(fragment: lf.Fragment, key: str, lo, hi) -> bool:
         return True
 
 
+def _committed_schema(manifest):
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(_json.loads(manifest.schema_json))
+
+
 def upsert(
     spark: SparkSession, root: str, updates: DataFrame, key: str
 ) -> None:
@@ -51,21 +59,12 @@ def upsert(
     pure-append path (r8 review)."""
     register(spark)
     manifest = lf.read_manifest(root)
-    # count alongside min/max: an all-NULL-key batch has lo==hi==None
-    # but n>0 and must NOT be silently dropped (mixed batches would
-    # append their null-key rows; all-null batches previously
-    # returned early — inconsistent). Merge-by-NULL-key is undefined,
-    # so reject loudly.
     # schema check runs in BOTH paths: with no overlapping fragment
     # the old flow committed updates verbatim under the old
     # schema_json — a missing column silently null-filled on read, an
     # extra one silently vanished (r8 review; the overlap path's
     # unionByName raised loudly for the same input)
-    import json as _json
-
-    from pyspark.sql.types import StructType
-
-    committed = StructType.fromJson(_json.loads(manifest.schema_json))
+    committed = _committed_schema(manifest)
     want = {f.name: f.dataType for f in committed.fields}
     got = {f.name: f.dataType for f in updates.schema.fields}
     if want != got:
@@ -78,11 +77,62 @@ def upsert(
             "upsert updates schema does not match the dataset: "
             f"missing={missing} extra={extra} retyped={retyped}"
         )
-    bounds = updates.selectExpr(
+    _merge_commit(
+        spark, root, manifest, committed, updates.select(key), updates, key
+    )
+
+
+def delete_keys(spark: SparkSession, root: str, keys: DataFrame, key: str) -> None:
+    """Key-set DELETE through the same fragment-pruned rewrite as
+    ``upsert`` (the MERGE ``WHEN MATCHED THEN DELETE`` lowering):
+    every stored row whose ``key`` appears in ``keys`` is dropped;
+    fragments outside the key bounds are carried by reference, zero
+    IO. Unlike ``lance_format.delete_where`` (a row-value predicate,
+    optionally via deletion vectors), the key set here is a
+    DataFrame — the match runs as a distributed anti-join, never a
+    driver-side key list, so a 10^9-key delete is one shuffle.
+    NULL keys are dropped from the key set first (SQL semantics:
+    NULL = x is never true, so a NULL key deletes nothing)."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    manifest = lf.read_manifest(root)
+    _merge_commit(
+        spark,
+        root,
+        manifest,
+        _committed_schema(manifest),
+        keys.select(key).where(F.col(key).isNotNull()),
+        None,
+        key,
+    )
+
+
+def _merge_commit(
+    spark: SparkSession,
+    root: str,
+    manifest,
+    committed,
+    drop_keys: DataFrame,
+    inserts: DataFrame | None,
+    key: str,
+) -> None:
+    """Shared fragment-pruned rewrite: drop every stored row whose
+    ``key`` is in ``drop_keys``, land every ``inserts`` row (None =
+    pure delete), commit carried + rewritten fragments as ONE new
+    version. upsert = drop(update keys) + insert(updates);
+    delete_keys = drop(keys) + no inserts."""
+    # count alongside min/max: an all-NULL-key batch has lo==hi==None
+    # but n>0 and must NOT be silently dropped (mixed batches would
+    # append their null-key rows; all-null batches previously
+    # returned early — inconsistent). Merge-by-NULL-key is undefined,
+    # so reject loudly (delete_keys pre-filters NULLs — SQL equality
+    # semantics — so this refusal is the upsert contract).
+    bounds = drop_keys.selectExpr(
         f"min({key}) lo", f"max({key}) hi", "count(*) n",
         f"count({key}) n_keyed",
     ).collect()[0]
-    if bounds.n == 0:  # empty updates: nothing to do
+    if bounds.n == 0:  # empty key set: nothing to do
         return
     if bounds.n_keyed < bounds.n:
         raise lf.LanceDatasetError(
@@ -142,13 +192,22 @@ def upsert(
             )
     else:
         current = None
+    if current is None and inserts is None:
+        return  # pure delete touching no fragment: a no-op, no version
     staging = f"{root}.upsert-{uuid.uuid4().hex}"
     try:
         if current is not None:
-            survivors = current.join(updates.select(key), on=key, how="left_anti")
-            merged = survivors.unionByName(updates)
+            survivors = current.join(drop_keys, on=key, how="left_anti")
+            merged = (
+                survivors.unionByName(inserts)
+                if inserts is not None
+                else survivors
+            )
         else:
-            merged = updates
+            merged = inserts
+        # a pure delete can empty every affected fragment: the lance
+        # writer then stages ZERO fragments (verified behavior) and
+        # the commit below publishes carried-only — no special case
         merged.write.format("lance").mode("overwrite").save(staging)
         staged = lf.read_manifest(staging)
         new_frags: list[lf.Fragment] = []

@@ -404,3 +404,212 @@ def test_distinct_from_guard_survives_any_whitespace(spark, lance_db):
         # statement ANALYZES (pre-fix: rewritten into a temp view
         # reference and failed analysis)
         assert out == []
+
+
+# ------------------------------------------------------------ MERGE
+
+
+@pytest.fixture()
+def merge_tgt(spark, sf_dir, tmp_path):
+    """A fresh nation-backed merge target per test."""
+    root = str(tmp_path / "tgt.lance")
+    ds.register(spark)
+    load(spark, sf_dir, "nation").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    return root
+
+
+def _state(spark, root):
+    return {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in spark.read.format("lance").load(root).collect()
+    }
+
+
+def test_merge_update_and_insert(spark, sf_dir, merge_tgt):
+    """UPDATE SET * + INSERT * == the key-set-replace upsert, driven
+    purely through the SQL surface (source subquery reads the target
+    path itself via the replacement scan)."""
+    before = _state(spark, merge_tgt)
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey"
+        f"  FROM '{merge_tgt}' WHERE n_nationkey % 2 = 0"
+        f"  UNION ALL"
+        f"  SELECT CAST(n_nationkey + 100 AS INT), n_name, n_regionkey"
+        f"  FROM '{merge_tgt}' WHERE n_nationkey < 3"
+        f") s ON t.n_nationkey = s.n_nationkey"
+        f" WHEN MATCHED THEN UPDATE SET *"
+        f" WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    n_even = sum(1 for k in before if k % 2 == 0)
+    assert [tuple(out[0])] == [(n_even, 3, 0)]
+    after = _state(spark, merge_tgt)
+    assert len(after) == len(before) + 3
+    for k, (name, reg) in before.items():
+        want = (name.upper(), reg) if k % 2 == 0 else (name, reg)
+        assert after[k] == want
+    for k in [0, 1, 2]:
+        assert after[k + 100] == before[k]
+
+
+def test_merge_update_only_and_insert_only(spark, sf_dir, merge_tgt):
+    before = _state(spark, merge_tgt)
+    src = (
+        f"SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey "
+        f"FROM '{merge_tgt}' WHERE n_nationkey IN (1, 2) "
+        f"UNION ALL SELECT CAST(777 AS INT), 'NEWLAND', CAST(0 AS INT)"
+    )
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ({src}) s "
+        f"ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED THEN UPDATE SET *",
+    ).collect()
+    assert [tuple(out[0])] == [(2, 0, 0)]
+    after = _state(spark, merge_tgt)
+    assert 777 not in after  # update-only never inserts
+    assert after[1][0] == before[1][0].upper()
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ({src}) s "
+        f"ON t.n_nationkey = s.n_nationkey "
+        f"WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert [tuple(out[0])] == [(0, 1, 0)]
+    after2 = _state(spark, merge_tgt)
+    assert after2[777] == ("NEWLAND", 0)
+    assert after2[2] == after[2]  # insert-only never updates
+
+
+def test_merge_delete_and_delete_insert(spark, sf_dir, merge_tgt):
+    before = _state(spark, merge_tgt)
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey FROM '{merge_tgt}' WHERE n_nationkey < 5"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED THEN DELETE",
+    ).collect()
+    assert [tuple(out[0])] == [(0, 0, 5)]
+    after = _state(spark, merge_tgt)
+    assert set(after) == {k for k in before if k >= 5}
+    # DELETE + INSERT: matched keys drop, unmatched source rows land;
+    # source rows classify against the PRE-merge state
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey, n_name, n_regionkey"
+        f"  FROM '{merge_tgt}' WHERE n_nationkey BETWEEN 5 AND 6"
+        f"  UNION ALL SELECT CAST(888 AS INT), 'ATLANTIS', CAST(1 AS INT)"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED THEN DELETE "
+        f"WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert [tuple(out[0])] == [(0, 1, 2)]
+    final = _state(spark, merge_tgt)
+    assert 5 not in final and 6 not in final
+    assert final[888] == ("ATLANTIS", 1)
+
+
+def test_merge_alias_key_rename_and_lance_source(spark, sf_dir, tmp_path, merge_tgt):
+    """USING '<path>.lance' source + differently-named join columns."""
+    src_root = str(tmp_path / "src.lance")
+    spark.sql(
+        "SELECT CAST(999 AS INT) AS k, 'OZ' AS n_name, "
+        "CAST(2 AS INT) AS n_regionkey"
+    ).write.format("lance").mode("overwrite").save(src_root)
+    with pytest.raises(Exception, match="already has a column"):
+        lance_sql(
+            spark,
+            f"MERGE INTO '{merge_tgt}' t USING '{src_root}' s "
+            f"ON t.n_regionkey = s.k "
+            f"WHEN NOT MATCHED THEN INSERT *",
+        )
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING '{src_root}' s "
+        f"ON t.n_nationkey = s.k "
+        f"WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert [tuple(out[0])] == [(0, 1, 0)]
+    assert _state(spark, merge_tgt)[999] == ("OZ", 2)
+
+
+def test_merge_refusals(spark, merge_tgt):
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    cases = [
+        # column-level SET
+        ("WHEN MATCHED THEN UPDATE SET n_name = s.n_name",
+         "full-row replace"),
+        # conditional clause
+        ("WHEN MATCHED AND t.n_regionkey = 1 THEN UPDATE SET *",
+         "conditional"),
+        ("WHEN NOT MATCHED BY SOURCE THEN DELETE", "BY SOURCE"),
+        ("WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE",
+         "at most one WHEN MATCHED"),
+        ("WHEN NOT MATCHED THEN INSERT (n_nationkey) VALUES (s.k)",
+         "INSERT \\*"),
+        ("WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN UPDATE SET *",
+         "duplicate"),
+    ]
+    head = (
+        f"MERGE INTO '{merge_tgt}' t USING (SELECT 1 AS n_nationkey) s "
+        f"ON t.n_nationkey = s.n_nationkey "
+    )
+    for clause, msg in cases:
+        with pytest.raises(LanceDatasetError, match=msg):
+            lance_sql(spark, head + clause)
+    # non-equality / multi-condition ON
+    for on in ["t.n_nationkey < s.n_nationkey",
+               "t.n_nationkey = s.n_nationkey AND t.n_regionkey = 1"]:
+        with pytest.raises(LanceDatasetError, match="ON condition"):
+            lance_sql(
+                spark,
+                f"MERGE INTO '{merge_tgt}' t USING (SELECT 1 AS "
+                f"n_nationkey) s ON {on} WHEN MATCHED THEN DELETE",
+            )
+    # aliases must differ, and the target must exist
+    with pytest.raises(LanceDatasetError, match="must differ"):
+        lance_sql(
+            spark,
+            f"MERGE INTO '{merge_tgt}' t USING (SELECT 1 AS x) t "
+            f"ON t.a = t.b WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(LanceDatasetError, match="not a lance dataset"):
+        lance_sql(
+            spark,
+            "MERGE INTO '/tmp/definitely_missing_xyz.lance' t USING "
+            "(SELECT 1 AS k) s ON t.k = s.k WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_same_path_divergent_filters_union(spark, lance_db):
+    """One dataset referenced twice in one statement with DIFFERENT
+    WHERE clauses must evaluate each branch independently. Spark 4.1
+    plans a Python-DataSource relation once per relation instance,
+    so lance_sql registers one temp view PER OCCURRENCE — without
+    that, the second branch's pushed filter silently bled into the
+    first branch's scan (observed r9: a UNION ALL whose first branch
+    returned only rows satisfying BOTH branches' predicates)."""
+    p = f"{lance_db}/nation.lance"
+    rows = lance_sql(
+        spark,
+        f"SELECT n_nationkey FROM '{p}' WHERE n_nationkey % 2 = 0 "
+        f"UNION ALL "
+        f"SELECT n_nationkey FROM '{p}' WHERE n_nationkey < 3",
+    ).collect()
+    got = sorted(r[0] for r in rows)
+    all_keys = [
+        r[0]
+        for r in lance_sql(
+            spark, f"SELECT n_nationkey FROM '{p}'"
+        ).collect()
+    ]
+    want = sorted(
+        [k for k in all_keys if k % 2 == 0] + [k for k in all_keys if k < 3]
+    )
+    assert got == want
