@@ -349,10 +349,24 @@ def staged_session_run(spark: SparkSession, sf_dir: str, name: str):
     shutil.rmtree(out, ignore_errors=True)
     splits = _time_splits(load(spark, sf_dir, "events"))
     q = None
-    for i, part in enumerate(splits):
-        mode = "overwrite" if i == 0 else "append"
-        # one fragment per slice keeps each pass to one micro-batch
-        part.coalesce(1).write.format("lance").mode(mode).save(root)
+    # TWO availableNow passes: the first slice alone, then the rest
+    # (r8 VERDICT item 6 — the per-query-start fixed cost dominated
+    # sf1 wall time). The pass boundary is a real query restart, so
+    # state round-trips the checkpoint and the watermark advances
+    # between passes (timeout-driven emission still fires); the
+    # state function sorts each user's batch timestamps internally,
+    # so a multi-slice micro-batch builds the same sessions.
+    stages = (
+        [splits[:1], splits[1:]] if len(splits) > 1 else [splits[:1]]
+    )
+    first = True
+    for group in stages:
+        if not group:
+            continue
+        for part in group:
+            mode = "overwrite" if first else "append"
+            part.write.format("lance").mode(mode).save(root)
+            first = False
         stream = spark.readStream.format("lance").load(root)
         q = (
             stateful_sessions_stream(stream)
@@ -507,8 +521,18 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = root + ".out"
     shutil.rmtree(out, ignore_errors=True)
     splits = _time_splits(load(spark, sf_dir, "events"))
+    # TWO availableNow passes instead of one query per slice (r8
+    # VERDICT item 6 — per-start fixed cost was most of this job's
+    # sf1 wall time): pass A runs the first arrival batch alone, pass
+    # B runs every later batch. The boundary between the passes is a
+    # REAL query restart, so cross-batch dedup still proves state
+    # survives the checkpoint round-trip; within-batch dups are in
+    # every batch; later batches' cross-dups dedupe within pass B.
+    # Writes stay parallel (no coalesce) — fragment granularity no
+    # longer defines arrival granularity, the pass boundary does.
     prev_tail = None
-    for i, part in enumerate(splits):
+    batches = []
+    for part in splits:
         batch = part.unionAll(part)  # within-batch duplicates
         if prev_tail is not None:
             batch = batch.unionAll(prev_tail)  # cross-batch duplicates
@@ -517,11 +541,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             prev_tail = None
             continue
         prev_tail = part.where(F.col("ts_us") > hi - _FIVE_MIN_US)
-        mode = "overwrite" if i == 0 else "append"
-        batch.coalesce(1).write.format("lance").mode(mode).save(root)
-        stream = spark.readStream.format("lance").load(root)
+        batches.append(batch)
+
+    def _dedup_pass() -> None:
         q = (
-            with_event_time(stream)
+            with_event_time(spark.readStream.format("lance").load(root))
             .withWatermark("ts", WATERMARK)
             .dropDuplicatesWithinWatermark(["event_id"])
             .select("event_id", "event_type", "value", "ts_us")
@@ -533,6 +557,14 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _await_or_raise(q)
+
+    if batches:
+        batches[0].write.format("lance").mode("overwrite").save(root)
+        _dedup_pass()
+        if len(batches) > 1:
+            for b in batches[1:]:
+                b.write.format("lance").mode("append").save(root)
+            _dedup_pass()
     deduped = _read_staged_out(
         spark, out,
         "event_id long, event_type string, value double, ts_us long",
@@ -796,9 +828,16 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, batch_df, epoch, src, store_dir, results_dir
         )
 
-    for i, part in enumerate(slices):
-        mode = "overwrite" if i == 0 else "append"
-        part.coalesce(1).write.format("lance").mode(mode).save(src)
+    # TWO availableNow passes — slice 1 alone, then slices 2+3 (r8
+    # VERDICT item 6): the pass boundary still proves the store path
+    # (pass-2 docs hit pass-1 signatures via the persisted store),
+    # and pairs between slices 2 and 3 dedupe within the batch. The
+    # completeness invariant is batching-independent: a pair (a < b)
+    # is discovered in whichever batch b arrives.
+    for gi, group in enumerate(([slices[0]], slices[1:])):
+        for j, part in enumerate(group):
+            mode = "overwrite" if gi == 0 and j == 0 else "append"
+            part.write.format("lance").mode(mode).save(src)
         q = (
             spark.readStream.format("lance")
             .load(src)
@@ -984,9 +1023,16 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
 
-    for i, part in enumerate(splits):
+    # the bulk is the EXISTING corpus: it lands as a plain batch
+    # write and gets indexed once — only the increments stream (r8
+    # VERDICT item 6: streaming the bulk through its own query start
+    # bought nothing but the start's fixed cost; an index is fitted
+    # over data that is already a table)
+    splits[0].write.format("lance").mode("overwrite").save(dst)
+    build_ivf_index(spark, dst, k=IVF_K, lloyd_iters=2)
+    for i, part in enumerate(splits[1:]):
         mode = "overwrite" if i == 0 else "append"
-        part.coalesce(1).write.format("lance").mode(mode).save(src)
+        part.write.format("lance").mode(mode).save(src)
         q = (
             spark.readStream.format("lance")
             .load(src)
@@ -997,12 +1043,9 @@ def stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start(dst)
         )
         _await_or_raise(q)
-        if i == 0:
-            # index the initial corpus once; every later pass only
-            # extends — the maintenance cost a stream can afford
-            build_ivf_index(spark, dst, k=IVF_K, lloyd_iters=2)
-        else:
-            extend_ivf_index(spark, dst)
+        # every sink pass is chased by an O(appended rows) delta —
+        # the maintenance cost a stream can afford
+        extend_ivf_index(spark, dst)
 
     meta = read_index_meta(dst)
     if len(meta.get("delta_dirs", [])) < 2:  # both passes must have indexed
@@ -1074,12 +1117,25 @@ def stream_fts_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     cuts = _cuts(lo, hi)
 
-    for i in range(3):
+    # the bulk is the EXISTING corpus: a plain batch write + one
+    # index build — only the increments stream (r8 VERDICT item 6,
+    # same rationale as stream_index_ingest)
+    docs.where(
+        (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
+    ).write.format("lance").mode("overwrite").save(dst)
+    build_fts_index(
+        spark,
+        spark.read.format("lance")
+        .load(dst)
+        .where((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        index_dir,
+    )
+    for i in (1, 2):
         part = docs.where(
             (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
         )
-        mode = "overwrite" if i == 0 else "append"
-        part.coalesce(1).write.format("lance").mode(mode).save(src)
+        mode = "overwrite" if i == 1 else "append"
+        part.write.format("lance").mode(mode).save(src)
         q = (
             spark.readStream.format("lance")
             .load(src)
@@ -1091,18 +1147,16 @@ def stream_fts_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_or_raise(q)
         # maintain the index from what the table COMMITTED this pass
-        batch = (
+        extend_fts_index(
+            spark,
+            index_dir,
             spark.read.format("lance")
             .load(dst)
             .where(
                 (F.col("doc_id") >= cuts[i])
                 & (F.col("doc_id") < cuts[i + 1])
-            )
+            ),
         )
-        if i == 0:
-            build_fts_index(spark, batch, index_dir)
-        else:
-            extend_fts_index(spark, index_dir, batch)
 
     meta = _read_fts_meta(index_dir)
     if meta["version"] != 2 or len(meta.get("postings_dirs", [])) != 3:
