@@ -253,6 +253,43 @@ _CTAS_RE = re.compile(
 )
 
 
+# ----------------------------------------------------------- DELETE
+
+_DELETE_START_RE = re.compile(r"(?is)^\s*DELETE\b")
+_DELETE_RE = re.compile(
+    r"(?is)^\s*DELETE\s+FROM\s+(['\"`])(?P<path>[^'\"`]+\.lance)\1"
+    r"\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$"
+)
+
+
+def _run_delete(spark: SparkSession, sql: str) -> DataFrame | None:
+    """``DELETE FROM '<path>.lance' WHERE <predicate>`` — the
+    predicate is any Spark SQL boolean expression over the dataset's
+    columns, lowered onto deletion vectors (O(matches) metadata,
+    fragment files untouched; maintenance.delete_where_sql). An
+    unbounded DELETE (no WHERE) is refused — drop or overwrite the
+    dataset explicitly instead. Returns one row ``rows_deleted``."""
+    if not _DELETE_START_RE.match(sql):
+        return None
+    m = _DELETE_RE.match(sql)
+    if m is None:
+        raise lf.LanceDatasetError(
+            "unsupported DELETE syntax; supported: DELETE FROM "
+            "'<path>.lance' WHERE <spark-sql predicate> (an unbounded "
+            "DELETE without WHERE is refused — overwrite the dataset "
+            "explicitly if you mean delete-everything)"
+        )
+    path = m.group("path")
+    if not _is_lance_dataset(path):
+        raise lf.LanceDatasetError(
+            f"DELETE FROM target {path!r} is not a lance dataset"
+        )
+    from .sources.maintenance import delete_where_sql
+
+    n = delete_where_sql(spark, path, m.group("pred"))
+    return spark.createDataFrame([(n,)], "rows_deleted long")
+
+
 # ------------------------------------------------------------ MERGE
 
 _MERGE_START_RE = re.compile(r"(?is)^\s*MERGE\b")
@@ -683,6 +720,10 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
       column-level SET, conditional ``WHEN ... AND``, ``NOT MATCHED
       BY SOURCE`` — is refused loudly. Returns one row
       (rows_updated, rows_inserted, rows_deleted).
+    - ``DELETE FROM '<path>.lance' WHERE <predicate>`` lowers onto
+      deletion vectors with the predicate evaluated by Spark SQL
+      (maintenance.delete_where_sql); unbounded DELETE is refused.
+      Returns one row ``rows_deleted``.
 
     Each distinct quoted ``.lance`` path that exists on disk is
     registered as a deterministic temp view and the literal is
@@ -721,6 +762,9 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     merge = _parse_merge(sql)
     if merge is not None:
         return _run_merge(spark, merge)
+    deleted = _run_delete(spark, sql)
+    if deleted is not None:
+        return deleted
 
     used_views: set[str] = set()
     occurrence: dict[str, int] = {}

@@ -242,36 +242,53 @@ def build_fts_index(
     maintains it at O(appended docs)."""
     import uuid as _uuid
 
-    tf = _term_freq(docs)
-    dl = _doc_len(tf)
-    n_docs, sum_dl = dl.agg(
-        F.count(F.lit(1)), F.sum("dl").cast("long")
-    ).first()
-    if not n_docs:
-        raise ValueError(
-            "build_fts_index: corpus has no indexable documents "
-            "(empty/NULL text everywhere) — an empty inverted index "
-            "cannot be served; append data first"
+    # persist the tokenized term frequencies: the stats agg, the
+    # postings write and the df write each consume tf — unpersisted,
+    # the whole corpus re-tokenized three times (the same r8 review
+    # finding extend_fts_index already fixed; measured r9 at sf1 the
+    # build spent ~2/3 of its 17s re-tokenizing)
+    tf = _term_freq(docs).persist()
+    try:
+        dl = _doc_len(tf)
+        n_docs, sum_dl = dl.agg(
+            F.count(F.lit(1)), F.sum("dl").cast("long")
+        ).first()
+        if not n_docs:
+            raise ValueError(
+                "build_fts_index: corpus has no indexable documents "
+                "(empty/NULL text everywhere) — an empty inverted index "
+                "cannot be served; append data first"
+            )
+        suffix = _uuid.uuid4().hex[:8]
+        pname = f"postings_{suffix}"
+        df_name = f"_df_v0_{suffix}"
+        stats_name = f"_stats_v0_{suffix}"
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        postings = tf.join(dl, "doc_id").withColumn(
+            "bucket", _bucket_expr(F.col("term"))
         )
-    suffix = _uuid.uuid4().hex[:8]
-    pname = f"postings_{suffix}"
-    df_name = f"_df_v0_{suffix}"
-    stats_name = f"_stats_v0_{suffix}"
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    postings = tf.join(dl, "doc_id").withColumn(
-        "bucket", _bucket_expr(F.col("term"))
-    )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(index_dir, pname)
-    )
-    dfreq.withColumn("bucket", _bucket_expr(F.col("term"))).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(os.path.join(index_dir, df_name))
-    spark.createDataFrame(
-        [(int(n_docs), int(sum_dl))], "n_docs long, sum_dl long"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_dir, stats_name)
-    )
+        # repartition ON the partition column before every
+        # partitionBy write: without it each of the shuffle-partition
+        # tasks opens a writer in every bucket dir — a tasks x
+        # N_BUCKETS small-file storm (measured r9; at object-store
+        # scale the file count alone is fatal). One task per bucket
+        # writes one file per bucket. Pure layout: scores are
+        # decimal-summed, so file order cannot move a hash.
+        postings.repartition(N_BUCKETS, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(index_dir, pname))
+        dfreq.withColumn(
+            "bucket", _bucket_expr(F.col("term"))
+        ).repartition(N_BUCKETS, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(index_dir, df_name))
+        spark.createDataFrame(
+            [(int(n_docs), int(sum_dl))], "n_docs long, sum_dl long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(index_dir, stats_name)
+        )
+    finally:
+        tf.unpersist()
     try:
         prev = _read_fts_meta(index_dir)
     except (OSError, ValueError):
@@ -354,7 +371,9 @@ def extend_fts_index(
         postings_delta = f"_postings_d{version}_{suffix}"
         tf.join(dl, "doc_id").withColumn(
             "bucket", _bucket_expr(F.col("term"))
-        ).write.mode("overwrite").partitionBy("bucket").parquet(
+        ).repartition(N_BUCKETS, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(
             os.path.join(index_dir, postings_delta)
         )
         old_df = spark.read.parquet(
@@ -367,6 +386,7 @@ def extend_fts_index(
             .groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"))
             .withColumn("bucket", _bucket_expr(F.col("term")))
+            .repartition(N_BUCKETS, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(index_dir, df_dir))

@@ -376,6 +376,53 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def lance_sql_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DELETE FROM '<path>.lance' WHERE <pred>`` through the SQL
+    surface (catalog.lance_sql — MERGE's companion verb, r9): two
+    successive predicate deletes lower onto deletion vectors with
+    the predicates evaluated by Spark SQL over fragment tasks
+    (maintenance.delete_where_sql); the second delete exercises the
+    per-fragment position MERGE (old mask ∪ new hits in one side
+    file) and the already-deleted-rows anti-join (a row the first
+    DELETE removed must not be double-counted by the second).
+    Equal to the oracle's doubly-filtered aggregate iff masks merge
+    exactly and scans apply them before value filters."""
+    from ..catalog import lance_sql
+
+    register(spark)
+    root = _fresh_root(sf_dir, "sqldelete")
+    load(spark, sf_dir, "orders").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(
+        spark, f"DELETE FROM '{root}' WHERE o_totalprice > 150000.0"
+    ).collect()
+    lance_sql(
+        spark,
+        f"DELETE FROM '{root}' WHERE o_orderstatus = 'F' "
+        f"AND o_totalprice > 100000.0",
+    ).collect()
+    left = spark.read.format("lance").load(root)
+    return (
+        left.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(money("o_totalprice"), "revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+LANCE_SQL_DELETE_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE NOT (o_totalprice > 150000.0)
+  AND NOT (o_orderstatus = 'F' AND o_totalprice > 100000.0)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def lance_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion-vector delete (lance_format.py delete_where with
     use_deletion_vectors=True — Lance proper's _deletions files):
@@ -1056,6 +1103,7 @@ QUERIES = {
     "lance_native_read": lance_native_read,
     "lance_upsert": lance_upsert,
     "lance_merge": lance_merge,
+    "lance_sql_delete": lance_sql_delete,
     "lance_delete": lance_delete,
     "lance_delete_vector": lance_delete_vector,
     "lance_compact": lance_compact,
@@ -1079,6 +1127,7 @@ ORACLE = {
     "lance_native_read": LANCE_NATIVE_READ_SQL,
     "lance_upsert": LANCE_UPSERT_SQL,
     "lance_merge": LANCE_MERGE_SQL,
+    "lance_sql_delete": LANCE_SQL_DELETE_SQL,
     "lance_delete": LANCE_DELETE_SQL,
     "lance_delete_vector": LANCE_DELETE_VECTOR_SQL,
     "lance_compact": LANCE_COMPACT_SQL,

@@ -108,6 +108,93 @@ def delete_keys(spark: SparkSession, root: str, keys: DataFrame, key: str) -> No
     )
 
 
+def delete_where_sql(spark: SparkSession, root: str, predicate_sql: str) -> int:
+    """SQL-predicate DELETE lowered onto deletion vectors: the
+    predicate is evaluated BY SPARK (full Spark SQL expression power,
+    distributed across fragment tasks) against the committed schema;
+    matching physical row positions come back as (file, position)
+    pairs — an O(matches) driver transfer, the same bound as the
+    deletion-vector side files themselves, which this implementation
+    writes driver-side — and merge into per-fragment deletion files.
+    One new version commits; fragment data files are untouched
+    (O(matches) metadata, the only delete that stays cheap at 100 TB
+    — lance_format.delete_where's vector strategy, but with Spark
+    instead of pyarrow evaluating the predicate, so every Spark SQL
+    function is legal in the WHERE). Rows already deleted never
+    re-match (the existing mask is anti-joined before evaluation);
+    a NULL predicate result KEEPS the row (SQL DELETE semantics).
+    Returns the number of newly deleted rows."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    manifest = lf.read_manifest(root)
+    if not manifest.fragments:
+        return 0
+    committed = _committed_schema(manifest)
+    paths = [os.path.join(root, f.file) for f in manifest.fragments]
+    df = (
+        spark.read.schema(committed)
+        .parquet(*paths)
+        .withColumn("__file", F.col("_metadata.file_name"))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    with_dels = [f for f in manifest.fragments if f.deletion_file]
+    if with_dels:
+        dels = spark.createDataFrame(
+            [
+                (os.path.basename(f.file), int(p))
+                for f in with_dels
+                for p in lf.read_deletion_positions(root, f)
+            ],
+            schema="__file string, __pos long",
+        )
+        df = df.join(
+            F.broadcast(dels), on=["__file", "__pos"], how="left_anti"
+        )
+    hits = (
+        df.where(F.expr(predicate_sql))
+        .select("__file", "__pos")
+        .collect()
+    )
+    per_file: dict[str, list[int]] = defaultdict(list)
+    for r in hits:
+        per_file[r["__file"]].append(int(r["__pos"]))
+    if not per_file:
+        return 0  # nothing matched: no-op, no new version
+    new_frags: list[lf.Fragment] = []
+    for f in manifest.fragments:
+        add = per_file.get(os.path.basename(f.file))
+        if not add:
+            new_frags.append(f)
+            continue
+        positions = sorted(
+            set(lf.read_deletion_positions(root, f)) | set(add)
+        )
+        rel = lf.write_deletion_file(root, positions)
+        # fully-deleted fragments STAY in the manifest (stream-source
+        # prefix contract — see lance_format.delete_where)
+        new_frags.append(
+            lf.Fragment(
+                -1,
+                f.file,
+                f.num_rows,
+                f.stats,
+                rel,
+                len(positions),
+                bloom_file=f.bloom_file,
+            )
+        )
+    lf.commit(
+        root,
+        manifest.schema_json,
+        new_frags,
+        mode="overwrite",
+        expected_version=manifest.version,
+    )
+    return len(hits)
+
+
 def _merge_commit(
     spark: SparkSession,
     root: str,

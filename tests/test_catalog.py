@@ -613,3 +613,45 @@ def test_same_path_divergent_filters_union(spark, lance_db):
         [k for k in all_keys if k % 2 == 0] + [k for k in all_keys if k < 3]
     )
     assert got == want
+
+
+def test_sql_delete_where_and_refusals(spark, sf_dir, merge_tgt):
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    before = _state(spark, merge_tgt)
+    out = lance_sql(
+        spark,
+        f"DELETE FROM '{merge_tgt}' WHERE n_regionkey = 2 "
+        f"AND length(n_name) > 4",
+    ).collect()
+    expect_gone = {
+        k for k, (name, reg) in before.items() if reg == 2 and len(name) > 4
+    }
+    assert out[0]["rows_deleted"] == len(expect_gone)
+    after = _state(spark, merge_tgt)
+    assert set(after) == set(before) - expect_gone
+    # deletion vectors, not rewrites: data files untouched
+    m = lf.read_manifest(merge_tgt)
+    assert any(f.deletion_file for f in m.fragments)
+    # second delete merges masks and never recounts removed rows
+    out2 = lance_sql(
+        spark, f"DELETE FROM '{merge_tgt}' WHERE n_regionkey = 2"
+    ).collect()
+    remaining_r2 = {k for k, (_, reg) in after.items() if reg == 2}
+    assert out2[0]["rows_deleted"] == len(remaining_r2)
+    assert set(_state(spark, merge_tgt)) == set(after) - remaining_r2
+    # a DELETE matching nothing is a version no-op
+    v = lf.read_manifest(merge_tgt).version
+    out3 = lance_sql(
+        spark, f"DELETE FROM '{merge_tgt}' WHERE n_nationkey < 0"
+    ).collect()
+    assert out3[0]["rows_deleted"] == 0
+    assert lf.read_manifest(merge_tgt).version == v
+    # refusals: unbounded DELETE, missing dataset
+    with pytest.raises(LanceDatasetError, match="unbounded"):
+        lance_sql(spark, f"DELETE FROM '{merge_tgt}'")
+    with pytest.raises(LanceDatasetError, match="not a lance dataset"):
+        lance_sql(
+            spark, "DELETE FROM '/tmp/missing_zzz.lance' WHERE 1 = 1"
+        )
