@@ -881,6 +881,9 @@ def contagg_process_batch(batch_df: DataFrame, epoch: int, store: str) -> None:
         .groupBy("hour_idx", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
         .withColumn("day_idx", F.expr("hour_idx DIV 24"))
+        # one writer per day partition (the repo-wide partitionBy
+        # discipline — every other bucketed write repartitions first)
+        .repartition("day_idx")
         .write.mode("overwrite")
         .partitionBy("day_idx")
         .parquet(os.path.join(store, f"epoch={epoch}"))
