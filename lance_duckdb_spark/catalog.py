@@ -131,7 +131,19 @@ def register_lance_views(
                 f"registered views: {sorted(out)}"
             )
     for name, path, pin in plan:
-        reader = spark.read.format("lance")
+        # filterPushdown OFF for every registered view: a long-lived
+        # view's single relation instance can appear at multiple plan
+        # positions with different derived filters, and Spark 4.1
+        # serves them all from ONE planned python-DS scan — an
+        # accepted filter from one position silently over-filters the
+        # others (r9 finding: a UNION of two WHEREs over one view, or
+        # a constant-key semi join, returned wrong rows). Declining
+        # pushdown keeps every Filter node on Spark's side — correct
+        # for any plan shape, at the cost of fragment pruning; use
+        # lance_load()/lance_sql for pruned single-reference scans.
+        reader = spark.read.format("lance").option(
+            "filterPushdown", "false"
+        )
         if pin is not None:
             reader = reader.option("version", str(pin))
         reader.load(path).createOrReplaceTempView(name)
@@ -795,8 +807,16 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
         ).hexdigest()[:10]
         name = f"lance_ds_{digest}"
         # idempotent per session: re-registering the same
-        # path+cols+occurrence is a no-op
-        reader = spark.read.format("lance")
+        # path+cols+occurrence is a no-op. filterPushdown OFF: the
+        # per-occurrence views protect against TEXTUAL duplication,
+        # but the optimizer can still clone ONE occurrence into
+        # filter-divergent positions (constant-key semi joins) — and
+        # Spark 4.1 serves every clone from one planned scan (see
+        # register_lance_views). Column narrowing stays: it is
+        # schema-level and uniform across clones.
+        reader = spark.read.format("lance").option(
+            "filterPushdown", "false"
+        )
         if narrowed is not None:
             reader = reader.schema(narrowed)
         reader.load(path).createOrReplaceTempView(name)
@@ -916,9 +936,11 @@ class LanceWarehouse:
                 plan.append((name, path, ver, token))
         changed: dict[str, str] = {}
         for name, path, ver, token in plan:
-            self.spark.read.format("lance").load(path).createOrReplaceTempView(
-                name
-            )
+            # filterPushdown OFF — same multi-reference hazard as
+            # register_lance_views (warehouse views are long-lived)
+            self.spark.read.format("lance").option(
+                "filterPushdown", "false"
+            ).load(path).createOrReplaceTempView(name)
             self._registered[name] = (path, ver, token)
             changed[name] = path
         for name in list(self._registered):

@@ -335,9 +335,11 @@ class LanceScanReader(DataSourceReader):
         version: int | None,
         begin_version: int | None = None,
         fragment_files: set[str] | None = None,
+        accept_filters: bool = True,
     ):
         self.root = root
         self.schema = schema
+        self.accept_filters = accept_filters
         self.manifest = lf.read_manifest(root, version)
         if fragment_files is not None:
             # explicit fragment allowlist (scalar-index scans): the
@@ -390,6 +392,12 @@ class LanceScanReader(DataSourceReader):
         self.pushed: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        if not self.accept_filters:
+            # multi-reference-safe mode (see DataSource.reader): keep
+            # every filter on Spark's side; nothing in partitions()
+            # or read() may then depend on any one position's filters
+            yield from filters
+            return
         # assign, never append: Spark may reuse this reader across
         # plannings of DataFrames derived from one load(); appending
         # would accumulate filters from earlier queries
@@ -473,9 +481,16 @@ class NativeScanReader(DataSourceReader):
     pages are decoded); pushed filters are applied per-batch with the
     same pyarrow expressions as the JSON-store reader."""
 
-    def __init__(self, root: str, schema: StructType, version: int | None):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        version: int | None,
+        accept_filters: bool = True,
+    ):
         self.root = root
         self.schema = schema
+        self.accept_filters = accept_filters
         self.manifest = ln.open_dataset(root, version)
         # refuse datasets with Lance deletion files up front: this
         # decoder has no deletion-mask support, and scanning the data
@@ -494,6 +509,10 @@ class NativeScanReader(DataSourceReader):
         self.pushed: list[Filter] = []
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        if not self.accept_filters:
+            # multi-reference-safe mode — see DataSource.reader
+            yield from filters
+            return
         fc = _float_cols(self.schema)
         self.pushed = [f for f in filters if _pushable(f, fc)]
         for f in filters:
@@ -904,13 +923,33 @@ class LanceDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         root = self._root()
+        # .option("filterPushdown", "false"): decline every offered
+        # filter so Spark keeps its own Filter nodes. REQUIRED for
+        # any relation that can appear at multiple plan positions
+        # with different derived filters (a long-lived temp view, or
+        # any frame the optimizer may clone — constant-key semi
+        # joins, semi joins pushed through unions): Spark 4.1 plans
+        # a Python-DS relation ONCE per relation instance and serves
+        # every position from that single scan, so an accepted
+        # filter from one position silently over-filters the others
+        # (observed r9). catalog.register_lance_views / lance_sql
+        # set this; direct load() keeps pushdown (fresh relation per
+        # load, single-position use — the documented DataFrame rule).
+        accept = str(
+            self.options.get(
+                "filterPushdown",
+                self.options.get("filterpushdown", "true"),
+            )
+        ).lower() != "false"
         if ln.is_native_dataset(root):
             if self._begin_version() is not None:
                 raise lf.LanceDatasetError(
                     "begin_version incremental reads are not supported "
                     "on native-encoded lance datasets"
                 )
-            return NativeScanReader(root, schema, self._version())
+            return NativeScanReader(
+                root, schema, self._version(), accept_filters=accept
+            )
         ff = self.options.get("fragment_files", self.options.get("fragmentfiles"))
         return LanceScanReader(
             root,
@@ -918,6 +957,7 @@ class LanceDataSource(DataSource):
             self._version(),
             self._begin_version(),
             set(ff.split(",")) if ff else None,
+            accept_filters=accept,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> LanceArrowWriter:

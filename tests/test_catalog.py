@@ -655,3 +655,41 @@ def test_sql_delete_where_and_refusals(spark, sf_dir, merge_tgt):
         lance_sql(
             spark, "DELETE FROM '/tmp/missing_zzz.lance' WHERE 1 = 1"
         )
+
+
+def test_registered_views_safe_under_optimizer_cloning(spark, lance_db):
+    """Spark 4.1 plans a Python-DS relation once per relation
+    instance and serves every plan position of it from that single
+    scan — so registered views (long-lived relations the optimizer
+    may clone into filter-divergent positions) must DECLINE filter
+    pushdown entirely. Before the r9 fix, a UNION of two WHEREs over
+    one view returned the intersection-filtered rows, and a
+    constant-key semi join returned nothing."""
+    register_lance_views(spark, lance_db)
+    all_keys = [r.n_nationkey for r in spark.sql("SELECT n_nationkey FROM nation").collect()]
+    got = sorted(
+        r[0]
+        for r in spark.sql(
+            "SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0 "
+            "UNION ALL SELECT n_nationkey FROM nation WHERE n_nationkey < 3"
+        ).collect()
+    )
+    want = sorted(
+        [k for k in all_keys if k % 2 == 0] + [k for k in all_keys if k < 3]
+    )
+    assert got == want
+    # the constant-key semi join shape (optimizer turns it into a
+    # col = <lit> pushdown on one clone of the relation)
+    n = spark.sql(
+        "SELECT count(*) FROM nation WHERE n_nationkey IN "
+        "(SELECT 7 WHERE EXISTS (SELECT 1))"
+    ).first()[0]
+    assert n == (1 if 7 in all_keys else 0)
+    # same shape through lance_sql's per-occurrence views
+    p = f"{lance_db}/nation.lance"
+    n2 = lance_sql(
+        spark,
+        f"SELECT count(*) FROM '{p}' WHERE n_nationkey IN "
+        f"(SELECT 7 WHERE EXISTS (SELECT 1))",
+    ).first()[0]
+    assert n2 == n
