@@ -265,6 +265,103 @@ _CTAS_RE = re.compile(
 )
 
 
+# ----------------------------------------------------------- UPDATE
+
+_UPDATE_START_RE = re.compile(r"(?is)^\s*UPDATE\b")
+_UPDATE_HEAD_RE = re.compile(
+    r"(?is)^\s*UPDATE\s+(['\"`])(?P<path>[^'\"`]+\.lance)\1\s+SET\s+"
+)
+
+
+def _top_level_chars(s: str):
+    """(index, char) pairs at paren depth 0 outside quotes — the
+    scanner both the SET-list splitter and the WHERE finder use, so
+    commas/keywords inside subqueries or function calls never
+    confuse the parse."""
+    depth, in_str = 0, None
+    for i, c in enumerate(s):
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in "'\"":
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            yield i, c
+
+
+def _top_level_where(s: str) -> int | None:
+    """Index of the first top-level WHERE keyword, else None."""
+    for i, c in _top_level_chars(s):
+        if c in "Ww" and s[i : i + 5].upper() == "WHERE":
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            after = s[i + 5 : i + 6]
+            if before_ok and (not after or not (after.isalnum() or after == "_")):
+                return i
+    return None
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, last = [], 0
+    for i, c in _top_level_chars(s):
+        if c == ",":
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return parts
+
+
+def _run_update(spark: SparkSession, sql: str) -> DataFrame | None:
+    """``UPDATE '<path>.lance' SET col = <expr>[, ...] [WHERE
+    <pred>]`` — every expression is Spark SQL evaluated against the
+    OLD row; lowered onto the fragment-pruned rewrite
+    (maintenance.update_where_sql). Returns one row
+    ``rows_updated``."""
+    if not _UPDATE_START_RE.match(sql):
+        return None
+    m = _UPDATE_HEAD_RE.match(sql)
+    if m is None:
+        raise lf.LanceDatasetError(
+            "unsupported UPDATE syntax; supported: UPDATE "
+            "'<path>.lance' SET <col> = <spark-sql expr>[, ...] "
+            "[WHERE <spark-sql predicate>] (no target alias)"
+        )
+    path = m.group("path")
+    if not _is_lance_dataset(path):
+        raise lf.LanceDatasetError(
+            f"UPDATE target {path!r} is not a lance dataset"
+        )
+    rest = sql[m.end():].strip().rstrip(";").strip()
+    w = _top_level_where(rest)
+    if w is None:
+        sets_str, pred = rest, "TRUE"
+    else:
+        sets_str, pred = rest[:w], rest[w + 5 :].strip()
+        if not pred:
+            raise lf.LanceDatasetError("UPDATE has an empty WHERE clause")
+    assignments: dict[str, str] = {}
+    for part in _split_top_level_commas(sets_str):
+        am = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*$", part)
+        if am is None:
+            raise lf.LanceDatasetError(
+                f"malformed UPDATE assignment {part.strip()!r}; expected "
+                "<col> = <spark-sql expr>"
+            )
+        col = am.group(1)
+        if col in assignments:
+            raise lf.LanceDatasetError(
+                f"duplicate UPDATE assignment for column {col!r}"
+            )
+        assignments[col] = am.group(2)
+    from .sources.maintenance import update_where_sql
+
+    n = update_where_sql(spark, path, assignments, pred)
+    return spark.createDataFrame([(n,)], "rows_updated long")
+
+
 # ----------------------------------------------------------- DELETE
 
 _DELETE_START_RE = re.compile(r"(?is)^\s*DELETE\b")
@@ -736,6 +833,11 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
       deletion vectors with the predicate evaluated by Spark SQL
       (maintenance.delete_where_sql); unbounded DELETE is refused.
       Returns one row ``rows_deleted``.
+    - ``UPDATE '<path>.lance' SET col = <expr>[, ...] [WHERE
+      <pred>]`` lowers onto a fragment-pruned rewrite — only hit
+      fragments rewrite, expressions evaluate against the OLD row
+      (maintenance.update_where_sql). Returns one row
+      ``rows_updated``.
 
     Each distinct quoted ``.lance`` path that exists on disk is
     registered as a deterministic temp view and the literal is
@@ -777,6 +879,9 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     deleted = _run_delete(spark, sql)
     if deleted is not None:
         return deleted
+    updated = _run_update(spark, sql)
+    if updated is not None:
+        return updated
 
     used_views: set[str] = set()
     occurrence: dict[str, int] = {}

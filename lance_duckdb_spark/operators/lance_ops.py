@@ -376,6 +376,61 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def lance_sql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE '<path>.lance' SET ... WHERE ...`` through the SQL
+    surface (catalog.lance_sql — completes the MERGE/DELETE/UPDATE
+    DML triad, r9): one statement assigns TWO columns (a decimal-
+    disciplined balance bump and a case-folded segment) for every
+    matched row, lowered onto the fragment-pruned rewrite
+    (maintenance.update_where_sql — only hit fragments rewrite,
+    right-hand sides evaluate against the OLD row). Equal to the
+    oracle's CASE-projected aggregate iff the rewrite updates exactly
+    the matched rows, preserves every other row bit-for-bit, and
+    commits atomically."""
+    from ..catalog import lance_sql
+
+    register(spark)
+    root = _fresh_root(sf_dir, "sqlupdate")
+    load(spark, sf_dir, "customer").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(
+        spark,
+        f"UPDATE '{root}' SET "
+        f"c_acctbal = CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 "
+        f"AS DOUBLE), "
+        f"c_mktsegment = lower(c_mktsegment) "
+        f"WHERE c_nationkey % 5 = 2",
+    ).collect()
+    upd = spark.read.format("lance").load(root)
+    return (
+        upd.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(money("c_acctbal"), "total_bal"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LANCE_SQL_UPDATE_SQL = """
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey,
+    CASE WHEN c_nationkey % 5 = 2
+         THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 AS DOUBLE)
+         ELSE c_acctbal END AS c_acctbal,
+    CASE WHEN c_nationkey % 5 = 2
+         THEN lower(c_mktsegment) ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  COUNT(DISTINCT c_custkey) AS n_keys
+FROM upd GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def lance_sql_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``DELETE FROM '<path>.lance' WHERE <pred>`` through the SQL
     surface (catalog.lance_sql — MERGE's companion verb, r9): two
@@ -1104,6 +1159,7 @@ QUERIES = {
     "lance_upsert": lance_upsert,
     "lance_merge": lance_merge,
     "lance_sql_delete": lance_sql_delete,
+    "lance_sql_update": lance_sql_update,
     "lance_delete": lance_delete,
     "lance_delete_vector": lance_delete_vector,
     "lance_compact": lance_compact,
@@ -1128,6 +1184,7 @@ ORACLE = {
     "lance_upsert": LANCE_UPSERT_SQL,
     "lance_merge": LANCE_MERGE_SQL,
     "lance_sql_delete": LANCE_SQL_DELETE_SQL,
+    "lance_sql_update": LANCE_SQL_UPDATE_SQL,
     "lance_delete": LANCE_DELETE_SQL,
     "lance_delete_vector": LANCE_DELETE_VECTOR_SQL,
     "lance_compact": LANCE_COMPACT_SQL,

@@ -195,6 +195,111 @@ def delete_where_sql(spark: SparkSession, root: str, predicate_sql: str) -> int:
     return len(hits)
 
 
+def update_where_sql(
+    spark: SparkSession,
+    root: str,
+    assignments: dict[str, str],
+    predicate_sql: str,
+) -> int:
+    """SQL UPDATE lowered onto a fragment-pruned REWRITE: matching
+    rows are found by Spark SQL (full expression power), only HIT
+    fragments are rewritten — each row projected through
+    ``CASE WHEN <pred> THEN <rhs> ELSE <old> END`` per assigned
+    column, all right-hand sides evaluated against the OLD row
+    (standard SQL UPDATE semantics) — and untouched fragments are
+    carried by reference, zero IO. Deletion vectors on hit fragments
+    are materialized by the rewrite (their rows were already
+    invisible). NULL predicate keeps the row unchanged. Assigned
+    columns must exist and the assignment must preserve the
+    committed column type (refused loudly, never silently cast).
+    Returns the number of updated rows."""
+    from pyspark.sql import functions as F
+
+    manifest = lf.read_manifest(root)
+    committed = _committed_schema(manifest)
+    names = {f.name for f in committed.fields}
+    unknown = sorted(set(assignments) - names)
+    if unknown:
+        raise lf.LanceDatasetError(
+            f"UPDATE SET names unknown columns {unknown}; dataset "
+            f"columns: {sorted(names)}"
+        )
+    if not manifest.fragments:
+        return 0
+
+    def _with_dels(df, fragments):
+        with_dels = [f for f in fragments if f.deletion_file]
+        if not with_dels:
+            return df
+        dels = spark.createDataFrame(
+            [
+                (os.path.basename(f.file), int(p))
+                for f in with_dels
+                for p in lf.read_deletion_positions(root, f)
+            ],
+            schema="__file string, __pos long",
+        )
+        return df.join(
+            F.broadcast(dels), on=["__file", "__pos"], how="left_anti"
+        )
+
+    def _tagged(fragments):
+        return (
+            spark.read.schema(committed)
+            .parquet(*[os.path.join(root, f.file) for f in fragments])
+            .withColumn("__file", F.col("_metadata.file_name"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+
+    # pass 1: which fragments hold matches, and how many rows
+    hits = (
+        _with_dels(_tagged(manifest.fragments), manifest.fragments)
+        .where(F.expr(predicate_sql))
+        .groupBy("__file")
+        .count()
+        .collect()
+    )
+    if not hits:
+        return 0  # nothing matched: no-op, no new version
+    hit_files = {r["__file"] for r in hits}
+    n_updated = sum(int(r["count"]) for r in hits)
+    affected = [
+        f
+        for f in manifest.fragments
+        if os.path.basename(f.file) in hit_files
+    ]
+    carried = [
+        f
+        for f in manifest.fragments
+        if os.path.basename(f.file) not in hit_files
+    ]
+    # pass 2: rewrite only the hit fragments, all RHS against OLD rows
+    current = _with_dels(_tagged(affected), affected).drop(
+        "__file", "__pos"
+    )
+    pred = F.expr(predicate_sql)
+    proj = [
+        F.when(pred, F.expr(assignments[c.name]))
+        .otherwise(F.col(c.name))
+        .alias(c.name)
+        if c.name in assignments
+        else F.col(c.name)
+        for c in committed.fields
+    ]
+    rewritten = current.select(*proj)
+    got = {f.name: f.dataType for f in rewritten.schema.fields}
+    want = {f.name: f.dataType for f in committed.fields}
+    retyped = sorted(n for n in want if got[n] != want[n])
+    if retyped:
+        raise lf.LanceDatasetError(
+            f"UPDATE SET changes column types {retyped} "
+            f"({ {n: f'{want[n]} -> {got[n]}' for n in retyped} }); "
+            "cast the expression to the committed type explicitly"
+        )
+    _stage_and_commit(root, manifest, rewritten, carried)
+    return n_updated
+
+
 def _merge_commit(
     spark: SparkSession,
     root: str,
@@ -281,21 +386,29 @@ def _merge_commit(
         current = None
     if current is None and inserts is None:
         return  # pure delete touching no fragment: a no-op, no version
+    if current is not None:
+        survivors = current.join(drop_keys, on=key, how="left_anti")
+        merged = (
+            survivors.unionByName(inserts)
+            if inserts is not None
+            else survivors
+        )
+    else:
+        merged = inserts
+    _stage_and_commit(root, manifest, merged, carried)
+
+
+def _stage_and_commit(root: str, manifest, rewritten: DataFrame, carried) -> None:
+    """Write ``rewritten`` through the lance writer into a staging
+    dataset, adopt the staged fragment files into this dataset's
+    data/, and commit carried + adopted as ONE new version. An
+    empty ``rewritten`` stages ZERO fragments (verified writer
+    behavior) and the commit publishes carried-only — no special
+    case. Shared by the key-set merge (upsert/delete_keys) and the
+    predicate UPDATE rewrite."""
     staging = f"{root}.upsert-{uuid.uuid4().hex}"
     try:
-        if current is not None:
-            survivors = current.join(drop_keys, on=key, how="left_anti")
-            merged = (
-                survivors.unionByName(inserts)
-                if inserts is not None
-                else survivors
-            )
-        else:
-            merged = inserts
-        # a pure delete can empty every affected fragment: the lance
-        # writer then stages ZERO fragments (verified behavior) and
-        # the commit below publishes carried-only — no special case
-        merged.write.format("lance").mode("overwrite").save(staging)
+        rewritten.write.format("lance").mode("overwrite").save(staging)
         staged = lf.read_manifest(staging)
         new_frags: list[lf.Fragment] = []
         for f in staged.fragments:

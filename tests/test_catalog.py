@@ -693,3 +693,78 @@ def test_registered_views_safe_under_optimizer_cloning(spark, lance_db):
         f"(SELECT 7 WHERE EXISTS (SELECT 1))",
     ).first()[0]
     assert n2 == n
+
+
+def test_sql_update_semantics_and_refusals(spark, sf_dir, tmp_path):
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    root = str(tmp_path / "upd.lance")
+    ds.register(spark)
+    # four fragments so pruning is observable
+    load(spark, sf_dir, "nation").repartition(4).write.format(
+        "lance"
+    ).mode("overwrite").save(root)
+    before = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in spark.read.format("lance").load(root).collect()
+    }
+    files_before = {f.file for f in lf.read_manifest(root).fragments}
+    out = lance_sql(
+        spark,
+        f"UPDATE '{root}' SET n_name = lower(n_name), "
+        f"n_regionkey = CAST(n_regionkey + 10 AS INT) "
+        f"WHERE n_regionkey = 2 AND length(n_name) > 4",
+    ).collect()
+    hit = {
+        k for k, (nm, rg) in before.items() if rg == 2 and len(nm) > 4
+    }
+    assert out[0]["rows_updated"] == len(hit)
+    after = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in spark.read.format("lance").load(root).collect()
+    }
+    for k, (nm, rg) in before.items():
+        assert after[k] == ((nm.lower(), rg + 10) if k in hit else (nm, rg))
+    # fragment pruning: untouched fragments carried by file identity
+    files_after = {f.file for f in lf.read_manifest(root).fragments}
+    assert files_before & files_after, "no fragment was carried"
+    assert files_before != files_after, "no fragment was rewritten"
+    # RHS sees OLD values even when another SET column feeds it
+    lance_sql(
+        spark,
+        f"UPDATE '{root}' SET n_regionkey = CAST(n_nationkey AS INT), "
+        f"n_nationkey = CAST(n_regionkey AS INT) WHERE n_nationkey = 0",
+    ).collect()
+    r0 = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.format("lance").load(root).collect()
+    }
+    assert r0.get(after[0][1]) == 0  # swapped, not chained
+    # no-match UPDATE is a version no-op
+    v = lf.read_manifest(root).version
+    out2 = lance_sql(
+        spark, f"UPDATE '{root}' SET n_name = 'x' WHERE n_nationkey < 0"
+    ).collect()
+    assert out2[0]["rows_updated"] == 0
+    assert lf.read_manifest(root).version == v
+    # refusals: unknown column, type change, duplicate assignment
+    with pytest.raises(LanceDatasetError, match="unknown columns"):
+        lance_sql(spark, f"UPDATE '{root}' SET nope = 1 WHERE 1=1")
+    with pytest.raises(LanceDatasetError, match="column types"):
+        lance_sql(
+            spark,
+            f"UPDATE '{root}' SET n_regionkey = 'text' WHERE 1=1",
+        )
+    with pytest.raises(LanceDatasetError, match="duplicate"):
+        lance_sql(
+            spark,
+            f"UPDATE '{root}' SET n_name = 'a', n_name = 'b' WHERE 1=1",
+        )
+    with pytest.raises(LanceDatasetError, match="not a lance dataset"):
+        lance_sql(spark, "UPDATE '/tmp/zz_missing.lance' SET a = 1")
+    # WHERE-less UPDATE is allowed (bulk transform) and hits all rows
+    out3 = lance_sql(
+        spark, f"UPDATE '{root}' SET n_name = upper(n_name)"
+    ).collect()
+    assert out3[0]["rows_updated"] == len(before)
