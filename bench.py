@@ -245,10 +245,12 @@ def main() -> None:
             "ratio also carries run-to-run spread from the DuckDB "
             "side — compare rounds on the band, not one draw. r8 "
             "band: 1.05-1.13 over three identical-code runs (spark "
-            "fresh 33-36s / duck 31.5-31.7s on 41 queries). r9: the "
-            "headline set grew to 45 (contamination_bloom, "
-            "ann_sq8_topk, lance_take, fts_bm25_indexed) at ratio "
-            "1.13 — the INDEXED-serving entries stage their "
+            "fresh 33-36s / duck 31.5-31.7s on 41 queries). r9 "
+            "band: 1.13-1.18 over three runs on the GROWN 45-query "
+            "set (contamination_bloom, ann_sq8_topk, lance_take, "
+            "fts_bm25_indexed added; both engines' totals carry "
+            "more spread this round — duck itself drew 33.2-38.7s) "
+            "— the INDEXED-serving entries stage their "
             "index/dataset once per corpus and serve from it "
             "(rebuilding the inverted index inside every timed run "
             "measured the one-time load phase 77x over the oracle's "

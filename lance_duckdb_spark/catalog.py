@@ -265,6 +265,95 @@ _CTAS_RE = re.compile(
 )
 
 
+# ----------------------------------------- maintenance verbs (sugar)
+
+_VACUUM_RE = re.compile(
+    r"(?is)^\s*VACUUM\s+(['\"`])(?P<path>[^'\"`]+\.lance)\1"
+    r"\s*(?:\((?P<opts>[^)]*)\))?\s*;?\s*$"
+)
+_OPTIMIZE_RE = re.compile(
+    r"(?is)^\s*OPTIMIZE\s+(['\"`])(?P<path>[^'\"`]+\.lance)\1"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]*)\))?\s*;?\s*$"
+)
+
+
+def _run_maintenance(spark: SparkSession, sql: str) -> DataFrame | None:
+    """``VACUUM '<path>.lance' [(KEEP_LAST n, OLDER_THAN_SECONDS
+    s)]`` → lance_format.cleanup_old_versions (returns one row of
+    its reclamation counters) and ``OPTIMIZE '<path>.lance' [ZORDER
+    BY (colA, colB)]`` → layout.optimize (plain = fragment
+    compaction; ZORDER BY re-clusters on exactly two columns — the
+    2-D interleave the layout implements). The Delta-ish maintenance
+    verbs, as sugar over the existing CAS-guarded machinery."""
+    m = _VACUUM_RE.match(sql)
+    if m is not None:
+        path = m.group("path")
+        if not _is_lance_dataset(path):
+            raise lf.LanceDatasetError(
+                f"VACUUM target {path!r} is not a lance dataset"
+            )
+        kwargs: dict = {}
+        for tok in filter(
+            None, (t.strip() for t in _split_quote_aware(m.group("opts") or ""))
+        ):
+            parts = tok.split(None, 1)
+            key = parts[0].lower()
+            val = parts[1].strip() if len(parts) > 1 else ""
+            if key == "keep_last":
+                kwargs["keep_last"] = int(val)
+            elif key == "older_than_seconds":
+                kwargs["older_than_seconds"] = float(val)
+            else:
+                raise lf.LanceDatasetError(
+                    f"unknown VACUUM option {key!r}; supported: "
+                    "KEEP_LAST <int>, OLDER_THAN_SECONDS <float>"
+                )
+        stats = lf.cleanup_old_versions(path, **kwargs)
+        return spark.createDataFrame(
+            [
+                (
+                    int(stats["versions_removed"]),
+                    int(stats["files_removed"]),
+                    int(stats["bytes_reclaimed"]),
+                )
+            ],
+            "versions_removed long, files_removed long, "
+            "bytes_reclaimed long",
+        )
+    m = _OPTIMIZE_RE.match(sql)
+    if m is not None:
+        path = m.group("path")
+        if not _is_lance_dataset(path):
+            raise lf.LanceDatasetError(
+                f"OPTIMIZE target {path!r} is not a lance dataset"
+            )
+        from .sources.layout import optimize
+
+        cols = m.group("cols")
+        if cols is None:
+            optimize(spark, path)
+        else:
+            names = [c.strip().strip("`") for c in cols.split(",") if c.strip()]
+            if len(names) != 2:
+                raise lf.LanceDatasetError(
+                    f"OPTIMIZE ZORDER BY takes exactly two columns (the "
+                    f"2-D interleave the layout implements), got {names}"
+                )
+            optimize(spark, path, zorder_cols=(names[0], names[1]))
+        head = lf.read_manifest(path)
+        return spark.createDataFrame(
+            [(head.version, len(head.fragments))],
+            "version long, n_fragments long",
+        )
+    if re.match(r"(?is)^\s*(VACUUM|OPTIMIZE)\b", sql):
+        raise lf.LanceDatasetError(
+            "unsupported maintenance syntax; supported: VACUUM "
+            "'<path>.lance' [(KEEP_LAST n, OLDER_THAN_SECONDS s)] and "
+            "OPTIMIZE '<path>.lance' [ZORDER BY (colA, colB)]"
+        )
+    return None
+
+
 # ----------------------------------------------------------- UPDATE
 
 _UPDATE_START_RE = re.compile(r"(?is)^\s*UPDATE\b")
@@ -882,6 +971,9 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     updated = _run_update(spark, sql)
     if updated is not None:
         return updated
+    maint = _run_maintenance(spark, sql)
+    if maint is not None:
+        return maint
 
     used_views: set[str] = set()
     occurrence: dict[str, int] = {}

@@ -768,3 +768,39 @@ def test_sql_update_semantics_and_refusals(spark, sf_dir, tmp_path):
         spark, f"UPDATE '{root}' SET n_name = upper(n_name)"
     ).collect()
     assert out3[0]["rows_updated"] == len(before)
+
+
+def test_sql_vacuum_and_optimize(spark, sf_dir, tmp_path):
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    root = str(tmp_path / "maint.lance")
+    ds.register(spark)
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(8).write.format("lance").mode("overwrite").save(root)
+    orders.limit(50).write.format("lance").mode("append").save(root)
+    n = spark.read.format("lance").load(root).count()
+    # OPTIMIZE (plain compaction) shrinks the fragment count, keeps rows
+    out = lance_sql(spark, f"OPTIMIZE '{root}'").collect()
+    assert out[0]["n_fragments"] < 9
+    assert spark.read.format("lance").load(root).count() == n
+    # OPTIMIZE ZORDER BY re-clusters on two columns
+    out = lance_sql(
+        spark, f"OPTIMIZE '{root}' ZORDER BY (o_custkey, o_totalprice)"
+    ).collect()
+    assert spark.read.format("lance").load(root).count() == n
+    with pytest.raises(LanceDatasetError, match="exactly two"):
+        lance_sql(spark, f"OPTIMIZE '{root}' ZORDER BY (o_custkey)")
+    # VACUUM drops old versions past the retention window
+    n_versions = len(lf.list_versions(root))
+    assert n_versions > 2
+    out = lance_sql(
+        spark, f"VACUUM '{root}' (KEEP_LAST 2, OLDER_THAN_SECONDS 0)"
+    ).collect()
+    assert out[0]["versions_removed"] == n_versions - 2
+    assert len(lf.list_versions(root)) == 2
+    assert spark.read.format("lance").load(root).count() == n
+    with pytest.raises(LanceDatasetError, match="unknown VACUUM option"):
+        lance_sql(spark, f"VACUUM '{root}' (RETAIN 5)")
+    with pytest.raises(LanceDatasetError, match="unsupported maintenance"):
+        lance_sql(spark, "VACUUM sometable")
