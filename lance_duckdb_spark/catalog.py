@@ -688,6 +688,19 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
             )
         src = spark.read.format("lance").load(parsed["src_path"])
     else:
+        # the USING subquery re-enters lance_sql for its replacement
+        # scans; a nested write/DML statement smuggled there would
+        # EXECUTE (COPY/CTAS/MERGE/DELETE/UPDATE/VACUUM/OPTIMIZE all
+        # dispatch before the read-path rewrite) — refuse anything
+        # that is not a plain query
+        if re.match(
+            r"(?is)^\s*(COPY|CREATE|MERGE|DELETE|UPDATE|VACUUM|OPTIMIZE)\b",
+            parsed["src_select"],
+        ):
+            raise lf.LanceDatasetError(
+                "MERGE USING takes a read-only subquery; nested "
+                "write/DML statements are refused"
+            )
         src = lance_sql(spark, parsed["src_select"])
     key = parsed["key_t"]
     if parsed["key_s"] != key:

@@ -804,3 +804,16 @@ def test_sql_vacuum_and_optimize(spark, sf_dir, tmp_path):
         lance_sql(spark, f"VACUUM '{root}' (RETAIN 5)")
     with pytest.raises(LanceDatasetError, match="unsupported maintenance"):
         lance_sql(spark, "VACUUM sometable")
+
+
+def test_merge_using_refuses_nested_dml(spark, merge_tgt):
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    with pytest.raises(LanceDatasetError, match="read-only subquery"):
+        lance_sql(
+            spark,
+            f"MERGE INTO '{merge_tgt}' t USING ("
+            f"DELETE FROM '{merge_tgt}' WHERE 1=1"
+            f") s ON t.n_nationkey = s.n_nationkey "
+            f"WHEN MATCHED THEN DELETE",
+        )
