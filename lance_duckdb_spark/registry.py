@@ -295,10 +295,10 @@ _RECHECK_R9: set = set()
 # the 37 r6-green entries the r8 window did not re-sweep — then
 # r7-green entries (stale one round) fill the remainder. r8-green is
 # the freshest tier. Verified by executing the rotation before
-# commit. Registry total at r8 close: 136; r9 adds lance_merge +
-# lance_sql_delete (138 total) which lead the window as
-# never-verified, displacing the two youngest r7-green fills to the
-# r10 window.
+# commit. Registry total at r8 close: 136; r9 adds the three DML
+# verbs (lance_merge, lance_sql_delete, lance_sql_update — 139
+# total) which lead the window as never-verified, displacing the
+# three youngest r7-green fills to the r10 window.
 
 
 def _rotate(merged: dict) -> dict:
