@@ -606,7 +606,18 @@ def _parse_merge(sql: str) -> dict | None:
                 "supported"
             )
         if low.startswith("not matched by source"):
-            raise _merge_err("WHEN NOT MATCHED BY SOURCE is not supported")
+            if low == "not matched by source then delete":
+                act = "sync_delete"
+                if act in actions:
+                    raise _merge_err(
+                        "duplicate WHEN NOT MATCHED BY SOURCE clause"
+                    )
+                actions.add(act)
+                continue
+            raise _merge_err(
+                "WHEN NOT MATCHED BY SOURCE supports only THEN DELETE "
+                "(the snapshot-sync form)"
+            )
         if low == "matched then update set *":
             act = "update"
         elif low == "matched then delete":
@@ -655,6 +666,13 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
     (``delete_keys``). Returns one row (rows_updated, rows_inserted,
     rows_deleted) counting SOURCE rows routed to update/insert and
     TARGET rows deleted.
+
+    Dialect restriction, enforced loudly: NULL-keyed SOURCE rows are
+    REFUSED on the update/insert paths (the upsert contract) rather
+    than silently inserted the way ANSI MERGE's not-matched branch
+    would — merge-by-NULL-key is undefined and a NULL-keyed insert
+    is almost always a data bug; filter them explicitly if intended.
+    The DELETE path drops NULL source keys (NULL = x is never true).
 
     Both the source and the target key column are SPILLED to a
     parquet stage before any join logic, for two reasons: (1) the
@@ -717,8 +735,29 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
         "merge-tgt-keys",
     )
     try:
-        actions = parsed["actions"]
+        actions = set(parsed["actions"])
+        sync_delete = "sync_delete" in actions
+        actions.discard("sync_delete")
         n_upd = n_ins = n_del = 0
+        stale_keys = None
+        if sync_delete:
+            # NOT MATCHED BY SOURCE THEN DELETE (snapshot sync):
+            # target keys the source no longer carries, computed
+            # against the pre-merge spill and deleted AFTER the other
+            # actions — their key set is disjoint from src, so no
+            # ordering interaction is possible. Count is TARGET rows.
+            stale_keys = tgt_keys.join(
+                src.select(key).where(F.col(key).isNotNull()).distinct(),
+                key,
+                "left_anti",
+            )
+            n_del += (
+                spark.read.format("lance")
+                .load(path)
+                .select(key)
+                .join(stale_keys, key, "left_semi")
+                .count()
+            )
         if actions == {"update", "insert"}:
             n_upd = src.join(tgt_keys, key, "left_semi").count()
             n_ins = src.join(tgt_keys, key, "left_anti").count()
@@ -732,20 +771,21 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
             n_ins = ins.count()
             if n_ins:
                 upsert(spark, path, ins, key)
-        else:  # delete, optionally + insert
+        elif "delete" in actions:  # matched delete, optionally + insert
             src_keys = (
                 src.select(key).where(F.col(key).isNotNull()).distinct()
             )
             # counts TARGET ROWS (not distinct keys): a fresh
             # non-distinct key scan; single join position, so the
             # lance relation is never optimizer-cloned here
-            n_del = (
+            n_matched_del = (
                 spark.read.format("lance")
                 .load(path)
                 .select(key)
                 .join(src_keys, key, "left_semi")
                 .count()
             )
+            n_del += n_matched_del
             ins = (
                 src.join(tgt_keys, key, "left_anti")
                 if "insert" in actions
@@ -753,10 +793,12 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
             )
             if ins is not None:
                 n_ins = ins.count()
-            if n_del:
+            if n_matched_del:
                 delete_keys(spark, path, src_keys, key)
             if ins is not None and n_ins:
                 upsert(spark, path, ins, key)
+        if stale_keys is not None:
+            delete_keys(spark, path, stale_keys, key)
     finally:
         release_spill(src)
         release_spill(tgt_keys)

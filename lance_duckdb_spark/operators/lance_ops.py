@@ -264,12 +264,17 @@ def lance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
        fragment-pruned upsert;
     2. ``WHEN MATCHED THEN DELETE`` for every 11th key of the merged
        state, lowering onto the fragment-pruned key-set delete
-       (sources/maintenance.py delete_keys).
+       (sources/maintenance.py delete_keys);
+    3. ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` (the snapshot-sync
+       clause) against a source holding only keys with
+       ``c_custkey % 3 <> 1`` — the remaining third of the table
+       drops because the source no longer carries it.
 
     The hashed artifact is the post-merge per-segment aggregate —
-    equal to the oracle's recomputed merge+delete iff both lowerings
-    replace/append/delete exactly and commit atomically. Unsupported
-    MERGE clauses are refusal-tested in tests/test_catalog.py."""
+    equal to the oracle's recomputed merge+delete+sync iff all three
+    lowerings replace/append/delete exactly and commit atomically.
+    Unsupported MERGE clauses are refusal-tested in
+    tests/test_catalog.py."""
     from ..catalog import lance_sql
 
     register(spark)
@@ -304,6 +309,15 @@ MERGE INTO '{root}' t USING (
 WHEN MATCHED THEN DELETE
 """,
     ).collect()
+    lance_sql(
+        spark,
+        f"""
+MERGE INTO '{root}' t USING (
+  SELECT c_custkey FROM '{root}' WHERE c_custkey % 3 <> 1
+) s ON t.c_custkey = s.c_custkey
+WHEN NOT MATCHED BY SOURCE THEN DELETE
+""",
+    ).collect()
     merged = spark.read.format("lance").load(root)
     return (
         merged.groupBy("c_mktsegment")
@@ -334,11 +348,14 @@ merged AS (
 ),
 final AS (
   SELECT * FROM merged WHERE c_custkey % 11 <> 3
+),
+synced AS (
+  SELECT * FROM final WHERE c_custkey % 3 <> 1
 )
 SELECT c_mktsegment, COUNT(*) AS n_rows,
   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
   COUNT(DISTINCT c_custkey) AS n_keys
-FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+FROM synced GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 

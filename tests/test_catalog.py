@@ -548,7 +548,9 @@ def test_merge_refusals(spark, merge_tgt):
         # conditional clause
         ("WHEN MATCHED AND t.n_regionkey = 1 THEN UPDATE SET *",
          "conditional"),
-        ("WHEN NOT MATCHED BY SOURCE THEN DELETE", "BY SOURCE"),
+        # BY SOURCE supports only THEN DELETE (the snapshot-sync
+        # form, supported since late r9)
+        ("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *", "snapshot-sync"),
         ("WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE",
          "at most one WHEN MATCHED"),
         ("WHEN NOT MATCHED THEN INSERT (n_nationkey) VALUES (s.k)",
@@ -816,4 +818,50 @@ def test_merge_using_refuses_nested_dml(spark, merge_tgt):
             f"DELETE FROM '{merge_tgt}' WHERE 1=1"
             f") s ON t.n_nationkey = s.n_nationkey "
             f"WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_merge_not_matched_by_source_delete(spark, sf_dir, merge_tgt):
+    """The snapshot-sync form: UPDATE SET * + INSERT * + NOT MATCHED
+    BY SOURCE DELETE makes the target equal the source snapshot."""
+    src = (
+        f"SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey"
+        f" FROM '{merge_tgt}' WHERE n_nationkey BETWEEN 3 AND 8"
+        f" UNION ALL SELECT CAST(500 AS INT), 'NEWPLACE', CAST(0 AS INT)"
+    )
+    before = _state(spark, merge_tgt)
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ({src}) s "
+        f"ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT * "
+        f"WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ).collect()
+    assert [tuple(out[0])] == [(6, 1, len(before) - 6)]
+    after = _state(spark, merge_tgt)
+    assert set(after) == set(range(3, 9)) | {500}
+    for k in range(3, 9):
+        assert after[k] == (before[k][0].upper(), before[k][1])
+    assert after[500] == ("NEWPLACE", 0)
+    # sync-delete ALONE: target shrinks to the matched key set
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey FROM '{merge_tgt}' WHERE n_nationkey >= 5"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ).collect()
+    assert [tuple(out[0])] == [(0, 0, 2)]  # keys 3 and 4 drop
+    final = _state(spark, merge_tgt)
+    assert set(final) == {5, 6, 7, 8, 500}
+    # still refuse the non-DELETE BY SOURCE form
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    with pytest.raises(LanceDatasetError, match="snapshot-sync"):
+        lance_sql(
+            spark,
+            f"MERGE INTO '{merge_tgt}' t USING (SELECT 1 AS k) s "
+            f"ON t.n_nationkey = s.k "
+            f"WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
         )
