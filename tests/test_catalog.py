@@ -865,3 +865,29 @@ def test_merge_not_matched_by_source_delete(spark, sf_dir, merge_tgt):
             f"ON t.n_nationkey = s.k "
             f"WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
         )
+
+
+def test_sql_update_respects_deletion_vectors(spark, sf_dir, tmp_path):
+    """A row hidden by a deletion vector must stay gone through an
+    UPDATE whose predicate it matches — the rewrite materializes the
+    mask, never resurrects the row."""
+    root = str(tmp_path / "updv.lance")
+    ds.register(spark)
+    load(spark, sf_dir, "nation").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(
+        spark, f"DELETE FROM '{root}' WHERE n_nationkey IN (1, 3)"
+    ).collect()
+    out = lance_sql(
+        spark,
+        f"UPDATE '{root}' SET n_name = 'Z' WHERE n_nationkey < 5",
+    ).collect()
+    assert out[0]["rows_updated"] == 3  # 0, 2, 4 — never 1 or 3
+    rows = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.format("lance").load(root).collect()
+    }
+    assert 1 not in rows and 3 not in rows
+    assert rows[0] == rows[2] == rows[4] == "Z"
+    assert rows[5] != "Z"
