@@ -290,6 +290,37 @@ _GREEN_R8 = {
 # never-verified so they lead the window).
 _RECHECK_R9: set = set()
 
+# All 50 rows CORRECTNESS_r09 recorded — every one hash-exact (the 3
+# r9-new DML verbs, the 37 stalest r6-green entries, and 10 r7-green
+# fills).
+_GREEN_R9 = {
+    "ann_topk_bruteforce", "boilerplate_lines", "continuous_aggregate",
+    "dedup_clusters", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
+    "event_transitions", "events_json_extract", "fts_bm25",
+    "fts_bm25_indexed", "lance_bloom_pruning", "lance_delete_vector",
+    "lance_merge", "lance_native_write", "lance_pushdown_scan",
+    "lance_roundtrip", "lance_scalar_index", "lance_schema_evolution",
+    "lance_sql_copy", "lance_sql_delete", "lance_sql_update",
+    "lance_time_travel", "lance_vacuum", "lance_version_diff",
+    "lance_zorder_pruning", "leakage_safe_split", "minhash_containment",
+    "ngram_jaccard", "perplexity_score", "running_totals",
+    "session_window_native", "skewed_hot_key_agg", "skewed_hot_key_join",
+    "sql_api_priority_matrix", "stream_dedup", "stream_sessionization",
+    "stream_sink_roundtrip", "stream_stream_join", "stream_windowed_counts",
+    "string_agg_ordered", "temperature_resample", "top_revenue_per_segment",
+    "tpch_q13", "tpch_q18", "tpch_q19", "tpch_q22", "tpch_q7",
+}
+
+# Queries whose HASHED OUTPUT changes in r10 go here (treated as
+# never-verified so they lead the window).
+_RECHECK_R10: set = set()
+
+# r10 rotation note (verdict r9 item #3): window leads with r10-new
+# queries + _RECHECK_R10, then the 39 entries last green in r7, then
+# the 11 stalest r8 entries fill to 50; r9-green is the freshest
+# tier. Max staleness stays <=2 rounds.
+
 # r9 rotation note: with _GREEN_R8 folded in, the window leads with
 # any r9-new queries + _RECHECK_R9 members, then the stalest tier —
 # the 37 r6-green entries the r8 window did not re-sweep — then
@@ -306,11 +337,11 @@ def _rotate(merged: dict) -> dict:
     # within each tier the natural module order holds.
     rounds = [
         _GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4, _GREEN_R5, _GREEN_R6,
-        _GREEN_R7, _GREEN_R8,
+        _GREEN_R7, _GREEN_R8, _GREEN_R9,
     ]
 
     def last_verified(k: str) -> int:
-        if k in _RECHECK_R9:
+        if k in _RECHECK_R10:
             return 0
         return max(
             (i + 1 for i, s in enumerate(rounds) if k in s), default=0
