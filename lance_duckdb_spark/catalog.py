@@ -288,10 +288,7 @@ def _run_maintenance(spark: SparkSession, sql: str) -> DataFrame | None:
     m = _VACUUM_RE.match(sql)
     if m is not None:
         path = m.group("path")
-        if not _is_lance_dataset(path):
-            raise lf.LanceDatasetError(
-                f"VACUUM target {path!r} is not a lance dataset"
-            )
+        _require_dml_target(path, "VACUUM")
         kwargs: dict = {}
         for tok in filter(
             None, (t.strip() for t in _split_quote_aware(m.group("opts") or ""))
@@ -323,10 +320,7 @@ def _run_maintenance(spark: SparkSession, sql: str) -> DataFrame | None:
     m = _OPTIMIZE_RE.match(sql)
     if m is not None:
         path = m.group("path")
-        if not _is_lance_dataset(path):
-            raise lf.LanceDatasetError(
-                f"OPTIMIZE target {path!r} is not a lance dataset"
-            )
+        _require_dml_target(path, "OPTIMIZE")
         from .sources.layout import optimize
 
         cols = m.group("cols")
@@ -419,10 +413,7 @@ def _run_update(spark: SparkSession, sql: str) -> DataFrame | None:
             "[WHERE <spark-sql predicate>] (no target alias)"
         )
     path = m.group("path")
-    if not _is_lance_dataset(path):
-        raise lf.LanceDatasetError(
-            f"UPDATE target {path!r} is not a lance dataset"
-        )
+    _require_dml_target(path, "UPDATE")
     rest = sql[m.end():].strip().rstrip(";").strip()
     w = _top_level_where(rest)
     if w is None:
@@ -478,10 +469,7 @@ def _run_delete(spark: SparkSession, sql: str) -> DataFrame | None:
             "explicitly if you mean delete-everything)"
         )
     path = m.group("path")
-    if not _is_lance_dataset(path):
-        raise lf.LanceDatasetError(
-            f"DELETE FROM target {path!r} is not a lance dataset"
-        )
+    _require_dml_target(path, "DELETE FROM")
     from .sources.maintenance import delete_where_sql
 
     n = delete_where_sql(spark, path, m.group("pred"))
@@ -497,9 +485,14 @@ _MERGE_HEAD_RE = re.compile(
 )
 _MERGE_DIALECT = (
     "MERGE INTO '<path>.lance' [AS] t USING (<select>) | "
-    "'<src>.lance' [AS] s ON t.<col> = s.<col> then any of: "
-    "WHEN MATCHED THEN UPDATE SET * / WHEN MATCHED THEN DELETE / "
-    "WHEN NOT MATCHED THEN INSERT *"
+    "'<src>.lance' [AS] s ON t.<col> = s.<col> followed by ordered "
+    "WHEN clauses (first match wins): "
+    "WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET <col> "
+    "= <expr>[, ...] | DELETE / "
+    "WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * / "
+    "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE; conditions "
+    "and SET expressions are Spark SQL over alias-qualified columns "
+    "(t.<col> = old target row, s.<col> = source row)"
 )
 
 
@@ -525,6 +518,130 @@ def _scan_balanced(s: str, i: int) -> int:
     return -1
 
 
+def _split_top_keyword(s: str, kw: str) -> list[str]:
+    """Split ``s`` on the SQL keyword ``kw`` (case-insensitive, word
+    boundaries) occurring OUTSIDE quotes and parentheses — the
+    keyword-level analogue of ``_split_top_level_commas``, so a
+    condition like ``s.note = 'then what'`` never splits a MERGE
+    clause."""
+    out, last, depth, in_str = [], 0, 0, None
+    i, n, k = 0, len(s), len(kw)
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+            i += 1
+            continue
+        if c in "'\"":
+            in_str = c
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if (
+            depth == 0
+            and s[i : i + k].lower() == kw
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + k >= n
+                or not (s[i + k].isalnum() or s[i + k] == "_")
+            )
+        ):
+            out.append(s[last:i])
+            last = i + k
+            i += k
+            continue
+        i += 1
+    out.append(s[last:])
+    return out
+
+
+def _rewrite_aliases(
+    expr: str,
+    prefixes: dict[str, str],
+    renames: dict[str, dict[str, str]] | None = None,
+) -> str:
+    """Rewrite alias-qualified column references (``t.col`` →
+    `` `__t_col` ``) outside string literals, so MERGE conditions
+    and SET expressions evaluate against the joined
+    ``__t_*``/``__s_*`` frame. ``prefixes`` maps lowercase alias →
+    physical prefix; ``renames`` optionally maps an alias's column
+    names (the USING key rename). References the rewriter does not
+    recognize pass through and fail Spark analysis loudly."""
+    pat = re.compile(r"([A-Za-z_]\w*)\s*\.\s*(`[^`]+`|[A-Za-z_]\w*)")
+    out: list[str] = []
+    i, n = 0, len(expr)
+    in_str = None
+    while i < n:
+        c = expr[i]
+        if in_str:
+            out.append(c)
+            if c == in_str:
+                in_str = None
+            i += 1
+            continue
+        if c in "'\"":
+            in_str = c
+            out.append(c)
+            i += 1
+            continue
+        boundary = i == 0 or not (
+            expr[i - 1].isalnum() or expr[i - 1] in "_.`"
+        )
+        m = pat.match(expr, i) if boundary else None
+        if m and m.group(1).lower() in prefixes:
+            alias = m.group(1).lower()
+            col = m.group(2)
+            if col.startswith("`"):
+                col = col[1:-1]
+            col = (renames or {}).get(alias, {}).get(col, col)
+            out.append(f"`{prefixes[alias]}{col}`")
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _references_alias(expr: str, alias: str) -> bool:
+    """True when ``expr`` contains an ``alias.col`` reference
+    outside string literals — used to refuse target references in a
+    NOT MATCHED condition (no target row exists there) and source
+    references in a BY SOURCE condition."""
+    marker = "\0REF\0"
+    rewritten = _rewrite_aliases(expr, {alias.lower(): marker})
+    return marker in rewritten
+
+
+def _require_dml_target(path: str, verb: str) -> None:
+    """Shared DML/maintenance target gate: the path must be a lance
+    dataset AND use the JSON-manifest format this engine writes.
+    Native-encoded (protobuf-manifest) datasets also carry a
+    ``_versions/`` directory, so without the second check a DML verb
+    would die in ``read_manifest`` with a raw JSONDecodeError
+    instead of a clear refusal (r9 advice)."""
+    from .sources import lance_native as ln
+
+    if not _is_lance_dataset(path):
+        raise lf.LanceDatasetError(
+            f"{verb} target {path!r} is not a lance dataset"
+        )
+    if ln.is_native_dataset(path):
+        raise lf.LanceDatasetError(
+            f"{verb} is not supported on native-encoded lance "
+            "datasets (protobuf manifest): the read path handles "
+            "them, but DML/maintenance rewrites need the "
+            "JSON-manifest format this engine writes"
+        )
+
+
 def _merge_err(msg: str) -> "lf.LanceDatasetError":
     return lf.LanceDatasetError(
         f"{msg}; the supported MERGE dialect is: {_MERGE_DIALECT}"
@@ -532,12 +649,17 @@ def _merge_err(msg: str) -> "lf.LanceDatasetError":
 
 
 def _parse_merge(sql: str) -> dict | None:
-    """Parse the supported MERGE dialect. Returns None when the
-    statement is not a MERGE at all; raises loudly (never silently
-    narrows semantics) on any MERGE clause outside the dialect —
-    column-level SET, conditional WHEN ... AND, NOT MATCHED BY
-    SOURCE, non-equality ON — per the refusal contract the COPY
-    option parser set."""
+    """Parse the supported MERGE dialect into an ordered clause list
+    (first match wins, ANSI semantics): conditional ``WHEN [NOT]
+    MATCHED AND <cond>``, column-level ``UPDATE SET col = expr``,
+    ``UPDATE SET *``, ``DELETE``, ``INSERT *``, and ``WHEN NOT
+    MATCHED BY SOURCE [AND <cond>] THEN DELETE``. Returns None when
+    the statement is not a MERGE at all; raises loudly (never
+    silently narrows semantics) on anything outside the dialect —
+    INSERT column lists/VALUES, BY SOURCE UPDATE/INSERT,
+    non-equality ON, unreachable clauses after an unconditional one
+    of the same kind — per the refusal contract the COPY option
+    parser set."""
     if not _MERGE_START_RE.match(sql):
         return None
     m = _MERGE_HEAD_RE.match(sql)
@@ -597,107 +719,171 @@ def _parse_merge(sql: str) -> dict | None:
         )
     key_t = aliases[talias.lower()]
     key_s = aliases[salias.lower()]
-    actions: set[str] = set()
-    for part in re.split(r"(?i)\bWHEN\b", rest[wm.start():])[1:]:
-        low = " ".join(part.strip().rstrip(";").strip().lower().split())
-        if low.startswith(("matched and", "not matched and")):
+    clauses: list[dict] = []
+    unconditional_seen: set[str] = set()
+    segs = _split_top_keyword(rest[wm.start():], "when")[1:]
+    if not segs:
+        raise _merge_err("MERGE requires at least one WHEN clause")
+    for seg in segs:
+        seg = seg.strip().rstrip(";").strip()
+        halves = _split_top_keyword(seg, "then")
+        if len(halves) != 2:
             raise _merge_err(
-                "conditional WHEN ... AND <cond> clauses are not "
-                "supported"
+                f"malformed WHEN clause {seg!r}: expected exactly one "
+                "THEN (CASE expressions inside MERGE conditions are "
+                "not supported)"
             )
-        if low.startswith("not matched by source"):
-            if low == "not matched by source then delete":
-                act = "sync_delete"
-                if act in actions:
-                    raise _merge_err(
-                        "duplicate WHEN NOT MATCHED BY SOURCE clause"
+        head, act_str = halves[0].strip(), halves[1].strip()
+        hm = re.match(
+            r"(?is)^(?:(?P<neg>NOT)\s+)?MATCHED"
+            r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+            r"(?:\s+AND\s+(?P<cond>.+))?$",
+            head,
+        )
+        if hm is None:
+            raise _merge_err(f"unsupported MERGE clause: WHEN {head!r}")
+        neg, by = hm.group("neg"), (hm.group("by") or "").upper()
+        cond = (hm.group("cond") or "").strip() or None
+        if neg is None:
+            if by:
+                raise _merge_err(
+                    f"WHEN MATCHED BY {by} is not a MERGE clause"
+                )
+            when = "matched"
+        elif by == "SOURCE":
+            when = "not_matched_by_source"
+        else:
+            when = "not_matched"
+        if when in unconditional_seen:
+            raise _merge_err(
+                f"unreachable (duplicate) WHEN clause {seg!r}: an "
+                "earlier unconditional clause of the same kind always "
+                "applies first"
+            )
+        if cond is None:
+            unconditional_seen.add(when)
+        # ---- action
+        um = re.match(r"(?is)^UPDATE\s+SET\s+(?P<sets>.+)$", act_str)
+        if re.match(r"(?is)^DELETE$", act_str):
+            if when == "not_matched":
+                raise _merge_err(
+                    "only INSERT * is supported; column lists / VALUES "
+                    "forms are not"
+                )
+            clauses.append(
+                {"when": when, "cond": cond, "action": "delete",
+                 "sets": None}
+            )
+        elif um is not None:
+            if when != "matched":
+                raise _merge_err(
+                    "WHEN NOT MATCHED BY SOURCE supports only THEN "
+                    "DELETE (the snapshot-sync form)"
+                    if when == "not_matched_by_source"
+                    else "only INSERT * is supported; column lists / "
+                    "VALUES forms are not"
+                )
+            sets_str = um.group("sets").strip()
+            if sets_str == "*":
+                sets = None
+            else:
+                sets = {}
+                for part in _split_top_level_commas(sets_str):
+                    am = re.match(
+                        r"(?s)^\s*(?:([A-Za-z_]\w*)\s*\.\s*)?"
+                        r"([A-Za-z_]\w*)\s*=\s*(.+?)\s*$",
+                        part,
                     )
-                actions.add(act)
-                continue
-            raise _merge_err(
-                "WHEN NOT MATCHED BY SOURCE supports only THEN DELETE "
-                "(the snapshot-sync form)"
+                    if am is None:
+                        raise _merge_err(
+                            f"malformed SET assignment {part.strip()!r}; "
+                            "expected [t.]<col> = <spark-sql expr>"
+                        )
+                    qual, col, rhs = am.groups()
+                    if qual is not None and qual.lower() != talias.lower():
+                        raise _merge_err(
+                            f"SET assigns {qual}.{col}, but only the "
+                            f"target alias {talias!r} can be assigned"
+                        )
+                    if col in sets:
+                        raise _merge_err(
+                            f"duplicate SET assignment for column {col!r}"
+                        )
+                    sets[col] = rhs
+            clauses.append(
+                {"when": when, "cond": cond, "action": "update",
+                 "sets": sets}
             )
-        if low == "matched then update set *":
-            act = "update"
-        elif low == "matched then delete":
-            act = "delete"
-        elif low in (
-            "not matched then insert *",
-            "not matched by target then insert *",
-        ):
-            act = "insert"
-        elif low.startswith("matched then update"):
-            raise _merge_err(
-                "only UPDATE SET * (full-row replace) is supported; "
-                "column-level SET assignments are not"
+        elif re.match(r"(?is)^INSERT\s*\*$", act_str):
+            if when != "not_matched":
+                raise _merge_err(
+                    "WHEN NOT MATCHED BY SOURCE supports only THEN "
+                    "DELETE (the snapshot-sync form)"
+                    if when == "not_matched_by_source"
+                    else "WHEN MATCHED cannot INSERT"
+                )
+            clauses.append(
+                {"when": when, "cond": cond, "action": "insert",
+                 "sets": None}
             )
-        elif low.startswith("not matched"):
+        elif re.match(r"(?is)^INSERT\b", act_str):
             raise _merge_err(
                 "only INSERT * is supported; column lists / VALUES "
                 "forms are not"
             )
         else:
-            raise _merge_err(f"unsupported MERGE clause: WHEN {low!r}")
-        if act in actions:
-            raise _merge_err(f"duplicate WHEN clause for action {act!r}")
-        actions.add(act)
-    if {"update", "delete"} <= actions:
-        raise _merge_err(
-            "at most one WHEN MATCHED action (UPDATE SET * or DELETE) "
-            "is supported per statement"
-        )
+            raise _merge_err(
+                f"unsupported MERGE action {act_str!r}"
+            )
     return {
         "path": path,
         "src_path": src_path,
         "src_select": src_select,
         "key_t": key_t,
         "key_s": key_s,
-        "actions": actions,
+        "talias": talias,
+        "salias": salias,
+        "clauses": clauses,
     }
 
 
 def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
-    """Lower a parsed MERGE onto the fragment-pruned maintenance
-    machinery (sources/maintenance.py): UPDATE SET * + INSERT * is
-    exactly the key-set-replace upsert; UPDATE-only upserts the
-    matched source rows; INSERT-only appends the unmatched ones;
-    DELETE drops the matched key set via the same pruned rewrite
-    (``delete_keys``). Returns one row (rows_updated, rows_inserted,
-    rows_deleted) counting SOURCE rows routed to update/insert and
-    TARGET rows deleted.
+    """Lower a parsed MERGE onto maintenance.merge_apply — the
+    per-row, first-match-wins clause engine that publishes the whole
+    statement as ONE new version (atomic: a crash or concurrent
+    reader sees pre- or post-merge state, never a half-applied mix).
+    Conditions and SET right-hand sides are rewritten from
+    alias-qualified references (t.<col> = OLD target row, s.<col> =
+    source row) onto the joined frame's physical names; duplicate
+    source rows for a matched target key raise the ANSI cardinality
+    error. Returns one row (rows_updated, rows_inserted,
+    rows_deleted) counting TARGET rows updated/deleted and SOURCE
+    rows inserted.
 
     Dialect restriction, enforced loudly: NULL-keyed SOURCE rows are
-    REFUSED on the update/insert paths (the upsert contract) rather
-    than silently inserted the way ANSI MERGE's not-matched branch
-    would — merge-by-NULL-key is undefined and a NULL-keyed insert
-    is almost always a data bug; filter them explicitly if intended.
-    The DELETE path drops NULL source keys (NULL = x is never true).
+    REFUSED whenever an INSERT clause exists (the upsert contract)
+    rather than silently inserted the way ANSI MERGE's not-matched
+    branch would — merge-by-NULL-key is undefined and a NULL-keyed
+    insert is almost always a data bug; filter them explicitly if
+    intended. Without an INSERT clause they are harmless (NULL never
+    matches) and ignored.
 
-    Both the source and the target key column are SPILLED to a
-    parquet stage before any join logic, for two reasons: (1) the
-    match sets must be decided against the pre-merge state (a DELETE
-    + INSERT pair classifies every source row against the same
-    snapshot, never re-reading its own writes), and (2) Spark 4.1
-    plans a Python-DataSource relation ONCE per relation instance —
-    when the optimizer clones one relation into several scan
-    positions with DIFFERENT derived filters (e.g. a semi join
-    pushed through a UNION turns one branch's constant key into a
-    `col = <lit>` pushdown on one clone only), every position is
+    The source is SPILLED to a parquet stage before any join logic,
+    for two reasons: (1) every clause must classify against the
+    pre-merge state (never re-reading its own writes), and (2) Spark
+    4.1 plans a Python-DataSource relation ONCE per relation
+    instance — when the optimizer clones one relation into several
+    scan positions with DIFFERENT derived filters, every position is
     served by the single planned scan, silently mis-filtering the
-    others (r9 finding; observed, not theoretical). A parquet stage
-    is a native file-source scan, which Spark plans per-position —
-    the join graph below must never reference a lance relation."""
-    from pyspark.sql import functions as F
-
+    others (r9 finding; observed, not theoretical). The target side
+    is read as NATIVE parquet from the manifest inside merge_apply,
+    which Spark plans per-position — the join graph never references
+    a lance relation."""
     from .materialize import release_spill, spill_to_parquet
-    from .sources.maintenance import delete_keys, upsert
+    from .sources.maintenance import merge_apply
 
     path = parsed["path"]
-    if not _is_lance_dataset(path):
-        raise lf.LanceDatasetError(
-            f"MERGE INTO target {path!r} is not a lance dataset"
-        )
+    _require_dml_target(path, "MERGE INTO")
     if parsed["src_path"] is not None:
         if not _is_lance_dataset(parsed["src_path"]):
             raise lf.LanceDatasetError(
@@ -721,6 +907,7 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
             )
         src = lance_sql(spark, parsed["src_select"])
     key = parsed["key_t"]
+    renames: dict[str, dict[str, str]] = {}
     if parsed["key_s"] != key:
         if key in src.columns:
             raise lf.LanceDatasetError(
@@ -729,79 +916,77 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
                 "onto it"
             )
         src = src.withColumnRenamed(parsed["key_s"], key)
-    src = spill_to_parquet(src, "merge-src")
-    tgt_keys = spill_to_parquet(
-        spark.read.format("lance").load(path).select(key).distinct(),
-        "merge-tgt-keys",
-    )
-    try:
-        actions = set(parsed["actions"])
-        sync_delete = "sync_delete" in actions
-        actions.discard("sync_delete")
-        n_upd = n_ins = n_del = 0
-        stale_keys = None
-        if sync_delete:
-            # NOT MATCHED BY SOURCE THEN DELETE (snapshot sync):
-            # target keys the source no longer carries, computed
-            # against the pre-merge spill and deleted AFTER the other
-            # actions — their key set is disjoint from src, so no
-            # ordering interaction is possible. Count is TARGET rows.
-            stale_keys = tgt_keys.join(
-                src.select(key).where(F.col(key).isNotNull()).distinct(),
-                key,
-                "left_anti",
+        renames[parsed["salias"].lower()] = {parsed["key_s"]: key}
+
+    talias, salias = parsed["talias"].lower(), parsed["salias"].lower()
+    both = {talias: "__t_", salias: "__s_"}
+    matched_clauses: list[dict] = []
+    sync_clauses: list[dict] = []
+    insert_cond: object = False
+    insert_conds: list[str | None] = []
+    for c in parsed["clauses"]:
+        cond = c["cond"]
+        if c["when"] == "matched":
+            sets = c["sets"]
+            if sets is not None:
+                sets = {
+                    col: _rewrite_aliases(rhs, both, renames)
+                    for col, rhs in sets.items()
+                }
+            matched_clauses.append(
+                {
+                    "cond": _rewrite_aliases(cond, both, renames)
+                    if cond
+                    else None,
+                    "action": c["action"],
+                    "sets": sets,
+                }
             )
-            n_del += (
-                spark.read.format("lance")
-                .load(path)
-                .select(key)
-                .join(stale_keys, key, "left_semi")
-                .count()
-            )
-        if actions == {"update", "insert"}:
-            n_upd = src.join(tgt_keys, key, "left_semi").count()
-            n_ins = src.join(tgt_keys, key, "left_anti").count()
-            upsert(spark, path, src, key)
-        elif actions == {"update"}:
-            upd = src.join(tgt_keys, key, "left_semi")
-            n_upd = upd.count()
-            upsert(spark, path, upd, key)
-        elif actions == {"insert"}:
-            ins = src.join(tgt_keys, key, "left_anti")
-            n_ins = ins.count()
-            if n_ins:
-                upsert(spark, path, ins, key)
-        elif "delete" in actions:  # matched delete, optionally + insert
-            src_keys = (
-                src.select(key).where(F.col(key).isNotNull()).distinct()
-            )
-            # counts TARGET ROWS (not distinct keys): a fresh
-            # non-distinct key scan; single join position, so the
-            # lance relation is never optimizer-cloned here
-            n_matched_del = (
-                spark.read.format("lance")
-                .load(path)
-                .select(key)
-                .join(src_keys, key, "left_semi")
-                .count()
-            )
-            n_del += n_matched_del
-            ins = (
-                src.join(tgt_keys, key, "left_anti")
-                if "insert" in actions
+        elif c["when"] == "not_matched":
+            if cond is not None and _references_alias(cond, talias):
+                raise _merge_err(
+                    f"WHEN NOT MATCHED condition {cond!r} references "
+                    f"the target alias {parsed['talias']!r}; no target "
+                    "row exists in the not-matched branch"
+                )
+            insert_conds.append(
+                _rewrite_aliases(cond, {salias: ""}, renames)
+                if cond
                 else None
             )
-            if ins is not None:
-                n_ins = ins.count()
-            if n_matched_del:
-                delete_keys(spark, path, src_keys, key)
-            if ins is not None and n_ins:
-                upsert(spark, path, ins, key)
-        if stale_keys is not None:
-            delete_keys(spark, path, stale_keys, key)
+        else:  # not_matched_by_source
+            if cond is not None and _references_alias(cond, salias):
+                raise _merge_err(
+                    f"WHEN NOT MATCHED BY SOURCE condition {cond!r} "
+                    f"references the source alias {parsed['salias']!r}; "
+                    "no source row exists in the by-source branch"
+                )
+            sync_clauses.append(
+                {
+                    "cond": _rewrite_aliases(
+                        cond, {talias: "__t_"}, renames
+                    )
+                    if cond
+                    else None
+                }
+            )
+    if insert_conds:
+        # all NOT MATCHED actions are INSERT *, so first-match-wins
+        # collapses to the OR of the clause conditions (an
+        # unconditional clause — only legal last — absorbs the rest)
+        if any(ic is None for ic in insert_conds):
+            insert_cond = None
+        else:
+            insert_cond = " OR ".join(f"({ic})" for ic in insert_conds)
+
+    src = spill_to_parquet(src, "merge-src")
+    try:
+        n_upd, n_ins, n_del = merge_apply(
+            spark, path, src, key, matched_clauses, insert_cond,
+            sync_clauses,
+        )
     finally:
         release_spill(src)
-        release_spill(tgt_keys)
     return spark.createDataFrame(
         [(n_upd, n_ins, n_del)],
         "rows_updated long, rows_inserted long, rows_deleted long",

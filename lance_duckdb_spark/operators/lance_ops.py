@@ -359,6 +359,86 @@ FROM synced GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def lance_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with conditional clauses + column-level SET (r9 VERDICT
+    item 2; ANSI first-match-wins semantics, one atomic commit):
+    write customer as a lance dataset, then run ONE MERGE whose
+    source carries every 5th key (matched candidates) plus minted
+    keys from every 17th-key-remainder-2 row —
+
+    - ``WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE`` — overdrawn
+      matched customers drop;
+    - ``WHEN MATCHED THEN UPDATE SET c_acctbal = <t-expr>,
+      c_mktsegment = lower(t.c_mktsegment)`` — the rest of the
+      matched set gets a decimal-disciplined +50.00 bump and a
+      case-folded segment, right-hand sides reading the OLD target
+      row;
+    - ``WHEN NOT MATCHED AND s.c_nationkey < 13 THEN INSERT *`` —
+      only the low-nation minted keys insert.
+
+    The hashed artifact is the post-merge per-segment aggregate —
+    equal to the oracle iff clause order (delete wins over update),
+    per-clause conditions, column-level SET against the old row, and
+    the conditional insert filter all apply exactly."""
+    from ..catalog import lance_sql
+
+    register(spark)
+    root = _fresh_root(sf_dir, "merge_cond")
+    load(spark, sf_dir, "customer").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(
+        spark,
+        f"""
+MERGE INTO '{root}' t USING (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM '{root}' WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM '{root}' WHERE c_custkey % 17 = 2
+) s ON t.c_custkey = s.c_custkey
+WHEN MATCHED AND t.c_acctbal < 0 THEN DELETE
+WHEN MATCHED THEN UPDATE SET
+  c_acctbal = CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) + 50.00 AS DOUBLE),
+  c_mktsegment = lower(t.c_mktsegment)
+WHEN NOT MATCHED AND s.c_nationkey < 13 THEN INSERT *
+""",
+    ).collect()
+    merged = spark.read.format("lance").load(root)
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(money("c_acctbal"), "total_bal"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LANCE_MERGE_CONDITIONAL_SQL = """
+WITH merged AS (
+  SELECT c_custkey, c_name, c_nationkey,
+    CASE WHEN c_custkey % 5 = 0
+         THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 50.00 AS DOUBLE)
+         ELSE c_acctbal END AS c_acctbal,
+    CASE WHEN c_custkey % 5 = 0
+         THEN lower(c_mktsegment) ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+  WHERE NOT (c_custkey % 5 = 0 AND c_acctbal < 0)
+  UNION ALL
+  SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 17 = 2 AND c_nationkey < 13
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  COUNT(DISTINCT c_custkey) AS n_keys
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def lance_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance parity (lance_format.py delete_where): write
     orders, DELETE WHERE o_totalprice > 150000, read the surviving
@@ -1175,6 +1255,7 @@ QUERIES = {
     "lance_native_read": lance_native_read,
     "lance_upsert": lance_upsert,
     "lance_merge": lance_merge,
+    "lance_merge_conditional": lance_merge_conditional,
     "lance_sql_delete": lance_sql_delete,
     "lance_sql_update": lance_sql_update,
     "lance_delete": lance_delete,
@@ -1200,6 +1281,7 @@ ORACLE = {
     "lance_native_read": LANCE_NATIVE_READ_SQL,
     "lance_upsert": LANCE_UPSERT_SQL,
     "lance_merge": LANCE_MERGE_SQL,
+    "lance_merge_conditional": LANCE_MERGE_CONDITIONAL_SQL,
     "lance_sql_delete": LANCE_SQL_DELETE_SQL,
     "lance_sql_update": LANCE_SQL_UPDATE_SQL,
     "lance_delete": LANCE_DELETE_SQL,

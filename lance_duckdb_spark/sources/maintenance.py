@@ -17,6 +17,7 @@ never a mix).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -195,6 +196,19 @@ def delete_where_sql(spark: SparkSession, root: str, predicate_sql: str) -> int:
     return len(hits)
 
 
+# Spark SQL functions whose value can differ between two evaluations
+# of the same predicate. update_where_sql evaluates its WHERE twice
+# (pass 1 finds hit fragments + counts, pass 2 rewrites), as two
+# SEPARATE queries — even query-stable functions like current_date
+# can change between them, updating a different row set than counted
+# and silently skipping rows in non-hit fragments (r9 advice). Refuse.
+_NONDET_RE = re.compile(
+    r"(?i)\b(rand|randn|uuid|shuffle)\s*\(|"
+    r"\b(current_timestamp|current_date|localtimestamp|now|"
+    r"unix_timestamp|monotonically_increasing_id)\b"
+)
+
+
 def update_where_sql(
     spark: SparkSession,
     root: str,
@@ -215,6 +229,15 @@ def update_where_sql(
     Returns the number of updated rows."""
     from pyspark.sql import functions as F
 
+    nondet = _NONDET_RE.search(predicate_sql)
+    if nondet:
+        raise lf.LanceDatasetError(
+            f"UPDATE WHERE uses nondeterministic function "
+            f"{nondet.group(0).strip('(').strip()!r}: the predicate is "
+            "evaluated twice (fragment scan, then rewrite) and must "
+            "select the same rows both times — precompute the value "
+            "and inline it as a literal"
+        )
     manifest = lf.read_manifest(root)
     committed = _committed_schema(manifest)
     names = {f.name for f in committed.fields}
@@ -298,6 +321,298 @@ def update_where_sql(
         )
     _stage_and_commit(root, manifest, rewritten, carried)
     return n_updated
+
+
+def _live_view(spark: SparkSession, root: str, committed, fragments):
+    """Live rows of ``fragments`` (deletion vectors applied) as a
+    NATIVE parquet scan with the dataset's committed schema — never
+    the Python datasource (Spark 4.1 plans a Python-DS relation once
+    per relation instance; see catalog._run_merge). Caller guards
+    against an empty fragment list."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.schema(committed)
+        .parquet(*[os.path.join(root, f.file) for f in fragments])
+        .withColumn("__file", F.col("_metadata.file_name"))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    with_dels = [f for f in fragments if f.deletion_file]
+    if with_dels:
+        dels = spark.createDataFrame(
+            [
+                (os.path.basename(f.file), int(p))
+                for f in with_dels
+                for p in lf.read_deletion_positions(root, f)
+            ],
+            schema="__file string, __pos long",
+        )
+        df = df.join(
+            F.broadcast(dels), on=["__file", "__pos"], how="left_anti"
+        )
+    return df.drop("__file", "__pos")
+
+
+def merge_apply(
+    spark: SparkSession,
+    root: str,
+    src: DataFrame,
+    key: str,
+    matched_clauses: list,
+    insert_cond,
+    sync_clauses: list,
+) -> tuple[int, int, int]:
+    """ANSI-semantics MERGE lowering, ONE commit per statement.
+
+    ``src`` is the key-aligned source (already parquet-spilled by the
+    caller). ``matched_clauses`` is an ordered list of
+    ``{"cond": sql|None, "action": "update"|"delete", "sets":
+    {col: sql}|None}`` — conditions and SET right-hand sides are
+    Spark SQL over ``__t_<col>`` (old target row) / ``__s_<col>``
+    (source row) names; ``sets=None`` means ``UPDATE SET *``
+    (full-row replace from source). ``insert_cond`` is ``False``
+    (no NOT MATCHED clause), ``None`` (unconditional ``INSERT *``),
+    or a condition over the source's natural column names.
+    ``sync_clauses`` lists ``WHEN NOT MATCHED BY SOURCE THEN
+    DELETE`` conditions (over ``__t_<col>`` names).
+
+    Per-row, first-match-wins clause resolution (standard MERGE):
+    each live target row joins at most one source row (duplicate
+    SOURCE keys that match the target raise the ANSI cardinality
+    error — checked here), the first clause whose condition holds
+    decides the row's fate, rows no clause touches survive
+    unchanged. Fragment-pruned: only fragments whose key zone maps
+    overlap rows that actually CHANGE are rewritten; the rest are
+    carried by reference into the single new version. A MERGE that
+    changes nothing commits nothing (no-op, no version).
+
+    Returns ``(rows_updated, rows_inserted, rows_deleted)`` counting
+    TARGET rows updated/deleted and SOURCE rows inserted. Reference
+    parity: the MERGE verb of the reference's host engine (DuckDB),
+    per-row semantics."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    manifest = lf.read_manifest(root)
+    committed = _committed_schema(manifest)
+    names = [f.name for f in committed.fields]
+    reserved = [
+        c
+        for c in set(names) | set(src.columns)
+        if c.startswith(("__t_", "__s_")) or c in ("__act", "__file", "__pos")
+    ]
+    if reserved:
+        raise lf.LanceDatasetError(
+            f"MERGE cannot run over columns named {sorted(reserved)}; "
+            "the __t_/__s_/__act prefixes are reserved by the merge "
+            "join"
+        )
+    # NULL-key policy (the upsert contract): NULL never equals a
+    # stored key, so a NULL-keyed source row can only ever INSERT —
+    # which is almost always a data bug. Refused when an insert
+    # clause exists; harmless (never matches) otherwise.
+    if insert_cond is not False:
+        n_null = src.where(F.col(key).isNull()).limit(1).count()
+        if n_null:
+            raise lf.LanceDatasetError(
+                f"MERGE source contains rows with NULL merge key "
+                f"{key!r}; NULL never equals a stored key, so these "
+                "rows cannot merge — filter them or choose a non-null "
+                "key"
+            )
+    full_row = insert_cond is not False or any(
+        c["action"] == "update" and c["sets"] is None
+        for c in matched_clauses
+    )
+    if full_row:
+        want = {f.name: f.dataType for f in committed.fields}
+        got = {f.name: f.dataType for f in src.schema.fields}
+        if want != got:
+            missing = sorted(set(want) - set(got))
+            extra = sorted(set(got) - set(want))
+            retyped = sorted(
+                n for n in set(want) & set(got) if want[n] != got[n]
+            )
+            raise lf.LanceDatasetError(
+                "MERGE with UPDATE SET * / INSERT * needs the source "
+                "to carry exactly the dataset's schema: "
+                f"missing={missing} extra={extra} retyped={retyped}"
+            )
+    have_fragments = bool(manifest.fragments)
+    # ANSI cardinality check: >1 source row matching one target row
+    # is an error for MATCHED clauses (which source row would
+    # apply?). Duplicate UNMATCHED source keys are legal — each
+    # inserts. Cheap: a groupBy over the spilled source, semi-joined
+    # against the live target keys.
+    if matched_clauses and have_fragments:
+        dup_matched = (
+            src.where(F.col(key).isNotNull())
+            .groupBy(key)
+            .count()
+            .where(F.col("count") > 1)
+            .join(
+                _live_view(
+                    spark, root, committed, manifest.fragments
+                ).select(key),
+                key,
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if dup_matched:
+            raise lf.LanceDatasetError(
+                "MERGE source has multiple rows for the same matched "
+                f"target key {key!r} (ANSI cardinality violation); "
+                "deduplicate the source (e.g. keep-latest) first, or "
+                "use the key-set-replace upsert API for multi-row "
+                "replacement semantics"
+            )
+
+    # candidate fragments: BY SOURCE clauses can touch any row; plain
+    # MATCHED clauses only rows within the source key bounds
+    if sync_clauses and have_fragments:
+        candidates, carried = list(manifest.fragments), []
+    elif matched_clauses and have_fragments:
+        b = src.selectExpr(f"min({key}) lo", f"max({key}) hi").collect()[0]
+        candidates, carried = [], []
+        for f in manifest.fragments:
+            (candidates if _overlaps(f, key, b.lo, b.hi) else carried).append(f)
+    else:
+        candidates, carried = [], list(manifest.fragments)
+
+    n_upd = n_del = n_ins = 0
+    update_idx = [
+        i for i, c in enumerate(matched_clauses) if c["action"] == "update"
+    ]
+    base = len(matched_clauses)
+    changed_lo = changed_hi = None
+
+    def _tagged(fragments):
+        t = _live_view(spark, root, committed, fragments).select(
+            [F.col(c).alias(f"__t_{c}") for c in names]
+        )
+        s = src.select([F.col(c).alias(f"__s_{c}") for c in src.columns])
+        joined = t.join(
+            s, F.col(f"__t_{key}") == F.col(f"__s_{key}"), "left"
+        )
+        is_matched = F.col(f"__s_{key}").isNotNull()
+        cases = []
+        for i, c in enumerate(matched_clauses):
+            cond = is_matched
+            if c["cond"] is not None:
+                cond = cond & F.expr(c["cond"])
+            cases.append((cond, i))
+        for j, c in enumerate(sync_clauses):
+            cond = ~is_matched
+            if c["cond"] is not None:
+                cond = cond & F.expr(c["cond"])
+            cases.append((cond, base + j))
+        if cases:
+            w = F.when(cases[0][0], F.lit(cases[0][1]))
+            for cond, idx in cases[1:]:
+                w = w.when(cond, F.lit(idx))
+            act = w.otherwise(F.lit(None).cast("int"))
+        else:
+            act = F.lit(None).cast("int")
+        return joined.withColumn("__act", act)
+
+    if candidates:
+        # one aggregation pass: per-action row counts + the key
+        # bounds of rows that actually change (for write pruning)
+        stats = (
+            _tagged(candidates)
+            .where(F.col("__act").isNotNull())
+            .groupBy("__act")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(f"__t_{key}").alias("lo"),
+                F.max(f"__t_{key}").alias("hi"),
+            )
+            .collect()
+        )
+        for r in stats:
+            if r["__act"] < base and matched_clauses[r["__act"]]["action"] == "update":
+                n_upd += int(r["n"])
+            else:
+                n_del += int(r["n"])
+            changed_lo = (
+                r["lo"] if changed_lo is None else min(changed_lo, r["lo"])
+            )
+            changed_hi = (
+                r["hi"] if changed_hi is None else max(changed_hi, r["hi"])
+            )
+
+    survivors = None
+    if n_upd or n_del:
+        # rewrite only fragments overlapping rows that change
+        affected = [
+            f
+            for f in candidates
+            if _overlaps(f, key, changed_lo, changed_hi)
+        ]
+        aff_files = {f.file for f in affected}
+        carried = carried + [
+            f for f in candidates if f.file not in aff_files
+        ]
+        tagged = _tagged(affected)
+        keep = F.col("__act").isNull()
+        if update_idx:
+            keep = keep | F.col("__act").isin(update_idx)
+        proj = []
+        for fld in committed.fields:
+            c = fld.name
+            val = F.col(f"__t_{c}")
+            for i in reversed(update_idx):
+                sets = matched_clauses[i]["sets"]
+                if sets is None:
+                    v = F.col(f"__s_{c}")
+                elif c in sets:
+                    v = F.expr(sets[c])
+                else:
+                    v = F.col(f"__t_{c}")
+                val = F.when(F.col("__act") == i, v).otherwise(val)
+            proj.append(val.alias(c))
+        survivors = tagged.where(keep).select(*proj)
+        got = {f.name: f.dataType for f in survivors.schema.fields}
+        want = {f.name: f.dataType for f in committed.fields}
+        retyped = sorted(n for n in want if got[n] != want[n])
+        if retyped:
+            raise lf.LanceDatasetError(
+                f"MERGE UPDATE SET changes column types {retyped} "
+                f"({ {n: f'{want[n]} -> {got[n]}' for n in retyped} }); "
+                "cast the expression to the committed type explicitly"
+            )
+    else:
+        carried = carried + candidates
+
+    inserts = None
+    if insert_cond is not False:
+        ins = src
+        if have_fragments:
+            tgt_keys = (
+                _live_view(spark, root, committed, manifest.fragments)
+                .select(key)
+                .distinct()
+            )
+            ins = ins.join(tgt_keys, key, "left_anti")
+        if isinstance(insert_cond, str):
+            ins = ins.where(F.expr(insert_cond))
+        ins = ins.select(*names)
+        n_ins = ins.count()
+        if n_ins:
+            inserts = ins
+
+    if n_upd == 0 and n_del == 0 and n_ins == 0:
+        return (0, 0, 0)  # true no-op: no rewrite, no version
+    if survivors is not None and inserts is not None:
+        merged = survivors.unionByName(inserts)
+    elif survivors is not None:
+        merged = survivors
+    else:
+        merged = inserts
+    _stage_and_commit(root, manifest, merged, carried)
+    return (n_upd, n_ins, n_del)
 
 
 def _merge_commit(

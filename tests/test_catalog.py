@@ -542,21 +542,31 @@ def test_merge_refusals(spark, merge_tgt):
     from lance_duckdb_spark.sources.lance_format import LanceDatasetError
 
     cases = [
-        # column-level SET
-        ("WHEN MATCHED THEN UPDATE SET n_name = s.n_name",
-         "full-row replace"),
-        # conditional clause
-        ("WHEN MATCHED AND t.n_regionkey = 1 THEN UPDATE SET *",
-         "conditional"),
-        # BY SOURCE supports only THEN DELETE (the snapshot-sync
-        # form, supported since late r9)
+        # BY SOURCE supports only THEN DELETE (the snapshot-sync form)
         ("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *", "snapshot-sync"),
+        ("WHEN NOT MATCHED BY SOURCE THEN INSERT *", "snapshot-sync"),
+        # a clause after an unconditional clause of the same kind can
+        # never apply — first match wins (dead-clause refusal)
         ("WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE",
-         "at most one WHEN MATCHED"),
-        ("WHEN NOT MATCHED THEN INSERT (n_nationkey) VALUES (s.k)",
-         "INSERT \\*"),
+         "unreachable"),
         ("WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN UPDATE SET *",
          "duplicate"),
+        ("WHEN NOT MATCHED THEN INSERT (n_nationkey) VALUES (s.k)",
+         "INSERT \\*"),
+        # NOT MATCHED actions other than INSERT *
+        ("WHEN NOT MATCHED THEN DELETE", "INSERT \\*"),
+        ("WHEN NOT MATCHED THEN UPDATE SET *", "INSERT \\*"),
+        # MATCHED cannot insert
+        ("WHEN MATCHED THEN INSERT *", "cannot INSERT"),
+        # SET may only assign target-alias columns
+        ("WHEN MATCHED THEN UPDATE SET s.n_name = 'x'",
+         "only the target alias"),
+        # NOT MATCHED conditions see no target row
+        ("WHEN NOT MATCHED AND t.n_regionkey = 1 THEN INSERT *",
+         "no target row"),
+        # BY SOURCE conditions see no source row
+        ("WHEN NOT MATCHED BY SOURCE AND s.n_nationkey = 1 THEN DELETE",
+         "no source row"),
     ]
     head = (
         f"MERGE INTO '{merge_tgt}' t USING (SELECT 1 AS n_nationkey) s "
@@ -865,6 +875,165 @@ def test_merge_not_matched_by_source_delete(spark, sf_dir, merge_tgt):
             f"ON t.n_nationkey = s.k "
             f"WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
         )
+
+
+def test_merge_conditional_clauses(spark, sf_dir, merge_tgt):
+    """WHEN ... AND <cond> clauses, first match wins (ANSI order):
+    region-1 matches delete, remaining matches update, conditional
+    insert filters the not-matched source rows."""
+    before = _state(spark, merge_tgt)
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey"
+        f"  FROM '{merge_tgt}'"
+        f"  UNION ALL SELECT CAST(300 AS INT), 'KEEPME', CAST(1 AS INT)"
+        f"  UNION ALL SELECT CAST(301 AS INT), 'DROPME', CAST(4 AS INT)"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED AND t.n_regionkey = 1 THEN DELETE "
+        f"WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN NOT MATCHED AND s.n_regionkey < 2 THEN INSERT *",
+    ).collect()
+    n_r1 = sum(1 for _, (_, reg) in before.items() if reg == 1)
+    assert [tuple(out[0])] == [(len(before) - n_r1, 1, n_r1)]
+    after = _state(spark, merge_tgt)
+    assert 300 in after and 301 not in after
+    for k, (name, reg) in before.items():
+        if reg == 1:
+            assert k not in after  # first clause won
+        else:
+            assert after[k] == (name.upper(), reg)
+
+
+def test_merge_column_level_set(spark, sf_dir, merge_tgt):
+    """UPDATE SET col = expr: right-hand sides see the OLD target
+    row (t.) and the source row (s.); unassigned columns carry."""
+    before = _state(spark, merge_tgt)
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey, n_regionkey FROM '{merge_tgt}'"
+        f"  WHERE n_nationkey < 4"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED THEN UPDATE SET "
+        f"  n_name = concat(t.n_name, '-', CAST(s.n_regionkey AS STRING)), "
+        f"  n_regionkey = CAST(t.n_regionkey + 10 AS INT)",
+    ).collect()
+    assert [tuple(out[0])] == [(4, 0, 0)]
+    after = _state(spark, merge_tgt)
+    for k, (name, reg) in before.items():
+        if k < 4:
+            # n_name's RHS reads s.n_regionkey, n_regionkey's RHS
+            # reads the OLD t.n_regionkey — both against pre-merge
+            assert after[k] == (f"{name}-{reg}", reg + 10)
+        else:
+            assert after[k] == (name, reg)
+    # a SET expression that changes the column type is refused
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    with pytest.raises(LanceDatasetError, match="column types"):
+        lance_sql(
+            spark,
+            f"MERGE INTO '{merge_tgt}' t USING ("
+            f"  SELECT n_nationkey FROM '{merge_tgt}' WHERE n_nationkey = 0"
+            f") s ON t.n_nationkey = s.n_nationkey "
+            f"WHEN MATCHED THEN UPDATE SET n_regionkey = 'oops'",
+        )
+
+
+def test_merge_cardinality_violation(spark, sf_dir, merge_tgt):
+    """Two source rows matching one target key raise the ANSI
+    cardinality error; duplicate UNMATCHED keys insert freely."""
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    with pytest.raises(LanceDatasetError, match="multiple rows"):
+        lance_sql(
+            spark,
+            f"MERGE INTO '{merge_tgt}' t USING ("
+            f"  SELECT CAST(1 AS INT) AS n_nationkey, 'A' AS n_name,"
+            f"         CAST(0 AS INT) AS n_regionkey"
+            f"  UNION ALL SELECT CAST(1 AS INT), 'B', CAST(0 AS INT)"
+            f") s ON t.n_nationkey = s.n_nationkey "
+            f"WHEN MATCHED THEN UPDATE SET *",
+        )
+    # same duplicate keys, but UNMATCHED: both rows insert (ANSI)
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT CAST(901 AS INT) AS n_nationkey, 'A' AS n_name,"
+        f"         CAST(0 AS INT) AS n_regionkey"
+        f"  UNION ALL SELECT CAST(901 AS INT), 'B', CAST(0 AS INT)"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert [tuple(out[0])] == [(0, 2, 0)]
+
+
+def test_merge_single_commit_and_noop(spark, sf_dir, merge_tgt):
+    """Multi-action MERGE publishes exactly ONE new version (atomic:
+    no reader can observe a half-applied merge), and a MERGE that
+    changes nothing publishes none."""
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    v0 = len(lf.list_versions(merge_tgt))
+    lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey, n_name, n_regionkey FROM '{merge_tgt}'"
+        f"  WHERE n_nationkey >= 3"
+        f"  UNION ALL SELECT CAST(700 AS INT), 'NEW', CAST(0 AS INT)"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED AND t.n_nationkey < 5 THEN DELETE "
+        f"WHEN NOT MATCHED THEN INSERT * "
+        f"WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ).collect()
+    assert len(lf.list_versions(merge_tgt)) == v0 + 1
+    after = _state(spark, merge_tgt)
+    assert set(after) == set(range(5, 25)) | {700}
+    # no-op: nothing matches any clause -> no new version
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT CAST(700 AS INT) AS n_nationkey, 'NEW' AS n_name,"
+        f"         CAST(0 AS INT) AS n_regionkey"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED AND t.n_name = 'NOPE' THEN DELETE "
+        f"WHEN NOT MATCHED THEN INSERT *",
+    ).collect()
+    assert [tuple(out[0])] == [(0, 0, 0)]
+    assert len(lf.list_versions(merge_tgt)) == v0 + 1
+
+
+def test_merge_condition_string_literal_safety(spark, sf_dir, merge_tgt):
+    """Alias rewriting must not touch string literals: a condition
+    comparing against 'when t.x then' stays a literal, and a SET
+    value containing 's.n_name' writes that exact text."""
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey FROM '{merge_tgt}' WHERE n_nationkey = 2"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED AND t.n_name <> 'when t.x then' "
+        f"THEN UPDATE SET n_name = 's.n_name literal'",
+    ).collect()
+    assert [tuple(out[0])] == [(1, 0, 0)]
+    assert _state(spark, merge_tgt)[2][0] == "s.n_name literal"
+
+
+def test_update_refuses_nondeterministic_predicate(spark, sf_dir, tmp_path):
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    root = str(tmp_path / "nondet.lance")
+    ds.register(spark)
+    load(spark, sf_dir, "nation").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    for pred in ["rand() < 0.5", "n_nationkey < 5 AND rand() > 0",
+                 "current_date() > DATE'2020-01-01'"]:
+        with pytest.raises(LanceDatasetError, match="nondeterministic"):
+            lance_sql(
+                spark, f"UPDATE '{root}' SET n_regionkey = 0 WHERE {pred}"
+            )
 
 
 def test_sql_update_respects_deletion_vectors(spark, sf_dir, tmp_path):

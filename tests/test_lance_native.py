@@ -40,6 +40,26 @@ def test_list_versions():
     assert ln.list_versions(REF) == [1]
 
 
+def test_dml_refused_on_native_dataset(spark):
+    """DML/maintenance verbs against a native-encoded (protobuf
+    manifest) dataset must refuse up front with a clear message, not
+    die in read_manifest with a raw JSONDecodeError (r9 advice)."""
+    from lance_duckdb_spark.catalog import lance_sql
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    stmts = [
+        f"DELETE FROM '{REF}' WHERE id = 1",
+        f"UPDATE '{REF}' SET age = 0 WHERE id = 1",
+        f"MERGE INTO '{REF}' t USING (SELECT 1 AS id) s "
+        f"ON t.id = s.id WHEN MATCHED THEN DELETE",
+        f"VACUUM '{REF}'",
+        f"OPTIMIZE '{REF}'",
+    ]
+    for stmt in stmts:
+        with pytest.raises(LanceDatasetError, match="native-encoded"):
+            lance_sql(spark, stmt)
+
+
 def test_manifest_fields_match_reference_schema():
     man = ln.open_dataset(REF)
     assert man.version == 1
