@@ -1134,6 +1134,21 @@ def lance_load(
     return reader.load(path)
 
 
+def _native_live_df(spark: SparkSession, path: str) -> DataFrame:
+    """Current-version live rows of a JSON-manifest dataset as a
+    NATIVE parquet DataFrame: committed schema (evolved columns
+    null-fill), deletion vectors applied. The file-source backing is
+    what lets lance_sql views participate in vectorized scans,
+    Catalyst pushdown, and per-position planning."""
+    from .sources.maintenance import _committed_schema, _live_view
+
+    manifest = lf.read_manifest(path)
+    committed = _committed_schema(manifest)
+    if not manifest.fragments:
+        return spark.createDataFrame([], committed)
+    return _live_view(spark, path, committed, manifest.fragments)
+
+
 def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL where quoted ``'path.lance'`` literals are table
     references — DuckDB replacement-scan parity
@@ -1219,13 +1234,39 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     occurrence: dict[str, int] = {}
 
     def _sub(m: re.Match) -> str:
+        from .sources import lance_native as ln
+
         if not _in_table_position(sql, m):
             return m.group(0)
         path = m.group(3)
         if not _is_lance_dataset(path):
             return m.group(0)
+        if not ln.is_native_dataset(path):
+            # JSON-manifest dataset: back the view with a NATIVE
+            # parquet scan of the current version's live rows
+            # (deletion vectors applied; committed schema, so evolved
+            # columns null-fill). Strictly better than the Python DS
+            # here: vectorized JVM scan (no Python-worker Arrow
+            # transfer), real Catalyst predicate pushdown + column
+            # pruning into the parquet footers (no auto-narrowing
+            # needed), and file-source relations are planned PER SCAN
+            # POSITION — the Spark 4.1 Python-DS relation-cloning
+            # hazard (one planned scan served every optimizer clone
+            # with divergent filters, r9 finding) cannot occur at
+            # all. The fragment list pins at registration, giving the
+            # statement snapshot isolation.
+            occ = occurrence.get(path, 0)
+            occurrence[path] = occ + 1
+            digest = hashlib.md5(
+                (os.path.abspath(path) + f"\0native\0{occ}").encode()
+            ).hexdigest()[:10]
+            name = f"lance_ds_{digest}"
+            _native_live_df(spark, path).createOrReplaceTempView(name)
+            used_views.add(name)
+            return m.group(1) + name
         narrowed = _narrowed_schema(path, sql)
         cols_key = ",".join(f.name for f in narrowed.fields) if narrowed else "*"
+        # Native-encoded datasets go through the Python DS reader.
         # ONE VIEW PER OCCURRENCE, not per path: Spark's Python
         # DataSource keeps a single reader instance per relation, and
         # pushFilters state is shared across every scan node of that
