@@ -1090,10 +1090,15 @@ def take_rows(
     arithmetic on the driver (no data IO); only the HIT fragments
     become tasks, each decoding one fragment (column-pruned) and
     taking its local positions worker-side — IO is proportional to
-    fragments hit, never to the corpus. Positions are positional over
-    physical rows, so datasets with deletion vectors are refused
-    loudly (a take would need the mask to re-map logical positions;
-    same cannot-honor-it contract as the native reader)."""
+    fragments hit, never to the corpus.
+
+    Indices address LOGICAL (live) positions: rows hidden by
+    deletion vectors don't count, matching Lance proper's
+    ``Dataset::take`` over a dataset with deletes. The logical →
+    physical remap is driver-side arithmetic over each hit
+    fragment's sorted deletion positions (O(deletions in hit
+    fragments), the same bound as the deletion side files
+    themselves); workers still do a purely positional take."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -1111,40 +1116,38 @@ def take_rows(
         schema = StructType(
             [f for f in schema.fields if f.name in set(columns)]
         )
-    n_total = sum(f.num_rows for f in man.fragments)
-    bad = [i for i in indices if i < 0 or i >= n_total]
+    n_live = sum(f.num_rows - f.num_deleted for f in man.fragments)
+    bad = [i for i in indices if i < 0 or i >= n_live]
     if bad:
         raise lf.LanceDatasetError(
-            f"take_rows: indices {bad[:5]} out of range [0, {n_total})"
+            f"take_rows: indices {bad[:5]} out of range [0, {n_live}) "
+            "(live rows)"
         )
-    # driver-side mapping: global index -> (fragment, local position)
+    # driver-side mapping: global LIVE index -> (fragment, physical
+    # local position). Fragments offset by their live count; within a
+    # dv fragment the p-th live row sits at physical position p +
+    # (#deletions at or before it) — a two-pointer walk over the
+    # fragment's sorted deletion positions.
     per_frag: dict[str, list[int]] = {}
     start = 0
-    last_hit_end = 0  # physical end offset of the last fragment with a hit
     for frag in man.fragments:
-        end = start + frag.num_rows
-        local = [i - start for i in indices if start <= i < end]
+        live = frag.num_rows - frag.num_deleted
+        end = start + live
+        local = sorted(i - start for i in indices if start <= i < end)
         if local:
-            per_frag[frag.file] = sorted(local)
-            last_hit_end = end
+            if frag.deletion_file is not None:
+                dels = sorted(lf.read_deletion_positions(root, frag))
+                phys, di, shift = [], 0, 0
+                for lp in local:
+                    p = lp + shift
+                    while di < len(dels) and dels[di] <= p:
+                        di += 1
+                        shift += 1
+                        p = lp + shift
+                    phys.append(p)
+                local = phys
+            per_frag[frag.file] = local
         start = end
-    # Offsets above use PHYSICAL num_rows, so a deletion vector on any
-    # fragment at-or-before the last hit shifts every later logical
-    # position — a non-hit dv fragment corrupts the mapping just as a
-    # hit one does. Refuse for the whole prefix, not only hit
-    # fragments (r9 advice: lance_ops take_rows dv-prefix gap).
-    start = 0
-    for frag in man.fragments:
-        if start >= last_hit_end:
-            break
-        if frag.deletion_file is not None:
-            raise lf.LanceDatasetError(
-                f"take_rows: fragment {frag.file!r} carries a "
-                "deletion vector at-or-before the last requested "
-                "position; positional take over masked rows is not "
-                "supported — compact() first"
-            )
-        start += frag.num_rows
     if not per_frag:
         return spark.createDataFrame([], schema)
     tasks = spark.createDataFrame(
@@ -1223,7 +1226,84 @@ def lance_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def lance_take_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 over a DELETED dataset (r9 VERDICT item 7): positional
+    take must address LOGICAL (live) row positions — rows hidden by
+    deletion vectors don't count, matching Lance proper's
+    ``Dataset::take`` after deletes. The staged dataset is orders
+    sorted by o_orderkey in TWO fragments (an overwrite + an append,
+    split at key 3000, so the manifest order continues the sort and
+    the cross-fragment live-offset arithmetic is exercised), then
+    ``DELETE WHERE o_orderkey % 7 = 1`` masks rows in both fragments
+    via deletion vectors. The oracle is a row_number over the
+    surviving rows — hash-equal iff the driver-side logical→physical
+    remap lands on exactly the right physical rows.
+
+    Reused-when-current like lance_take (take_rows pins fragment
+    file names at plan-construction; bench replay re-executes old
+    plans): the DELETE re-run on an already-deleted dataset matches
+    nothing (masked rows never re-match) and commits no version, so
+    reuse is idempotent."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from ..catalog import lance_sql
+    from ..sources import lance_format as lf
+
+    register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(_WORKDIR, tag, "take_dv.lance")
+    orders = load(spark, sf_dir, "orders")
+    reuse = False
+    try:
+        m = lf.read_manifest(root)
+        reuse = (
+            sum(f.num_rows for f in m.fragments) == orders.count()
+            and StructType.fromJson(_json.loads(m.schema_json))
+            == orders.schema
+        )
+    except Exception:
+        reuse = False
+    if not reuse:
+        shutil.rmtree(root, ignore_errors=True)
+        srt = orders.orderBy("o_orderkey")
+        srt.where(F.col("o_orderkey") < 3000).coalesce(1).write.format(
+            "lance"
+        ).mode("overwrite").save(root)
+        srt.where(F.col("o_orderkey") >= 3000).coalesce(1).write.format(
+            "lance"
+        ).mode("append").save(root)
+    lance_sql(
+        spark, f"DELETE FROM '{root}' WHERE o_orderkey % 7 = 1"
+    ).collect()
+    taken = take_rows(
+        spark,
+        root,
+        list(TAKE_POSITIONS),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return taken.select(
+        "o_orderkey",
+        "o_custkey",
+        money("o_totalprice").cast("double").alias("total_price"),
+    ).orderBy("o_orderkey")
+
+
 TAKE_POSITIONS = (0, 7, 42, 999, 1234)
+
+LANCE_TAKE_DV_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS pos
+  FROM orders WHERE o_orderkey % 7 <> 1
+)
+SELECT o_orderkey, o_custkey,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+FROM ranked
+WHERE pos IN ({", ".join(str(p) for p in TAKE_POSITIONS)})
+ORDER BY o_orderkey
+"""
 
 LANCE_TAKE_SQL = f"""
 WITH ranked AS (
@@ -1241,6 +1321,7 @@ ORDER BY o_orderkey
 
 QUERIES = {
     "lance_take": lance_take,
+    "lance_take_dv": lance_take_dv,
     "lance_sql_copy": lance_sql_copy,
     "lance_stats_pushdown": lance_stats_pushdown,
     "lance_roundtrip": lance_roundtrip,
@@ -1267,6 +1348,7 @@ QUERIES = {
 
 ORACLE = {
     "lance_take": LANCE_TAKE_SQL,
+    "lance_take_dv": LANCE_TAKE_DV_SQL,
     "lance_sql_copy": LANCE_SQL_COPY_SQL,
     "lance_stats_pushdown": LANCE_STATS_PUSHDOWN_SQL,
     "lance_roundtrip": LANCE_ROUNDTRIP_SQL,

@@ -1,6 +1,7 @@
 """take_rows (operators/lance_ops.py): positional fetch equals the
 manifest-order full scan at the same positions, only hit fragments
-become tasks, deletion vectors are refused, bad indices are loud.
+become tasks, deletion vectors remap logical positions onto live
+rows, bad indices are loud.
 Oracle equality of the lance_take driver query is covered by
 test_correctness.py."""
 
@@ -78,31 +79,39 @@ def test_take_refuses_out_of_range_and_unknown_columns(
         take_rows(spark, multi_frag_root, [0], columns=["nope"])
 
 
-def test_take_refuses_deletion_vectors(spark, sf_dir, tmp_path):
-    import pyarrow.compute as pc
+def test_take_addresses_live_positions(spark, sf_dir, tmp_path):
+    """Indices address LOGICAL (live) positions: rows masked by
+    deletion vectors don't count (Lance Dataset::take semantics).
+    Verified against the full live manifest-order row list with dels
+    in the middle of the single fragment."""
+    from lance_duckdb_spark.catalog import lance_sql
 
     register(spark)
     root = str(tmp_path / "takedel.lance")
     load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     ).coalesce(1).write.format("lance").mode("overwrite").save(root)
-    lf.delete_where(
-        root, pc.field("o_orderkey") == 1, use_deletion_vectors=True
+    lance_sql(spark, f"DELETE FROM '{root}' WHERE o_orderkey % 5 = 1")
+    man = lf.read_manifest(root)
+    assert man.fragments[0].deletion_file is not None
+    dels = set(lf.read_deletion_positions(root, man.fragments[0]))
+    t = pq.read_table(os.path.join(root, man.fragments[0].file))
+    live = [r for i, r in enumerate(t.to_pylist()) if i not in dels]
+    idx = [0, 1, 7, len(live) // 2, len(live) - 1]
+    got = take_rows(spark, root, idx, columns=["o_orderkey"]).collect()
+    assert sorted(r["o_orderkey"] for r in got) == sorted(
+        live[i]["o_orderkey"] for i in idx
     )
-    assert any(
-        f.deletion_file for f in lf.read_manifest(root).fragments
-    )
-    with pytest.raises(lf.LanceDatasetError, match="deletion vector"):
-        take_rows(spark, root, [0])
+    # out-of-range is judged against LIVE rows, not physical
+    with pytest.raises(lf.LanceDatasetError, match="out of range"):
+        take_rows(spark, root, [len(live)])
 
 
-def test_take_refuses_non_hit_dv_prefix_but_allows_clean_prefix(
-    spark, sf_dir, tmp_path
-):
-    """A dv on an EARLIER, non-hit fragment shifts every later logical
-    position (offsets are physical), so it must refuse too; a dv on a
-    fragment strictly AFTER the last hit is harmless and allowed."""
-    import pyarrow.compute as pc
+def test_take_dv_prefix_shifts_later_fragments(spark, sf_dir, tmp_path):
+    """A dv on an EARLIER fragment shifts every later logical
+    position: position (live rows of fragment 0) + k must land on
+    fragment 1's k-th live row."""
+    from lance_duckdb_spark.catalog import lance_sql
 
     register(spark)
     root = str(tmp_path / "takedel2.lance")
@@ -110,26 +119,27 @@ def test_take_refuses_non_hit_dv_prefix_but_allows_clean_prefix(
         "o_orderkey", "o_orderstatus"
     )
     df.coalesce(1).write.format("lance").mode("overwrite").save(root)
-    df.coalesce(1).write.format("lance").mode("append").save(root)
-    man = lf.read_manifest(root)
-    assert len(man.fragments) == 2
-    first_rows = man.fragments[0].num_rows
-    # dv lands on fragment 0 only (delete one row that exists there);
-    # delete_where masks matching rows in every fragment, so pick the
-    # row by position via the first fragment's own min key — both
-    # fragments hold the same keys, so BOTH get a dv; instead write
-    # distinct content: delete a key then check placement
-    lf.delete_where(
-        root, pc.field("o_orderkey") == 1, use_deletion_vectors=True
+    # fragment 1: keys shifted out of the delete predicate's range
+    df.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    ).coalesce(1).write.format("lance").mode("append").save(root)
+    lance_sql(
+        spark,
+        f"DELETE FROM '{root}' WHERE o_orderkey % 3 = 1"
+        f" AND o_orderkey < 10000000",
     )
     man = lf.read_manifest(root)
-    dv_flags = [f.deletion_file is not None for f in man.fragments]
-    assert any(dv_flags)
-    # positions that live in fragment 1 while fragment 0 carries a dv:
-    # refused even though fragment 0 has no hit
-    if dv_flags[0]:
-        with pytest.raises(lf.LanceDatasetError, match="deletion vector"):
-            take_rows(spark, root, [first_rows + 5])
+    assert man.fragments[0].deletion_file is not None
+    assert man.fragments[1].deletion_file is None
+    live0 = man.fragments[0].num_rows - man.fragments[0].num_deleted
+    got = take_rows(
+        spark, root, [live0, live0 + 5], columns=["o_orderkey"]
+    ).collect()
+    frag1 = pq.read_table(
+        os.path.join(root, man.fragments[1].file), columns=["o_orderkey"]
+    )
+    want = {frag1["o_orderkey"][0].as_py(), frag1["o_orderkey"][5].as_py()}
+    assert {r["o_orderkey"] for r in got} == want
 
 
 def test_take_allows_dv_after_last_hit(spark, sf_dir, tmp_path):
