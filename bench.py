@@ -103,6 +103,18 @@ HEADLINE = [
     "ann_sq8_topk",
     "lance_take",
     "fts_bm25_indexed",
+    # r10 additions (r9 VERDICT item 6): the DML triad joins the
+    # tracked set so write-path perf moves round-over-round — MERGE
+    # (three statements incl. snapshot sync), deletion-vector
+    # DELETE, fragment-pruned UPDATE — plus the conditional MERGE
+    # clause engine. Their DuckDB "oracle" does none of the write
+    # work, so their per-query times are tracked for trend, not for
+    # the vs-duck ratio (duck re-aggregates in milliseconds either
+    # way; the ratio bar is carried by the read queries).
+    "lance_merge",
+    "lance_sql_delete",
+    "lance_sql_update",
+    "lance_merge_conditional",
 ]
 
 

@@ -276,7 +276,11 @@ ORDER BY query_id, rnk
 
 
 def ann_knn_join_vectorized(
-    spark: SparkSession, sf_dir: str, k_centroids: int = IVF_K
+    spark: SparkSession,
+    sf_dir: str,
+    k_centroids: int = IVF_K,
+    coarse_m: int | None = None,
+    probes: int | None = None,
 ) -> DataFrame:
     """The >10x SCALE PATH for the batch KNN join — same algorithm,
     same answer (BIT-IDENTICAL to ``ann_knn_join``, so it shares its
@@ -300,12 +304,40 @@ def ann_knn_join_vectorized(
 
     k_centroids must still scale with the corpus (k ~ n/500) — the
     smoke runs this variant at that setting."""
+    import math
+
     import numpy as np
     import pandas as pd
 
-    from .similarity import _seq_norms
+    from ..materialize import spill_to_parquet
+    from .similarity import (
+        TWO_LEVEL_MIN_K,
+        TWO_LEVEL_PROBES,
+        _seq_norms,
+        two_level_assign,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
+    n_keep = max(KNN_ASSIGN, KNN_NPROBE)
+    if coarse_m is None and k_centroids >= TWO_LEVEL_MIN_K:
+        # coarse-quantizer tier (r9 VERDICT item 1): at the k ~ n/500
+        # rule the flat n*k assignment is O(n^2/500) and the driver
+        # collect grows with the corpus — route through
+        # two_level_assign, driver holds ~sqrt(k) coarse seeds only
+        coarse_m = max(1, math.isqrt(k_centroids))
+    if coarse_m:
+        assigned = spill_to_parquet(
+            two_level_assign(
+                spark,
+                emb.select("vec_id", "embedding"),
+                k_centroids,
+                n_keep,
+                coarse_m,
+                probes or max(TWO_LEVEL_PROBES, KNN_NPROBE),
+            ),
+            label="knn_assign2",
+        )
+        return _knn_from_assigned(spark, emb, assigned)
     cent_rows = (
         emb.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -318,7 +350,6 @@ def ann_knn_join_vectorized(
     c_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     c_nrm = _seq_norms(C)
     bc = spark.sparkContext.broadcast((c_ids, C, c_nrm))
-    n_keep = max(KNN_ASSIGN, KNN_NPROBE)
 
     def assign(batches):
         ids_c, Cm, nrm_c = bc.value
@@ -360,14 +391,26 @@ def ann_knn_join_vectorized(
     # subtrees, ReuseExchange cannot deduplicate them). The spill
     # backs the returned frame and is swept by the session's spill
     # lifecycle (materialize.py).
-    from ..materialize import spill_to_parquet
-
     assigned = spill_to_parquet(
         emb.select("vec_id", "embedding").mapInPandas(
             assign, schema="vec_id long, centroid_id long, crnk int"
         ),
         label="knn_assign",
     )
+    return _knn_from_assigned(spark, emb, assigned)
+
+
+def _knn_from_assigned(
+    spark: SparkSession, emb: DataFrame, assigned: DataFrame
+) -> DataFrame:
+    """Shared ann_knn_join_vectorized tail over a spilled
+    (vec_id, centroid_id, crnk) assignment (flat or two-level):
+    role-tagged bucket scoring, pair dedupe, per-query top-k."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _seq_norms
+
     tagged = (
         assigned.where(F.col("crnk") <= KNN_ASSIGN)
         .select("vec_id", "centroid_id", F.lit(0).alias("role"))

@@ -824,11 +824,177 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 NDUP_ASSIGN = 2
 
 
+# Two-level (coarse-quantizer) IVF (r9 VERDICT item 1): past this
+# fine-centroid count, flat assignment is refused its own scale
+# hazards — the k ~ n/500 rule makes the n*k assignment O(n^2/500)
+# by algebra, and the driver-side k-vector collect/broadcast grows
+# with the corpus. Above the bound the operators auto-route through
+# two_level_assign (driver holds only ~sqrt(k) coarse seeds).
+TWO_LEVEL_MIN_K = 4096
+TWO_LEVEL_PROBES = 4
+
+
+def two_level_assign(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int,
+    keep_n: int,
+    coarse_m: int,
+    probes: int,
+) -> DataFrame:
+    """Two-level IVF assignment: route every vector to its top
+    ``keep_n`` of ``k`` fine centroids WITHOUT ever materializing
+    the k centroids on the driver.
+
+    Structure (all deterministic, oracle-replicable):
+
+    - fine centroids = the ``k`` lowest-vec_id vectors (the ann_ivf
+      seed convention, standing in for a k-means fit);
+    - coarse seeds = the ``coarse_m`` lowest-vec_id vectors (a
+      prefix of the fine set) — the ONLY driver collect/broadcast,
+      ~sqrt(k) rows;
+    - each fine centroid lives in its nearest coarse cell (cos DESC,
+      cell_id ASC — rank 1), computed distributedly;
+    - each vector probes its top ``probes`` coarse cells, then ranks
+      only the fine centroids living in those cells; per-cell local
+      top-``keep_n`` candidates merge through one slim global window
+      (cos DESC, centroid_id ASC).
+
+    Scale shape: per-vector work is coarse_m + probes * k/coarse_m
+    dots (vs k flat — O(sqrt(k)) at coarse_m ~ sqrt(k)); the driver
+    holds coarse_m vectors (vs k); the cogroup shuffles each vector
+    ``probes`` times. Every cosine keeps the DIMENSION-SEQUENTIAL
+    fold, so the two-level selection is bit-replicable by the DuckDB
+    oracle (embedding_neardup_ivf pins it hash-exact).
+
+    Returns (vec_id, centroid_id, crnk) with crnk in 1..keep_n;
+    vectors whose probed cells hold fewer than keep_n fine centroids
+    get fewer ranks (same clamp as the flat path)."""
+    import numpy as np
+    import pandas as pd
+
+    coarse_m = max(1, min(coarse_m, k))
+    coarse_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(coarse_m)
+        .collect()
+    )
+    S = np.array(
+        [r["embedding"] for r in coarse_rows], dtype=np.float32
+    ).astype(np.float64)
+    s_ids = np.array([r["vec_id"] for r in coarse_rows], dtype=np.int64)
+    s_nrm = _seq_norms(S)
+    bc = spark.sparkContext.broadcast((s_ids, S, s_nrm))
+
+    def nearest_cells(n_cells: int):
+        def fn(batches):
+            ids_s, Sm, nrm_s = bc.value
+            keep = min(n_cells, len(Sm))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(
+                    list(pdf["embedding"]), dtype=np.float32
+                ).astype(np.float64)
+                nx = _seq_norms(X)
+                acc = np.zeros((len(X), len(Sm)))
+                for d in range(Sm.shape[1]):
+                    acc += X[:, d, None] * Sm[None, :, d]
+                cos = np.clip(
+                    acc / (nx[:, None] * nrm_s[None, :]), -1.0, 1.0
+                )
+                order = np.lexsort(
+                    (np.broadcast_to(ids_s, cos.shape), -cos), axis=1
+                )[:, :keep]
+                out = pdf.loc[pdf.index.repeat(keep)].reset_index(
+                    drop=True
+                )
+                out["cell_id"] = ids_s[order].reshape(-1)
+                yield out[["vec_id", "embedding", "cell_id"]]
+
+        return fn
+
+    cell_schema = "vec_id long, embedding array<float>, cell_id long"
+    fine = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k)
+    cells = fine.mapInPandas(nearest_cells(1), schema=cell_schema)
+    # a single large parquet file arrives in O(size/maxPartitionBytes)
+    # splits — far fewer than the cores at sfd100+ — and the probe
+    # pass is the corpus's numpy-heavy stage, so spread it explicitly
+    # (round-robin, no key: per-row outputs are batch-independent)
+    par = max(emb.sparkSession.sparkContext.defaultParallelism, 8)
+    probed = (
+        emb.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(nearest_cells(probes), schema=cell_schema)
+    )
+
+    def cell_topk(left: "pd.DataFrame", right: "pd.DataFrame"):
+        # left = vectors probing this cell, right = the cell's fine
+        # centroids; emit each vector's local top-keep_n candidates
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "centroid_id": [], "cos_sim": []}
+            ).astype(
+                {"vec_id": "int64", "centroid_id": "int64",
+                 "cos_sim": "float64"}
+            )
+        X = np.array(list(left["embedding"]), dtype=np.float32).astype(
+            np.float64
+        )
+        C = np.array(list(right["embedding"]), dtype=np.float32).astype(
+            np.float64
+        )
+        c_ids = right["centroid_id"].to_numpy()
+        nx, nc = _seq_norms(X), _seq_norms(C)
+        acc = np.zeros((len(X), len(C)))
+        for d in range(C.shape[1]):
+            acc += X[:, d, None] * C[None, :, d]
+        cos = np.clip(acc / (nx[:, None] * nc[None, :]), -1.0, 1.0)
+        keep = min(keep_n, len(C))
+        order = np.lexsort(
+            (np.broadcast_to(c_ids, cos.shape), -cos), axis=1
+        )[:, :keep]
+        rows = np.arange(len(X))[:, None]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(left["vec_id"].to_numpy(), keep),
+                "centroid_id": c_ids[order].reshape(-1),
+                "cos_sim": cos[rows, order].reshape(-1),
+            }
+        )
+
+    cand = (
+        probed.groupBy("cell_id")
+        .cogroup(
+            cells.select(
+                F.col("vec_id").alias("centroid_id"), "embedding",
+                "cell_id",
+            ).groupBy("cell_id")
+        )
+        .applyInPandas(
+            cell_topk, schema="vec_id long, centroid_id long, cos_sim double"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("centroid_id")
+    )
+    return (
+        cand.withColumn("crnk", F.row_number().over(w))
+        .where(F.col("crnk") <= keep_n)
+        .select("vec_id", "centroid_id", "crnk")
+    )
+
+
 def ivf_neardup_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = NEARDUP_THRESHOLD,
     k: int = IVF_K,
+    coarse_m: int | None = None,
+    probes: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via IVF bucketing — the 100 TB shape for
     EMBEDDING dedup (cf. the SemDeDup recipe: k-means cluster, then
@@ -861,10 +1027,27 @@ def ivf_neardup_pairs(
     dgemm at a proven-lossless 1e-6 margin, then the survivors are
     exact-rechecked JVM-side with the same fold-ordered expression
     the oracle uses."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings")
+    if coarse_m is None and k >= TWO_LEVEL_MIN_K:
+        # auto-route through the coarse quantizer: flat assignment at
+        # the k ~ n/500 rule is O(n^2/500) and collects k vectors to
+        # the driver — the named flat-IVF scale ceiling
+        coarse_m = max(1, math.isqrt(k))
+    if coarse_m:
+        assigned = two_level_assign(
+            spark,
+            emb.select("vec_id", "embedding"),
+            k,
+            NDUP_ASSIGN,
+            coarse_m,
+            probes or TWO_LEVEL_PROBES,
+        ).select("vec_id", "centroid_id")
+        return _neardup_from_assigned(spark, emb, assigned, threshold)
     cent_rows = (
         emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
     )
@@ -934,6 +1117,20 @@ def ivf_neardup_pairs(
     assigned = emb.select("vec_id", "embedding").mapInPandas(
         assign, schema="vec_id long, centroid_id long"
     )
+    return _neardup_from_assigned(spark, emb, assigned, threshold)
+
+
+def _neardup_from_assigned(
+    spark: SparkSession,
+    emb: DataFrame,
+    assigned: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Shared ivf_neardup_pairs tail: exact in-bucket pair scan over
+    (vec_id, centroid_id) assignments (flat or two-level), followed
+    by the JVM-side fold-ordered exact recheck the oracle mirrors."""
+    import numpy as np
+    import pandas as pd
 
     def bucket_pairs(pdf):
         ids = pdf["vec_id"].to_numpy()
@@ -988,12 +1185,15 @@ def ivf_neardup_pairs(
 
 
 def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: the IVF-bucketed near-dup pair set at the
-    default threshold and seed-centroid count — hash-exact because
-    the oracle replicates the whole deterministic algorithm (seed
-    centroids, rank-2 assignment with explicit tie-breaks, in-bucket
+    """Driver query: the IVF-bucketed near-dup pair set through the
+    TWO-LEVEL (coarse-quantizer) assignment — r9 VERDICT item 1's
+    scale path, driver-proven hash-exact: 4 coarse cells over the 16
+    fine seed centroids, 2 probed cells per vector, rank-2 fine
+    assignment within the probed cells. The oracle replicates the
+    whole deterministic two-level selection (cell routing, probe
+    set, per-vector fine rank with explicit tie-breaks, in-bucket
     exact pairs), misses and all."""
-    return ivf_neardup_pairs(spark, sf_dir)
+    return ivf_neardup_pairs(spark, sf_dir, coarse_m=4, probes=2)
 
 
 EMBEDDING_NEARDUP_IVF_SQL = f"""
@@ -1001,15 +1201,43 @@ WITH c AS (
   SELECT vec_id AS centroid_id, embedding AS ce
   FROM embeddings ORDER BY vec_id LIMIT {IVF_K}
 ),
-assigned AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT e.vec_id, c.centroid_id,
+coarse AS (
+  SELECT vec_id AS cell_id, embedding AS se
+  FROM embeddings ORDER BY vec_id LIMIT 4
+),
+cells AS (
+  SELECT centroid_id, ce, cell_id FROM (
+    SELECT c.centroid_id, c.ce, s.cell_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY c.centroid_id
+        ORDER BY list_cosine_similarity(CAST(c.ce AS DOUBLE[]),
+                                        CAST(s.se AS DOUBLE[])) DESC,
+                 s.cell_id ASC) AS rnk
+    FROM c, coarse s
+  ) WHERE rnk = 1
+),
+probed AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, s.cell_id,
       ROW_NUMBER() OVER (
         PARTITION BY e.vec_id
         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                        CAST(c.ce AS DOUBLE[])) DESC,
-                 c.centroid_id ASC) AS crnk
-    FROM embeddings e, c
+                                        CAST(s.se AS DOUBLE[])) DESC,
+                 s.cell_id ASC) AS prnk
+    FROM embeddings e, coarse s
+  ) WHERE prnk <= 2
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, f.centroid_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(f.ce AS DOUBLE[])) DESC,
+                 f.centroid_id ASC) AS crnk
+    FROM embeddings e
+    JOIN probed p ON p.vec_id = e.vec_id
+    JOIN cells f ON f.cell_id = p.cell_id
   ) WHERE crnk <= {NDUP_ASSIGN}
 ),
 cand AS (

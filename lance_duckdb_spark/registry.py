@@ -314,7 +314,12 @@ _GREEN_R9 = {
 
 # Queries whose HASHED OUTPUT changes in r10 go here (treated as
 # never-verified so they lead the window).
-_RECHECK_R10: set = set()
+_RECHECK_R10: set = {
+    # r10: embedding_neardup_ivf now runs the TWO-LEVEL
+    # (coarse-quantizer) assignment — different (still deterministic)
+    # bucket routing, new hashes; oracle changed in lockstep
+    "embedding_neardup_ivf",
+}
 
 # r10 rotation note (verdict r9 item #3): window leads with r10-new
 # queries + _RECHECK_R10, then the 39 entries last green in r7, then

@@ -39,6 +39,17 @@ from .datasource import register
 
 INDEX_DIR = "_indexes/ivf"
 
+# Two-level (coarse-quantizer) layout bound (r9 VERDICT item 1, the
+# same constant as operators/similarity.TWO_LEVEL_MIN_K — defined
+# here too so sources never import operators): past this k, the flat
+# layout's inline k x dim centroid list in index.json and the k-dir
+# hive partitioning stop scaling — the index switches to
+# coarse_m = sqrt(k) driver-held coarse seeds, a PARQUET fine-
+# centroid table partitioned by cell, and postings partitioned by
+# cell_id (sqrt(k) dirs) with bucket_id as a filter column.
+TWO_LEVEL_K_MIN = 4096
+TWO_LEVEL_CPROBE = 4  # coarse cells probed per assignment/search
+
 
 class StaleIndexError(lf.LanceDatasetError):
     pass
@@ -133,25 +144,34 @@ def _reclaim_unreferenced_dirs(idx_dir: str, meta: dict) -> None:
     keep = {meta.get("postings_dir", "postings")} | set(
         meta.get("delta_dirs", [])
     )
+    if meta.get("fine_dir"):
+        keep.add(meta["fine_dir"])
     for name in os.listdir(idx_dir):
-        if name.startswith("postings") and name not in keep:
+        if (
+            name.startswith("postings") or name.startswith("fine_")
+        ) and name not in keep:
             _shutil.rmtree(os.path.join(idx_dir, name), ignore_errors=True)
 
 
-def _read_postings_dirs(spark: SparkSession, dirs: list[str], buckets):
+def _read_postings_dirs(spark: SparkSession, dirs: list[str], buckets, cells=None):
     """One pruned read per postings dir (base + index deltas),
     unioned: multi-root partition discovery conflicts, and separate
-    reads keep bucket partition pruning per directory anyway."""
+    reads keep partition pruning per directory anyway. Flat layout
+    prunes on bucket_id directly; the two-level layout partitions by
+    cell_id (pass ``cells``), pruning dirs by cell and filtering
+    bucket_id inside."""
     from functools import reduce
 
     want = sorted(buckets)
-    return reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            spark.read.parquet(d).where(F.col("bucket_id").isin(want))
-            for d in dirs
-        ],
-    )
+
+    def one(d):
+        df = spark.read.parquet(d)
+        if cells is not None:
+            df = df.where(F.col("cell_id").isin(sorted(cells)))
+            df = df.drop("cell_id")
+        return df.where(F.col("bucket_id").isin(want))
+
+    return reduce(lambda a, b: a.unionByName(b), [one(d) for d in dirs])
 
 
 def _assign_buckets(df: DataFrame, bc_centroids, column: str, id_col: str):
@@ -185,6 +205,174 @@ def _assign_buckets(df: DataFrame, bc_centroids, column: str, id_col: str):
         f"{id_col} long, bucket_id int, {column} array<float>"
     )
     return df.mapInPandas(assign, schema=out_schema)
+
+
+def _norm_rows(M):
+    import numpy as np
+
+    n = np.sqrt((M * M).sum(axis=1))
+    n[n == 0] = 1.0
+    return n
+
+
+def _route_cells(
+    df: DataFrame,
+    bc_coarse,
+    column: str,
+    out_schema: str,
+    n_cells: int,
+):
+    """Replicate every row onto its top-``n_cells`` coarse cells
+    (cosine argsort, ties toward the lower cell index — the same
+    stable-argmax discipline as ``_assign_buckets``). ``out_schema``
+    must name the input columns plus ``cell_id int``."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [
+        c.split()[0] for c in out_schema.split(",") if "cell_id" not in c
+    ]
+
+    def fn(batches):
+        C = bc_coarse.value
+        cn = _norm_rows(C)
+        keep = min(n_cells, len(C))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[column]), dtype=np.float32).astype(
+                np.float64
+            )
+            xn = _norm_rows(X)
+            sim = (X / xn[:, None]) @ (C / cn[:, None]).T
+            order = np.argsort(-sim, axis=1, kind="stable")[:, :keep]
+            out = pdf[cols].loc[pdf.index.repeat(keep)].reset_index(
+                drop=True
+            )
+            out["cell_id"] = order.reshape(-1).astype("int32")
+            yield out
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+def _two_level_assign(
+    spark: SparkSession,
+    df: DataFrame,
+    bc_coarse,
+    fine_cells: DataFrame,
+    column: str,
+    id_col: str,
+    cprobe: int = TWO_LEVEL_CPROBE,
+) -> DataFrame:
+    """Nearest-fine-centroid assignment WITHOUT a driver-side fine
+    matrix: rows route to their ``cprobe`` nearest coarse cells, meet
+    the cells' fine centroids in a cogroup, and the per-cell best
+    candidates reduce to one global argmax per row (cos DESC,
+    bucket_id ASC). Returns (id_col, bucket_id, cell_id of the
+    winning bucket) — slim rows; callers join vectors back by id.
+
+    ``fine_cells``: (bucket_id long, centroid array<double>,
+    cell_id int)."""
+    import numpy as np
+    import pandas as pd
+
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    routed = _route_cells(
+        df.select(id_col, column).repartition(par),
+        bc_coarse,
+        column,
+        f"{id_col} long, {column} array<float>, cell_id int",
+        cprobe,
+    )
+
+    def cell_best(left: "pd.DataFrame", right: "pd.DataFrame"):
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {id_col: [], "bucket_id": [], "cell_id": [], "cos": []}
+            ).astype(
+                {id_col: "int64", "bucket_id": "int64",
+                 "cell_id": "int32", "cos": "float64"}
+            )
+        X = np.array(list(left[column]), dtype=np.float32).astype(
+            np.float64
+        )
+        C = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in right["centroid"]]
+        )
+        b_ids = right["bucket_id"].to_numpy()
+        sim = (X / _norm_rows(X)[:, None]) @ (C / _norm_rows(C)[:, None]).T
+        order = np.lexsort((np.broadcast_to(b_ids, sim.shape), -sim), axis=1)
+        best = order[:, 0]
+        rows = np.arange(len(X))
+        return pd.DataFrame(
+            {
+                id_col: left[id_col].to_numpy(),
+                "bucket_id": b_ids[best],
+                "cell_id": right["cell_id"].to_numpy()[best],
+                "cos": sim[rows, best],
+            }
+        )
+
+    per_cell = (
+        routed.groupBy("cell_id")
+        .cogroup(fine_cells.groupBy("cell_id"))
+        .applyInPandas(
+            cell_best,
+            schema=f"{id_col} long, bucket_id long, cell_id int, cos double",
+        )
+    )
+    # global argmax across probed cells: max(struct) orders by cos
+    # then by NEGATED bucket_id, so ties break toward the lower id
+    best = (
+        per_cell.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"),
+                    (-F.col("bucket_id")).alias("nb"),
+                    F.col("bucket_id"),
+                    F.col("cell_id"),
+                )
+            ).alias("s")
+        )
+        .select(
+            id_col,
+            F.col("s.bucket_id").alias("bucket_id"),
+            F.col("s.cell_id").alias("cell_id"),
+        )
+    )
+    return best
+
+
+def _bucket_means_df(
+    assigned: DataFrame, column: str, dim: int
+) -> DataFrame:
+    """Distributed per-bucket mean vectors — the two-level twin of
+    ``_bucket_means`` that never collects: returns (bucket_id,
+    centroid array<double>), k rows, driver untouched."""
+    agg = assigned.groupBy("bucket_id").agg(
+        *[
+            F.avg(F.element_at(F.col(column), i + 1)).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    )
+    return agg.select(
+        "bucket_id",
+        F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
+def _fine_cells_df(spark: SparkSession, fine: DataFrame, bc_coarse):
+    """Tag fine centroids (bucket_id, centroid) with their nearest
+    coarse cell (the float32 routing round-trip matches the corpus
+    side's — routing only picks cells, scores stay exact)."""
+    return _route_cells(
+        fine.select("bucket_id", "centroid"),
+        bc_coarse,
+        "centroid",
+        "bucket_id long, centroid array<double>, cell_id int",
+        1,
+    )
 
 
 def _bucket_means(assigned: DataFrame, C, column: str, dim: int):
@@ -295,6 +483,11 @@ def build_ivf_index(
         raise lf.LanceDatasetError(f"cannot index empty dataset {root}")
     dim = first["d"]
 
+    if k >= TWO_LEVEL_K_MIN:
+        return _build_two_level(
+            spark, root, manifest, df, column, id_col, k, lloyd_iters, dim
+        )
+
     # deterministic init: the k lowest-id vectors. orderBy + limit
     # compiles to TakeOrderedAndProject — a distributed per-partition
     # top-k then a k-row driver merge — NOT a global sort through one
@@ -333,6 +526,111 @@ def build_ivf_index(
         "dim": dim,
         "dataset_version": manifest.version,
         "centroids": C.tolist(),
+        "postings_dir": pname,
+    }
+    os.makedirs(os.path.join(root, INDEX_DIR), exist_ok=True)
+    _write_meta_cas(
+        _index_meta_path(root),
+        meta,
+        expected_version=None,
+        reclaim_idx_dir=os.path.join(root, INDEX_DIR),
+    )
+    return meta
+
+
+def _build_two_level(
+    spark: SparkSession,
+    root: str,
+    manifest,
+    df: DataFrame,
+    column: str,
+    id_col: str,
+    k: int,
+    lloyd_iters: int,
+    dim: int,
+) -> dict:
+    """Two-level IVF fit + persist (k >= TWO_LEVEL_K_MIN — see the
+    module constant): the driver holds ONLY the sqrt(k) coarse seed
+    vectors; the k fine centroids live in a parquet table
+    partitioned by coarse cell, Lloyd-refined fully distributed
+    (assignment via the coarse-routed cogroup, means via map-side
+    partial aggregation, empty buckets carry their previous
+    centroid). Postings are partitioned by cell_id (sqrt(k) dirs,
+    not k), with bucket_id as a filter column — partition pruning by
+    probed cell, then bucket filtering inside.
+
+    Fine bucket ids are the seed vectors' own ids (stable across
+    Lloyd rounds), not 0..k-1 positions."""
+    import math
+    import uuid as _uuid
+
+    import numpy as np
+
+    m = max(1, math.isqrt(k))
+    coarse_rows = df.orderBy(id_col).limit(m).select(column).collect()
+    S = np.array([r[0] for r in coarse_rows], dtype=np.float64)
+    bc_coarse = spark.sparkContext.broadcast(S)
+    fine = spill_to_parquet(
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("bucket_id"),
+            F.col(column).cast("array<double>").alias("centroid"),
+        ),
+        "ivf2-fine",
+    )
+    try:
+        for _ in range(max(0, lloyd_iters)):
+            fine_cells = _fine_cells_df(spark, fine, bc_coarse)
+            best = _two_level_assign(
+                spark, df, bc_coarse, fine_cells, column, id_col
+            )
+            assigned = best.join(df.select(id_col, column), id_col)
+            means = _bucket_means_df(assigned, column, dim)
+            kept = fine.join(
+                means.select("bucket_id"), "bucket_id", "left_anti"
+            )
+            new_fine = spill_to_parquet(
+                means.unionByName(kept), "ivf2-fine"
+            )
+            release_spill(fine)
+            fine = new_fine
+        suffix = _uuid.uuid4().hex[:8]
+        fname = f"fine_{suffix}"
+        fine_cells = _fine_cells_df(spark, fine, bc_coarse)
+        (
+            fine_cells.repartition("cell_id")
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(os.path.join(root, INDEX_DIR, fname))
+        )
+        fine_cells = spark.read.parquet(
+            os.path.join(root, INDEX_DIR, fname)
+        )
+        best = _two_level_assign(
+            spark, df, bc_coarse, fine_cells, column, id_col
+        )
+        postings = best.join(df.select(id_col, column), id_col)
+        pname = f"postings_{suffix}"
+        (
+            postings.repartition("cell_id")
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(os.path.join(root, INDEX_DIR, pname))
+        )
+    finally:
+        release_spill(fine)
+    meta = {
+        "column": column,
+        "id_col": id_col,
+        "k": k,
+        "dim": dim,
+        "dataset_version": manifest.version,
+        "two_level": True,
+        "coarse_m": m,
+        "cprobe": TWO_LEVEL_CPROBE,
+        "coarse_centroids": S.tolist(),
+        "fine_dir": fname,
         "postings_dir": pname,
     }
     os.makedirs(os.path.join(root, INDEX_DIR), exist_ok=True)
@@ -394,9 +692,11 @@ def ann_search(
             "the indexed snapshot)"
         )
     column, id_col = meta["column"], meta["id_col"]
-    C = np.array(meta["centroids"], dtype=np.float64)
-    c_nrm = np.sqrt((C * C).sum(axis=1))
-    c_nrm[c_nrm == 0] = 1.0
+    two_level = bool(meta.get("two_level"))
+    if not two_level:
+        C = np.array(meta["centroids"], dtype=np.float64)
+        c_nrm = np.sqrt((C * C).sum(axis=1))
+        c_nrm[c_nrm == 0] = 1.0
 
     # collect ONCE; both the bucket choice and the rerank vector come
     # from the same collected rows — re-evaluating a nondeterministic
@@ -417,24 +717,78 @@ def ann_search(
         )
     pb_rows = []
     all_buckets: set[int] = set()
-    for r in probe_rows:
-        x = np.asarray(r[column], dtype=np.float64)
-        xn = np.sqrt((x * x).sum()) or 1.0
-        sim = (C / c_nrm[:, None]) @ (x / xn)
-        order = np.argsort(-sim, kind="stable")[:nprobe]
-        vec = [float(v) for v in r[column]]
-        for b in order:
-            pb_rows.append((int(r["probe_id"]), int(b), vec))
-            all_buckets.add(int(b))
+    chosen_cells: set[int] | None = None
+    if two_level:
+        # coarse routing on the driver (m = sqrt(k) seeds from the
+        # meta), then rank ONLY the probed cells' fine centroids —
+        # read via cell partition pruning; the collected fine rows
+        # are bounded by cprobe * k/m per distinct cell, never k
+        S = np.array(meta["coarse_centroids"], dtype=np.float64)
+        s_nrm = _norm_rows(S)
+        cprobe = int(meta.get("cprobe", TWO_LEVEL_CPROBE))
+        cells_per_probe: dict[int, list[int]] = {}
+        all_cells: set[int] = set()
+        for r in probe_rows:
+            x = np.asarray(r[column], dtype=np.float64)
+            xn = np.sqrt((x * x).sum()) or 1.0
+            sim = (S / s_nrm[:, None]) @ (x / xn)
+            cs = [int(c) for c in np.argsort(-sim, kind="stable")[:cprobe]]
+            cells_per_probe[int(r["probe_id"])] = cs
+            all_cells.update(cs)
+        fine_rows = (
+            spark.read.parquet(
+                os.path.join(root, INDEX_DIR, meta["fine_dir"])
+            )
+            .where(F.col("cell_id").isin(sorted(all_cells)))
+            .collect()
+        )
+        by_cell: dict[int, list] = {}
+        bucket_cell: dict[int, int] = {}
+        for fr in fine_rows:
+            b = int(fr["bucket_id"])
+            cv = np.asarray(fr["centroid"], dtype=np.float64)
+            cn = np.sqrt((cv * cv).sum()) or 1.0
+            by_cell.setdefault(int(fr["cell_id"]), []).append((b, cv / cn))
+            bucket_cell[b] = int(fr["cell_id"])
+        chosen_cells = set()
+        for r in probe_rows:
+            pid = int(r["probe_id"])
+            x = np.asarray(r[column], dtype=np.float64)
+            xn = np.sqrt((x * x).sum()) or 1.0
+            cand = [
+                bc
+                for c in cells_per_probe[pid]
+                for bc in by_cell.get(c, [])
+            ]
+            ranked = sorted(
+                cand, key=lambda t: (-float(t[1] @ (x / xn)), t[0])
+            )[:nprobe]
+            vec = [float(v) for v in r[column]]
+            for b, _ in ranked:
+                pb_rows.append((pid, int(b), vec))
+                all_buckets.add(int(b))
+                chosen_cells.add(bucket_cell[b])
+    else:
+        for r in probe_rows:
+            x = np.asarray(r[column], dtype=np.float64)
+            xn = np.sqrt((x * x).sum()) or 1.0
+            sim = (C / c_nrm[:, None]) @ (x / xn)
+            order = np.argsort(-sim, kind="stable")[:nprobe]
+            vec = [float(v) for v in r[column]]
+            for b in order:
+                pb_rows.append((int(r["probe_id"]), int(b), vec))
+                all_buckets.add(int(b))
     probe_buckets = spark.createDataFrame(
         pb_rows,
-        schema="probe_id long, bucket_id int, __probe_vec array<double>",
+        schema="probe_id long, bucket_id long, __probe_vec array<double>",
     )
 
     posting_dirs = [_postings_dir(root, meta)] + [
         os.path.join(root, INDEX_DIR, d) for d in meta.get("delta_dirs", [])
     ]
-    post = _read_postings_dirs(spark, posting_dirs, all_buckets)
+    post = _read_postings_dirs(
+        spark, posting_dirs, all_buckets, cells=chosen_cells
+    )
     cands = post.join(F.broadcast(probe_buckets), "bucket_id")
     if exclude_self:
         cands = cands.where(F.col(id_col) != F.col("probe_id"))
@@ -970,8 +1324,6 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
         .load(root)
         .select(id_col, column)
     )
-    C = np.array(meta["centroids"], dtype=np.float64)
-    bc = spark.sparkContext.broadcast(C)
     import uuid as _uuid
 
     # version + unique suffix: two racing extends stage DIFFERENT
@@ -980,13 +1332,36 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
     # finding); the losing orphan dir is swept by the next rebuild
     delta_name = f"postings_delta_{head.version}_{_uuid.uuid4().hex[:8]}"
     delta_dir = os.path.join(root, INDEX_DIR, delta_name)
-    (
-        _assign_buckets(new_rows, bc, column, id_col)
-        .repartition("bucket_id")
-        .write.mode("overwrite")
-        .partitionBy("bucket_id")
-        .parquet(delta_dir)
-    )
+    if meta.get("two_level"):
+        # appended rows assign against the EXISTING fine table via
+        # the same coarse-routed cogroup — O(append * sqrt(k)) work,
+        # no driver-side fine matrix; the delta keeps the cell
+        # partition layout so pruned search covers it identically
+        S = np.array(meta["coarse_centroids"], dtype=np.float64)
+        bc_coarse = spark.sparkContext.broadcast(S)
+        fine_cells = spark.read.parquet(
+            os.path.join(root, INDEX_DIR, meta["fine_dir"])
+        )
+        best = _two_level_assign(
+            spark, new_rows, bc_coarse, fine_cells, column, id_col
+        )
+        (
+            best.join(new_rows, id_col)
+            .repartition("cell_id")
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(delta_dir)
+        )
+    else:
+        C = np.array(meta["centroids"], dtype=np.float64)
+        bc = spark.sparkContext.broadcast(C)
+        (
+            _assign_buckets(new_rows, bc, column, id_col)
+            .repartition("bucket_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket_id")
+            .parquet(delta_dir)
+        )
     meta = dict(meta)
     meta["dataset_version"] = head.version
     meta["delta_dirs"] = meta.get("delta_dirs", []) + [delta_name]

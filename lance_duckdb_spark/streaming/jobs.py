@@ -1126,11 +1126,18 @@ def stream_fts_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.where(
         (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
     ).write.format("lance").mode("overwrite").save(dst)
+    # committed-rows reads go through the NATIVE parquet live view
+    # (catalog._native_live_df): the index maintenance scans full
+    # document text, and the vectorized JVM scan avoids shuttling
+    # every text through Python workers (r9 VERDICT item 5 — the
+    # sf1 fixed-cost residual). Same rows as the lance DS read.
+    from ..catalog import _native_live_df
+
     build_fts_index(
         spark,
-        spark.read.format("lance")
-        .load(dst)
-        .where((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        _native_live_df(spark, dst).where(
+            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
+        ),
         index_dir,
     )
     for i in (1, 2):
@@ -1150,12 +1157,11 @@ def stream_fts_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_or_raise(q)
         # maintain the index from what the table COMMITTED this pass
+        # (native live view — same committed rows, vectorized scan)
         extend_fts_index(
             spark,
             index_dir,
-            spark.read.format("lance")
-            .load(dst)
-            .where(
+            _native_live_df(spark, dst).where(
                 (F.col("doc_id") >= cuts[i])
                 & (F.col("doc_id") < cuts[i + 1])
             ),

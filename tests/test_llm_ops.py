@@ -408,6 +408,97 @@ def test_ivf_neardup_planted_duplicates_recall(spark, tmp_path):
     assert got <= planted
 
 
+def test_two_level_equals_flat_at_coarse_one(spark, sf_dir):
+    """coarse_m=1, probes=1 degenerates the two-level assignment to
+    the flat one (the single cell holds every fine centroid and
+    every vector probes it), so the pair set must be IDENTICAL —
+    the equivalence that pins the two-level machinery's cosine fold,
+    tie-breaks, and rank cut to the proven flat semantics."""
+    flat = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in similarity.ivf_neardup_pairs(spark, sf_dir).collect()
+    }
+    two = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in similarity.ivf_neardup_pairs(
+            spark, sf_dir, coarse_m=1, probes=1
+        ).collect()
+    }
+    assert two == flat
+
+
+def _planted_corpus(tmp_path, n=2000, dim=64, every=20, seed=11):
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, dim)).astype(np.float32)
+    base = np.arange(0, n, every)
+    V = X[base].astype(np.float64)
+    G = rng.standard_normal(V.shape)
+    vn = np.linalg.norm(V, axis=1, keepdims=True)
+    Gp = G - (np.sum(G * V, axis=1, keepdims=True) / vn**2) * V
+    Gp *= vn / np.linalg.norm(Gp, axis=1, keepdims=True)
+    th = np.arccos(0.95)
+    copies = (V * np.cos(th) + Gp * np.sin(th)).astype(np.float32)
+    all_vecs = np.vstack([X, copies])
+    sf = str(tmp_path / "planted2l")
+    os.makedirs(sf)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(len(all_vecs), dtype=np.int64),
+            "embedding": list(all_vecs),
+            "label": np.zeros(len(all_vecs), dtype=np.int32),
+        }
+    ).to_parquet(f"{sf}/embeddings.parquet")
+    planted = {(int(b), int(n + i)) for i, b in enumerate(base)}
+    return sf, planted
+
+
+def test_two_level_planted_duplicates_recall(spark, tmp_path):
+    """The coarse-quantizer tier must keep finding planted true
+    duplicates: near-identical vectors probe the same coarse cells,
+    so the two-level routing preserves the dedup workload's recall
+    (the r9 verdict's done-criterion for the third scale decade)."""
+    import math
+
+    sf, planted = _planted_corpus(tmp_path)
+    k = max(16, (2 * 2000 + 100) // 25)  # force a real fine tier
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.ivf_neardup_pairs(
+            spark, sf, threshold=0.8, k=k,
+            coarse_m=max(1, math.isqrt(k)), probes=4,
+        ).collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, f"two-level planted-dup recall {recall}"
+    assert got <= planted  # no false positives at 6.4 sigma
+
+
+def test_knn_vectorized_two_level_topk(spark, sf_dir):
+    """Two-level KNN join: per-query top-k comes back well-formed
+    (k rows per query, rnk contiguous, cos within [-1,1]) and every
+    neighbor really is in the corpus."""
+    from lance_duckdb_spark.operators import knn_join
+
+    out = knn_join.ann_knn_join_vectorized(
+        spark, sf_dir, k_centroids=16, coarse_m=4, probes=4
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert -1.0 <= r.cos_sim <= 1.0
+        assert r.neighbor_id != r.query_id
+    for q, rows in by_q.items():
+        assert [r.rnk for r in sorted(rows, key=lambda r: r.rnk)] == list(
+            range(1, len(rows) + 1)
+        )
+        assert len(rows) <= knn_join.KNN_JOIN_K
+
+
 def test_lsh_diagnostic_refuses_large_corpus(spark, sf_dir, monkeypatch):
     """The quarantine guard (r8 VERDICT item 3): the sign-RP LSH
     recall diagnostic must refuse corpora past its documented bound

@@ -45,14 +45,19 @@ independently measured decades. Roster notes (no silent caps):
   decade, measured) — a ~2h count-only run that measures the
   parquet writer more than the operator. Its one-decade linearity
   stands as measured.
-- embedding_ivf_neardup / ann_knn_join_vec are EXCLUDED at tier 3
-  by ALGEBRA, not evasion: with the ~500-per-bucket rule their flat
-  centroid assignment is O(n*k) = O(n^2/500) BY CONSTRUCTION — at
-  2.1M vectors that is ~560G rank-1 MACs and a per-task n_part*k
-  score matrix in the GBs. The third decade of a flat IVF requires
-  a coarse-quantizer level (route rows to a sqrt(k)-sized first
-  tier, then assign within); documented as the known flat-IVF bound
-  in similarity.py / knn_join.py rather than half-measured here.
+- embedding_ivf_neardup / ann_knn_join_vec joined the tier-3
+  roster in r10: past TWO_LEVEL_MIN_K fine centroids the operators
+  auto-route through the coarse-quantizer tier
+  (similarity.two_level_assign — driver holds only ~sqrt(k) coarse
+  seeds, per-vector work O(sqrt(k)) instead of O(k)), which removes
+  the flat-IVF O(n^2/500) assignment and the growing driver
+  collect that excluded them at r9.
+
+Tier 4 (r10, the third measured decade for the IVF legs):
+``--tier4 [sfd1000_dir]`` re-runs the TIER4 roster at a 10000-fold
+amplification (.data/sfd1000, embeddings only — the IVF legs read
+nothing else) and records sf1000_rows/sf1000_sec plus ratios
+AGAINST THE sf100 LEG.
 """
 
 from __future__ import annotations
@@ -80,23 +85,39 @@ TIER3_OPS = [
     "contamination_bloom_grams",
     "perplexity_score_rows",
     "dedup_span_dup_grams",
+    # r10: two-level IVF unlocked the second decade for these
+    "embedding_ivf_neardup_pairs",
+    "ann_knn_join_vec_rows",
+]
+
+# The third measured decade for the IVF legs (r9 VERDICT item 1's
+# done-criterion): 21M vectors, k = n/500 = 42000 fine centroids,
+# coarse_m = sqrt(k) = 205 — the decade where the FLAT form is
+# O(n^2/500) by algebra.
+TIER4_OPS = [
+    "embedding_ivf_neardup_pairs",
+    "ann_knn_join_vec_rows",
 ]
 
 
 def main() -> None:
     only: set[str] | None = None
     tier3 = False
+    tier4 = False
     pos = []
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = {t for t in a.split("=", 1)[1].split(",") if t}
         elif a == "--tier3":
             tier3 = True
+        elif a == "--tier4":
+            tier4 = True
         else:
             pos.append(a)
     sfd1 = pos[0] if len(pos) > 0 else os.path.join(REPO, ".data/sfd1")
     sfd10 = pos[1] if len(pos) > 1 else os.path.join(REPO, ".data/sfd10")
     sfd100 = pos[2] if len(pos) > 2 else os.path.join(REPO, ".data/sfd100")
+    sfd1000 = pos[3] if len(pos) > 3 else os.path.join(REPO, ".data/sfd1000")
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import functions as F
@@ -210,66 +231,71 @@ def main() -> None:
         with open(json_path, "w") as fh:
             json.dump(results, fh, indent=1)
 
-    if tier3:
-        # second measured decade: amend existing rows in place, never
-        # re-run the sf1/sf10 legs (they are the carried baseline)
+    if tier3 or tier4:
+        # later measured decades: amend existing rows in place, never
+        # re-run the earlier legs (they are the carried baseline)
         with open(json_path) as fh:
             results = json.load(fh)
-        roster = [
-            n for n in TIER3_OPS if only is None or n in only
-        ]
-        for name in roster:
-            fn, kind = OPS[name]
-            row = results[name]
-            if "sf10_rows" not in row:
-                raise SystemExit(
-                    f"{name} has no sf10 leg to ratio against — run the "
-                    "two-tier smoke first"
-                )
-            try:
-                t0 = time.perf_counter()
-                n = fn(sfd100)
-                row["sf100_rows"] = n
-                row["sf100_sec"] = round(time.perf_counter() - t0, 2)
-                row["row_ratio_100"] = (
-                    round(row["sf100_rows"] / row["sf10_rows"], 2)
-                    if row["sf10_rows"]
-                    else None
-                )
-                row["sec_ratio_100"] = (
-                    round(row["sf100_sec"] / row["sf10_sec"], 2)
-                    if row["sf10_sec"]
-                    else None
-                )
-                if kind == "pairs":
-                    r = row["row_ratio_100"]
-                    row["linear_ok_100"] = (
-                        r is not None and LINEAR_LO <= r <= LINEAR_HI
+        tiers = []
+        if tier3:
+            tiers.append((TIER3_OPS, sfd100, "100", "sf100", "sf10"))
+        if tier4:
+            tiers.append((TIER4_OPS, sfd1000, "1000", "sf1000", "sf100"))
+        for roster_all, tier_dir, suf, tag, base_tag in tiers:
+            roster = [n for n in roster_all if only is None or n in only]
+            for name in roster:
+                fn, kind = OPS[name]
+                row = results[name]
+                if f"{base_tag}_rows" not in row:
+                    raise SystemExit(
+                        f"{name} has no {base_tag} leg to ratio against "
+                        "— run the earlier tier first"
                     )
-                else:
-                    s = row["sec_ratio_100"]
-                    row["linear_ok_100"] = (
-                        s is not None and s <= SCAN_SEC_HI
-                    )
-                print(name, "sf100", row, flush=True)
-            except Exception as exc:  # noqa: BLE001
-                row["status"] = "error"
-                msg = f"{type(exc).__name__}: {exc}"[:500]
-                row["error"] = msg.replace("\n", " ").replace("|", "/")
-                print(name, "ERROR", row["error"], flush=True)
-                _dump(results)
                 try:
-                    spark.sql("SELECT 1").collect()
-                except Exception:
-                    print("JVM unreachable; aborting remaining ops",
-                          flush=True)
-                    break
-            _dump(results)
+                    t0 = time.perf_counter()
+                    n = fn(tier_dir)
+                    row[f"{tag}_rows"] = n
+                    row[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
+                    row[f"row_ratio_{suf}"] = (
+                        round(row[f"{tag}_rows"] / row[f"{base_tag}_rows"], 2)
+                        if row[f"{base_tag}_rows"]
+                        else None
+                    )
+                    row[f"sec_ratio_{suf}"] = (
+                        round(row[f"{tag}_sec"] / row[f"{base_tag}_sec"], 2)
+                        if row[f"{base_tag}_sec"]
+                        else None
+                    )
+                    if kind == "pairs":
+                        r = row[f"row_ratio_{suf}"]
+                        row[f"linear_ok_{suf}"] = (
+                            r is not None and LINEAR_LO <= r <= LINEAR_HI
+                        )
+                    else:
+                        sr = row[f"sec_ratio_{suf}"]
+                        row[f"linear_ok_{suf}"] = (
+                            sr is not None and sr <= SCAN_SEC_HI
+                        )
+                    print(name, tag, row, flush=True)
+                except Exception as exc:  # noqa: BLE001
+                    row["status"] = "error"
+                    msg = f"{type(exc).__name__}: {exc}"[:500]
+                    row["error"] = msg.replace("\n", " ").replace("|", "/")
+                    print(name, "ERROR", row["error"], flush=True)
+                    _dump(results)
+                    try:
+                        spark.sql("SELECT 1").collect()
+                    except Exception:
+                        print("JVM unreachable; aborting remaining ops",
+                              flush=True)
+                        break
+                _dump(results)
         _write_md(results)
         bad = [
             n for n, r in results.items()
             if r.get("linear_ok") is False
             or r.get("linear_ok_100") is False
+            or r.get("linear_ok_1000") is False
             or r.get("status") == "error"
         ]
         print("BAD:", bad)
@@ -348,6 +374,7 @@ def main() -> None:
         n for n, r in results.items()
         if r.get("linear_ok") is False
         or r.get("linear_ok_100") is False
+        or r.get("linear_ok_1000") is False
         or r.get("status") == "error"
     ]
     print("BAD:", bad)
@@ -366,16 +393,18 @@ def _write_md(results: dict) -> None:
         "LSH band / df-cap / bucket bounds hold one decade up — no",
         "quadratic candidate blowup (which would show as ~100x). The",
         "sf100 columns are the SECOND measured decade (sfd100 vs sfd10,",
-        "`--tier3`); blank = not in the tier-3 roster (module docstring",
-        "records exactly why each exclusion exists).",
+        "`--tier3`); sf1000 columns the THIRD (sfd1000 vs sfd100,",
+        "`--tier4` — the IVF legs through the two-level coarse",
+        "quantizer); blank = not in that tier's roster (module",
+        "docstring records exactly why each exclusion exists).",
         "",
-        "| metric | sf1 rows | sf10 rows | ratio | sf1 s | sf10 s | s ratio | linear | sf100 rows | ratio | sf100 s | s ratio | linear |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| metric | sf1 rows | sf10 rows | ratio | sf1 s | sf10 s | s ratio | linear | sf100 rows | ratio | sf100 s | s ratio | linear | sf1000 rows | ratio | sf1000 s | s ratio | linear |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, r in results.items():
-        if r.get("status") == "error":
+        if r.get("status") == "error" and "sf10_rows" not in r:
             lines.append(
-                f"| {name} | ERROR: {r['error'][:80]} | | | | | | | | | | | |"
+                f"| {name} | ERROR: {r['error'][:80]} | | | | | | | | | | | | | | | | |"
             )
             continue
         t3 = (
@@ -385,10 +414,17 @@ def _write_md(results: dict) -> None:
             if "sf100_rows" in r
             else "  |  |  |  |  "
         )
+        t4 = (
+            f" {r['sf1000_rows']} | {r['row_ratio_1000']} "
+            f"| {r['sf1000_sec']} | {r['sec_ratio_1000']} "
+            f"| {r.get('linear_ok_1000', '-')} "
+            if "sf1000_rows" in r
+            else "  |  |  |  |  "
+        )
         lines.append(
             f"| {name} | {r['sf1_rows']} | {r['sf10_rows']} "
             f"| {r['row_ratio']} | {r['sf1_sec']} | {r['sf10_sec']} "
-            f"| {r['sec_ratio']} | {r.get('linear_ok', '-')} |{t3}|"
+            f"| {r['sec_ratio']} | {r.get('linear_ok', '-')} |{t3}|{t4}|"
         )
     with open(os.path.join(REPO, "SCALE_SMOKE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
