@@ -1166,12 +1166,18 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     - ``CREATE [OR REPLACE] TABLE '<path>.lance' AS <select>`` is the
       CTAS spelling: refuses if the dataset exists unless OR REPLACE.
     - ``MERGE INTO '<path>.lance' [AS] t USING (<select>) [AS] s ON
-      t.<col> = s.<col> WHEN MATCHED THEN UPDATE SET * / WHEN MATCHED
-      THEN DELETE / WHEN NOT MATCHED THEN INSERT *`` lowers onto the
-      fragment-pruned upsert / key-set-delete machinery
-      (sources/maintenance.py); anything outside that dialect —
-      column-level SET, conditional ``WHEN ... AND``, ``NOT MATCHED
-      BY SOURCE`` — is refused loudly. Returns one row
+      t.<col> = s.<col>`` followed by ordered WHEN clauses (first
+      match wins): ``WHEN MATCHED [AND <cond>] THEN UPDATE SET * |
+      UPDATE SET col = <expr>[, ...] | DELETE``, ``WHEN NOT MATCHED
+      [AND <cond>] THEN INSERT *``, ``WHEN NOT MATCHED BY SOURCE
+      [AND <cond>] THEN DELETE`` — the per-row clause engine
+      (sources/maintenance.merge_apply): conditions and SET
+      right-hand sides are Spark SQL over ``t.<col>`` (old target
+      row) / ``s.<col>`` (source row), duplicate matched source
+      keys raise the ANSI cardinality error, and the whole
+      statement commits as ONE version. Out-of-dialect forms
+      (INSERT column lists/VALUES, BY SOURCE UPDATE/INSERT,
+      unreachable clauses) are refused loudly. Returns one row
       (rows_updated, rows_inserted, rows_deleted).
     - ``DELETE FROM '<path>.lance' WHERE <predicate>`` lowers onto
       deletion vectors with the predicate evaluated by Spark SQL
