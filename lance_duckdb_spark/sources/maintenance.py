@@ -492,7 +492,17 @@ def merge_apply(
         t = _live_view(spark, root, committed, fragments).select(
             [F.col(c).alias(f"__t_{c}") for c in names]
         )
-        s = src.select([F.col(c).alias(f"__s_{c}") for c in src.columns])
+        if matched_clauses:
+            s = src.select(
+                [F.col(c).alias(f"__s_{c}") for c in src.columns]
+            )
+        else:
+            # only BY SOURCE clauses consult the join and they need
+            # matched-ness alone — join DISTINCT keys, so a
+            # duplicate-keyed source (legal here: the cardinality
+            # check guards matched clauses only) can never fan a
+            # matched target row out into duplicate survivors
+            s = src.select(F.col(key).alias(f"__s_{key}")).distinct()
         joined = t.join(
             s, F.col(f"__t_{key}") == F.col(f"__s_{key}"), "left"
         )

@@ -1004,6 +1004,29 @@ def test_merge_single_commit_and_noop(spark, sf_dir, merge_tgt):
     assert len(lf.list_versions(merge_tgt)) == v0 + 1
 
 
+def test_merge_sync_delete_with_duplicate_source_keys(spark, sf_dir, merge_tgt):
+    """A duplicate-keyed source is LEGAL when no matched clause
+    exists (the ANSI cardinality check guards matched clauses only)
+    — and must not fan matched target rows out into duplicate
+    survivors through the classification join."""
+    before = _state(spark, merge_tgt)
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey FROM '{merge_tgt}' WHERE n_nationkey >= 10"
+        f"  UNION ALL"
+        f"  SELECT n_nationkey FROM '{merge_tgt}' WHERE n_nationkey >= 10"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ).collect()
+    assert [tuple(out[0])] == [(0, 0, 10)]  # keys 0..9 drop once each
+    after = spark.read.format("lance").load(merge_tgt).collect()
+    assert len(after) == len(before) - 10  # no duplicated survivors
+    assert {r["n_nationkey"] for r in after} == {
+        k for k in before if k >= 10
+    }
+
+
 def test_merge_condition_string_literal_safety(spark, sf_dir, merge_tgt):
     """Alias rewriting must not touch string literals: a condition
     comparing against 'when t.x then' stays a literal, and a SET
