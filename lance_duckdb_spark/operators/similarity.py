@@ -832,6 +832,7 @@ NDUP_ASSIGN = 2
 # two_level_assign (driver holds only ~sqrt(k) coarse seeds).
 TWO_LEVEL_MIN_K = 4096
 TWO_LEVEL_PROBES = 4
+CELL_SALT = 8  # cogroup sub-groups per cell (hot-cell straggler cap)
 
 
 def two_level_assign(
@@ -928,6 +929,16 @@ def two_level_assign(
         .repartition(par)
         .mapInPandas(nearest_cells(probes), schema=cell_schema)
     )
+    # SALT the cogroup: cell populations are uneven (random seed
+    # cells draw 2-10x the mean), and applyInPandas materializes a
+    # whole group in one task — the sfd1000 smoke measured one hot
+    # cell owning a multi-minute straggler. Probers split across
+    # CELL_SALT sub-groups (per-row results don't depend on group
+    # composition, so output is unchanged); the small fine side
+    # replicates per salt.
+    probed = probed.withColumn(
+        "salt", F.pmod(F.col("vec_id"), F.lit(CELL_SALT)).cast("int")
+    )
 
     def cell_topk(left: "pd.DataFrame", right: "pd.DataFrame"):
         # left = vectors probing this cell, right = the cell's fine
@@ -964,14 +975,18 @@ def two_level_assign(
             }
         )
 
-    cand = (
-        probed.groupBy("cell_id")
-        .cogroup(
-            cells.select(
-                F.col("vec_id").alias("centroid_id"), "embedding",
-                "cell_id",
-            ).groupBy("cell_id")
+    salted_cells = (
+        cells.select(
+            F.col("vec_id").alias("centroid_id"), "embedding", "cell_id"
         )
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(CELL_SALT)])),
+        )
+    )
+    cand = (
+        probed.groupBy("cell_id", "salt")
+        .cogroup(salted_cells.groupBy("cell_id", "salt"))
         .applyInPandas(
             cell_topk, schema="vec_id long, centroid_id long, cos_sim double"
         )

@@ -313,9 +313,22 @@ def _two_level_assign(
             }
         )
 
+    # salt the cogroup (cells draw uneven populations and
+    # applyInPandas holds a whole group in one task — hot-cell
+    # straggler cap, same discipline as similarity.two_level_assign;
+    # per-row results don't depend on group composition)
+    n_salt = 8
+    routed = routed.withColumn(
+        "salt", F.pmod(F.col(id_col), F.lit(n_salt)).cast("int")
+    )
+    salted_fine = fine_cells.select(
+        "bucket_id", "centroid", "cell_id"
+    ).withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
     per_cell = (
-        routed.groupBy("cell_id")
-        .cogroup(fine_cells.groupBy("cell_id"))
+        routed.groupBy("cell_id", "salt")
+        .cogroup(salted_fine.groupBy("cell_id", "salt"))
         .applyInPandas(
             cell_best,
             schema=f"{id_col} long, bucket_id long, cell_id int, cos double",
