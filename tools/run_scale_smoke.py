@@ -290,6 +290,17 @@ def main() -> None:
                               flush=True)
                         break
                 _dump(results)
+                # recycle the session between tier ops: shuffle files
+                # live until context stop, and two sfd1000-scale legs
+                # back-to-back overflowed the disk (r10 measured —
+                # the knn leg died on ENOSPC from the neardup leg's
+                # ~40 GB of retained shuffle)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = get_spark("scale-smoke")
+                spark.sparkContext.setLogLevel("ERROR")
         _write_md(results)
         bad = [
             n for n, r in results.items()
