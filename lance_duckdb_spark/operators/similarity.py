@@ -833,6 +833,15 @@ NDUP_ASSIGN = 2
 TWO_LEVEL_MIN_K = 4096
 TWO_LEVEL_PROBES = 4
 CELL_SALT = 8  # cogroup sub-groups per cell (hot-cell straggler cap)
+# Bounded-broadcast tier: while the FINE table fits this many bytes
+# (k x dim x 8), the two-level assignment broadcasts it grouped by
+# cell and runs as ONE zero-shuffle map pass — same candidates, same
+# ranking, bit-identical output to the cogroup form (test-asserted).
+# Past the bound (k > ~131k at dim 64) the cogroup form engages: its
+# shuffle replicates each vector `probes` times, but nothing grows
+# on the driver. 64 MB is deliberately far below broadcast limits —
+# the point is a FIXED ceiling, not a tuned one.
+TWO_LEVEL_BROADCAST_BYTES = 64 * 1024 * 1024
 
 
 def two_level_assign(
@@ -924,6 +933,113 @@ def two_level_assign(
     # pass is the corpus's numpy-heavy stage, so spread it explicitly
     # (round-robin, no key: per-row outputs are batch-independent)
     par = max(emb.sparkSession.sparkContext.defaultParallelism, 8)
+    dim = len(coarse_rows[0]["embedding"]) if coarse_rows else 0
+    if k * dim * 8 <= TWO_LEVEL_BROADCAST_BYTES:
+        # bounded-broadcast tier: the whole fine table (grouped by
+        # cell) rides one broadcast and the assignment is a single
+        # ZERO-SHUFFLE map pass — no probes-fold replication of the
+        # corpus through a cogroup shuffle (the sfd1000 cogroup run
+        # measured ~46 GB of shuffle + spill for 21M vectors). The
+        # candidates, cosine folds, and tie-breaks are identical, so
+        # the output is bit-identical to the cogroup form
+        # (test-asserted in tests/test_llm_ops.py).
+        fine_rows = cells.collect()  # <= TWO_LEVEL_BROADCAST_BYTES
+        grouped: dict[int, list] = {}
+        for r in fine_rows:
+            grouped.setdefault(int(r["cell_id"]), []).append(
+                (int(r["vec_id"]), r["embedding"])
+            )
+        packed = {}
+        for c, rows_ in grouped.items():
+            f_ids = np.array([t[0] for t in rows_], dtype=np.int64)
+            FM = np.array(
+                [t[1] for t in rows_], dtype=np.float32
+            ).astype(np.float64)
+            packed[c] = (f_ids, FM, _seq_norms(FM))
+        bc_fine = spark.sparkContext.broadcast(packed)
+
+        def assign_bcast(batches):
+            ids_s, Sm, nrm_s = bc.value
+            fine_map = bc_fine.value
+            pkeep = min(probes, len(Sm))
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(
+                    list(pdf["embedding"]), dtype=np.float32
+                ).astype(np.float64)
+                nx = _seq_norms(X)
+                vid = pdf["vec_id"].to_numpy()
+                acc = np.zeros((len(X), len(Sm)))
+                for d in range(Sm.shape[1]):
+                    acc += X[:, d, None] * Sm[None, :, d]
+                cos_s = np.clip(
+                    acc / (nx[:, None] * nrm_s[None, :]), -1.0, 1.0
+                )
+                probe_cells = ids_s[
+                    np.lexsort(
+                        (np.broadcast_to(ids_s, cos_s.shape), -cos_s),
+                        axis=1,
+                    )[:, :pkeep]
+                ]
+                n = len(X)
+                CC: list[list] = [[] for _ in range(n)]
+                CI: list[list] = [[] for _ in range(n)]
+                for p in range(pkeep):
+                    col = probe_cells[:, p]
+                    for c in np.unique(col):
+                        ent = fine_map.get(int(c))
+                        if ent is None:
+                            continue
+                        m = col == c
+                        f_ids, FM, f_nrm = ent
+                        Xs, nxs = X[m], nx[m]
+                        accf = np.zeros((len(Xs), len(FM)))
+                        for d in range(FM.shape[1]):
+                            accf += Xs[:, d, None] * FM[None, :, d]
+                        cosf = np.clip(
+                            accf / (nxs[:, None] * f_nrm[None, :]),
+                            -1.0,
+                            1.0,
+                        )
+                        kk = min(keep_n, len(FM))
+                        o = np.lexsort(
+                            (np.broadcast_to(f_ids, cosf.shape), -cosf),
+                            axis=1,
+                        )[:, :kk]
+                        rr = np.arange(len(Xs))[:, None]
+                        sel_cos = cosf[rr, o]
+                        sel_ids = f_ids[o]
+                        for ii, gr in enumerate(np.nonzero(m)[0]):
+                            CC[gr].append(sel_cos[ii])
+                            CI[gr].append(sel_ids[ii])
+                vv, cc_, rk_ = [], [], []
+                for i in range(n):
+                    if not CC[i]:
+                        continue
+                    cosv = np.concatenate(CC[i])
+                    idv = np.concatenate(CI[i])
+                    o = np.lexsort((idv, -cosv))[:keep_n]
+                    for rank, j in enumerate(o, 1):
+                        vv.append(vid[i])
+                        cc_.append(idv[j])
+                        rk_.append(rank)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.array(vv, dtype=np.int64),
+                        "centroid_id": np.array(cc_, dtype=np.int64),
+                        "crnk": np.array(rk_, dtype=np.int32),
+                    }
+                )
+
+        return (
+            emb.select("vec_id", "embedding")
+            .repartition(par)
+            .mapInPandas(
+                assign_bcast,
+                schema="vec_id long, centroid_id long, crnk int",
+            )
+        )
     probed = (
         emb.select("vec_id", "embedding")
         .repartition(par)

@@ -478,6 +478,27 @@ def test_two_level_planted_duplicates_recall(spark, tmp_path):
     assert got <= planted  # no false positives at 6.4 sigma
 
 
+def test_two_level_broadcast_equals_cogroup(spark, sf_dir, monkeypatch):
+    """The bounded-broadcast tier and the cogroup tier of
+    two_level_assign must be BIT-IDENTICAL (same candidates, same
+    fold cosines, same tie-breaks) — the equivalence that lets the
+    byte gate pick purely on shuffle economics."""
+    from lance_duckdb_spark.tables import load as _load
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    kw = dict(k=16, keep_n=2, coarse_m=4, probes=2)
+    bcast = {
+        tuple(r)
+        for r in similarity.two_level_assign(spark, emb, **kw).collect()
+    }
+    monkeypatch.setattr(similarity, "TWO_LEVEL_BROADCAST_BYTES", 0)
+    cog = {
+        tuple(r)
+        for r in similarity.two_level_assign(spark, emb, **kw).collect()
+    }
+    assert bcast == cog and len(bcast) > 0
+
+
 def test_knn_vectorized_two_level_topk(spark, sf_dir):
     """Two-level KNN join: per-query top-k comes back well-formed
     (k rows per query, rnk contiguous, cos within [-1,1]) and every
