@@ -107,15 +107,86 @@ HEADLINE = [
     # tracked set so write-path perf moves round-over-round — MERGE
     # (three statements incl. snapshot sync), deletion-vector
     # DELETE, fragment-pruned UPDATE — plus the conditional MERGE
-    # clause engine. Their DuckDB "oracle" does none of the write
-    # work, so their per-query times are tracked for trend, not for
-    # the vs-duck ratio (duck re-aggregates in milliseconds either
-    # way; the ratio bar is carried by the read queries).
+    # clause engine. Their read-only correctness oracle does none of
+    # the write work, so for the vs-duck RATIO these four are timed
+    # against DML_DUCK_SCRIPTS below: DuckDB materializes the same
+    # base table and performs the equivalent UPDATE/DELETE/INSERT
+    # sequence (DuckDB 1.0 has no MERGE verb), then runs the same
+    # final aggregate — apples-to-apples write work on both sides.
+    # Each script's final statement is asserted equal to the
+    # correctness oracle at bench time; a mismatch drops the entry
+    # from the ratio and records an error instead of skewing silently.
     "lance_merge",
     "lance_sql_delete",
     "lance_sql_update",
     "lance_merge_conditional",
 ]
+
+# DuckDB work-equivalents for the write-path entries: the Spark side
+# writes the dataset and applies MERGE/DELETE/UPDATE before the final
+# aggregate, so the baseline must pay the same statement sequence.
+# (Emulation semantics proven against the MERGE engine: the UPDATE
+# never changes keys, so post-UPDATE NOT IN = pre-merge NOT MATCHED;
+# minted +1e7/+2e7 keys never collide with real custkeys.)
+_AGG_CUSTOMER = """SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  COUNT(DISTINCT c_custkey) AS n_keys
+FROM {t} GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+DML_DUCK_SCRIPTS: dict[str, list[str]] = {
+    "lance_merge": [
+        "CREATE OR REPLACE TABLE m_customer AS SELECT * FROM customer",
+        """CREATE OR REPLACE TEMP TABLE m_src1 AS
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 1000.00 AS DOUBLE)
+           AS c_acctbal,
+         c_mktsegment
+  FROM m_customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM m_customer WHERE c_custkey % 13 = 5""",
+        """UPDATE m_customer SET c_name=s.c_name,
+  c_nationkey=s.c_nationkey, c_acctbal=s.c_acctbal,
+  c_mktsegment=s.c_mktsegment
+  FROM m_src1 s WHERE m_customer.c_custkey = s.c_custkey""",
+        """INSERT INTO m_customer SELECT * FROM m_src1 s
+  WHERE s.c_custkey NOT IN (SELECT c_custkey FROM m_customer)""",
+        "DELETE FROM m_customer WHERE c_custkey % 11 = 3",
+        "DELETE FROM m_customer WHERE c_custkey % 3 = 1",
+        _AGG_CUSTOMER.format(t="m_customer"),
+    ],
+    "lance_merge_conditional": [
+        "CREATE OR REPLACE TABLE mc_customer AS SELECT * FROM customer",
+        "DELETE FROM mc_customer WHERE c_custkey % 5 = 0 AND c_acctbal < 0",
+        """UPDATE mc_customer SET
+  c_acctbal = CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 50.00 AS DOUBLE),
+  c_mktsegment = lower(c_mktsegment)
+  WHERE c_custkey % 5 = 0""",
+        """INSERT INTO mc_customer
+  SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 17 = 2 AND c_nationkey < 13""",
+        _AGG_CUSTOMER.format(t="mc_customer"),
+    ],
+    "lance_sql_update": [
+        "CREATE OR REPLACE TABLE u_customer AS SELECT * FROM customer",
+        """UPDATE u_customer SET
+  c_acctbal = CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00 AS DOUBLE),
+  c_mktsegment = lower(c_mktsegment)
+  WHERE c_nationkey % 5 = 2""",
+        _AGG_CUSTOMER.format(t="u_customer"),
+    ],
+    "lance_sql_delete": [
+        "CREATE OR REPLACE TABLE d_orders AS SELECT * FROM orders",
+        "DELETE FROM d_orders WHERE o_totalprice > 150000.0",
+        "DELETE FROM d_orders WHERE o_orderstatus = 'F' "
+        "AND o_totalprice > 100000.0",
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM d_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ],
+}
 
 
 def main() -> None:
@@ -192,11 +263,33 @@ def main() -> None:
             sql = ORACLE_REGISTRY.get(name)
             if sql is None or name in errors:
                 continue
+            script = DML_DUCK_SCRIPTS.get(name)
             try:
+                if script is not None:
+                    # write-path entry: DuckDB performs the same DML
+                    # work. Guard: the script's end state must equal
+                    # the read-only correctness oracle, else the
+                    # entry drops from the ratio loudly.
+                    for s in script[:-1]:
+                        con.execute(s)
+                    if con.execute(script[-1]).fetchall() != con.execute(
+                        sql
+                    ).fetchall():
+                        errors[f"duckdb:{name}"] = (
+                            "DML work-equivalent script diverged from "
+                            "the correctness oracle; entry dropped "
+                            "from the ratio"
+                        )
+                        continue
                 best = float("inf")
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    con.execute(sql).fetchall()
+                    if script is not None:
+                        for s in script[:-1]:
+                            con.execute(s)
+                        con.execute(script[-1]).fetchall()
+                    else:
+                        con.execute(sql).fetchall()
                     best = min(best, time.perf_counter() - t0)
                 duck_timings[name] = round(best, 4)
             except Exception as e:

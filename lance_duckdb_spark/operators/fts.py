@@ -156,6 +156,57 @@ def bucket_of(term: str) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % N_BUCKETS
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Fan a narrow committed-scan input out to the session's full
+    parallelism before tokenization. A freshly committed dataset is
+    often ONE small parquet file — the scan then yields a single
+    input split and the explode/tokenize stage (the CPU-heavy half of
+    index maintenance) serializes on one core (measured at sf1: the
+    whole build waited behind it). At real scale the scan already
+    yields >= cores splits and the guard makes this a no-op, keeping
+    the extra full-text shuffle off the 100 TB path."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
+def _write_stats_dir(path: str, n_docs: int, sum_dl: int) -> None:
+    """The 1-row (n_docs, sum_dl) stats generation, written directly
+    with pyarrow — a whole Spark job (schedule, single task, commit
+    protocol) for one row of two longs is pure fixed cost on every
+    build/extend. spark.read.parquet() reads the dir identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "sum_dl": pa.array([sum_dl], pa.int64()),
+            }
+        ),
+        os.path.join(path, "part-00000.parquet"),
+    )
+
+
+def _read_stats_dir(path: str) -> dict:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pylist()[0]
+
+
+def _df_dirs_of(meta: dict) -> list[str]:
+    """Live df generation dirs; tolerates the pre-r10 single
+    ``df_dir`` key so an index built by an older session still
+    searches."""
+    if "df_dirs" in meta:
+        return list(meta["df_dirs"])
+    return [meta["df_dir"]] if "df_dir" in meta else []
+
+
 def _read_fts_meta(index_dir: str) -> dict:
     import json
 
@@ -184,16 +235,16 @@ def _reclaim_fts_dirs(
     (live + its stale_dirs grace set) NOR the immediately-previous
     meta: crashed-staging orphans and generations two-plus behind.
     Readers hold at most the previous meta, whose dirs survive."""
-    keep = set(meta.get("postings_dirs", [])) | {
-        meta.get("df_dir"),
+    keep = set(meta.get("postings_dirs", [])) | set(_df_dirs_of(meta)) | {
         meta.get("stats_dir"),
         "_meta.json",
     } | set(meta.get("stale_dirs", []))
     if prev:
-        keep |= set(prev.get("postings_dirs", [])) | {
-            prev.get("df_dir"),
-            prev.get("stats_dir"),
-        }
+        keep |= (
+            set(prev.get("postings_dirs", []))
+            | set(_df_dirs_of(prev))
+            | {prev.get("stats_dir")}
+        )
     for entry in os.listdir(index_dir):
         if entry not in keep and entry.startswith(
             ("postings", "_postings_d", "_df_v", "_stats_v")
@@ -218,7 +269,15 @@ def build_fts_index(
       lives OUTSIDE the postings (the r7 layout change; denormalizing
       df onto postings — the Lucene norms-in-postings shortcut — made
       appends inexact, since every new doc shifts existing terms'
-      idf).
+      idf). df generations are APPEND-ONLY deltas exactly like the
+      posting dirs (``df_dirs`` in the meta): each holds the term
+      counts of its own increment, and search sums df across
+      generations for just the queried terms' buckets — integer
+      addition, bit-identical to a merged dictionary. This keeps
+      ``extend_fts_index`` strictly O(appended docs): the r9 layout
+      merged old+delta df every extend, an O(term dictionary) job
+      that dominated extend wall-time at sf1 and would re-shuffle a
+      billion-term dictionary per micro-batch at 100 TB.
     - ``_stats_v0_<hex>/``: 1 row of exact integers (n_docs, sum_dl)
       so avgdl re-derives bit-identically at any version.
     - ``_meta.json``: which df/stats generation is current AND which
@@ -247,7 +306,7 @@ def build_fts_index(
     # the whole corpus re-tokenized three times (the same r8 review
     # finding extend_fts_index already fixed; measured r9 at sf1 the
     # build spent ~2/3 of its 17s re-tokenizing)
-    tf = _term_freq(docs).persist()
+    tf = _term_freq(_spread(docs)).persist()
     try:
         dl = _doc_len(tf)
         n_docs, sum_dl = dl.agg(
@@ -282,10 +341,8 @@ def build_fts_index(
         ).repartition(N_BUCKETS, "bucket").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(os.path.join(index_dir, df_name))
-        spark.createDataFrame(
-            [(int(n_docs), int(sum_dl))], "n_docs long, sum_dl long"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(index_dir, stats_name)
+        _write_stats_dir(
+            os.path.join(index_dir, stats_name), int(n_docs), int(sum_dl)
         )
     finally:
         tf.unpersist()
@@ -295,7 +352,7 @@ def build_fts_index(
         prev = None
     new_meta = {
         "version": 0,
-        "df_dir": df_name,
+        "df_dirs": [df_name],
         "stats_dir": stats_name,
         "postings_dirs": [pname],
         # the previous life's dirs survive THIS rebuild (in-flight
@@ -303,7 +360,8 @@ def build_fts_index(
         # reclaimed by the NEXT maintenance operation
         "stale_dirs": (
             prev.get("postings_dirs", [])
-            + [prev["df_dir"], prev["stats_dir"]]
+            + _df_dirs_of(prev)
+            + [prev["stats_dir"]]
             if prev
             else []
         ),
@@ -327,20 +385,20 @@ def extend_fts_index(
       orphan no reader ever scans (reclaimed by a later
       maintenance sweep), and a RETRY stages its own fresh dir —
       no path by which an increment can be double-counted;
-    - ``df`` and the corpus stats are the only global statistics:
-      the delta df (term-level counts over just the new docs) merges
-      with the current generation into ``_df_v{n+1}_<hex>`` — an
-      O(distinct terms) aggregate, never a corpus re-scan — and the
-      stats add exact integer deltas;
+    - ``df`` lands as its own append-only delta generation
+      ``_df_v{n+1}_<hex>`` holding term counts over just the new
+      docs — never a merge with the existing dictionary (search sums
+      df across generations for the queried terms; exact integer
+      addition) — and the corpus stats add exact integer deltas;
     - postings_dirs + the new generations publish atomically via ONE
       ``_meta.json`` replace, so a concurrent reader scores a
       consistent snapshot (never new postings against an old df
-      generation); the superseded df/stats generation is recorded in
+      generation); the superseded stats generation is recorded in
       ``stale_dirs`` and reclaimed one maintenance operation LATER,
       so in-flight readers of the previous meta never lose their
-      files mid-scan. Delta dirs accumulate until the next full
-      ``build_fts_index`` (the compaction — it resets postings_dirs
-      to one fresh base).
+      files mid-scan. Postings and df delta dirs accumulate until
+      the next full ``build_fts_index`` (the compaction — it resets
+      postings_dirs and df_dirs to one fresh base each).
 
     The increment's term-frequency frame is persisted for the three
     actions that consume it (emptiness check, postings write, df
@@ -356,7 +414,7 @@ def extend_fts_index(
 
     meta = _read_fts_meta(index_dir)
     version = meta["version"] + 1
-    tf = _term_freq(new_docs).persist()
+    tf = _term_freq(_spread(new_docs)).persist()
     try:
         dl = _doc_len(tf)
         d_n, d_sum = dl.agg(
@@ -376,15 +434,14 @@ def extend_fts_index(
         ).partitionBy("bucket").parquet(
             os.path.join(index_dir, postings_delta)
         )
-        old_df = spark.read.parquet(
-            os.path.join(index_dir, meta["df_dir"])
-        ).select("term", "df")
-        delta_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # the df DELTA for just this increment — never a merge with
+        # the existing dictionary (that merge is O(distinct corpus
+        # terms) per extend; search sums df across generations for
+        # the queried terms instead — exact integer addition)
         df_dir = f"_df_v{version}_{suffix}"
         (
-            old_df.unionByName(delta_df)
-            .groupBy("term")
-            .agg(F.sum("df").cast("long").alias("df"))
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
             .withColumn("bucket", _bucket_expr(F.col("term")))
             .repartition(N_BUCKETS, "bucket")
             .write.mode("overwrite")
@@ -393,26 +450,23 @@ def extend_fts_index(
         )
     finally:
         tf.unpersist()
-    old_stats = spark.read.parquet(
-        os.path.join(index_dir, meta["stats_dir"])
-    ).first()
+    old_stats = _read_stats_dir(os.path.join(index_dir, meta["stats_dir"]))
     stats_dir = f"_stats_v{version}_{suffix}"
-    spark.createDataFrame(
-        [(int(old_stats["n_docs"]) + int(d_n or 0),
-          int(old_stats["sum_dl"]) + int(d_sum or 0))],
-        "n_docs long, sum_dl long",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_dir, stats_dir)
+    _write_stats_dir(
+        os.path.join(index_dir, stats_dir),
+        int(old_stats["n_docs"]) + int(d_n or 0),
+        int(old_stats["sum_dl"]) + int(d_sum or 0),
     )
     new_meta = {
         "version": version,
-        "df_dir": df_dir,
+        "df_dirs": _df_dirs_of(meta) + [df_dir],
         "stats_dir": stats_dir,
         "postings_dirs": meta.get("postings_dirs", ["postings"])
         + [postings_delta],
-        # the superseded df/stats generation survives THIS extend
-        # (readers of the previous meta) and is reclaimed next time
-        "stale_dirs": [meta["df_dir"], meta["stats_dir"]],
+        # the superseded stats generation survives THIS extend
+        # (readers of the previous meta) and is reclaimed next time;
+        # df generations are append-only deltas and stay live
+        "stale_dirs": [meta["stats_dir"]],
     }
     _publish_fts_meta(index_dir, new_meta)
     # reclaim what the PREVIOUS meta already marked stale, plus any
@@ -451,11 +505,19 @@ def search_bm25(
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(terms))
     )
+    # df = sum over the append-only df generations — each scan prunes
+    # to the queried terms' buckets, so the union touches a few rows
+    # per generation regardless of dictionary size
+    df_scans = [
+        spark.read.parquet(os.path.join(index_dir, d))
+        for d in _df_dirs_of(meta)
+    ]
     dfreq = (
-        spark.read.parquet(os.path.join(index_dir, meta["df_dir"]))
+        reduce(lambda a, b: a.unionByName(b), df_scans)
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(terms))
-        .select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
     )
     stats = spark.read.parquet(
         os.path.join(index_dir, meta["stats_dir"])

@@ -163,6 +163,17 @@ def delete_where_sql(spark: SparkSession, root: str, predicate_sql: str) -> int:
         per_file[r["__file"]].append(int(r["__pos"]))
     if not per_file:
         return 0  # nothing matched: no-op, no new version
+    _commit_deletion_positions(root, manifest, per_file)
+    return len(hits)
+
+
+def _commit_deletion_positions(
+    root: str, manifest, per_file: dict[str, list[int]]
+) -> None:
+    """Mask ``per_file`` (fragment basename -> physical positions)
+    via per-fragment deletion files and commit ONE new version;
+    fragment data files are untouched. Shared by the predicate
+    DELETE and the delete-only MERGE lowering."""
     new_frags: list[lf.Fragment] = []
     for f in manifest.fragments:
         add = per_file.get(os.path.basename(f.file))
@@ -193,7 +204,6 @@ def delete_where_sql(spark: SparkSession, root: str, predicate_sql: str) -> int:
         mode="overwrite",
         expected_version=manifest.version,
     )
-    return len(hits)
 
 
 # Spark SQL functions whose value can differ between two evaluations
@@ -323,12 +333,20 @@ def update_where_sql(
     return n_updated
 
 
-def _live_view(spark: SparkSession, root: str, committed, fragments):
+def _live_view(
+    spark: SparkSession,
+    root: str,
+    committed,
+    fragments,
+    keep_pos: bool = False,
+):
     """Live rows of ``fragments`` (deletion vectors applied) as a
     NATIVE parquet scan with the dataset's committed schema — never
     the Python datasource (Spark 4.1 plans a Python-DS relation once
     per relation instance; see catalog._run_merge). Caller guards
-    against an empty fragment list."""
+    against an empty fragment list. ``keep_pos=True`` retains the
+    (__file, __pos) physical address of every live row — the
+    deletion-vector lowering needs it."""
     from pyspark.sql import functions as F
 
     df = (
@@ -350,7 +368,7 @@ def _live_view(spark: SparkSession, root: str, committed, fragments):
         df = df.join(
             F.broadcast(dels), on=["__file", "__pos"], how="left_anti"
         )
-    return df.drop("__file", "__pos")
+    return df if keep_pos else df.drop("__file", "__pos")
 
 
 def merge_apply(
@@ -407,19 +425,29 @@ def merge_apply(
             "the __t_/__s_/__act prefixes are reserved by the merge "
             "join"
         )
+    # ONE source-profile aggregation feeds three checks that each
+    # used to be their own driver action (NULL-key refusal, key
+    # bounds for fragment pruning, duplicate-key probe) — at small
+    # statement sizes the per-action fixed cost dominated MERGE
+    # wall-time (bench r10: 3 statements cost ~7 jobs each).
+    prof = src.selectExpr(
+        f"min({key}) lo",
+        f"max({key}) hi",
+        "count(*) n",
+        f"count({key}) n_keyed",
+        f"count(distinct {key}) n_distinct",
+    ).collect()[0]
     # NULL-key policy (the upsert contract): NULL never equals a
     # stored key, so a NULL-keyed source row can only ever INSERT —
     # which is almost always a data bug. Refused when an insert
     # clause exists; harmless (never matches) otherwise.
-    if insert_cond is not False:
-        n_null = src.where(F.col(key).isNull()).limit(1).count()
-        if n_null:
-            raise lf.LanceDatasetError(
-                f"MERGE source contains rows with NULL merge key "
-                f"{key!r}; NULL never equals a stored key, so these "
-                "rows cannot merge — filter them or choose a non-null "
-                "key"
-            )
+    if insert_cond is not False and prof.n_keyed < prof.n:
+        raise lf.LanceDatasetError(
+            f"MERGE source contains rows with NULL merge key "
+            f"{key!r}; NULL never equals a stored key, so these "
+            "rows cannot merge — filter them or choose a non-null "
+            "key"
+        )
     full_row = insert_cond is not False or any(
         c["action"] == "update" and c["sets"] is None
         for c in matched_clauses
@@ -444,7 +472,15 @@ def merge_apply(
     # apply?). Duplicate UNMATCHED source keys are legal — each
     # inserts. Cheap: a groupBy over the spilled source, semi-joined
     # against the live target keys.
-    if matched_clauses and have_fragments:
+    # the profile's distinct-vs-keyed comparison settles the common
+    # no-duplicates case without touching the target; only a source
+    # that REALLY carries duplicate keys pays the semi-join that
+    # decides whether any duplicate key actually matches a live row
+    if (
+        matched_clauses
+        and have_fragments
+        and prof.n_distinct < prof.n_keyed
+    ):
         dup_matched = (
             src.where(F.col(key).isNotNull())
             .groupBy(key)
@@ -474,10 +510,9 @@ def merge_apply(
     if sync_clauses and have_fragments:
         candidates, carried = list(manifest.fragments), []
     elif matched_clauses and have_fragments:
-        b = src.selectExpr(f"min({key}) lo", f"max({key}) hi").collect()[0]
         candidates, carried = [], []
         for f in manifest.fragments:
-            (candidates if _overlaps(f, key, b.lo, b.hi) else carried).append(f)
+            (candidates if _overlaps(f, key, prof.lo, prof.hi) else carried).append(f)
     else:
         candidates, carried = [], list(manifest.fragments)
 
@@ -488,10 +523,14 @@ def merge_apply(
     base = len(matched_clauses)
     changed_lo = changed_hi = None
 
-    def _tagged(fragments):
-        t = _live_view(spark, root, committed, fragments).select(
-            [F.col(c).alias(f"__t_{c}") for c in names]
+    def _tagged(fragments, keep_pos: bool = False):
+        view = _live_view(
+            spark, root, committed, fragments, keep_pos=keep_pos
         )
+        cols = [F.col(c).alias(f"__t_{c}") for c in names]
+        if keep_pos:
+            cols += [F.col("__file"), F.col("__pos")]
+        t = view.select(cols)
         if matched_clauses:
             s = src.select(
                 [F.col(c).alias(f"__s_{c}") for c in src.columns]
@@ -526,6 +565,33 @@ def merge_apply(
         else:
             act = F.lit(None).cast("int")
         return joined.withColumn("__act", act)
+
+    if candidates and insert_cond is False and all(
+        c["action"] == "delete" for c in matched_clauses
+    ):
+        # deletion-vector lowering (r10): a MERGE whose every action
+        # is DELETE (matched and/or by-source sync) never changes a
+        # surviving byte — mask the hit positions with per-fragment
+        # deletion files exactly like DELETE FROM, one commit,
+        # O(matching rows) metadata instead of an O(fragment bytes)
+        # rewrite. The hits collect is bounded by the rows the
+        # statement deletes — the same bound the deletion files
+        # themselves cost.
+        from collections import defaultdict
+
+        hits = (
+            _tagged(candidates, keep_pos=True)
+            .where(F.col("__act").isNotNull())
+            .select("__file", "__pos")
+            .collect()
+        )
+        if not hits:
+            return (0, 0, 0)  # true no-op: no new version
+        per_file: dict[str, list[int]] = defaultdict(list)
+        for r in hits:
+            per_file[r["__file"]].append(int(r["__pos"]))
+        _commit_deletion_positions(root, manifest, per_file)
+        return (0, 0, len(hits))
 
     if candidates:
         # one aggregation pass: per-action row counts + the key

@@ -514,6 +514,51 @@ def test_merge_delete_and_delete_insert(spark, sf_dir, merge_tgt):
     assert final[888] == ("ATLANTIS", 1)
 
 
+def test_merge_delete_only_lowers_to_deletion_vectors(
+    spark, sf_dir, merge_tgt
+):
+    """A MERGE whose every action is DELETE must mask rows with
+    per-fragment deletion files (one new version, O(matches)
+    metadata) — never rewrite surviving fragment bytes. Pins the
+    r10 lowering in maintenance.merge_apply."""
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    before_m = lf.read_manifest(merge_tgt)
+    before_files = [f.file for f in before_m.fragments]
+    before = _state(spark, merge_tgt)
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey FROM '{merge_tgt}' WHERE n_nationkey < 4"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN MATCHED THEN DELETE",
+    ).collect()
+    assert [tuple(out[0])] == [(0, 0, 4)]
+    after_m = lf.read_manifest(merge_tgt)
+    # the data files are untouched — only deletion files were added
+    assert [f.file for f in after_m.fragments] == before_files
+    assert any(f.deletion_file is not None for f in after_m.fragments)
+    assert after_m.version == before_m.version + 1
+    assert set(_state(spark, merge_tgt)) == {
+        k for k in before if k >= 4
+    }
+    # sync-only (NOT MATCHED BY SOURCE DELETE) takes the same path
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey FROM '{merge_tgt}' WHERE n_nationkey < 10"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ).collect()
+    n_tail = len([k for k in before if k >= 10])
+    assert [tuple(out[0])] == [(0, 0, n_tail)]
+    final_m = lf.read_manifest(merge_tgt)
+    assert [f.file for f in final_m.fragments] == before_files
+    assert set(_state(spark, merge_tgt)) == {
+        k for k in before if 4 <= k < 10
+    }
+
+
 def test_merge_alias_key_rename_and_lance_source(spark, sf_dir, tmp_path, merge_tgt):
     """USING '<path>.lance' source + differently-named join columns."""
     src_root = str(tmp_path / "src.lance")

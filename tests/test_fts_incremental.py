@@ -128,12 +128,15 @@ def test_generation_rotation_and_reclaim(spark, sf_dir, tmp_path_factory):
         )
     assert meta["version"] == 2
     assert fts._read_fts_meta(d) == meta
-    # the PREVIOUS generation must survive (readers of the old meta),
-    # the one two behind must be reclaimed
+    # stats: the PREVIOUS generation must survive (readers of the old
+    # meta), the one two behind must be reclaimed. df: generations
+    # are append-only deltas (r10) — ALL live until the next rebuild
     entries = os.listdir(d)
+    assert any(e.startswith("_df_v0") for e in entries)
     assert any(e.startswith("_df_v1") for e in entries)
+    assert any(e.startswith("_df_v2") for e in entries)
+    assert len(meta["df_dirs"]) == 3
     assert any(e.startswith("_stats_v1") for e in entries)
-    assert not any(e.startswith("_df_v0") for e in entries)
     assert not any(e.startswith("_stats_v0") for e in entries)
     # merged stats are the exact full-corpus integers
     row = spark.read.parquet(os.path.join(d, meta["stats_dir"])).first()

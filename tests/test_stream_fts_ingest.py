@@ -25,19 +25,22 @@ def test_streamed_index_equals_full_build(spark, sf_dir, result_rows):
     assert [r.asDict() for r in result_rows] == [r.asDict() for r in direct]
 
 
-def test_streamed_index_meta_has_three_posting_dirs(
+def test_streamed_index_meta_has_two_posting_dirs(
     spark, sf_dir, result_rows
 ):
-    """Two extend generations over three posting dirs, all reachable
-    from the published meta (the r8 atomic-snapshot layout)."""
+    """One extend generation over two posting dirs, all reachable
+    from the published meta (the r8 atomic-snapshot layout; r10
+    folded the two streamed sixths into one streamed third — the
+    multi-generation extend discipline is covered by
+    fts_bm25_incremental / test_fts_incremental.py)."""
     from lance_duckdb_spark.operators.fts import _read_fts_meta
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     index_dir = os.path.join(_STREAM_WORKDIR, tag, "ftsingestdst.lance.ftsidx")
     meta = _read_fts_meta(index_dir)
-    assert meta["version"] == 2
-    assert len(meta["postings_dirs"]) == 3
-    prefixes = ("postings", "_postings_d1", "_postings_d2")
+    assert meta["version"] == 1
+    assert len(meta["postings_dirs"]) == 2
+    prefixes = ("postings", "_postings_d1")
     for d, pre in zip(meta["postings_dirs"], prefixes):
         assert d.startswith(pre)
         assert os.path.isdir(os.path.join(index_dir, d))
