@@ -23,6 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# scratch dir for the DuckDB DML work-equivalents' persisted output
+_DML_OUT_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".data", "bench_dml"
+)
+
 from lance_duckdb_spark.registry import QUERY_REGISTRY  # noqa: E402
 from lance_duckdb_spark.session import get_spark  # noqa: E402
 
@@ -128,6 +133,17 @@ HEADLINE = [
 # (Emulation semantics proven against the MERGE engine: the UPDATE
 # never changes keys, so post-UPDATE NOT IN = pre-merge NOT MATCHED;
 # minted +1e7/+2e7 keys never collide with real custkeys.)
+# The Spark side's end state is a PERSISTENT on-disk dataset (what
+# the reference's DuckDB host would persist as lance files through
+# the crate), so each script also COPYs its final table to parquet —
+# in-memory-table DML alone would under-count the baseline's write
+# work. DML_PERSIST names the table each script must persist.
+DML_PERSIST: dict[str, str] = {
+    "lance_merge": "m_customer",
+    "lance_merge_conditional": "mc_customer",
+    "lance_sql_update": "u_customer",
+    "lance_sql_delete": "d_orders",
+}
 _AGG_CUSTOMER = """SELECT c_mktsegment, COUNT(*) AS n_rows,
   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
   COUNT(DISTINCT c_custkey) AS n_keys
@@ -264,6 +280,14 @@ def main() -> None:
             if sql is None or name in errors:
                 continue
             script = DML_DUCK_SCRIPTS.get(name)
+            persist = None
+            if script is not None and name in DML_PERSIST:
+                os.makedirs(_DML_OUT_DIR, exist_ok=True)
+                persist = (
+                    f"COPY {DML_PERSIST[name]} TO "
+                    f"'{os.path.join(_DML_OUT_DIR, DML_PERSIST[name])}"
+                    f".parquet' (FORMAT PARQUET)"
+                )
             try:
                 if script is not None:
                     # write-path entry: DuckDB performs the same DML
@@ -287,6 +311,8 @@ def main() -> None:
                     if script is not None:
                         for s in script[:-1]:
                             con.execute(s)
+                        if persist is not None:
+                            con.execute(persist)
                         con.execute(script[-1]).fetchall()
                     else:
                         con.execute(sql).fetchall()
@@ -360,7 +386,21 @@ def main() -> None:
             "(rebuilding the inverted index inside every timed run "
             "measured the one-time load phase 77x over the oracle's "
             "raw scan; serving is the comparable unit, and the "
-            "reuse is content-checked via corpus-count markers)."
+            "reuse is content-checked via corpus-count markers). "
+            "r10 band: 1.19-1.80 over three identical-code runs on "
+            "the GROWN 49-query set (.data/bench_r10{d,e,f}.json; "
+            "spark fresh 47.4-56.9s / duck 31.6-39.8s). The growth "
+            "is the DML write-path quartet (lance_merge, lance_sql_"
+            "delete, lance_sql_update, lance_merge_conditional): "
+            "~11-12s of Spark fresh time — versioned on-disk "
+            "dataset writes, per-statement commits — against "
+            "~0.15s for DuckDB's table DML + final parquet COPY, "
+            "i.e. ~+0.3 on the ratio is the write-path entries, "
+            "the rest of the band width is both engines' draw "
+            "spread (the 1.80 draw had the ANN/hybrid entries 5x "
+            "their isolated-session times immediately after a "
+            "14-minute test-suite run; an isolated A/B on the same "
+            "code measured them identical to r9)."
         ),
     )
     try:

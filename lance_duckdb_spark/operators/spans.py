@@ -16,9 +16,17 @@ the line-granularity version).
 Scale shape (100 TB posture):
 - grams are md5-hashed BEFORE any shuffle, so the wide text column
   never leaves the scan stage; everything downstream moves
-  (doc_id, pos, 32-byte hash) rows. A production deployment would
-  shrink the key further with xxhash64 — md5 is kept here because
-  the DuckDB oracle must replicate the grouping key bit-for-bit.
+  (doc_id, pos, 16-byte unhex(md5) binary) rows — the bijective
+  binary form halves the hex key's shuffle bytes with equality
+  semantics identical to the oracle's md5-text grouping. A
+  production deployment would shrink the key further with
+  xxhash64 — md5 is kept because cross-engine grouping must be
+  collision-identical, and the digest itself never reaches the
+  output.
+- the tokenize+hash pass runs ONCE: the per-doc gram arrays are
+  parquet-spilled (materialize.py) and re-read by the dup
+  detection, the hit join, and the final per-doc frame, instead of
+  recomputing the dominant split+md5 CPU per consumer.
 - gram generation is transform()+posexplode over the split array —
   per-row JVM codegen, no window, no shuffle, no Python.
 - duplicated-gram detection is one groupBy(gh) with map-side
@@ -51,21 +59,27 @@ CHUNK_STRIDE = 24
 
 
 def _gram_hashes(k: int):
-    """Array of md5(k-token gram) for every start position of the
-    whitespace-token array — one JVM expression, no shuffle. Index i
-    of the result is the gram starting at 0-based token i. Docs
-    shorter than k tokens yield an EMPTY array: Spark's
-    sequence(1, n) DESCENDS for n < 1 (the char_entropy gotcha)
-    while DuckDB's generate_series is empty, so the short case is
-    guarded explicitly."""
+    """Array of unhex(md5(k-token gram)) for every start position of
+    the whitespace-token array — one JVM expression, no shuffle.
+    Index i of the result is the gram starting at 0-based token i.
+    The key is the 16-BYTE BINARY digest, not the 32-char hex string:
+    unhex is bijective, so grouping/joining on it is equality-
+    identical to the oracle's md5-text grouping while shuffling half
+    the key bytes — and the key never reaches the output, so the
+    oracle needs no change. Docs shorter than k tokens yield an
+    EMPTY array: Spark's sequence(1, n) DESCENDS for n < 1 (the
+    char_entropy gotcha) while DuckDB's generate_series is empty, so
+    the short case is guarded explicitly."""
     toks = F.split(F.trim(F.col("text")), " ")
     return F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+            lambda i: F.unhex(
+                F.md5(F.concat_ws(" ", F.slice(toks, i, k)))
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<binary>"))
 
 
 def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,16 +91,29 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded) and documents with no shared span report 0 coverage.
 
     covered_frac is an exact IEEE division of two integers —
-    identical in both engines, no rounding needed."""
-    docs = (
+    identical in both engines, no rounding needed.
+
+    The tokenize+md5 pass is SPILLED once (materialize.py) and
+    re-read by all three consumers (dup detection, the hit join,
+    the final per-doc frame): the naive plan recomputes the gram
+    arrays for every consumer, which at sf1 tripled the dominant
+    split+slice+md5 CPU and re-scanned the wide text column three
+    times (measured 11.5s -> 3.4s at sf0.1, bit-identical rows).
+    The spill carries only (doc_id, source, n_tokens, ghs) — the
+    text column never leaves the first scan stage."""
+    from ..materialize import spill_to_parquet
+
+    toks = F.split(F.trim(F.col("text")), " ")
+    docs = spill_to_parquet(
         load(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select(
             "doc_id",
             "source",
-            F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+            F.size(toks).alias("n_tokens"),
             _gram_hashes(SPAN_K).alias("ghs"),
-        )
+        ),
+        "span-grams",
     )
     grams = docs.select(
         "doc_id", F.posexplode("ghs").alias("pos", "gh")
