@@ -1123,3 +1123,54 @@ def test_nan_equality_filter_not_consumed_by_pushdown(spark, tmp_path):
         F.col("d").isin([float("nan"), 1.5])
     ).collect()
     assert sorted(r["id"] for r in hits_in) == [1, 2, 4]
+
+
+def test_sql_ddl_temp_view_using_lance(spark, sf_dir, tmp_ds):
+    """Pure-SQL DDL route (r10): `CREATE TEMPORARY VIEW ... USING
+    lance OPTIONS (...)` reaches the Python DS with its options
+    intact, so users get a no-Python "attach" verb. The recommended
+    form sets filterPushdown 'false' (the long-lived-view relation-
+    cloning rule README documents for register_lance_views); the
+    version option time-travels. Persistent `CREATE TABLE ... USING
+    lance` stays refused by Spark itself — the catalog hands Python
+    sources EMPTY options (re-verified on Spark 4.1: the reader
+    raises `'path' is required (options: [])`), which is the
+    documented catalog limitation, not ours."""
+    register(spark)
+    orders = load(spark, sf_dir, "orders")
+    half = orders.where(F.col("o_orderkey") % 2 == 0)
+    half.write.format("lance").mode("overwrite").save(tmp_ds)
+    orders.where(F.col("o_orderkey") % 2 == 1).write.format(
+        "lance"
+    ).mode("append").save(tmp_ds)
+
+    spark.sql(
+        f"""CREATE OR REPLACE TEMPORARY VIEW orders_ddl USING lance
+        OPTIONS (path '{tmp_ds}', filterPushdown 'false')"""
+    )
+    try:
+        assert (
+            spark.sql("SELECT COUNT(*) AS n FROM orders_ddl").collect()[0].n
+            == orders.count()
+        )
+        # predicate + projection still correct with pushdown declined
+        got = spark.sql(
+            "SELECT o_orderkey FROM orders_ddl WHERE o_orderkey % 1000 = 7"
+        ).collect()
+        want = orders.where(F.col("o_orderkey") % 1000 == 7).collect()
+        assert sorted(r.o_orderkey for r in got) == sorted(
+            r.o_orderkey for r in want
+        )
+        # version option = SQL time travel
+        spark.sql(
+            f"""CREATE OR REPLACE TEMPORARY VIEW orders_v1 USING lance
+            OPTIONS (path '{tmp_ds}', version '1',
+                     filterPushdown 'false')"""
+        )
+        assert (
+            spark.sql("SELECT COUNT(*) AS n FROM orders_v1").collect()[0].n
+            == half.count()
+        )
+    finally:
+        spark.catalog.dropTempView("orders_ddl")
+        spark.catalog.dropTempView("orders_v1")
