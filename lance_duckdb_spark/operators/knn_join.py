@@ -441,12 +441,33 @@ def _knn_from_assigned(
         for d in range(X.shape[1]):
             acc += Q[:, d, None] * Cb[None, :, d]
         cos = np.clip(acc / (Nq[:, None] * Nc[None, :]), -1.0, 1.0)
-        ii, jj = np.nonzero(qid[:, None] != nid[None, :])
+        # LOCAL top-K per query (r10 — the tier-4 disk fix): emitting
+        # every bucket pair shipped ~bucket_size rows per (query,
+        # probe) — a CONSTANT ~400x corpus blowup at the k~n/500
+        # rule (8B pair rows / ~190 GB of shuffle at 20M vectors,
+        # ENOSPC twice on this container). The global top-K of a
+        # union is contained in the union of per-source top-Ks under
+        # the SAME total order, so per-bucket top-KNN_JOIN_K by
+        # (cos DESC, neighbor_id ASC) — a bucket never holds the
+        # same neighbor twice, and cross-bucket duplicate pairs
+        # carry equal cos — leaves the post-dedupe global window's
+        # answer BIT-IDENTICAL while shuffling K rows per (query,
+        # probe) instead of ~1000.
+        self_mask = qid[:, None] == nid[None, :]
+        cos_m = np.where(self_mask, -np.inf, cos)
+        kk = min(KNN_JOIN_K, len(nid))
+        order = np.lexsort(
+            (np.broadcast_to(nid, cos_m.shape), -cos_m), axis=1
+        )[:, :kk]
+        rows = np.repeat(np.arange(len(Q)), kk)
+        cols = order.reshape(-1)
+        sel = cos_m[rows, cols]
+        keep = np.isfinite(sel)  # drop the masked self-pairs
         return pd.DataFrame(
             {
-                "query_id": qid[ii],
-                "neighbor_id": nid[jj],
-                "cos_sim": cos[ii, jj],
+                "query_id": qid[rows[keep]],
+                "neighbor_id": nid[cols[keep]],
+                "cos_sim": sel[keep],
             }
         )
 
