@@ -57,7 +57,12 @@ Tier 4 (r10, the third measured decade for the IVF legs):
 ``--tier4 [sfd1000_dir]`` re-runs the TIER4 roster at a 10000-fold
 amplification (.data/sfd1000, embeddings only — the IVF legs read
 nothing else) and records sf1000_rows/sf1000_sec plus ratios
-AGAINST THE sf100 LEG.
+AGAINST THE sf100 LEG. The knn leg ENOSPC'd this container twice
+(every bucket pair was shuffled into the global dedupe+window —
+~190 GB at 20M vectors) before the per-bucket local top-K fix in
+knn_join.score_bucket (r10) made emission K rows per (query,
+probe); with it the leg measures 9.5x rows / 9.0x time per decade
+and the sf100 leg itself dropped 347s -> 45s, identical rows.
 """
 
 from __future__ import annotations
