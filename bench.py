@@ -392,9 +392,13 @@ def main() -> None:
             "measured the one-time load phase 77x over the oracle's "
             "raw scan; serving is the comparable unit, and the "
             "reuse is content-checked via corpus-count markers). "
-            "r10 band: 1.19-1.80 over three identical-code runs on "
-            "the GROWN 49-query set (.data/bench_r10{d,e,f}.json; "
-            "spark fresh 47.4-56.9s / duck 31.6-39.8s). The growth "
+            "r10 band: 1.19-1.80 over four clean runs on the GROWN "
+            "49-query set (.data/bench_r10{d,e,f,g}.json; spark "
+            "fresh 47.4-56.9s / duck 31.6-39.8s; the final draw "
+            "with best-of-3 and the knn/hybrid replans landed "
+            "1.58 = 50.1/31.8 — the spread is dominated by the "
+            "DUCK side's own 8s swing on its dedup oracles, not "
+            "by spark-side movement). The growth "
             "is the DML write-path quartet (lance_merge, lance_sql_"
             "delete, lance_sql_update, lance_merge_conditional): "
             "~11-12s of Spark fresh time — versioned on-disk "
