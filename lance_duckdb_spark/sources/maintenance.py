@@ -110,23 +110,29 @@ def delete_keys(spark: SparkSession, root: str, keys: DataFrame, key: str) -> No
 
 
 def delete_where_sql(spark: SparkSession, root: str, predicate_sql: str) -> int:
-    """SQL-predicate DELETE lowered onto deletion vectors: the
-    predicate is evaluated BY SPARK (full Spark SQL expression power,
-    distributed across fragment tasks) against the committed schema;
-    matching physical row positions come back as (file, position)
-    pairs — an O(matches) driver transfer, the same bound as the
-    deletion-vector side files themselves, which this implementation
-    writes driver-side — and merge into per-fragment deletion files.
-    One new version commits; fragment data files are untouched
-    (O(matches) metadata, the only delete that stays cheap at 100 TB
-    — lance_format.delete_where's vector strategy, but with Spark
-    instead of pyarrow evaluating the predicate, so every Spark SQL
-    function is legal in the WHERE). Rows already deleted never
-    re-match (the existing mask is anti-joined before evaluation);
-    a NULL predicate result KEEPS the row (SQL DELETE semantics).
-    Returns the number of newly deleted rows."""
-    from collections import defaultdict
+    """SQL-predicate DELETE lowered onto deletion vectors,
+    END-TO-END DISTRIBUTED (r11 — closes the last driver funnel in
+    the DML path): the predicate is evaluated BY SPARK (full Spark
+    SQL expression power, distributed across fragment tasks) against
+    the committed schema; matching physical (file, position) pairs
+    stay in the cluster — they are repartitioned by fragment and
+    each hit fragment's task MERGES the existing mask and WRITES the
+    new per-fragment deletion file executor-side
+    (``_commit_deletion_hits``). The driver sees only O(hit
+    fragments) metadata rows (file, new deletion-file path, counts)
+    and commits ONE new version; peak driver memory is independent
+    of how many rows the statement deletes. Fragment data files are
+    untouched (O(matches) metadata — the only delete that stays
+    cheap at 100 TB). Rows already deleted never re-match (the
+    existing masks — also read worker-side, never materialized on
+    the driver — are anti-joined before evaluation); a NULL
+    predicate result KEEPS the row (SQL DELETE semantics). Returns
+    the number of newly deleted rows.
 
+    Reference anchor: Lance proper writes a fragment's
+    ``_deletions/`` side file from whichever worker processes that
+    fragment, never centrally (rust DeleteJob); this is the Spark
+    equivalent."""
     from pyspark.sql import functions as F
 
     manifest = lf.read_manifest(root)
@@ -140,50 +146,126 @@ def delete_where_sql(spark: SparkSession, root: str, predicate_sql: str) -> int:
         .withColumn("__file", F.col("_metadata.file_name"))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
-    with_dels = [f for f in manifest.fragments if f.deletion_file]
-    if with_dels:
-        dels = spark.createDataFrame(
-            [
-                (os.path.basename(f.file), int(p))
-                for f in with_dels
-                for p in lf.read_deletion_positions(root, f)
-            ],
-            schema="__file string, __pos long",
+    df = _anti_join_masks(
+        spark, root, df, manifest.fragments
+    )
+    hits = df.where(F.expr(predicate_sql)).select("__file", "__pos")
+    return _commit_deletion_hits(spark, root, manifest, hits)
+
+
+def _deletion_masks_df(spark: SparkSession, root: str, fragments):
+    """Existing deletion masks of ``fragments`` as a DISTRIBUTED
+    ``(__file, __pos)`` frame: the ``_deletions/*.json`` side files
+    are read by Spark's JSON source inside tasks and exploded to
+    positions worker-side — the positions NEVER materialize on the
+    driver (the r10 implementation built this frame via
+    ``createDataFrame`` of every position, an O(total deletions)
+    driver allocation; at 100 TB a 1%-deleted table is ~10^9 Row
+    objects). Only the deletion-file -> fragment-basename pairing
+    (O(fragments with deletions) metadata) is driver-built, as a
+    broadcast. Returns None when no fragment carries a mask."""
+    from pyspark.sql import functions as F
+
+    with_dels = [f for f in fragments if f.deletion_file]
+    if not with_dels:
+        return None
+    pairs = spark.createDataFrame(
+        [
+            (os.path.basename(f.deletion_file), os.path.basename(f.file))
+            for f in with_dels
+        ],
+        schema="__dfile string, __file string",
+    )
+    masks = (
+        spark.read.schema("positions array<long>")
+        .json([os.path.join(root, f.deletion_file) for f in with_dels])
+        .withColumn("__dfile", F.col("_metadata.file_name"))
+        .join(F.broadcast(pairs), "__dfile")
+        .select("__file", F.explode("positions").alias("__pos"))
+    )
+    return masks
+
+
+def _anti_join_masks(spark: SparkSession, root: str, df, fragments):
+    """Drop already-deleted rows of a ``(__file, __pos)``-tagged
+    fragment scan by anti-joining the distributed mask frame. The
+    join strategy is left to Catalyst/AQE: small masks broadcast,
+    huge ones shuffle — never a forced driver-built broadcast."""
+    masks = _deletion_masks_df(spark, root, fragments)
+    if masks is None:
+        return df
+    return df.join(masks, on=["__file", "__pos"], how="left_anti")
+
+
+def _commit_deletion_hits(
+    spark: SparkSession, root: str, manifest, hits
+) -> int:
+    """Mask the NEW deletion hits (a distributed ``(__file, __pos)``
+    frame; caller guarantees already-deleted rows are excluded) and
+    commit ONE new version. The per-fragment deletion files are
+    written EXECUTOR-SIDE: hits are repartitioned by fragment, each
+    group task unions the fragment's existing mask (read in-task)
+    with its new positions and writes the merged side file with the
+    same tmp+rename discipline as ``lance_format.write_deletion_file``;
+    only O(hit fragments) metadata rows (fragment, new side-file
+    path, counts) return to the driver, which swaps the manifest
+    pointers and commits. A retried/speculative task can leave an
+    orphaned (never-referenced) ``_deletions/`` file — harmless,
+    reclaimed by VACUUM like any unreferenced side file. Returns the
+    number of newly deleted rows; zero hits commit nothing (true
+    no-op, no new version)."""
+    existing = {
+        os.path.basename(f.file): f.deletion_file
+        for f in manifest.fragments
+    }
+
+    def _write_group(pdf):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        fname = pdf["__file"].iloc[0]
+        new = {int(p) for p in pdf["__pos"]}
+        n_new = len(new)
+        prior = existing.get(fname)
+        if prior:
+            with open(_os.path.join(root, prior)) as fh:
+                new |= set(_json.load(fh)["positions"])
+        rel = _os.path.join(lf.DELETION_DIR, f"{_uuid.uuid4().hex}.json")
+        _os.makedirs(_os.path.join(root, lf.DELETION_DIR), exist_ok=True)
+        tmp = _os.path.join(root, rel + ".tmp")
+        with open(tmp, "w") as fh:
+            _json.dump({"positions": sorted(new)}, fh)
+        _os.rename(tmp, _os.path.join(root, rel))
+        return _pd.DataFrame(
+            {
+                "__file": [fname],
+                "rel": [rel],
+                "n_total": [len(new)],
+                "n_new": [n_new],
+            }
         )
-        df = df.join(
-            F.broadcast(dels), on=["__file", "__pos"], how="left_anti"
+
+    meta = (
+        hits.repartition("__file")
+        .groupBy("__file")
+        .applyInPandas(
+            _write_group,
+            "__file string, rel string, n_total long, n_new long",
         )
-    hits = (
-        df.where(F.expr(predicate_sql))
-        .select("__file", "__pos")
         .collect()
     )
-    per_file: dict[str, list[int]] = defaultdict(list)
-    for r in hits:
-        per_file[r["__file"]].append(int(r["__pos"]))
-    if not per_file:
+    if not meta:
         return 0  # nothing matched: no-op, no new version
-    _commit_deletion_positions(root, manifest, per_file)
-    return len(hits)
-
-
-def _commit_deletion_positions(
-    root: str, manifest, per_file: dict[str, list[int]]
-) -> None:
-    """Mask ``per_file`` (fragment basename -> physical positions)
-    via per-fragment deletion files and commit ONE new version;
-    fragment data files are untouched. Shared by the predicate
-    DELETE and the delete-only MERGE lowering."""
+    by_file = {r["__file"]: r for r in meta}
     new_frags: list[lf.Fragment] = []
     for f in manifest.fragments:
-        add = per_file.get(os.path.basename(f.file))
-        if not add:
+        r = by_file.get(os.path.basename(f.file))
+        if r is None:
             new_frags.append(f)
             continue
-        positions = sorted(
-            set(lf.read_deletion_positions(root, f)) | set(add)
-        )
-        rel = lf.write_deletion_file(root, positions)
         # fully-deleted fragments STAY in the manifest (stream-source
         # prefix contract — see lance_format.delete_where)
         new_frags.append(
@@ -192,8 +274,8 @@ def _commit_deletion_positions(
                 f.file,
                 f.num_rows,
                 f.stats,
-                rel,
-                len(positions),
+                r["rel"],
+                int(r["n_total"]),
                 bloom_file=f.bloom_file,
             )
         )
@@ -204,6 +286,7 @@ def _commit_deletion_positions(
         mode="overwrite",
         expected_version=manifest.version,
     )
+    return sum(int(r["n_new"]) for r in meta)
 
 
 # Spark SQL functions whose value can differ between two evaluations
@@ -261,20 +344,7 @@ def update_where_sql(
         return 0
 
     def _with_dels(df, fragments):
-        with_dels = [f for f in fragments if f.deletion_file]
-        if not with_dels:
-            return df
-        dels = spark.createDataFrame(
-            [
-                (os.path.basename(f.file), int(p))
-                for f in with_dels
-                for p in lf.read_deletion_positions(root, f)
-            ],
-            schema="__file string, __pos long",
-        )
-        return df.join(
-            F.broadcast(dels), on=["__file", "__pos"], how="left_anti"
-        )
+        return _anti_join_masks(spark, root, df, fragments)
 
     def _tagged(fragments):
         return (
@@ -355,19 +425,7 @@ def _live_view(
         .withColumn("__file", F.col("_metadata.file_name"))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
-    with_dels = [f for f in fragments if f.deletion_file]
-    if with_dels:
-        dels = spark.createDataFrame(
-            [
-                (os.path.basename(f.file), int(p))
-                for f in with_dels
-                for p in lf.read_deletion_positions(root, f)
-            ],
-            schema="__file string, __pos long",
-        )
-        df = df.join(
-            F.broadcast(dels), on=["__file", "__pos"], how="left_anti"
-        )
+    df = _anti_join_masks(spark, root, df, fragments)
     return df if keep_pos else df.drop("__file", "__pos")
 
 
@@ -574,24 +632,18 @@ def merge_apply(
         # surviving byte — mask the hit positions with per-fragment
         # deletion files exactly like DELETE FROM, one commit,
         # O(matching rows) metadata instead of an O(fragment bytes)
-        # rewrite. The hits collect is bounded by the rows the
-        # statement deletes — the same bound the deletion files
-        # themselves cost.
-        from collections import defaultdict
-
+        # rewrite. r11: the hit positions stay in the cluster — the
+        # per-fragment side files are written executor-side and only
+        # O(hit fragments) metadata reaches the driver
+        # (_commit_deletion_hits), so driver memory is independent
+        # of how many rows the statement deletes.
         hits = (
             _tagged(candidates, keep_pos=True)
             .where(F.col("__act").isNotNull())
             .select("__file", "__pos")
-            .collect()
         )
-        if not hits:
-            return (0, 0, 0)  # true no-op: no new version
-        per_file: dict[str, list[int]] = defaultdict(list)
-        for r in hits:
-            per_file[r["__file"]].append(int(r["__pos"]))
-        _commit_deletion_positions(root, manifest, per_file)
-        return (0, 0, len(hits))
+        n = _commit_deletion_hits(spark, root, manifest, hits)
+        return (0, 0, n)
 
     if candidates:
         # one aggregation pass: per-action row counts + the key
@@ -751,28 +803,20 @@ def _merge_commit(
         # columns absent from a given file when given an explicit
         # schema — the same semantics as the evolved scan path.
         current = spark.read.schema(committed).parquet(*paths)
-        with_dels = [f for f in affected if f.deletion_file]
-        if with_dels:
+        if any(f.deletion_file for f in affected):
             # apply deletion vectors distributedly: anti-join on
-            # (file, physical row position) — fragment basenames are
-            # uuid-unique, positions come from the tiny side files,
-            # so this is a broadcast anti-join, no driver data path
+            # (file, physical row position); the mask frame is read
+            # worker-side from the _deletions side files — no driver
+            # data path (see _deletion_masks_df)
             from pyspark.sql import functions as F
 
-            dels = spark.createDataFrame(
-                [
-                    (os.path.basename(f.file), int(p))
-                    for f in with_dels
-                    for p in lf.read_deletion_positions(root, f)
-                ],
-                schema="__file string, __pos long",
-            )
             current = (
                 current.withColumn("__file", F.col("_metadata.file_name"))
                 .withColumn("__pos", F.col("_metadata.row_index"))
-                .join(F.broadcast(dels), on=["__file", "__pos"], how="left_anti")
-                .drop("__file", "__pos")
             )
+            current = _anti_join_masks(
+                spark, root, current, affected
+            ).drop("__file", "__pos")
     else:
         current = None
     if current is None and inserts is None:
