@@ -489,10 +489,12 @@ _MERGE_DIALECT = (
     "WHEN clauses (first match wins): "
     "WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET <col> "
     "= <expr>[, ...] | DELETE / "
-    "WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * / "
-    "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE; conditions "
-    "and SET expressions are Spark SQL over alias-qualified columns "
-    "(t.<col> = old target row, s.<col> = source row)"
+    "WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * | "
+    "INSERT (<col>, ...) VALUES (<expr>, ...) / "
+    "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | "
+    "UPDATE SET <col> = <expr>[, ...]; conditions "
+    "and SET/VALUES expressions are Spark SQL over alias-qualified "
+    "columns (t.<col> = old target row, s.<col> = source row)"
 )
 
 
@@ -763,53 +765,61 @@ def _parse_merge(sql: str) -> dict | None:
         if cond is None:
             unconditional_seen.add(when)
         # ---- action
+        def _parse_sets(sets_str: str) -> dict:
+            sets: dict[str, str] = {}
+            for part in _split_top_level_commas(sets_str):
+                am = re.match(
+                    r"(?s)^\s*(?:([A-Za-z_]\w*)\s*\.\s*)?"
+                    r"([A-Za-z_]\w*)\s*=\s*(.+?)\s*$",
+                    part,
+                )
+                if am is None:
+                    raise _merge_err(
+                        f"malformed SET assignment {part.strip()!r}; "
+                        "expected [t.]<col> = <spark-sql expr>"
+                    )
+                qual, col, rhs = am.groups()
+                if qual is not None and qual.lower() != talias.lower():
+                    raise _merge_err(
+                        f"SET assigns {qual}.{col}, but only the "
+                        f"target alias {talias!r} can be assigned"
+                    )
+                if col in sets:
+                    raise _merge_err(
+                        f"duplicate SET assignment for column {col!r}"
+                    )
+                sets[col] = rhs
+            return sets
+
         um = re.match(r"(?is)^UPDATE\s+SET\s+(?P<sets>.+)$", act_str)
+        im = re.match(r"(?is)^INSERT\s*(?=\()", act_str)
         if re.match(r"(?is)^DELETE$", act_str):
             if when == "not_matched":
                 raise _merge_err(
-                    "only INSERT * is supported; column lists / VALUES "
-                    "forms are not"
+                    "WHEN NOT MATCHED cannot DELETE: no target row "
+                    "exists in the not-matched branch"
                 )
             clauses.append(
                 {"when": when, "cond": cond, "action": "delete",
                  "sets": None}
             )
         elif um is not None:
-            if when != "matched":
+            if when == "not_matched":
                 raise _merge_err(
-                    "WHEN NOT MATCHED BY SOURCE supports only THEN "
-                    "DELETE (the snapshot-sync form)"
-                    if when == "not_matched_by_source"
-                    else "only INSERT * is supported; column lists / "
-                    "VALUES forms are not"
+                    "WHEN NOT MATCHED cannot UPDATE: no target row "
+                    "exists in the not-matched branch (use INSERT)"
                 )
             sets_str = um.group("sets").strip()
             if sets_str == "*":
+                if when == "not_matched_by_source":
+                    raise _merge_err(
+                        "WHEN NOT MATCHED BY SOURCE cannot UPDATE "
+                        "SET * : no source row exists to replace "
+                        "from — assign explicit columns"
+                    )
                 sets = None
             else:
-                sets = {}
-                for part in _split_top_level_commas(sets_str):
-                    am = re.match(
-                        r"(?s)^\s*(?:([A-Za-z_]\w*)\s*\.\s*)?"
-                        r"([A-Za-z_]\w*)\s*=\s*(.+?)\s*$",
-                        part,
-                    )
-                    if am is None:
-                        raise _merge_err(
-                            f"malformed SET assignment {part.strip()!r}; "
-                            "expected [t.]<col> = <spark-sql expr>"
-                        )
-                    qual, col, rhs = am.groups()
-                    if qual is not None and qual.lower() != talias.lower():
-                        raise _merge_err(
-                            f"SET assigns {qual}.{col}, but only the "
-                            f"target alias {talias!r} can be assigned"
-                        )
-                    if col in sets:
-                        raise _merge_err(
-                            f"duplicate SET assignment for column {col!r}"
-                        )
-                    sets[col] = rhs
+                sets = _parse_sets(sets_str)
             clauses.append(
                 {"when": when, "cond": cond, "action": "update",
                  "sets": sets}
@@ -817,8 +827,8 @@ def _parse_merge(sql: str) -> dict | None:
         elif re.match(r"(?is)^INSERT\s*\*$", act_str):
             if when != "not_matched":
                 raise _merge_err(
-                    "WHEN NOT MATCHED BY SOURCE supports only THEN "
-                    "DELETE (the snapshot-sync form)"
+                    "WHEN NOT MATCHED BY SOURCE cannot INSERT (no "
+                    "source row exists in the by-source branch)"
                     if when == "not_matched_by_source"
                     else "WHEN MATCHED cannot INSERT"
                 )
@@ -826,10 +836,65 @@ def _parse_merge(sql: str) -> dict | None:
                 {"when": when, "cond": cond, "action": "insert",
                  "sets": None}
             )
-        elif re.match(r"(?is)^INSERT\b", act_str):
-            raise _merge_err(
-                "only INSERT * is supported; column lists / VALUES "
-                "forms are not"
+        elif im is not None:
+            # INSERT (col, ...) VALUES (expr, ...) — r11, the Delta/
+            # ANSI column-list form the reference's host engine
+            # (DuckDB) accepts; unassigned columns null-fill
+            if when != "not_matched":
+                raise _merge_err(
+                    "WHEN NOT MATCHED BY SOURCE cannot INSERT (no "
+                    "source row exists in the by-source branch)"
+                    if when == "not_matched_by_source"
+                    else "WHEN MATCHED cannot INSERT"
+                )
+            i0 = act_str.index("(")
+            j0 = _scan_balanced(act_str, i0)
+            if j0 < 0:
+                raise _merge_err(
+                    "unbalanced parentheses in INSERT column list"
+                )
+            cols = [
+                c.strip().strip("`")
+                for c in _split_top_level_commas(act_str[i0 + 1 : j0])
+            ]
+            tail = act_str[j0 + 1 :].strip()
+            vm = re.match(r"(?is)^VALUES\s*(?=\()", tail)
+            if vm is None:
+                raise _merge_err(
+                    "INSERT with a column list requires VALUES "
+                    "(<expr>, ...)"
+                )
+            i1 = tail.index("(")
+            j1 = _scan_balanced(tail, i1)
+            if j1 < 0 or tail[j1 + 1 :].strip():
+                raise _merge_err(
+                    "unbalanced parentheses or trailing text after "
+                    "INSERT ... VALUES (...)"
+                )
+            vals = [
+                v.strip()
+                for v in _split_top_level_commas(tail[i1 + 1 : j1])
+            ]
+            if len(cols) != len(vals):
+                raise _merge_err(
+                    f"INSERT column list names {len(cols)} columns "
+                    f"but VALUES supplies {len(vals)} expressions"
+                )
+            bad = [c for c in cols if not re.match(r"^[A-Za-z_]\w*$", c)]
+            if bad:
+                raise _merge_err(
+                    f"malformed INSERT column name(s) {bad}"
+                )
+            sets = {}
+            for c, v in zip(cols, vals):
+                if c in sets:
+                    raise _merge_err(
+                        f"duplicate INSERT column {c!r}"
+                    )
+                sets[c] = v
+            clauses.append(
+                {"when": when, "cond": cond, "action": "insert",
+                 "sets": sets}
             )
         else:
             raise _merge_err(
@@ -922,8 +987,7 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
     both = {talias: "__t_", salias: "__s_"}
     matched_clauses: list[dict] = []
     sync_clauses: list[dict] = []
-    insert_cond: object = False
-    insert_conds: list[str | None] = []
+    insert_clauses: list[dict] = []
     for c in parsed["clauses"]:
         cond = c["cond"]
         if c["when"] == "matched":
@@ -943,46 +1007,72 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
                 }
             )
         elif c["when"] == "not_matched":
-            if cond is not None and _references_alias(cond, talias):
-                raise _merge_err(
-                    f"WHEN NOT MATCHED condition {cond!r} references "
-                    f"the target alias {parsed['talias']!r}; no target "
-                    "row exists in the not-matched branch"
-                )
-            insert_conds.append(
-                _rewrite_aliases(cond, {salias: ""}, renames)
-                if cond
-                else None
+            for label, expr in [("condition", cond)] + [
+                (f"VALUES expression for {col!r}", rhs)
+                for col, rhs in (c["sets"] or {}).items()
+            ]:
+                if expr is not None and _references_alias(expr, talias):
+                    raise _merge_err(
+                        f"WHEN NOT MATCHED {label} {expr!r} references "
+                        f"the target alias {parsed['talias']!r}; no "
+                        "target row exists in the not-matched branch"
+                    )
+            sets = c["sets"]
+            if sets is not None:
+                if key not in sets:
+                    raise _merge_err(
+                        f"INSERT column list must assign the merge "
+                        f"key {key!r} (NULL-keyed inserts are refused "
+                        "— the upsert contract)"
+                    )
+                sets = {
+                    col: _rewrite_aliases(rhs, {salias: ""}, renames)
+                    for col, rhs in sets.items()
+                }
+            insert_clauses.append(
+                {
+                    "cond": _rewrite_aliases(
+                        cond, {salias: ""}, renames
+                    )
+                    if cond
+                    else None,
+                    "sets": sets,
+                }
             )
         else:  # not_matched_by_source
-            if cond is not None and _references_alias(cond, salias):
-                raise _merge_err(
-                    f"WHEN NOT MATCHED BY SOURCE condition {cond!r} "
-                    f"references the source alias {parsed['salias']!r}; "
-                    "no source row exists in the by-source branch"
-                )
+            for label, expr in [("condition", cond)] + [
+                (f"SET expression for {col!r}", rhs)
+                for col, rhs in (c["sets"] or {}).items()
+            ]:
+                if expr is not None and _references_alias(expr, salias):
+                    raise _merge_err(
+                        f"WHEN NOT MATCHED BY SOURCE {label} {expr!r} "
+                        f"references the source alias "
+                        f"{parsed['salias']!r}; no source row exists "
+                        "in the by-source branch"
+                    )
+            sets = c["sets"]
+            if sets is not None:
+                sets = {
+                    col: _rewrite_aliases(rhs, {talias: "__t_"}, renames)
+                    for col, rhs in sets.items()
+                }
             sync_clauses.append(
                 {
                     "cond": _rewrite_aliases(
                         cond, {talias: "__t_"}, renames
                     )
                     if cond
-                    else None
+                    else None,
+                    "action": c["action"],
+                    "sets": sets,
                 }
             )
-    if insert_conds:
-        # all NOT MATCHED actions are INSERT *, so first-match-wins
-        # collapses to the OR of the clause conditions (an
-        # unconditional clause — only legal last — absorbs the rest)
-        if any(ic is None for ic in insert_conds):
-            insert_cond = None
-        else:
-            insert_cond = " OR ".join(f"({ic})" for ic in insert_conds)
 
     src = spill_to_parquet(src, "merge-src")
     try:
         n_upd, n_ins, n_del = merge_apply(
-            spark, path, src, key, matched_clauses, insert_cond,
+            spark, path, src, key, matched_clauses, insert_clauses,
             sync_clauses,
         )
     finally:

@@ -439,6 +439,106 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def lance_merge_insert_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE dialect completion (r11 — VERDICT r10 item 2): the two
+    clause forms the reference's host engine (DuckDB) accepts that
+    were previously refused — the column-list ``INSERT (col, ...)
+    VALUES (expr, ...)`` (unassigned columns null-fill, VALUES are
+    full Spark SQL over the source row, first-match-wins across TWO
+    conditional NOT MATCHED clauses) and ``WHEN NOT MATCHED BY
+    SOURCE THEN UPDATE SET`` (unmatched survivors updated from the
+    OLD target row). ONE statement exercises all four branch kinds:
+
+    - ``WHEN MATCHED`` — every 9th key gets a decimal-disciplined
+      +25.00 balance bump;
+    - ``WHEN NOT MATCHED AND s.c_nationkey < 10`` — low-nation
+      minted keys insert THREE columns (key, upper-cased name,
+      bal-10.00); nationkey/segment null-fill;
+    - ``WHEN NOT MATCHED`` (unconditional, second) — remaining
+      minted keys insert all five columns with segment 'MINTED';
+    - ``WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 2 = 0`` —
+      even unmatched survivors case-fold their segment.
+
+    The hashed artifact is the post-merge per-segment aggregate
+    including a null-fill counter — equal to the oracle iff clause
+    routing, null-fill, VALUES evaluation, and the by-source update
+    all apply exactly."""
+    from ..catalog import lance_sql
+
+    register(spark)
+    root = _fresh_root(sf_dir, "merge_iv")
+    load(spark, sf_dir, "customer").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(
+        spark,
+        f"""
+MERGE INTO '{root}' t USING (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM '{root}' WHERE c_custkey % 9 = 0
+  UNION ALL
+  SELECT c_custkey + 30000000, c_name, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM '{root}' WHERE c_custkey % 19 = 4
+) s ON t.c_custkey = s.c_custkey
+WHEN MATCHED THEN UPDATE SET
+  c_acctbal = CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) + 25.00 AS DOUBLE)
+WHEN NOT MATCHED AND s.c_nationkey < 10 THEN
+  INSERT (c_custkey, c_name, c_acctbal)
+  VALUES (s.c_custkey, upper(s.c_name),
+          CAST(CAST(s.c_acctbal AS DECIMAL(18,2)) - 10.00 AS DOUBLE))
+WHEN NOT MATCHED THEN
+  INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, 'MINTED')
+WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 2 = 0 THEN
+  UPDATE SET c_mktsegment = lower(t.c_mktsegment)
+""",
+    ).collect()
+    merged = spark.read.format("lance").load(root)
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(money("c_acctbal"), "total_bal"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+            F.sum(
+                F.when(F.col("c_nationkey").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_null_nation"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LANCE_MERGE_INSERT_VALUES_SQL = """
+WITH merged AS (
+  SELECT c_custkey, c_name, c_nationkey,
+    CASE WHEN c_custkey % 9 = 0
+         THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 25.00 AS DOUBLE)
+         ELSE c_acctbal END AS c_acctbal,
+    CASE WHEN c_custkey % 9 <> 0 AND c_custkey % 2 = 0
+         THEN lower(c_mktsegment) ELSE c_mktsegment END AS c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 30000000,
+    CASE WHEN c_nationkey < 10 THEN upper(c_name) ELSE c_name END,
+    CASE WHEN c_nationkey < 10 THEN NULL ELSE c_nationkey END,
+    CASE WHEN c_nationkey < 10
+         THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) - 10.00 AS DOUBLE)
+         ELSE c_acctbal END,
+    CASE WHEN c_nationkey < 10 THEN NULL ELSE 'MINTED' END
+  FROM customer WHERE c_custkey % 19 = 4
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  COUNT(DISTINCT c_custkey) AS n_keys,
+  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_nation
+FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def lance_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance parity (lance_format.py delete_where): write
     orders, DELETE WHERE o_totalprice > 150000, read the surviving
@@ -1337,6 +1437,7 @@ QUERIES = {
     "lance_upsert": lance_upsert,
     "lance_merge": lance_merge,
     "lance_merge_conditional": lance_merge_conditional,
+    "lance_merge_insert_values": lance_merge_insert_values,
     "lance_sql_delete": lance_sql_delete,
     "lance_sql_update": lance_sql_update,
     "lance_delete": lance_delete,
@@ -1364,6 +1465,7 @@ ORACLE = {
     "lance_upsert": LANCE_UPSERT_SQL,
     "lance_merge": LANCE_MERGE_SQL,
     "lance_merge_conditional": LANCE_MERGE_CONDITIONAL_SQL,
+    "lance_merge_insert_values": LANCE_MERGE_INSERT_VALUES_SQL,
     "lance_sql_delete": LANCE_SQL_DELETE_SQL,
     "lance_sql_update": LANCE_SQL_UPDATE_SQL,
     "lance_delete": LANCE_DELETE_SQL,

@@ -337,16 +337,51 @@ _RECHECK_R10: set = {
 # three youngest r7-green fills to the r10 window.
 
 
+# All 50 rows CORRECTNESS_r10 recorded — every one hash-exact (the 4
+# r10-new queries, _RECHECK_R10's embedding_neardup_ivf, the 39
+# entries last green in r7, and 6 r8-green fills).
+_GREEN_R10 = {
+    "ann_knn_join", "ann_knn_join_vectorized", "approx_quantiles_vs_exact",
+    "bucketed_colocated_join", "case_buckets", "cluster_canonical",
+    "cohort_retention", "contamination_check", "correlated_subquery",
+    "cube_revenue", "dedup_keep_best", "dedup_span_coverage",
+    "distinct_counts", "embedding_neardup_ivf", "exists_correlated",
+    "filter_pipeline", "fts_bm25_incremental", "funnel_steps",
+    "hybrid_search", "hybrid_search_indexed", "lance_compact",
+    "lance_dataset_stats", "lance_delete", "lance_merge_conditional",
+    "lance_native_read", "lance_take_dv", "lance_upsert", "monthly_revenue",
+    "multimodal_pipeline", "percentiles", "pivot_events",
+    "quality_linear_probe", "robust_stats", "rollup_revenue", "set_ops",
+    "stats_moments", "stratified_sample", "stream_continuous_aggregate",
+    "stream_incremental_dedup", "stream_index_ingest", "string_funcs",
+    "tfidf_top_terms", "tpch_q1", "tpch_q10", "tpch_q14", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "window_range_frames",
+}
+
+# Queries whose HASHED OUTPUT changes in r11 go here (treated as
+# never-verified so they lead the window). The r11 DML work
+# (distributed deletion-vector writes, MERGE dialect completion) is
+# hash-preserving for every existing query; the one new query
+# (lance_merge_insert_values) leads as never-verified.
+_RECHECK_R11: set = set()
+
+# r11 rotation note: window leads with lance_merge_insert_values
+# (new), then the 41 entries last green in r8 (the stalest tier —
+# exactly the staleness the r10 verdict flagged), then 8 r9-green
+# fills. r10-green is the freshest tier; max staleness stays <=2
+# rounds.
+
+
 def _rotate(merged: dict) -> dict:
     # Tiers by last-verified round (never-verified / recheck first);
     # within each tier the natural module order holds.
     rounds = [
         _GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4, _GREEN_R5, _GREEN_R6,
-        _GREEN_R7, _GREEN_R8, _GREEN_R9,
+        _GREEN_R7, _GREEN_R8, _GREEN_R9, _GREEN_R10,
     ]
 
     def last_verified(k: str) -> int:
-        if k in _RECHECK_R10:
+        if k in _RECHECK_R11:
             return 0
         return max(
             (i + 1 for i, s in enumerate(rounds) if k in s), default=0

@@ -435,7 +435,7 @@ def merge_apply(
     src: DataFrame,
     key: str,
     matched_clauses: list,
-    insert_cond,
+    insert_clauses: list,
     sync_clauses: list,
 ) -> tuple[int, int, int]:
     """ANSI-semantics MERGE lowering, ONE commit per statement.
@@ -446,11 +446,18 @@ def merge_apply(
     {col: sql}|None}`` — conditions and SET right-hand sides are
     Spark SQL over ``__t_<col>`` (old target row) / ``__s_<col>``
     (source row) names; ``sets=None`` means ``UPDATE SET *``
-    (full-row replace from source). ``insert_cond`` is ``False``
-    (no NOT MATCHED clause), ``None`` (unconditional ``INSERT *``),
-    or a condition over the source's natural column names.
-    ``sync_clauses`` lists ``WHEN NOT MATCHED BY SOURCE THEN
-    DELETE`` conditions (over ``__t_<col>`` names).
+    (full-row replace from source). ``insert_clauses`` is an ordered
+    list of ``WHEN NOT MATCHED`` clauses ``{"cond": sql|None,
+    "sets": {col: sql}|None}`` over the source's NATURAL column
+    names — ``sets=None`` means ``INSERT *`` (source carries the
+    full schema), a dict is the column-list ``INSERT (col, ...)
+    VALUES (expr, ...)`` form (r11): unassigned columns null-fill
+    with the committed type, first-match-wins picks ONE clause per
+    unmatched source row. ``sync_clauses`` lists ``WHEN NOT MATCHED
+    BY SOURCE`` clauses ``{"cond": sql|None, "action":
+    "delete"|"update", "sets": {col: sql}|None}`` (conditions and
+    SET right-hand sides over ``__t_<col>`` names only — no source
+    row exists in that branch; r11 adds the UPDATE action).
 
     Per-row, first-match-wins clause resolution (standard MERGE):
     each live target row joins at most one source row (duplicate
@@ -499,14 +506,14 @@ def merge_apply(
     # stored key, so a NULL-keyed source row can only ever INSERT —
     # which is almost always a data bug. Refused when an insert
     # clause exists; harmless (never matches) otherwise.
-    if insert_cond is not False and prof.n_keyed < prof.n:
+    if insert_clauses and prof.n_keyed < prof.n:
         raise lf.LanceDatasetError(
             f"MERGE source contains rows with NULL merge key "
             f"{key!r}; NULL never equals a stored key, so these "
             "rows cannot merge — filter them or choose a non-null "
             "key"
         )
-    full_row = insert_cond is not False or any(
+    full_row = any(c["sets"] is None for c in insert_clauses) or any(
         c["action"] == "update" and c["sets"] is None
         for c in matched_clauses
     )
@@ -579,6 +586,12 @@ def merge_apply(
         i for i, c in enumerate(matched_clauses) if c["action"] == "update"
     ]
     base = len(matched_clauses)
+    sync_update_idx = [
+        base + j
+        for j, c in enumerate(sync_clauses)
+        if c["action"] == "update"
+    ]
+    keep_idx = update_idx + sync_update_idx
     changed_lo = changed_hi = None
 
     def _tagged(fragments, keep_pos: bool = False):
@@ -624,9 +637,9 @@ def merge_apply(
             act = F.lit(None).cast("int")
         return joined.withColumn("__act", act)
 
-    if candidates and insert_cond is False and all(
+    if candidates and not insert_clauses and all(
         c["action"] == "delete" for c in matched_clauses
-    ):
+    ) and all(c["action"] == "delete" for c in sync_clauses):
         # deletion-vector lowering (r10): a MERGE whose every action
         # is DELETE (matched and/or by-source sync) never changes a
         # surviving byte — mask the hit positions with per-fragment
@@ -660,7 +673,12 @@ def merge_apply(
             .collect()
         )
         for r in stats:
-            if r["__act"] < base and matched_clauses[r["__act"]]["action"] == "update":
+            act = (
+                matched_clauses[r["__act"]]["action"]
+                if r["__act"] < base
+                else sync_clauses[r["__act"] - base]["action"]
+            )
+            if act == "update":
                 n_upd += int(r["n"])
             else:
                 n_del += int(r["n"])
@@ -685,15 +703,22 @@ def merge_apply(
         ]
         tagged = _tagged(affected)
         keep = F.col("__act").isNull()
-        if update_idx:
-            keep = keep | F.col("__act").isin(update_idx)
+        if keep_idx:
+            keep = keep | F.col("__act").isin(keep_idx)
         proj = []
         for fld in committed.fields:
             c = fld.name
             val = F.col(f"__t_{c}")
-            for i in reversed(update_idx):
-                sets = matched_clauses[i]["sets"]
+            for i in reversed(keep_idx):
+                sets = (
+                    matched_clauses[i]["sets"]
+                    if i < base
+                    else sync_clauses[i - base]["sets"]
+                )
                 if sets is None:
+                    # UPDATE SET * — matched clauses only (a
+                    # by-source SET * is refused at parse: no
+                    # source row exists to replace from)
                     v = F.col(f"__s_{c}")
                 elif c in sets:
                     v = F.expr(sets[c])
@@ -715,7 +740,21 @@ def merge_apply(
         carried = carried + candidates
 
     inserts = None
-    if insert_cond is not False:
+    if insert_clauses:
+        unknown = sorted(
+            {
+                c
+                for cl in insert_clauses
+                if cl["sets"] is not None
+                for c in cl["sets"]
+            }
+            - set(names)
+        )
+        if unknown:
+            raise lf.LanceDatasetError(
+                f"MERGE INSERT names unknown columns {unknown}; "
+                f"dataset columns: {sorted(names)}"
+            )
         ins = src
         if have_fragments:
             tgt_keys = (
@@ -724,9 +763,40 @@ def merge_apply(
                 .distinct()
             )
             ins = ins.join(tgt_keys, key, "left_anti")
-        if isinstance(insert_cond, str):
-            ins = ins.where(F.expr(insert_cond))
-        ins = ins.select(*names)
+        # first-match-wins among the NOT MATCHED clauses: one action
+        # index per unmatched source row, rows no clause accepts
+        # insert nothing
+        w = None
+        for i, cl in enumerate(insert_clauses):
+            cond = F.expr(cl["cond"]) if cl["cond"] else F.lit(True)
+            w = F.when(cond, F.lit(i)) if w is None else w.when(cond, F.lit(i))
+        ins = ins.withColumn(
+            "__ins_act", w.otherwise(F.lit(None).cast("int"))
+        ).where(F.col("__ins_act").isNotNull())
+        proj = []
+        for fld in committed.fields:
+            c = fld.name
+            val = F.lit(None).cast(fld.dataType)
+            for i in reversed(range(len(insert_clauses))):
+                sets = insert_clauses[i]["sets"]
+                if sets is None:
+                    v = F.col(c)  # INSERT * — full-row from source
+                elif c in sets:
+                    v = F.expr(sets[c])
+                else:
+                    v = F.lit(None).cast(fld.dataType)
+                val = F.when(F.col("__ins_act") == i, v).otherwise(val)
+            proj.append(val.alias(c))
+        ins = ins.select(*proj)
+        got = {f.name: f.dataType for f in ins.schema.fields}
+        want = {f.name: f.dataType for f in committed.fields}
+        retyped = sorted(n for n in want if got[n] != want[n])
+        if retyped:
+            raise lf.LanceDatasetError(
+                f"MERGE INSERT VALUES changes column types {retyped} "
+                f"({ {n: f'{want[n]} -> {got[n]}' for n in retyped} }); "
+                "cast the expression to the committed type explicitly"
+            )
         n_ins = ins.count()
         if n_ins:
             inserts = ins

@@ -455,6 +455,55 @@ def test_merge_update_and_insert(spark, sf_dir, merge_tgt):
         assert after[k + 100] == before[k]
 
 
+def test_merge_insert_column_list_values(spark, sf_dir, merge_tgt):
+    """INSERT (col, ...) VALUES (expr, ...) — r11: unassigned
+    columns null-fill, VALUES are full Spark SQL over the source
+    alias, first-match-wins across multiple NOT MATCHED clauses,
+    and a source row no insert clause accepts inserts nothing."""
+    before = _state(spark, merge_tgt)
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT CAST(k AS INT) AS k, nm FROM VALUES"
+        f"    (201, 'alpha'), (202, 'beta'), (203, 'gamma')"
+        f"    AS v(k, nm)"
+        f") s ON t.n_nationkey = s.k "
+        # clause 1 takes 201 only; clause 2 takes 202; 203 matches
+        # neither condition and must NOT insert
+        f"WHEN NOT MATCHED AND s.nm = 'alpha' THEN "
+        f"INSERT (n_nationkey, n_name, n_regionkey) "
+        f"VALUES (s.k, upper(s.nm), CAST(0 AS INT)) "
+        f"WHEN NOT MATCHED AND s.k = 202 THEN "
+        f"INSERT (n_nationkey, n_name) VALUES (s.k, concat(s.nm, '?'))",
+    ).collect()
+    assert [tuple(out[0])] == [(0, 2, 0)]
+    after = _state(spark, merge_tgt)
+    assert len(after) == len(before) + 2
+    assert after[201] == ("ALPHA", 0)
+    assert after[202] == ("beta?", None)  # n_regionkey null-fills
+    assert 203 not in after
+    # the column-list form does NOT require the source to carry the
+    # full dataset schema (INSERT * would refuse this source)
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    with pytest.raises(LanceDatasetError, match="missing"):
+        lance_sql(
+            spark,
+            f"MERGE INTO '{merge_tgt}' t USING (SELECT CAST(300 AS "
+            f"INT) AS k) s ON t.n_nationkey = s.k "
+            f"WHEN NOT MATCHED THEN INSERT *",
+        )
+    # type discipline: a VALUES expression may not retype a column
+    with pytest.raises(LanceDatasetError, match="changes column types"):
+        lance_sql(
+            spark,
+            f"MERGE INTO '{merge_tgt}' t USING (SELECT CAST(300 AS "
+            f"INT) AS k) s ON t.n_nationkey = s.k "
+            f"WHEN NOT MATCHED THEN INSERT (n_nationkey, n_regionkey) "
+            f"VALUES (s.k, 'not-an-int')",
+        )
+
+
 def test_merge_update_only_and_insert_only(spark, sf_dir, merge_tgt):
     before = _state(spark, merge_tgt)
     src = (
@@ -587,31 +636,52 @@ def test_merge_refusals(spark, merge_tgt):
     from lance_duckdb_spark.sources.lance_format import LanceDatasetError
 
     cases = [
-        # BY SOURCE supports only THEN DELETE (the snapshot-sync form)
-        ("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *", "snapshot-sync"),
-        ("WHEN NOT MATCHED BY SOURCE THEN INSERT *", "snapshot-sync"),
+        # BY SOURCE has no source row: no INSERT, no SET * replace
+        ("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+         "no source row exists to replace"),
+        ("WHEN NOT MATCHED BY SOURCE THEN INSERT *", "cannot INSERT"),
+        ("WHEN NOT MATCHED BY SOURCE THEN INSERT (n_name) "
+         "VALUES ('x')", "cannot INSERT"),
         # a clause after an unconditional clause of the same kind can
         # never apply — first match wins (dead-clause refusal)
         ("WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE",
          "unreachable"),
         ("WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN UPDATE SET *",
          "duplicate"),
-        ("WHEN NOT MATCHED THEN INSERT (n_nationkey) VALUES (s.k)",
-         "INSERT \\*"),
-        # NOT MATCHED actions other than INSERT *
-        ("WHEN NOT MATCHED THEN DELETE", "INSERT \\*"),
-        ("WHEN NOT MATCHED THEN UPDATE SET *", "INSERT \\*"),
+        # NOT MATCHED has no target row: no DELETE, no UPDATE
+        ("WHEN NOT MATCHED THEN DELETE", "cannot DELETE"),
+        ("WHEN NOT MATCHED THEN UPDATE SET *", "cannot UPDATE"),
         # MATCHED cannot insert
         ("WHEN MATCHED THEN INSERT *", "cannot INSERT"),
+        ("WHEN MATCHED THEN INSERT (n_nationkey) VALUES (1)",
+         "cannot INSERT"),
         # SET may only assign target-alias columns
         ("WHEN MATCHED THEN UPDATE SET s.n_name = 'x'",
          "only the target alias"),
         # NOT MATCHED conditions see no target row
         ("WHEN NOT MATCHED AND t.n_regionkey = 1 THEN INSERT *",
          "no target row"),
+        # ... and neither do its VALUES expressions
+        ("WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name) "
+         "VALUES (s.n_nationkey, t.n_name)", "no target row"),
         # BY SOURCE conditions see no source row
         ("WHEN NOT MATCHED BY SOURCE AND s.n_nationkey = 1 THEN DELETE",
          "no source row"),
+        # ... and neither do its SET right-hand sides
+        ("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET "
+         "n_name = s.n_name", "no source row"),
+        # column-list INSERT: must assign the merge key, arity must
+        # match, columns must exist on the target
+        ("WHEN NOT MATCHED THEN INSERT (n_name) VALUES ('x')",
+         "must assign the merge key"),
+        ("WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name) "
+         "VALUES (s.n_nationkey)", "supplies 1 expression"),
+        ("WHEN NOT MATCHED THEN INSERT (n_nationkey, nope) "
+         "VALUES (s.n_nationkey, 'x')", "unknown columns"),
+        ("WHEN NOT MATCHED THEN INSERT (n_nationkey, n_nationkey) "
+         "VALUES (1, 2)", "duplicate INSERT column"),
+        ("WHEN NOT MATCHED THEN INSERT (n_nationkey) SELECT 1",
+         "requires VALUES"),
     ]
     head = (
         f"MERGE INTO '{merge_tgt}' t USING (SELECT 1 AS n_nationkey) s "
@@ -910,16 +980,21 @@ def test_merge_not_matched_by_source_delete(spark, sf_dir, merge_tgt):
     assert [tuple(out[0])] == [(0, 0, 2)]  # keys 3 and 4 drop
     final = _state(spark, merge_tgt)
     assert set(final) == {5, 6, 7, 8, 500}
-    # still refuse the non-DELETE BY SOURCE form
-    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
-
-    with pytest.raises(LanceDatasetError, match="snapshot-sync"):
-        lance_sql(
-            spark,
-            f"MERGE INTO '{merge_tgt}' t USING (SELECT 1 AS k) s "
-            f"ON t.n_nationkey = s.k "
-            f"WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
-        )
+    # BY SOURCE UPDATE (r11): unmatched survivors update from the
+    # OLD target row; matched rows are untouched
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{merge_tgt}' t USING ("
+        f"  SELECT n_nationkey FROM '{merge_tgt}' WHERE n_nationkey >= 7"
+        f") s ON t.n_nationkey = s.n_nationkey "
+        f"WHEN NOT MATCHED BY SOURCE AND t.n_nationkey > 5 "
+        f"THEN UPDATE SET n_name = concat(t.n_name, '!')",
+    ).collect()
+    assert [tuple(out[0])] == [(1, 0, 0)]  # only key 6 (<7, >5)
+    synced = _state(spark, merge_tgt)
+    assert synced[6] == (final[6][0] + "!", final[6][1])
+    for k in (5, 7, 8, 500):
+        assert synced[k] == final[k]
 
 
 def test_merge_conditional_clauses(spark, sf_dir, merge_tgt):
