@@ -390,8 +390,9 @@ def main() -> None:
             "index/dataset once per corpus and serve from it "
             "(rebuilding the inverted index inside every timed run "
             "measured the one-time load phase 77x over the oracle's "
-            "raw scan; serving is the comparable unit, and the "
-            "reuse is content-checked via corpus-count markers). "
+            "raw scan; serving is the comparable unit; r11 markers "
+            "record the absolute corpus path + a doc_id content "
+            "fingerprint — see fts.ensure_fts_index). "
             "r10 band: 1.19-1.80 over four clean runs on the GROWN "
             "49-query set (.data/bench_r10{d,e,f,g}.json; spark "
             "fresh 47.4-56.9s / duck 31.6-39.8s; the final draw "

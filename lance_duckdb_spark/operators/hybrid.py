@@ -141,32 +141,15 @@ def hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both share one oracle.
 
     r10: the index is REUSED when already built for this exact
-    corpus (same corpus-count sidecar marker + policy as
-    fts.fts_bm25_indexed — an indexed-serving entry's comparable
-    unit of work is the SEARCH; the unconditional rmtree+rebuild
-    here was charging the one-time build to every invocation, 12.2s
-    vs the 4.2s index-FREE twin at sf1, inverting the index's
-    story). A stale or missing marker rebuilds from scratch."""
-    import json as _json
-
+    corpus; r11 moves the build-or-reuse policy into the shared
+    ``fts.ensure_fts_index`` (one copy, absolute-path + doc_id
+    content fingerprint in the marker — rationale there). The
+    unconditional rmtree+rebuild this replaced charged the one-time
+    build to every invocation, 12.2s vs the 4.2s index-FREE twin at
+    sf1, inverting the index's story."""
     tag = os.path.basename(sf_dir.rstrip("/"))
     index_dir = os.path.join("/tmp/lance_duckdb_spark", tag, "hybrid_fts_index")
-    marker = os.path.join(index_dir, "_built_for.json")
-    n_docs = load(spark, sf_dir, "documents").count()
-    reuse = False
-    try:
-        with open(marker) as fh:
-            reuse = _json.load(fh) == {"n_docs_total": n_docs}
-        fts._read_fts_meta(index_dir)  # meta must exist and parse too
-    except Exception:
-        reuse = False
-    if not reuse:
-        shutil.rmtree(index_dir, ignore_errors=True)
-        fts.build_fts_index(
-            spark, load(spark, sf_dir, "documents"), index_dir
-        )
-        with open(marker, "w") as fh:
-            _json.dump({"n_docs_total": n_docs}, fh)
+    fts.ensure_fts_index(spark, sf_dir, index_dir)
     lex = _rank(
         fts.search_bm25(spark, index_dir, list(fts.QUERY_TERMS), k=RANK_CAP),
         "lex_rank",

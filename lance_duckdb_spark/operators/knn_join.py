@@ -313,6 +313,7 @@ def ann_knn_join_vectorized(
     from .similarity import (
         TWO_LEVEL_MIN_K,
         TWO_LEVEL_PROBES,
+        _require_nonzero_norms,
         _seq_norms,
         two_level_assign,
     )
@@ -366,6 +367,7 @@ def ann_knn_join_vectorized(
                 np.float64
             )
             nx = _seq_norms(X)
+            _require_nonzero_norms(nx)
             acc = np.zeros((len(X), len(Cm)))
             for d in range(Cm.shape[1]):
                 acc += X[:, d, None] * Cm[None, :, d]
@@ -409,7 +411,7 @@ def _knn_from_assigned(
     import numpy as np
     import pandas as pd
 
-    from .similarity import _seq_norms
+    from .similarity import _require_nonzero_norms, _seq_norms
 
     tagged = (
         assigned.where(F.col("crnk") <= KNN_ASSIGN)
@@ -434,6 +436,7 @@ def _knn_from_assigned(
             np.float64
         )
         nrm = _seq_norms(X)
+        _require_nonzero_norms(nrm)
         ids = pdf["vec_id"].to_numpy()
         Q, Nq, qid = X[is_q], nrm[is_q], ids[is_q]
         Cb, Nc, nid = X[~is_q], nrm[~is_q], ids[~is_q]
@@ -453,6 +456,10 @@ def _knn_from_assigned(
         # carry equal cos — leaves the post-dedupe global window's
         # answer BIT-IDENTICAL while shuffling K rows per (query,
         # probe) instead of ~1000.
+        # zero-norm guard (r10 advice): without it the NaN cosines a
+        # zero vector produces would sort differently here than
+        # Spark's NaN-greatest desc ordering in the declarative twin
+        # — both forms refuse instead (see _require_nonzero_norms)
         self_mask = qid[:, None] == nid[None, :]
         cos_m = np.where(self_mask, -np.inf, cos)
         kk = min(KNN_JOIN_K, len(nid))

@@ -152,6 +152,26 @@ def _seq_norms(mat):
     return np.sqrt(acc)
 
 
+def _require_nonzero_norms(nrm) -> None:
+    """Refuse zero-norm embeddings LOUDLY (r10 advice). Cosine
+    similarity is undefined for the zero vector: the declarative
+    forms raise Spark's ANSI DIVIDE_BY_ZERO on the same input,
+    while the numpy kernels would silently produce NaN cosines and
+    rank them differently than Spark's NaN-greatest desc ordering —
+    breaking the documented bit-identity contract between the two
+    forms. One shared refusal at every norm computation keeps the
+    contract honest: both forms fail, neither emits NaN rankings."""
+    import numpy as np
+
+    if (np.asarray(nrm) == 0).any():
+        raise ValueError(
+            "zero-norm embedding encountered: cosine similarity is "
+            "undefined for the zero vector (the declarative form "
+            "raises ANSI DIVIDE_BY_ZERO on the same input) — filter "
+            "or re-embed zero vectors before the ANN/KNN operators"
+        )
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine ≥ threshold, exact.
 
@@ -908,6 +928,7 @@ def two_level_assign(
                     list(pdf["embedding"]), dtype=np.float32
                 ).astype(np.float64)
                 nx = _seq_norms(X)
+                _require_nonzero_norms(nx)
                 acc = np.zeros((len(X), len(Sm)))
                 for d in range(Sm.shape[1]):
                     acc += X[:, d, None] * Sm[None, :, d]
@@ -969,6 +990,7 @@ def two_level_assign(
                     list(pdf["embedding"]), dtype=np.float32
                 ).astype(np.float64)
                 nx = _seq_norms(X)
+                _require_nonzero_norms(nx)
                 vid = pdf["vec_id"].to_numpy()
                 acc = np.zeros((len(X), len(Sm)))
                 for d in range(Sm.shape[1]):
@@ -1211,6 +1233,7 @@ def ivf_neardup_pairs(
                 np.float64
             )
             nx = _seq_norms(X)
+            _require_nonzero_norms(nx)
             rows = np.arange(len(X))[:, None]
             cand_cos, cand_ids = [], []
             for s in range(0, len(Cm), cblk):

@@ -177,6 +177,52 @@ def test_vectorized_variant_scaled_k(spark, sf_dir):
     assert a == b
 
 
+def test_zero_norm_vectors_refused_by_both_forms(spark, tmp_path):
+    """Zero-norm embeddings make cosine undefined (0/0): the
+    declarative form dies in Spark's ANSI DIVIDE_BY_ZERO, and the
+    numpy path would otherwise emit NaN cosines ranked differently
+    than Spark's NaN-greatest desc order — silently breaking the
+    bit-identity contract (r10 advice). Both forms must therefore
+    FAIL LOUDLY on a zero vector, neither producing NaN rankings."""
+    n_per = 8
+    ids, vecs = [], []
+    for c in range(IVF_K):
+        for j in range(n_per):
+            vid = c if j == 0 else IVF_K + (c * (n_per - 1)) + (j - 1)
+            v = [0.0] * 64
+            v[c] = 1.0
+            if j:
+                v[(c + IVF_K) % 64] = 0.02 * j
+            ids.append(vid)
+            vecs.append(v)
+    # zero-norm corpus member (not a seed, not a query slice id)
+    ids.append(9990)
+    vecs.append([0.0] * 64)
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    emb = pa.table(
+        {
+            "vec_id": pa.array([ids[i] for i in order], pa.int64()),
+            "embedding": pa.array(
+                [vecs[i] for i in order], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    d = str(tmp_path / "zn")
+    os.makedirs(d)
+    pq.write_table(emb, os.path.join(d, "embeddings.parquet"))
+
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        knn_join.ann_knn_join(spark, d).collect()
+    with pytest.raises(Exception, match="zero-norm embedding"):
+        knn_join.ann_knn_join_vectorized(spark, d).collect()
+    # the scale (two-level) tier refuses too
+    with pytest.raises(Exception, match="zero-norm embedding"):
+        knn_join.ann_knn_join_vectorized(
+            spark, d, k_centroids=256
+        ).collect()
+
+
 def test_declarative_form_refuses_large_corpus(spark, sf_dir, monkeypatch):
     """The quarantine guard (r8 VERDICT item 3): the all-declarative
     form is a small-scale diagnostic — past the documented corpus
