@@ -933,17 +933,19 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
     intended. Without an INSERT clause they are harmless (NULL never
     matches) and ignored.
 
-    The source is SPILLED to a parquet stage before any join logic,
-    for two reasons: (1) every clause must classify against the
-    pre-merge state (never re-reading its own writes), and (2) Spark
-    4.1 plans a Python-DataSource relation ONCE per relation
-    instance — when the optimizer clones one relation into several
-    scan positions with DIFFERENT derived filters, every position is
-    served by the single planned scan, silently mis-filtering the
-    others (r9 finding; observed, not theoretical). The target side
-    is read as NATIVE parquet from the manifest inside merge_apply,
-    which Spark plans per-position — the join graph never references
-    a lance relation."""
+    A source whose plan carries a Python-DS relation is SPILLED to
+    a parquet stage before any join logic, for two reasons:
+    (1) every clause must classify against the pre-merge state
+    (never re-reading its own writes), and (2) Spark 4.1 plans a
+    Python-DataSource relation ONCE per relation instance — when
+    the optimizer clones one relation into several scan positions
+    with DIFFERENT derived filters, every position is served by the
+    single planned scan, silently mis-filtering the others (r9
+    finding; observed, not theoretical). Native-view sources (the
+    lance_sql subquery path) are exempt — see the inline comment at
+    the spill site. The target side is read as NATIVE parquet from
+    the manifest inside merge_apply, which Spark plans per-position
+    — the join graph never references a lance relation."""
     from .materialize import release_spill, spill_to_parquet
     from .sources.maintenance import merge_apply
 
@@ -1069,14 +1071,30 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
                 }
             )
 
-    src = spill_to_parquet(src, "merge-src")
+    # The spill guards against Spark 4.1's Python-DS relation-
+    # cloning hazard (docstring above) and against a source lazily
+    # re-reading the target AFTER the merge commits. Neither applies
+    # when the source plan contains NO Python-DS relation: lance_sql
+    # subquery sources are native parquet views pinned to the
+    # CONCRETE pre-merge file list (fragment files are immutable
+    # until VACUUM, and the commit only adds files), so every lazy
+    # re-evaluation sees the identical pre-merge rows. Skipping the
+    # spill there removes a write+read round per statement — at DML
+    # statement granularity the dominant fixed cost (r11).
+    # Detection is conservative: ANY v2 relation in the plan spills.
+    needs_spill = "RelationV2" in (
+        src._jdf.queryExecution().analyzed().toString()
+    )
+    if needs_spill:
+        src = spill_to_parquet(src, "merge-src")
     try:
         n_upd, n_ins, n_del = merge_apply(
             spark, path, src, key, matched_clauses, insert_clauses,
             sync_clauses,
         )
     finally:
-        release_spill(src)
+        if needs_spill:
+            release_spill(src)
     return spark.createDataFrame(
         [(n_upd, n_ins, n_del)],
         "rows_updated long, rows_inserted long, rows_deleted long",

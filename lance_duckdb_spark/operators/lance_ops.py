@@ -318,7 +318,11 @@ MERGE INTO '{root}' t USING (
 WHEN NOT MATCHED BY SOURCE THEN DELETE
 """,
     ).collect()
-    merged = spark.read.format("lance").load(root)
+    # read-back via the SQL surface's native live-row view (r11):
+    # same semantics as the DS read, JVM-vectorized scan — the DML
+    # entry's timed unit stays the MERGE, not the Arrow->Python
+    # read-back of the result
+    merged = lance_sql(spark, f"SELECT * FROM '{root}'")
     return (
         merged.groupBy("c_mktsegment")
         .agg(
@@ -405,7 +409,11 @@ WHEN MATCHED THEN UPDATE SET
 WHEN NOT MATCHED AND s.c_nationkey < 13 THEN INSERT *
 """,
     ).collect()
-    merged = spark.read.format("lance").load(root)
+    # read-back via the SQL surface's native live-row view (r11):
+    # same semantics as the DS read, JVM-vectorized scan — the DML
+    # entry's timed unit stays the MERGE, not the Arrow->Python
+    # read-back of the result
+    merged = lance_sql(spark, f"SELECT * FROM '{root}'")
     return (
         merged.groupBy("c_mktsegment")
         .agg(
@@ -494,7 +502,11 @@ WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 2 = 0 THEN
   UPDATE SET c_mktsegment = lower(t.c_mktsegment)
 """,
     ).collect()
-    merged = spark.read.format("lance").load(root)
+    # read-back via the SQL surface's native live-row view (r11):
+    # same semantics as the DS read, JVM-vectorized scan — the DML
+    # entry's timed unit stays the MERGE, not the Arrow->Python
+    # read-back of the result
+    merged = lance_sql(spark, f"SELECT * FROM '{root}'")
     return (
         merged.groupBy("c_mktsegment")
         .agg(
@@ -599,7 +611,7 @@ def lance_sql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"c_mktsegment = lower(c_mktsegment) "
         f"WHERE c_nationkey % 5 = 2",
     ).collect()
-    upd = spark.read.format("lance").load(root)
+    upd = lance_sql(spark, f"SELECT * FROM '{root}'")  # native view read-back (r11)
     return (
         upd.groupBy("c_mktsegment")
         .agg(
@@ -654,7 +666,7 @@ def lance_sql_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"DELETE FROM '{root}' WHERE o_orderstatus = 'F' "
         f"AND o_totalprice > 100000.0",
     ).collect()
-    left = spark.read.format("lance").load(root)
+    left = lance_sql(spark, f"SELECT * FROM '{root}'")  # native view read-back (r11)
     return (
         left.groupBy("o_orderstatus")
         .agg(

@@ -191,6 +191,69 @@ def _json_safe(v):
     return None  # timestamps/decimals etc: skip from zone map
 
 
+def footer_stats(path: str) -> tuple[int, dict]:
+    """Row count + per-column ``[min, max]`` zone map of one parquet
+    file, derived from its FOOTER statistics — a metadata-only read,
+    no data pages touched. Same column policy as ``_column_stats``
+    (int/float/string/bool; all-null columns skipped): parquet
+    row-group stats are exact for these types, and where a writer
+    truncates long string bounds the truncated values are still
+    CONSERVATIVE (min' <= min, max' >= max per the parquet spec) —
+    all zone-map pruning needs. Columns missing stats in any
+    non-empty row group are skipped entirely (conservative: the
+    fragment is never pruned on them). Used by the DML staging path
+    (maintenance._stage_and_commit), where fragments are written by
+    Spark's native parquet writer instead of the Python lance
+    writer — the footer walk replaces the in-worker _column_stats
+    pass."""
+    import pyarrow.types as pat
+
+    md = pq.ParquetFile(path).metadata
+    schema = md.schema.to_arrow_schema()
+    eligible = {
+        f.name
+        for f in schema
+        if pat.is_integer(f.type)
+        or pat.is_floating(f.type)
+        or pat.is_string(f.type)
+        or pat.is_large_string(f.type)
+        or pat.is_boolean(f.type)
+    }
+    mins: dict = {}
+    maxs: dict = {}
+    ok = dict.fromkeys(eligible, True)
+    seen = dict.fromkeys(eligible, False)
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if not ok.get(name, False):
+                continue
+            st = col.statistics
+            if st is None:
+                ok[name] = False
+                continue
+            if st.null_count is not None and (
+                g.num_rows - st.null_count
+            ) == 0:
+                continue  # all-null row group: contributes nothing
+            if not st.has_min_max:
+                ok[name] = False
+                continue
+            mn, mx = st.min, st.max
+            mins[name] = mn if not seen[name] else min(mins[name], mn)
+            maxs[name] = mx if not seen[name] else max(maxs[name], mx)
+            seen[name] = True
+    stats: dict = {}
+    for c in eligible:
+        if ok[c] and seen[c]:
+            mn, mx = _json_safe(mins[c]), _json_safe(maxs[c])
+            if mn is not None and mx is not None:
+                stats[c] = [mn, mx]
+    return md.num_rows, stats
+
+
 def _column_stats(table: pa.Table) -> dict:
     """Per-column [min, max] zone map for primitive columns."""
     import pyarrow.compute as pc

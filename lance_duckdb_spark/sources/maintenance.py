@@ -153,22 +153,47 @@ def delete_where_sql(spark: SparkSession, root: str, predicate_sql: str) -> int:
     return _commit_deletion_hits(spark, root, manifest, hits)
 
 
+# Mask-size pivot between the two _deletion_masks_df strategies: the
+# manifest's per-fragment num_deleted (free, no IO) bounds the driver
+# allocation BEFORE choosing, so the inline path is never an
+# unbounded funnel — 100k (file, pos) rows is a ~few-MB broadcast.
+MASK_INLINE_MAX = 100_000
+
+
 def _deletion_masks_df(spark: SparkSession, root: str, fragments):
-    """Existing deletion masks of ``fragments`` as a DISTRIBUTED
-    ``(__file, __pos)`` frame: the ``_deletions/*.json`` side files
-    are read by Spark's JSON source inside tasks and exploded to
-    positions worker-side — the positions NEVER materialize on the
-    driver (the r10 implementation built this frame via
-    ``createDataFrame`` of every position, an O(total deletions)
-    driver allocation; at 100 TB a 1%-deleted table is ~10^9 Row
-    objects). Only the deletion-file -> fragment-basename pairing
-    (O(fragments with deletions) metadata) is driver-built, as a
-    broadcast. Returns None when no fragment carries a mask."""
+    """Existing deletion masks of ``fragments`` as a ``(__file,
+    __pos)`` frame; returns None when no fragment carries a mask.
+
+    Two strategies, chosen by the TOTAL deletion count the manifest
+    already records (never by reading mask files first):
+
+    - ``<= MASK_INLINE_MAX``: driver-read + broadcast — explicitly
+      BOUNDED (unlike the r10 implementation, which always built
+      this frame via ``createDataFrame`` of every position — an
+      unbounded O(total deletions) driver allocation; at 100 TB a
+      1%-deleted table is ~10^9 Row objects). At interactive scale
+      this saves two scan jobs per DML statement.
+    - above the cap: the ``_deletions/*.json`` side files are read
+      by Spark's JSON source inside tasks and exploded to positions
+      worker-side — positions never materialize on the driver; only
+      the deletion-file -> fragment-basename pairing (O(fragments
+      with deletions) metadata) is driver-built."""
     from pyspark.sql import functions as F
 
     with_dels = [f for f in fragments if f.deletion_file]
     if not with_dels:
         return None
+    if sum(f.num_deleted for f in with_dels) <= MASK_INLINE_MAX:
+        return F.broadcast(
+            spark.createDataFrame(
+                [
+                    (os.path.basename(f.file), int(p))
+                    for f in with_dels
+                    for p in lf.read_deletion_positions(root, f)
+                ],
+                schema="__file string, __pos long",
+            )
+        )
     pairs = spark.createDataFrame(
         [
             (os.path.basename(f.deletion_file), os.path.basename(f.file))
@@ -440,8 +465,9 @@ def merge_apply(
 ) -> tuple[int, int, int]:
     """ANSI-semantics MERGE lowering, ONE commit per statement.
 
-    ``src`` is the key-aligned source (already parquet-spilled by the
-    caller). ``matched_clauses`` is an ordered list of
+    ``src`` is the key-aligned source (parquet-spilled by the
+    caller whenever its plan carries a Python-DS relation; stable
+    native-view sources arrive unspilled — catalog._run_merge). ``matched_clauses`` is an ordered list of
     ``{"cond": sql|None, "action": "update"|"delete", "sets":
     {col: sql}|None}`` — conditions and SET right-hand sides are
     Spark SQL over ``__t_<col>`` (old target row) / ``__s_<col>``
@@ -494,19 +520,33 @@ def merge_apply(
     # used to be their own driver action (NULL-key refusal, key
     # bounds for fragment pruning, duplicate-key probe) — at small
     # statement sizes the per-action fixed cost dominated MERGE
-    # wall-time (bench r10: 3 statements cost ~7 jobs each).
-    prof = src.selectExpr(
-        f"min({key}) lo",
-        f"max({key}) hi",
-        "count(*) n",
-        f"count({key}) n_keyed",
-        f"count(distinct {key}) n_distinct",
-    ).collect()[0]
+    # wall-time (bench r10: 3 statements cost ~7 jobs each). r11:
+    # only the terms a statement's clause mix actually consumes are
+    # computed — countDistinct is a full shuffle and serves only the
+    # matched-clause cardinality shortcut; bounds serve only matched
+    # fragment pruning; the counts serve the insert NULL-key
+    # refusal. A sync-only MERGE needs none and skips the job.
+    terms = []
+    if matched_clauses and not sync_clauses:
+        terms += [f"min({key}) lo", f"max({key}) hi"]
+    if insert_clauses:
+        terms += ["count(*) n", f"count({key}) n_keyed"]
+    if matched_clauses:
+        terms += [f"count(distinct {key}) n_distinct"]
+        if not insert_clauses:
+            terms += [f"count({key}) n_keyed"]
+    prof = (
+        src.selectExpr(*terms).collect()[0].asDict() if terms else {}
+    )
+    prof = {
+        "lo": None, "hi": None, "n": 0, "n_keyed": 0,
+        "n_distinct": 0, **prof,
+    }
     # NULL-key policy (the upsert contract): NULL never equals a
     # stored key, so a NULL-keyed source row can only ever INSERT —
     # which is almost always a data bug. Refused when an insert
     # clause exists; harmless (never matches) otherwise.
-    if insert_clauses and prof.n_keyed < prof.n:
+    if insert_clauses and prof["n_keyed"] < prof["n"]:
         raise lf.LanceDatasetError(
             f"MERGE source contains rows with NULL merge key "
             f"{key!r}; NULL never equals a stored key, so these "
@@ -544,7 +584,7 @@ def merge_apply(
     if (
         matched_clauses
         and have_fragments
-        and prof.n_distinct < prof.n_keyed
+        and prof["n_distinct"] < prof["n_keyed"]
     ):
         dup_matched = (
             src.where(F.col(key).isNotNull())
@@ -577,7 +617,7 @@ def merge_apply(
     elif matched_clauses and have_fragments:
         candidates, carried = [], []
         for f in manifest.fragments:
-            (candidates if _overlaps(f, key, prof.lo, prof.hi) else carried).append(f)
+            (candidates if _overlaps(f, key, prof["lo"], prof["hi"]) else carried).append(f)
     else:
         candidates, carried = [], list(manifest.fragments)
 
@@ -797,11 +837,9 @@ def merge_apply(
                 f"({ {n: f'{want[n]} -> {got[n]}' for n in retyped} }); "
                 "cast the expression to the committed type explicitly"
             )
-        n_ins = ins.count()
-        if n_ins:
-            inserts = ins
+        inserts = ins
 
-    if n_upd == 0 and n_del == 0 and n_ins == 0:
+    if inserts is None and n_upd == 0 and n_del == 0:
         return (0, 0, 0)  # true no-op: no rewrite, no version
     if survivors is not None and inserts is not None:
         merged = survivors.unionByName(inserts)
@@ -809,7 +847,30 @@ def merge_apply(
         merged = survivors
     else:
         merged = inserts
-    _stage_and_commit(root, manifest, merged, carried)
+    # the insert count falls out of the STAGED row count (r11 — one
+    # job fewer per insert-bearing statement, and the anti-join no
+    # longer executes twice): survivors are exactly the affected
+    # fragments' live rows minus the deletes, both known from the
+    # manifest + the stats pass, so n_ins = staged - survivors.
+    survivors_rows = (
+        sum(f.num_rows - f.num_deleted for f in affected) - n_del
+        if survivors is not None
+        else 0
+    )
+    frags, staged_total = _stage_fragments(root, merged)
+    n_ins = staged_total - survivors_rows
+    if n_upd == 0 and n_del == 0 and n_ins == 0:
+        # true no-op discovered at stage time (an insert-only MERGE
+        # whose every source row matched): zero fragments were
+        # staged, nothing to clean, no version commits
+        return (0, 0, 0)
+    lf.commit(
+        root,
+        manifest.schema_json,
+        carried + frags,
+        mode="overwrite",
+        expected_version=manifest.version,
+    )
     return (n_upd, n_ins, n_del)
 
 
@@ -903,31 +964,75 @@ def _merge_commit(
     _stage_and_commit(root, manifest, merged, carried)
 
 
-def _stage_and_commit(root: str, manifest, rewritten: DataFrame, carried) -> None:
-    """Write ``rewritten`` through the lance writer into a staging
-    dataset, adopt the staged fragment files into this dataset's
-    data/, and commit carried + adopted as ONE new version. An
-    empty ``rewritten`` stages ZERO fragments (verified writer
-    behavior) and the commit publishes carried-only — no special
-    case. Shared by the key-set merge (upsert/delete_keys) and the
-    predicate UPDATE rewrite."""
+def _stage_and_commit(
+    root: str, manifest, rewritten: DataFrame, carried
+) -> int:
+    """Write ``rewritten`` into a staging directory, adopt the
+    staged fragment files into this dataset's data/, and commit
+    carried + adopted as ONE new version. An empty ``rewritten``
+    stages ZERO fragments and the commit publishes carried-only —
+    no special case. Shared by the key-set merge
+    (upsert/delete_keys), the predicate UPDATE rewrite, and MERGE.
+    Returns the number of staged (rewritten + inserted) rows.
+
+    r11: stages through Spark's NATIVE parquet writer (JVM,
+    vectorized) instead of the Python-DS lance writer — at DML
+    statement granularity the Arrow -> Python worker round trip per
+    fragment was the dominant fixed cost of every MERGE/UPDATE/
+    upsert (bench r10). Zone-map stats for the adopted fragments
+    come from the staged files' parquet FOOTERS (metadata-only
+    driver read, exact for the zone-mapped types —
+    lance_format.footer_stats), so fragment pruning on later DML
+    statements behaves exactly as before; empty part files are
+    dropped (the zero-fragment contract above). Timestamps are
+    pinned to TIMESTAMP_MICROS for the write so adopted files decode
+    identically to lance-writer fragments."""
+    frags, n_staged = _stage_fragments(root, rewritten)
+    lf.commit(
+        root,
+        manifest.schema_json,
+        carried + frags,
+        mode="overwrite",
+        expected_version=manifest.version,
+    )
+    return n_staged
+
+
+def _stage_fragments(
+    root: str, rewritten: DataFrame
+) -> tuple[list, int]:
+    """Stage ``rewritten`` as fragment files under the dataset's
+    data/ (invisible until a manifest references them) and return
+    ``(fragments, total_rows)`` — commit is the caller's move, so a
+    discovered no-op can decline to publish a version. See
+    ``_stage_and_commit`` for the native-writer rationale."""
     staging = f"{root}.upsert-{uuid.uuid4().hex}"
+    sess = rewritten.sparkSession
+    conf_key = "spark.sql.parquet.outputTimestampType"
+    prev = sess.conf.get(conf_key, None)
+    n_staged = 0
+    new_frags: list[lf.Fragment] = []
     try:
-        rewritten.write.format("lance").mode("overwrite").save(staging)
-        staged = lf.read_manifest(staging)
-        new_frags: list[lf.Fragment] = []
-        for f in staged.fragments:
-            src = os.path.join(staging, f.file)
+        sess.conf.set(conf_key, "TIMESTAMP_MICROS")
+        try:
+            rewritten.write.mode("overwrite").parquet(staging)
+        finally:
+            if prev is None:
+                sess.conf.unset(conf_key)
+            else:
+                sess.conf.set(conf_key, prev)
+        os.makedirs(os.path.join(root, lf.DATA_DIR), exist_ok=True)
+        for fname in sorted(os.listdir(staging)):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(staging, fname)
+            num_rows, stats = lf.footer_stats(fpath)
+            if num_rows == 0:
+                continue
             rel = os.path.join(lf.DATA_DIR, f"{uuid.uuid4().hex}.parquet")
-            os.makedirs(os.path.join(root, lf.DATA_DIR), exist_ok=True)
-            shutil.move(src, os.path.join(root, rel))
-            new_frags.append(lf.Fragment(-1, rel, f.num_rows, f.stats))
-        lf.commit(
-            root,
-            manifest.schema_json,
-            carried + new_frags,
-            mode="overwrite",
-            expected_version=manifest.version,
-        )
+            shutil.move(fpath, os.path.join(root, rel))
+            new_frags.append(lf.Fragment(-1, rel, num_rows, stats))
+            n_staged += num_rows
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+    return new_frags, n_staged
