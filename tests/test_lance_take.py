@@ -107,6 +107,41 @@ def test_take_addresses_live_positions(spark, sf_dir, tmp_path):
         take_rows(spark, root, [len(live)])
 
 
+def test_take_dv_remap_never_reads_deletions_on_driver(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The live->physical remap runs INSIDE the fragment task (r11 —
+    the r10 verdict's documented driver bound): driver cost is
+    manifest arithmetic only. Asserted by poisoning the DRIVER's
+    deletion-file reader — workers are separate processes, so the
+    take still succeeds iff the driver never walks a deletion list."""
+    from lance_duckdb_spark.catalog import lance_sql
+
+    register(spark)
+    root = str(tmp_path / "takedrv.lance")
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).coalesce(1).write.format("lance").mode("overwrite").save(root)
+    lance_sql(spark, f"DELETE FROM '{root}' WHERE o_orderkey % 5 = 1")
+    man = lf.read_manifest(root)
+    assert man.fragments[0].deletion_file is not None
+    dels = set(lf.read_deletion_positions(root, man.fragments[0]))
+    t = pq.read_table(os.path.join(root, man.fragments[0].file))
+    live = [r for i, r in enumerate(t.to_pylist()) if i not in dels]
+
+    def _poisoned(*a, **k):  # pragma: no cover - must not run
+        raise AssertionError(
+            "take_rows read a deletion file on the DRIVER"
+        )
+
+    monkeypatch.setattr(lf, "read_deletion_positions", _poisoned)
+    idx = [0, 3, len(live) // 2, len(live) - 1]
+    got = take_rows(spark, root, idx, columns=["o_orderkey"]).collect()
+    assert sorted(r["o_orderkey"] for r in got) == sorted(
+        live[i]["o_orderkey"] for i in idx
+    )
+
+
 def test_take_dv_prefix_shifts_later_fragments(spark, sf_dir, tmp_path):
     """A dv on an EARLIER fragment shifts every later logical
     position: position (live rows of fragment 0) + k must land on
