@@ -134,14 +134,153 @@ ORDER BY lang
 """
 
 
+def _packed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed filter → dedup → pack frame (one per-doc row
+    with its packed sequence index). The text column DIES at the
+    first projection — the fingerprint and token count are computed
+    in the scan stage, so no shuffle (window, groupBy-apply) ever
+    carries document bodies; a plan test asserts no Exchange
+    mentions ``text``."""
+    import pandas as pd
+
+    from .curation import PACK_BUDGET
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+        & (F.col("n_chars") >= MIN_CHARS)
+        & (F.col("n_chars") <= MAX_CHARS)
+        & (F.size(F.split(F.trim(F.col("text")), " ")) >= MIN_WORDS)
+    )
+    slim = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        text_fingerprint().alias("fp"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("tok"),
+    )
+    w = Window.partitionBy("fp").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    kept = (
+        slim.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("source", "doc_id", "tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seqs, seq_idx, fill = [], 0, None
+        for tok in pdf["tok"]:
+            if fill is None or fill + tok > PACK_BUDGET:
+                seq_idx += 1
+                fill = tok
+            else:
+                fill += tok
+            seqs.append(seq_idx)
+        pdf["seq_idx"] = seqs
+        return pdf[["source", "doc_id", "tok", "seq_idx"]]
+
+    return kept.groupBy("source").applyInPandas(
+        pack, schema="source string, doc_id long, tok long, seq_idx long"
+    )
+
+
+def pipeline_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline composition (r10 verdict
+    item 7 — real users run the CHAIN, not single operators):
+    quality-filter the corpus (the ``filter_pipeline`` gates) →
+    resolve duplicate clusters keep-best (the ``dedup_keep_best``
+    fingerprint argmax) → greedy first-fit context-window packing
+    (the ``sequence_packing`` fold, here emitting the per-doc
+    sequence assignment) → ``COPY ... TO`` a lance dataset through
+    the SQL surface → read the dataset back and aggregate.
+
+    The hashed artifact is the per-source packed summary read FROM
+    THE WRITTEN LANCE DATASET — equal to the oracle's recomputed
+    chain iff every stage composed exactly and the COPY roundtrip
+    is lossless. Scale shape: one scan of documents (text dropped at
+    the first projection — no shuffle carries bodies), one window
+    shuffle on the fingerprint, one pack shuffle on source, one
+    distributed write."""
+    from ..catalog import lance_sql
+    from .lance_ops import _fresh_root, register
+
+    register(spark)
+    root = _fresh_root(sf_dir, "pipeline_compose")
+    _packed_frame(spark, sf_dir).createOrReplaceTempView(
+        "__pipeline_packed"
+    )
+    lance_sql(
+        spark,
+        f"COPY (SELECT * FROM __pipeline_packed) TO '{root}' "
+        f"(FORMAT LANCE, MODE 'overwrite')",
+    ).collect()
+    packed = lance_sql(spark, f"SELECT * FROM '{root}'")
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("seq_idx").alias("n_sequences"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pack_budget_sql() -> str:
+    from .curation import PACK_BUDGET
+
+    return f"""
+WITH RECURSIVE kept AS (
+  SELECT source, doc_id,
+    len(string_split(trim(text), ' ')) AS tok
+  FROM (
+    SELECT source, doc_id, n_chars, text,
+      ROW_NUMBER() OVER (
+        PARTITION BY {SQL_FINGERPRINT}
+        ORDER BY n_chars DESC, doc_id ASC) AS rnk
+    FROM documents
+    WHERE text IS NOT NULL
+      AND n_chars >= {MIN_CHARS} AND n_chars <= {MAX_CHARS}
+      AND len(string_split(trim(text), ' ')) >= {MIN_WORDS}
+  ) WHERE rnk = 1
+),
+docs_o AS (
+  SELECT source, doc_id, tok,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM kept
+),
+packed AS (
+  SELECT source, rn, tok, 1 AS seq_idx, tok AS fill
+  FROM docs_o WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.tok,
+    CASE WHEN p.fill + d.tok <= {PACK_BUDGET} THEN p.seq_idx
+         ELSE p.seq_idx + 1 END,
+    CASE WHEN p.fill + d.tok <= {PACK_BUDGET} THEN p.fill + d.tok
+         ELSE d.tok END
+  FROM docs_o d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(MAX(seq_idx) AS BIGINT) AS n_sequences,
+  CAST(SUM(tok) AS BIGINT) AS total_tokens
+FROM packed GROUP BY source ORDER BY source
+"""
+
+
+PIPELINE_COMPOSE_SQL = _pack_budget_sql()
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "filter_pipeline": filter_pipeline,
     "dedup_keep_best": dedup_keep_best,
+    "pipeline_compose": pipeline_compose,
 }
 
 ORACLE = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "filter_pipeline": FILTER_PIPELINE_SQL,
     "dedup_keep_best": DEDUP_KEEP_BEST_SQL,
+    "pipeline_compose": PIPELINE_COMPOSE_SQL,
 }

@@ -529,3 +529,27 @@ def test_lsh_diagnostic_refuses_large_corpus(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(similarity, "LSH_DIAGNOSTIC_MAX_CORPUS", 1)
     with pytest.raises(ValueError, match="embedding_neardup_ivf"):
         similarity.embedding_neardup_lsh(spark, sf_dir).collect()
+
+
+def test_pipeline_compose_no_shuffle_carries_text(spark, sf_dir, capsys):
+    """The composed filter->dedup->pack frame must drop the document
+    body at the FIRST projection: fingerprint + token count are
+    computed in the scan stage, so no Exchange / Window /
+    FlatMapGroupsInPandas node re-materializes ``text`` (r10 verdict
+    item 7's plan assertion — at 100 TB a shuffle carrying bodies is
+    the difference between moving hashes and moving the corpus)."""
+    import re
+
+    from lance_duckdb_spark.operators.pipeline import _packed_frame
+
+    df = _packed_frame(spark, sf_dir)
+    df.explain(mode="formatted")
+    plan = capsys.readouterr().out
+    assert "Exchange" in plan and "FlatMapGroupsInPandas" in plan
+    for block in re.split(r"\n\(\d+\) ", plan):
+        head = block.split("\n", 1)[0]
+        if any(
+            k in head
+            for k in ("Exchange", "Window", "FlatMapGroupsInPandas", "Sort")
+        ):
+            assert "text#" not in block, f"text flows through: {head}"
