@@ -53,11 +53,11 @@ independently measured decades. Roster notes (no silent caps):
   the flat-IVF O(n^2/500) assignment and the growing driver
   collect that excluded them at r9.
 
-Tier 4 (r10, the third measured decade for the IVF legs):
-``--tier4 [sfd1000_dir]`` re-runs the TIER4 roster at a 10000-fold
-amplification (.data/sfd1000, embeddings only — the IVF legs read
-nothing else) and records sf1000_rows/sf1000_sec plus ratios
-AGAINST THE sf100 LEG. The knn leg ENOSPC'd this container twice
+Tier 4 (r10, the third measured decade for the IVF legs; r11 adds
+the span + minhash text legs — generate .data/sfd1000 with
+--tables=embeddings,documents): ``--tier4 [sfd1000_dir]`` re-runs
+the TIER4 roster at a 10000-fold amplification and records
+sf1000_rows/sf1000_sec plus ratios AGAINST THE sf100 LEG. The knn leg ENOSPC'd this container twice
 (every bucket pair was shuffled into the global dedupe+window —
 ~190 GB at 20M vectors) before the per-bucket local top-K fix in
 knn_join.score_bucket (r10) made emission K rows per (query,
@@ -69,6 +69,7 @@ from __future__ import annotations
 
 import json
 import os
+import resource
 import sys
 import time
 
@@ -93,15 +94,30 @@ TIER3_OPS = [
     # r10: two-level IVF unlocked the second decade for these
     "embedding_ivf_neardup_pairs",
     "ann_knn_join_vec_rows",
+    # r11: the fully-distributed deletion-vector DELETE (executor-
+    # side per-fragment side-file writes; driver sees O(hit
+    # fragments) metadata)
+    "lance_delete_10pct_rows",
 ]
 
-# The third measured decade for the IVF legs (r9 VERDICT item 1's
-# done-criterion): 21M vectors, k = n/500 = 42000 fine centroids,
+# The third measured decade (r9 VERDICT item 1's done-criterion for
+# the IVF legs: 21M vectors, k = n/500 = 42000 fine centroids,
 # coarse_m = sqrt(k) = 205 — the decade where the FLAT form is
-# O(n^2/500) by algebra.
+# O(n^2/500) by algebra). r11 adds the TEXT dedup legs (r10 verdict
+# item 4 — the 100 TB dedup claim previously rested on sfd100):
+# span coverage and the minhash-LSH pair family at 20M documents.
+# Excluded at tier 4, honestly: minhash_lsh_candidates and
+# dedup_incremental_pairs (same band-bucket machinery as
+# dedup_minhash_lsh_pairs, which subsumes them — each would add
+# ~1h+ of wall for no independent signal), ngram_jaccard (output
+# itself ~5B rows — measures the writer, excluded since tier 3),
+# perplexity/contamination/sq8 (single-scan legs whose constants
+# were flat through sfd100; no named scale ceiling to cross).
 TIER4_OPS = [
     "embedding_ivf_neardup_pairs",
     "ann_knn_join_vec_rows",
+    "dedup_span_dup_grams",
+    "dedup_minhash_lsh_pairs",
 ]
 
 
@@ -141,6 +157,30 @@ def main() -> None:
 
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def delete_10pct(d: str) -> int:
+        """Write the documents corpus (id + source — the DELETE
+        machinery is payload-width-independent) as a lance dataset,
+        then DELETE ~10% by predicate through the deletion-vector
+        path. Run under ``--only=lance_delete_10pct_rows`` when
+        reading the driver-RSS columns: maxrss is a process-wide
+        high-watermark, so a mixed-roster run inherits other ops'
+        peaks."""
+        import shutil as sh
+
+        from lance_duckdb_spark.sources import maintenance as mt
+        from lance_duckdb_spark.sources.datasource import register
+
+        register(spark)
+        root = os.path.join(REPO, ".data", "smoke_delete.lance")
+        sh.rmtree(root, ignore_errors=True)
+        try:
+            load(spark, d, "documents").select(
+                "doc_id", "source"
+            ).write.format("lance").mode("overwrite").save(root)
+            return mt.delete_where_sql(spark, root, "doc_id % 10 = 3")
+        finally:
+            sh.rmtree(root, ignore_errors=True)
 
     def minhash_candidates(d: str) -> int:
         docs = load(spark, d, "documents")
@@ -224,6 +264,14 @@ def main() -> None:
         # kind gates sec_ratio instead of row_ratio).
         "ann_sq8_topk_scan": (
             lambda d: quantize.ann_sq8_topk(spark, d).count(), "scan"),
+        # r11 (verdict item 1 done-criterion): DELETE ~10% of the
+        # documents corpus through the deletion-vector path. The
+        # per-fragment side files are written EXECUTOR-side and the
+        # driver receives O(hit fragments) metadata, so the python
+        # driver's RSS must stay flat across decades while deleted
+        # rows grow 10x — both are recorded (driver_rss_mb_* keys);
+        # rows are the linearity gate.
+        "lance_delete_10pct_rows": (delete_10pct, "pairs"),
     }
 
     json_path = os.path.join(REPO, "SCALE_SMOKE.json")
@@ -261,6 +309,13 @@ def main() -> None:
                     n = fn(tier_dir)
                     row[f"{tag}_rows"] = n
                     row[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
+                    # python-driver high-watermark: flat across
+                    # decades = no driver-side data funnel (read
+                    # from an --only run; maxrss is process-wide)
+                    row[f"{tag}_driver_rss_mb"] = (
+                        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                        // 1024
+                    )
                     row[f"row_ratio_{suf}"] = (
                         round(row[f"{tag}_rows"] / row[f"{base_tag}_rows"], 2)
                         if row[f"{base_tag}_rows"]
@@ -342,6 +397,10 @@ def main() -> None:
                 n = fn(d)
                 row[f"{tag}_rows"] = n
                 row[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
+                row[f"{tag}_driver_rss_mb"] = (
+                    resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                    // 1024
+                )
                 print(name, tag, row, flush=True)
                 _dump(results)
             row["row_ratio"] = (
