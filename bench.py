@@ -127,6 +127,15 @@ HEADLINE = [
     "lance_sql_delete",
     "lance_sql_update",
     "lance_merge_conditional",
+    # r11 additions: the completed-dialect MERGE (column-list INSERT
+    # VALUES + BY SOURCE UPDATE; work-equivalent script below) and
+    # the end-to-end curation chain (filter -> keep-best dedup ->
+    # context-window pack -> COPY TO lance -> aggregate read-back;
+    # DuckDB pays the same logical chain via its recursive-CTE pack
+    # fold — the comparable unit is the whole pipeline both engines
+    # compute)
+    "lance_merge_insert_values",
+    "pipeline_compose",
 ]
 
 # DuckDB work-equivalents for the write-path entries: the Spark side
@@ -143,6 +152,7 @@ HEADLINE = [
 DML_PERSIST: dict[str, str] = {
     "lance_merge": "m_customer",
     "lance_merge_conditional": "mc_customer",
+    "lance_merge_insert_values": "mi_customer",
     "lance_sql_update": "u_customer",
     "lance_sql_delete": "d_orders",
 }
@@ -186,6 +196,34 @@ DML_DUCK_SCRIPTS: dict[str, list[str]] = {
          c_mktsegment
   FROM customer WHERE c_custkey % 17 = 2 AND c_nationkey < 13""",
         _AGG_CUSTOMER.format(t="mc_customer"),
+    ],
+    "lance_merge_insert_values": [
+        "CREATE OR REPLACE TABLE mi_customer AS SELECT * FROM customer",
+        # matched clause: +25.00 bump for every 9th key
+        """UPDATE mi_customer SET
+  c_acctbal = CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 25.00 AS DOUBLE)
+  WHERE c_custkey % 9 = 0""",
+        # by-source update: unmatched even keys case-fold (disjoint
+        # from the matched set, so statement order is immaterial)
+        """UPDATE mi_customer SET c_mktsegment = lower(c_mktsegment)
+  WHERE c_custkey % 9 <> 0 AND c_custkey % 2 = 0""",
+        # first-match-wins insert routing: low-nation minted rows
+        # take the 3-column clause (null-fill), the rest the full one
+        """INSERT INTO mi_customer
+  SELECT c_custkey + 30000000,
+    CASE WHEN c_nationkey < 10 THEN upper(c_name) ELSE c_name END,
+    CASE WHEN c_nationkey < 10 THEN NULL ELSE c_nationkey END,
+    CASE WHEN c_nationkey < 10
+         THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) - 10.00 AS DOUBLE)
+         ELSE c_acctbal END,
+    CASE WHEN c_nationkey < 10 THEN NULL ELSE 'MINTED' END
+  FROM customer WHERE c_custkey % 19 = 4""",
+        """SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  COUNT(DISTINCT c_custkey) AS n_keys,
+  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_nation
+FROM mi_customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     ],
     "lance_sql_update": [
         "CREATE OR REPLACE TABLE u_customer AS SELECT * FROM customer",
