@@ -454,7 +454,22 @@ def main() -> None:
             "spread (the 1.80 draw had the ANN/hybrid entries 5x "
             "their isolated-session times immediately after a "
             "14-minute test-suite run; an isolated A/B on the same "
-            "code measured them identical to r9)."
+            "code measured them identical to r9). "
+            "r11 band: 0.84-0.90 over three clean isolated runs on "
+            "the 51-query set (.data/bench_r11{a,b,c}.json; spark "
+            "fresh 50.5-53.4s / duck 56.0-63.7s) — the width the "
+            "median-of-5 change was made for (r10's was 0.61). "
+            "HONEST decomposition of the sub-1.0 flip: the new "
+            "pipeline_compose entry is spark ~1.2s vs duck ~26s "
+            "(DuckDB expresses the greedy pack fold as a recursive "
+            "CTE — row-at-a-time by construction; both engines "
+            "compute the same logical chain, the gap is "
+            "architectural, same class as sequence_packing's 3.2s). "
+            "EXCLUDING pipeline_compose the 50-query ratio is "
+            "~1.45-1.50 — the DML write quartet + merge_insert_"
+            "values still carry ~14s of versioned on-disk commits "
+            "against ~0.2s of DuckDB in-memory DML; data-dominated "
+            "read entries remain at-or-below duck per-query."
         ),
     )
     try:
