@@ -451,6 +451,197 @@ _DELETE_RE = re.compile(
 )
 
 
+_INSERT_START_RE = re.compile(r"(?is)^\s*INSERT\b")
+_INSERT_RE = re.compile(
+    r"(?is)^\s*INSERT\s+INTO\s+(['\"`])(?P<path>[^'\"`]+\.lance)\1"
+    r"(?:\s*\((?P<cols>[^)]*)\))?\s+(?P<query>.+?)\s*;?\s*$"
+)
+
+
+def _run_insert(spark: SparkSession, sql: str) -> DataFrame | None:
+    """``INSERT INTO '<path>.lance' [(col, ...)] <select | VALUES
+    ...>`` — DuckDB-hosted INSERT parity (the reference's host
+    engine accepts INSERT against any scanned table): the query runs
+    through the same read-path rewriting as any lance_sql statement
+    (top-level ``VALUES (...)`` is Spark SQL) and appends through
+    the lance writer as ONE new version. With a column list the
+    query's columns map POSITIONALLY onto the named dataset columns
+    and every unnamed column null-fills (the MERGE INSERT rule);
+    without one the query must carry exactly the dataset's schema
+    (the writer's append contract — loud refusal otherwise).
+    Refused: non-dataset / native-encoded targets, nested write
+    statements in the query, unknown or duplicate columns,
+    column/value arity mismatch, retyping. Returns one row
+    ``rows_inserted``."""
+    from pyspark.sql import functions as F
+
+    if not _INSERT_START_RE.match(sql):
+        return None
+    m = _INSERT_RE.match(sql)
+    if m is None:
+        raise lf.LanceDatasetError(
+            "unsupported INSERT syntax; supported: INSERT INTO "
+            "'<path>.lance' [(col, ...)] <select-or-VALUES>"
+        )
+    path = m.group("path")
+    _require_dml_target(path, "INSERT INTO")
+    query = m.group("query")
+    if re.match(
+        r"(?is)^\s*(COPY|CREATE|MERGE|DELETE|UPDATE|VACUUM|OPTIMIZE|"
+        r"INSERT|DESCRIBE)\b",
+        query,
+    ):
+        raise lf.LanceDatasetError(
+            "INSERT INTO takes a read-only query; nested write/DDL "
+            "statements are refused"
+        )
+    from .sources.maintenance import _committed_schema
+
+    df = lance_sql(spark, query)
+    committed = _committed_schema(lf.read_manifest(path))
+    cols_str = m.group("cols")
+    if cols_str is None:
+        # positional SQL INSERT semantics: the query's columns map
+        # onto the dataset's columns by position, names immaterial
+        if len(df.columns) != len(committed.fields):
+            raise lf.LanceDatasetError(
+                f"INSERT query produces {len(df.columns)} columns "
+                f"but the dataset has {len(committed.fields)}"
+            )
+        from pyspark.sql import functions as F2
+
+        df = df.select(
+            *[
+                F2.col(f"`{c}`").alias(fld.name)
+                for c, fld in zip(df.columns, committed.fields)
+            ]
+        )
+    if cols_str is not None:
+        cols = [c.strip().strip("`") for c in cols_str.split(",")]
+        if any(not re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
+            raise lf.LanceDatasetError(
+                f"malformed INSERT column list {cols_str!r}"
+            )
+        if len(set(cols)) != len(cols):
+            raise lf.LanceDatasetError(
+                f"duplicate column in INSERT column list {cols}"
+            )
+        unknown = sorted(set(cols) - set(committed.fieldNames()))
+        if unknown:
+            raise lf.LanceDatasetError(
+                f"INSERT names unknown columns {unknown}; dataset "
+                f"columns: {committed.fieldNames()}"
+            )
+        if len(cols) != len(df.columns):
+            raise lf.LanceDatasetError(
+                f"INSERT column list names {len(cols)} columns but "
+                f"the query produces {len(df.columns)}"
+            )
+        sel = []
+        for fld in committed.fields:
+            if fld.name in cols:
+                src_col = df.columns[cols.index(fld.name)]
+                sel.append(F.col(f"`{src_col}`").alias(fld.name))
+            else:
+                sel.append(
+                    F.lit(None).cast(fld.dataType).alias(fld.name)
+                )
+        df = df.select(*sel)
+    # type discipline: refuse retypes loudly (never silently cast a
+    # value column), then conform nullability/metadata to the
+    # committed schema — the append contract compares schema JSON
+    # exactly, and literal-derived columns arrive non-nullable
+    got = {f.name: f.dataType for f in df.schema.fields}
+    want = {f.name: f.dataType for f in committed.fields}
+    retyped = sorted(n for n in want if got[n] != want[n])
+    if retyped:
+        raise lf.LanceDatasetError(
+            f"INSERT changes column types {retyped} "
+            f"({ {n: f'{want[n]} -> {got[n]}' for n in retyped} }); "
+            "cast the query's columns to the committed types "
+            "explicitly"
+        )
+    out = _write_and_count(spark, df, path, "append", None)
+    return out.withColumnRenamed("rows_copied", "rows_inserted")
+
+
+_DESCRIBE_RE = re.compile(
+    r"(?is)^\s*DESCRIBE\s+(?P<hist>HISTORY\s+)?"
+    r"(['\"`])(?P<path>[^'\"`]+\.lance)\2\s*;?\s*$"
+)
+
+
+def _run_describe(spark: SparkSession, sql: str) -> DataFrame | None:
+    """``DESCRIBE '<path>.lance'`` — schema introspection parity
+    with the reference's lance_get_schema / field name / field type
+    surface (rust/lib.rs:64-144): one row per column (col_name,
+    data_type, nullable) in schema order, for BOTH manifest formats
+    (JSON datasets via the committed schema, native-encoded via the
+    protobuf manifest's arrow schema). ``DESCRIBE HISTORY`` lists
+    the version chain (the `_versions/` layout, reference
+    lib.rs:26-51 versioned open): one row per version with fragment
+    count, live rows, and masked deletions — the time-travel
+    catalog a lakehouse user expects."""
+    if not re.match(r"(?is)^\s*DESCRIBE\b", sql):
+        return None
+    m = _DESCRIBE_RE.match(sql)
+    if m is None:
+        raise lf.LanceDatasetError(
+            "unsupported DESCRIBE syntax; supported: DESCRIBE "
+            "[HISTORY] '<path>.lance'"
+        )
+    path = m.group("path")
+    if not _is_lance_dataset(path):
+        raise lf.LanceDatasetError(
+            f"DESCRIBE target {path!r} is not a lance dataset"
+        )
+    from .sources import lance_native as ln
+
+    if m.group("hist"):
+        if ln.is_native_dataset(path):
+            raise lf.LanceDatasetError(
+                "DESCRIBE HISTORY is not supported on native-encoded "
+                "datasets (protobuf manifest): the read path handles "
+                "them, but the history walk needs the JSON-manifest "
+                "format this engine writes"
+            )
+        rows = []
+        for v in lf.list_versions(path):
+            man = lf.read_manifest(path, v)
+            rows.append(
+                (
+                    v,
+                    len(man.fragments),
+                    sum(
+                        f.num_rows - f.num_deleted for f in man.fragments
+                    ),
+                    sum(f.num_deleted for f in man.fragments),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version long, n_fragments long, n_rows long, "
+            "n_deleted long",
+        )
+    if ln.is_native_dataset(path):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema = from_arrow_schema(
+            ln.open_dataset(path).arrow_schema()
+        )
+    else:
+        from .sources.maintenance import _committed_schema
+
+        schema = _committed_schema(lf.read_manifest(path))
+    return spark.createDataFrame(
+        [
+            (f.name, f.dataType.simpleString(), f.nullable)
+            for f in schema.fields
+        ],
+        "col_name string, data_type string, nullable boolean",
+    )
+
+
 def _run_delete(spark: SparkSession, sql: str) -> DataFrame | None:
     """``DELETE FROM '<path>.lance' WHERE <predicate>`` — the
     predicate is any Spark SQL boolean expression over the dataset's
@@ -965,7 +1156,8 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
         # dispatch before the read-path rewrite) — refuse anything
         # that is not a plain query
         if re.match(
-            r"(?is)^\s*(COPY|CREATE|MERGE|DELETE|UPDATE|VACUUM|OPTIMIZE)\b",
+            r"(?is)^\s*(COPY|CREATE|MERGE|DELETE|UPDATE|VACUUM|"
+            r"OPTIMIZE|INSERT)\b",
             parsed["src_select"],
         ):
             raise lf.LanceDatasetError(
@@ -1296,6 +1488,12 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
       fragments rewrite, expressions evaluate against the OLD row
       (maintenance.update_where_sql). Returns one row
       ``rows_updated``.
+    - ``INSERT INTO '<path>.lance' [(col, ...)] <select | VALUES
+      ...>`` appends one new version — positional SQL semantics,
+      column-list null-fill (_run_insert). Returns one row
+      ``rows_inserted``.
+    - ``DESCRIBE [HISTORY] '<path>.lance'`` — schema rows / the
+      version chain (_run_describe).
 
     Each distinct quoted ``.lance`` path that exists on disk is
     registered as a deterministic temp view and the literal is
@@ -1334,6 +1532,12 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     merge = _parse_merge(sql)
     if merge is not None:
         return _run_merge(spark, merge)
+    inserted = _run_insert(spark, sql)
+    if inserted is not None:
+        return inserted
+    described = _run_describe(spark, sql)
+    if described is not None:
+        return described
     deleted = _run_delete(spark, sql)
     if deleted is not None:
         return deleted

@@ -551,6 +551,165 @@ FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def lance_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT INTO '<path>.lance' ...`` through the SQL surface
+    (r11 — DuckDB-hosted INSERT parity, the host-engine verb the
+    reference gets for free): write customer as a lance dataset,
+    then run TWO INSERT statements —
+
+    1. positional ``INSERT INTO ... SELECT`` minting every 23rd-key-
+       remainder-7 row with a decimal-disciplined +5.00 bump (the
+       query's generated column names are immaterial — positional
+       SQL INSERT semantics);
+    2. column-list ``INSERT INTO ... (c_custkey, c_name) SELECT``
+       (unnamed columns null-fill; the source predicate excludes the
+       first statement's minted keys so the oracle replays both
+       statements against the base table).
+
+    The hashed artifact is the per-segment aggregate incl. a
+    null-fill counter — equal to the oracle iff both appends landed
+    exactly once, positionally, with correct null-fill. Refusal
+    matrix (arity/unknown/dup/retype/nested-write) in
+    tests/test_catalog.py."""
+    from ..catalog import lance_sql
+
+    register(spark)
+    root = _fresh_root(sf_dir, "sql_insert")
+    load(spark, sf_dir, "customer").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(
+        spark,
+        f"""
+INSERT INTO '{root}'
+SELECT c_custkey + 40000000, c_name, c_nationkey,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 5.00 AS DOUBLE),
+       c_mktsegment
+FROM '{root}' WHERE c_custkey % 23 = 7
+""",
+    ).collect()
+    lance_sql(
+        spark,
+        f"""
+INSERT INTO '{root}' (c_custkey, c_name)
+SELECT c_custkey + 50000000, upper(c_name)
+FROM '{root}' WHERE c_custkey % 29 = 3 AND c_custkey < 40000000
+""",
+    ).collect()
+    ins = lance_sql(spark, f"SELECT * FROM '{root}'")
+    return (
+        ins.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(money("c_acctbal"), "total_bal"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+            F.sum(
+                F.when(F.col("c_nationkey").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_null_nation"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LANCE_SQL_INSERT_SQL = """
+WITH ins AS (
+  SELECT * FROM customer
+  UNION ALL
+  SELECT c_custkey + 40000000, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 5.00 AS DOUBLE),
+         c_mktsegment
+  FROM customer WHERE c_custkey % 23 = 7
+  UNION ALL
+  SELECT c_custkey + 50000000, upper(c_name), NULL, NULL, NULL
+  FROM customer WHERE c_custkey % 29 = 3 AND c_custkey < 40000000
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  COUNT(DISTINCT c_custkey) AS n_keys,
+  CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_nation
+FROM ins GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def lance_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE '<path>.lance'`` + ``DESCRIBE HISTORY`` through
+    the SQL surface (r11 — the reference's schema-introspection
+    surface, rust/lib.rs:64-144, and its `_versions/` layout,
+    lib.rs:26-51, as SQL verbs): write customer (v1), deletion-
+    vector DELETE every 6th key (v2), positional INSERT a minted
+    slice (v3), then return one row per version with live rows and
+    masked deletions, UNIONed with the schema rows (version NULL,
+    col_name/data_type carried in the same two string columns).
+    Fragment counts are layout-dependent (write parallelism) and
+    deliberately NOT part of the hashed artifact."""
+    from ..catalog import lance_sql
+
+    register(spark)
+    root = _fresh_root(sf_dir, "describe")
+    load(spark, sf_dir, "customer").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(
+        spark, f"DELETE FROM '{root}' WHERE c_custkey % 6 = 2"
+    ).collect()
+    lance_sql(
+        spark,
+        f"INSERT INTO '{root}' SELECT c_custkey + 60000000, c_name, "
+        f"c_nationkey, c_acctbal, c_mktsegment FROM '{root}' "
+        f"WHERE c_custkey % 31 = 4",
+    ).collect()
+    hist = lance_sql(spark, f"DESCRIBE HISTORY '{root}'").select(
+        F.col("version"),
+        F.col("version").cast("string").alias("col_name"),
+        F.col("n_rows").cast("string").alias("data_type"),
+        F.col("n_deleted"),
+    )
+    desc = lance_sql(spark, f"DESCRIBE '{root}'").select(
+        F.lit(None).cast("long").alias("version"),
+        "col_name",
+        "data_type",
+        F.lit(None).cast("long").alias("n_deleted"),
+    )
+    return hist.unionByName(desc).orderBy(
+        "version", "col_name"
+    )
+
+
+LANCE_DESCRIBE_HISTORY_SQL = """
+WITH base AS (SELECT COUNT(*) AS n FROM customer),
+del AS (SELECT COUNT(*) AS d FROM customer WHERE c_custkey % 6 = 2),
+ins AS (
+  SELECT COUNT(*) AS i FROM customer
+  WHERE c_custkey % 31 = 4 AND NOT c_custkey % 6 = 2
+),
+hist AS (
+  SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS VARCHAR) AS col_name,
+         CAST(n AS VARCHAR) AS data_type, CAST(0 AS BIGINT) AS n_deleted
+  FROM base
+  UNION ALL
+  SELECT 2, '2', CAST(n - d AS VARCHAR), d FROM base, del
+  UNION ALL
+  SELECT 3, '3', CAST(n - d + i AS VARCHAR), d FROM base, del, ins
+),
+schema_rows AS (
+  SELECT * FROM (VALUES
+    (CAST(NULL AS BIGINT), 'c_custkey', 'bigint', CAST(NULL AS BIGINT)),
+    (NULL, 'c_name', 'string', NULL),
+    (NULL, 'c_nationkey', 'int', NULL),
+    (NULL, 'c_acctbal', 'double', NULL),
+    (NULL, 'c_mktsegment', 'string', NULL)
+  ) AS t(version, col_name, data_type, n_deleted)
+)
+SELECT * FROM hist
+UNION ALL
+SELECT * FROM schema_rows
+ORDER BY version, col_name
+"""
+
+
 def lance_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance parity (lance_format.py delete_where): write
     orders, DELETE WHERE o_totalprice > 150000, read the surviving
@@ -1462,6 +1621,8 @@ QUERIES = {
     "lance_merge": lance_merge,
     "lance_merge_conditional": lance_merge_conditional,
     "lance_merge_insert_values": lance_merge_insert_values,
+    "lance_sql_insert": lance_sql_insert,
+    "lance_describe_history": lance_describe_history,
     "lance_sql_delete": lance_sql_delete,
     "lance_sql_update": lance_sql_update,
     "lance_delete": lance_delete,
@@ -1490,6 +1651,8 @@ ORACLE = {
     "lance_merge": LANCE_MERGE_SQL,
     "lance_merge_conditional": LANCE_MERGE_CONDITIONAL_SQL,
     "lance_merge_insert_values": LANCE_MERGE_INSERT_VALUES_SQL,
+    "lance_sql_insert": LANCE_SQL_INSERT_SQL,
+    "lance_describe_history": LANCE_DESCRIBE_HISTORY_SQL,
     "lance_sql_delete": LANCE_SQL_DELETE_SQL,
     "lance_sql_update": LANCE_SQL_UPDATE_SQL,
     "lance_delete": LANCE_DELETE_SQL,

@@ -535,6 +535,12 @@ def commit(
                     schema_json = _merge_schemas(
                         prev.schema_json, schema_json
                     )
+                elif _append_compatible(prev.schema_json, schema_json):
+                    # same names + types; only nullability flags or
+                    # column metadata differ (literal-derived frames
+                    # arrive non-nullable) — the COMMITTED schema
+                    # stays authoritative
+                    schema_json = prev.schema_json
                 else:
                     raise LanceDatasetError(
                         "append schema mismatch: "
@@ -568,6 +574,43 @@ def commit(
             continue  # lost an append race: recompute against new head
         os.remove(tmp)
         return manifest
+
+
+def _norm_schema_node(node):
+    """Schema JSON with nullability flags and column metadata
+    stripped recursively — the shape ``_append_compatible`` compares
+    on (names + types only)."""
+    if isinstance(node, dict):
+        return {
+            k: _norm_schema_node(v)
+            for k, v in node.items()
+            if k not in ("nullable", "metadata")
+        }
+    if isinstance(node, list):
+        return [_norm_schema_node(x) for x in node]
+    return node
+
+
+def _append_compatible(prev_json: str, new_json: str) -> bool:
+    """True when an append's schema differs from the committed one
+    only REPRESENTATIONALLY: identical field names, order, and types
+    all the way down, with nullability allowed to NARROW (writing
+    provably non-null values into a nullable column is always safe —
+    literal/cast-derived Spark frames arrive non-nullable) but never
+    to widen at the top level (nullable data into a column the
+    committed schema declares non-nullable could plant NULLs the
+    schema forbids). Exact-JSON equality was the old contract and it
+    refused e.g. ``INSERT INTO ... VALUES`` / literal COPY appends
+    for nothing (r11)."""
+    import json as _json
+
+    p, n = _json.loads(prev_json), _json.loads(new_json)
+    if _norm_schema_node(p) != _norm_schema_node(n):
+        return False
+    for pf, nf in zip(p.get("fields", []), n.get("fields", [])):
+        if nf.get("nullable", True) and not pf.get("nullable", True):
+            return False
+    return True
 
 
 def write_deletion_file(root: str, positions: list[int]) -> str:

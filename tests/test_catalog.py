@@ -1203,3 +1203,84 @@ def test_sql_update_respects_deletion_vectors(spark, sf_dir, tmp_path):
     assert 1 not in rows and 3 not in rows
     assert rows[0] == rows[2] == rows[4] == "Z"
     assert rows[5] != "Z"
+
+
+# ------------------------------------------------------ INSERT / DESCRIBE
+
+
+def test_sql_insert_positional_and_column_list(spark, sf_dir, merge_tgt):
+    """INSERT INTO through the SQL surface (r11): positional SELECT
+    (generated column names immaterial), column-list null-fill, and
+    VALUES as the query."""
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    before = _state(spark, merge_tgt)
+    out = lance_sql(
+        spark,
+        f"INSERT INTO '{merge_tgt}' SELECT CAST(700 AS INT), "
+        f"upper('new'), CAST(3 AS INT)",
+    ).collect()
+    assert [tuple(out[0])] == [(1,)]
+    out = lance_sql(
+        spark,
+        f"INSERT INTO '{merge_tgt}' (n_nationkey, n_name) "
+        f"VALUES (CAST(701 AS INT), 'a'), (CAST(702 AS INT), 'b')",
+    ).collect()
+    assert [tuple(out[0])] == [(2,)]
+    after = _state(spark, merge_tgt)
+    assert len(after) == len(before) + 3
+    assert after[700] == ("NEW", 3)
+    assert after[701] == ("a", None)  # n_regionkey null-fills
+    assert after[702] == ("b", None)
+    # refusals: arity, unknown/dup columns, retype, nested write
+    cases = [
+        (f"INSERT INTO '{merge_tgt}' SELECT 1", "produces 1 columns"),
+        (f"INSERT INTO '{merge_tgt}' (n_nationkey, nope) VALUES (1, 2)",
+         "unknown columns"),
+        (f"INSERT INTO '{merge_tgt}' (n_nationkey, n_nationkey) "
+         f"VALUES (1, 2)", "duplicate column"),
+        (f"INSERT INTO '{merge_tgt}' (n_nationkey) VALUES (1, 2)",
+         "names 1 columns"),
+        (f"INSERT INTO '{merge_tgt}' (n_nationkey) VALUES ('x')",
+         "changes column types"),
+        (f"INSERT INTO '{merge_tgt}' DELETE FROM '{merge_tgt}' "
+         f"WHERE n_nationkey = 1", "read-only query"),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(LanceDatasetError, match=msg):
+            lance_sql(spark, sql)
+
+
+def test_sql_describe_and_history(spark, sf_dir, merge_tgt):
+    """DESCRIBE lists (col_name, data_type, nullable) in schema
+    order; DESCRIBE HISTORY one row per version with live rows and
+    masked deletions moving across a DELETE and an INSERT."""
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    desc = lance_sql(spark, f"DESCRIBE '{merge_tgt}'").collect()
+    assert [(r["col_name"], r["data_type"]) for r in desc] == [
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ]
+    n0 = len(_state(spark, merge_tgt))
+    lance_sql(
+        spark, f"DELETE FROM '{merge_tgt}' WHERE n_nationkey % 2 = 0"
+    ).collect()
+    lance_sql(
+        spark,
+        f"INSERT INTO '{merge_tgt}' VALUES (CAST(900 AS INT), 'z', "
+        f"CAST(0 AS INT))",
+    ).collect()
+    hist = {
+        r["version"]: (r["n_rows"], r["n_deleted"])
+        for r in lance_sql(
+            spark, f"DESCRIBE HISTORY '{merge_tgt}'"
+        ).collect()
+    }
+    n_del = (n0 + 1) // 2  # even keys 0..n0-1
+    assert hist[1] == (n0, 0)
+    assert hist[2] == (n0 - n_del, n_del)
+    assert hist[3] == (n0 - n_del + 1, n_del)
+    with pytest.raises(LanceDatasetError, match="not a lance dataset"):
+        lance_sql(spark, "DESCRIBE 'missing.lance'")
