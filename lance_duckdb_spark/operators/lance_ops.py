@@ -1029,6 +1029,154 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def version_changes(
+    spark: SparkSession, root: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Full CDC between two committed versions — the change feed the
+    append-only ``begin_version`` reader (lance_version_diff) cannot
+    give once DELETEs exist: every dataset column plus a
+    ``_change_type`` column ('insert' | 'delete').
+
+    Granularity contract (file-based CDF without per-row id
+    tracking, Delta-CDF-style): rows of fragments ADDED between the
+    versions surface as inserts (minus v_to's deletion mask); rows
+    of fragments REMOVED surface as deletes (as of v_from's mask);
+    rows NEWLY MASKED by deletion vectors on carried fragments
+    surface as row-exact deletes. A REWRITE (UPDATE/upsert/compact)
+    therefore surfaces as fragment-level delete+insert pairs — the
+    standard file-CDF semantics. Scale shape: scans ONLY changed
+    fragments; mask diffs are the worker-side frames of
+    maintenance._deletion_masks_df; nothing row-sized touches the
+    driver. Schema evolution: all scans read with v_to's committed
+    schema (older files null-fill)."""
+    from ..sources import lance_format as lf
+    from ..sources.maintenance import (
+        _anti_join_masks,
+        _committed_schema,
+        _deletion_masks_df,
+    )
+
+    man_a = lf.read_manifest(root, v_from)
+    man_b = lf.read_manifest(root, v_to)
+    committed = _committed_schema(man_b)
+
+    def _tagged(frags):
+        return (
+            spark.read.schema(committed)
+            .parquet(*[os.path.join(root, f.file) for f in frags])
+            .withColumn("__file", F.col("_metadata.file_name"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+
+    def _live(frags):
+        return _anti_join_masks(spark, root, _tagged(frags), frags)
+
+    files_a = {f.file for f in man_a.fragments}
+    files_b = {f.file for f in man_b.fragments}
+    added = [f for f in man_b.fragments if f.file not in files_a]
+    removed = [f for f in man_a.fragments if f.file not in files_b]
+    cols = [f.name for f in committed.fields]
+    parts = []
+    if added:
+        parts.append(
+            _live(added)
+            .select(*cols)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    if removed:
+        parts.append(
+            _live(removed)
+            .select(*cols)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    # carried fragments whose mask GREW: newly masked positions are
+    # row-exact deletes (masks only ever grow outside rewrites)
+    a_by_file = {f.file: f for f in man_a.fragments}
+    grown = [
+        f
+        for f in man_b.fragments
+        if f.file in files_a
+        and f.num_deleted > a_by_file[f.file].num_deleted
+    ]
+    if grown:
+        mb = _deletion_masks_df(spark, root, grown)
+        ma = _deletion_masks_df(
+            spark, root, [a_by_file[f.file] for f in grown]
+        )
+        new_mask = mb if ma is None else mb.join(
+            ma, on=["__file", "__pos"], how="left_anti"
+        )
+        parts.append(
+            _tagged(grown)
+            .join(new_mask, on=["__file", "__pos"], how="left_semi")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+    if not parts:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        empty = StructType(
+            committed.fields + [StructField("_change_type", StringType())]
+        )
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lance_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for ``version_changes`` (full CDC incl. deletes
+    — beyond lance_version_diff's append-only window): write
+    customer (v1), deletion-vector DELETE every 7th key (v2),
+    SQL-INSERT a minted slice (v3); the change feed v1 -> v3 must
+    hold exactly the masked rows as 'delete' (row-exact: masks, not
+    rewrites) and the appended fragments' rows as 'insert'. Hashed
+    artifact: per-(change_type, segment) aggregate."""
+    from ..catalog import lance_sql
+
+    register(spark)
+    root = _fresh_root(sf_dir, "cdc")
+    load(spark, sf_dir, "customer").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(
+        spark, f"DELETE FROM '{root}' WHERE c_custkey % 7 = 1"
+    ).collect()
+    lance_sql(
+        spark,
+        f"INSERT INTO '{root}' SELECT c_custkey + 70000000, c_name, "
+        f"c_nationkey, c_acctbal, c_mktsegment FROM '{root}' "
+        f"WHERE c_custkey % 37 = 5",
+    ).collect()
+    changes = version_changes(spark, root, 1, 3)
+    return (
+        changes.groupBy("_change_type", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(money("c_acctbal"), "total_bal"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+        )
+        .orderBy("_change_type", "c_mktsegment")
+    )
+
+
+LANCE_CDC_DELETES_SQL = """
+WITH changes AS (
+  SELECT 'delete' AS _change_type, c_mktsegment, c_acctbal, c_custkey
+  FROM customer WHERE c_custkey % 7 = 1
+  UNION ALL
+  SELECT 'insert', c_mktsegment, c_acctbal, c_custkey + 70000000
+  FROM customer WHERE c_custkey % 37 = 5 AND NOT c_custkey % 7 = 1
+)
+SELECT _change_type, c_mktsegment, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+  COUNT(DISTINCT c_custkey) AS n_keys
+FROM changes GROUP BY _change_type, c_mktsegment
+ORDER BY _change_type, c_mktsegment
+"""
+
+
 def lance_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC / incremental read (Delta change-data-feed analogue over
     the Lance version model): ``.option("begin_version", N)`` scans
@@ -1623,6 +1771,7 @@ QUERIES = {
     "lance_merge_insert_values": lance_merge_insert_values,
     "lance_sql_insert": lance_sql_insert,
     "lance_describe_history": lance_describe_history,
+    "lance_cdc_deletes": lance_cdc_deletes,
     "lance_sql_delete": lance_sql_delete,
     "lance_sql_update": lance_sql_update,
     "lance_delete": lance_delete,
@@ -1653,6 +1802,7 @@ ORACLE = {
     "lance_merge_insert_values": LANCE_MERGE_INSERT_VALUES_SQL,
     "lance_sql_insert": LANCE_SQL_INSERT_SQL,
     "lance_describe_history": LANCE_DESCRIBE_HISTORY_SQL,
+    "lance_cdc_deletes": LANCE_CDC_DELETES_SQL,
     "lance_sql_delete": LANCE_SQL_DELETE_SQL,
     "lance_sql_update": LANCE_SQL_UPDATE_SQL,
     "lance_delete": LANCE_DELETE_SQL,

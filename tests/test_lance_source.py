@@ -1174,3 +1174,56 @@ def test_sql_ddl_temp_view_using_lance(spark, sf_dir, tmp_ds):
     finally:
         spark.catalog.dropTempView("orders_ddl")
         spark.catalog.dropTempView("orders_v1")
+
+
+def test_version_changes_cdc(spark, sf_dir, tmp_path):
+    """Full CDC between versions (operators/lance_ops.version_changes):
+    mask-deletes are row-exact; appended fragments are inserts; a
+    REWRITE surfaces as fragment-level delete+insert pairs (file-CDF
+    granularity); the no-change window is empty."""
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.catalog import lance_sql
+    from lance_duckdb_spark.operators.lance_ops import version_changes
+
+    register(spark)
+    root = str(tmp_path / "cdc.lance")
+    load(spark, sf_dir, "nation").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(spark, f"DELETE FROM '{root}' WHERE n_nationkey < 3").collect()
+    lance_sql(
+        spark,
+        f"INSERT INTO '{root}' VALUES (CAST(90 AS INT), 'x', CAST(0 AS INT))",
+    ).collect()
+    ch = version_changes(spark, root, 1, 3)
+    by = {
+        (r["_change_type"], r["n_nationkey"]) for r in ch.collect()
+    }
+    assert by == {("delete", 0), ("delete", 1), ("delete", 2), ("insert", 90)}
+    # identical-version window: no changes
+    assert version_changes(spark, root, 3, 3).count() == 0
+    # a rewrite (UPDATE) surfaces as delete+insert of the rewritten
+    # fragment's rows — file-CDF granularity, counts must balance
+    lance_sql(
+        spark,
+        f"UPDATE '{root}' SET n_name = upper(n_name) "
+        f"WHERE n_nationkey = 5",
+    ).collect()
+    ch2 = version_changes(spark, root, 3, 4)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch2.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert counts["insert"] == counts["delete"] > 0
+    # the updated value is in the insert side, the old one in delete
+    ins = {
+        r["n_name"]
+        for r in ch2.where(
+            (F.col("_change_type") == "insert")
+            & (F.col("n_nationkey") == 5)
+        ).collect()
+    }
+    assert all(n == n.upper() for n in ins)
