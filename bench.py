@@ -455,9 +455,9 @@ def main() -> None:
             "their isolated-session times immediately after a "
             "14-minute test-suite run; an isolated A/B on the same "
             "code measured them identical to r9). "
-            "r11 band: 0.84-0.90 over three clean isolated runs on "
-            "the 51-query set (.data/bench_r11{a,b,c}.json; spark "
-            "fresh 50.5-53.4s / duck 56.0-63.7s) — the width the "
+            "r11 band: 0.84-0.90 over four clean isolated runs on "
+            "the 51-query set (.data/bench_r11{a,b,c,d}.json; spark "
+            "fresh 50.5-55.0s / duck 56.0-63.7s) — the width the "
             "median-of-5 change was made for (r10's was 0.61). "
             "HONEST decomposition of the sub-1.0 flip: the new "
             "pipeline_compose entry is spark ~1.2s vs duck ~26s "
