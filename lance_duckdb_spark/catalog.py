@@ -1164,6 +1164,28 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
                 "MERGE USING takes a read-only subquery; nested "
                 "write/DML statements are refused"
             )
+        # merge_apply evaluates the source in SEVERAL separate jobs
+        # (profile aggregate, dup-key probe, classification joins,
+        # survivor rewrite, insert anti-join). A nondeterministic
+        # subquery — rand()/current_timestamp/TABLESAMPLE — can
+        # classify DIFFERENT rows per job, silently writing rows the
+        # counts never saw (r11 advice). The native-view spill-skip
+        # below makes this reachable, so refuse here exactly like
+        # update_where_sql refuses nondeterministic predicates.
+        from .sources.maintenance import _NONDET_RE
+
+        nondet = _NONDET_RE.search(parsed["src_select"]) or re.search(
+            r"(?i)\bTABLESAMPLE\b", parsed["src_select"]
+        )
+        if nondet:
+            raise lf.LanceDatasetError(
+                f"MERGE USING subquery uses nondeterministic "
+                f"{nondet.group(0).strip('(').strip()!r}: the source "
+                "is evaluated by several separate jobs and must "
+                "produce the same rows each time — materialize it "
+                "first (COPY ... TO a staging dataset) and merge "
+                "from that"
+            )
         src = lance_sql(spark, parsed["src_select"])
     key = parsed["key_t"]
     renames: dict[str, dict[str, str]] = {}

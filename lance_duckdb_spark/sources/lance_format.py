@@ -576,41 +576,73 @@ def commit(
         return manifest
 
 
+# every key in Spark's schema JSON that declares "may hold NULLs":
+# struct fields carry "nullable", arrays "containsNull", maps
+# "valueContainsNull" (map keys can never be null in Spark)
+_NULLABILITY_KEYS = ("nullable", "containsNull", "valueContainsNull")
+
+
 def _norm_schema_node(node):
     """Schema JSON with nullability flags and column metadata
     stripped recursively — the shape ``_append_compatible`` compares
-    on (names + types only)."""
+    on (names + types only); nullability is checked separately by
+    ``_nullability_narrows`` with the narrow-only rule."""
     if isinstance(node, dict):
         return {
             k: _norm_schema_node(v)
             for k, v in node.items()
-            if k not in ("nullable", "metadata")
+            if k not in _NULLABILITY_KEYS and k != "metadata"
         }
     if isinstance(node, list):
         return [_norm_schema_node(x) for x in node]
     return node
 
 
+def _nullability_narrows(prev, new) -> bool:
+    """Recursive narrow-only nullability check over two schema-JSON
+    trees already known shape-identical (``_norm_schema_node``
+    equality): at EVERY level — struct fields, array elements, map
+    values — the append may drop nullability (non-null data into a
+    nullable slot is always safe) but never add it (nullable data
+    into a slot the committed schema declares non-null could plant
+    NULLs the schema forbids). Top-level-only was the r11 contract;
+    nested widening slipped through it (r11 advice)."""
+    if isinstance(prev, dict):
+        for k in _NULLABILITY_KEYS:
+            if new.get(k, True) and not prev.get(k, True):
+                return False
+        return all(
+            _nullability_narrows(pv, new[k])
+            for k, pv in prev.items()
+            if k not in _NULLABILITY_KEYS
+            and k != "metadata"
+            and isinstance(pv, (dict, list))
+        )
+    if isinstance(prev, list):
+        return all(
+            _nullability_narrows(pv, nv) for pv, nv in zip(prev, new)
+        )
+    return True
+
+
 def _append_compatible(prev_json: str, new_json: str) -> bool:
     """True when an append's schema differs from the committed one
     only REPRESENTATIONALLY: identical field names, order, and types
-    all the way down, with nullability allowed to NARROW (writing
-    provably non-null values into a nullable column is always safe —
-    literal/cast-derived Spark frames arrive non-nullable) but never
-    to widen at the top level (nullable data into a column the
-    committed schema declares non-nullable could plant NULLs the
-    schema forbids). Exact-JSON equality was the old contract and it
-    refused e.g. ``INSERT INTO ... VALUES`` / literal COPY appends
-    for nothing (r11)."""
+    all the way down, with nullability allowed to NARROW at every
+    nesting level (writing provably non-null values into a nullable
+    slot is always safe — literal/cast-derived Spark frames arrive
+    non-nullable) but never to WIDEN anywhere (nullable data into a
+    slot the committed schema declares non-nullable could plant NULLs
+    the schema forbids — checked recursively through array elements,
+    struct members, and map values since r12). Exact-JSON equality
+    was the old contract and it refused e.g. ``INSERT INTO ...
+    VALUES`` / literal COPY appends for nothing (r11)."""
     import json as _json
 
     p, n = _json.loads(prev_json), _json.loads(new_json)
     if _norm_schema_node(p) != _norm_schema_node(n):
         return False
-    for pf, nf in zip(p.get("fields", []), n.get("fields", [])):
-        if nf.get("nullable", True) and not pf.get("nullable", True):
-            return False
-    return True
+    return _nullability_narrows(p, n)
 
 
 def write_deletion_file(root: str, positions: list[int]) -> str:

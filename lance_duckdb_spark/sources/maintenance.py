@@ -698,9 +698,16 @@ def merge_apply(
         n = _commit_deletion_hits(spark, root, manifest, hits)
         return (0, 0, n)
 
+    null_keyed_hit = False
     if candidates:
         # one aggregation pass: per-action row counts + the key
-        # bounds of rows that actually change (for write pruning)
+        # bounds of rows that actually change (for write pruning).
+        # NULL target keys need explicit tracking: a NULL-keyed
+        # target row is always "not matched", so BY SOURCE clauses
+        # hit it — but F.min/F.max skip NULLs AND fragment zone maps
+        # skip NULLs, so bounds pruning would silently carry a
+        # fragment whose only hits are NULL-keyed while still
+        # counting its rows (r11 advice).
         stats = (
             _tagged(candidates)
             .where(F.col("__act").isNotNull())
@@ -709,6 +716,7 @@ def merge_apply(
                 F.count(F.lit(1)).alias("n"),
                 F.min(f"__t_{key}").alias("lo"),
                 F.max(f"__t_{key}").alias("hi"),
+                F.count(F.col(f"__t_{key}")).alias("n_keyed"),
             )
             .collect()
         )
@@ -722,21 +730,36 @@ def merge_apply(
                 n_upd += int(r["n"])
             else:
                 n_del += int(r["n"])
-            changed_lo = (
-                r["lo"] if changed_lo is None else min(changed_lo, r["lo"])
-            )
-            changed_hi = (
-                r["hi"] if changed_hi is None else max(changed_hi, r["hi"])
-            )
+            if int(r["n"]) > int(r["n_keyed"]):
+                null_keyed_hit = True
+            if r["lo"] is not None:
+                changed_lo = (
+                    r["lo"]
+                    if changed_lo is None
+                    else min(changed_lo, r["lo"])
+                )
+            if r["hi"] is not None:
+                changed_hi = (
+                    r["hi"]
+                    if changed_hi is None
+                    else max(changed_hi, r["hi"])
+                )
 
     survivors = None
     if n_upd or n_del:
-        # rewrite only fragments overlapping rows that change
-        affected = [
-            f
-            for f in candidates
-            if _overlaps(f, key, changed_lo, changed_hi)
-        ]
+        # rewrite only fragments overlapping rows that change; a
+        # NULL-keyed hit carries no bounds and no zone-map entry, so
+        # its presence makes the bounds unbounded (every candidate
+        # fragment may hold NULL-keyed hits)
+        affected = (
+            list(candidates)
+            if null_keyed_hit
+            else [
+                f
+                for f in candidates
+                if _overlaps(f, key, changed_lo, changed_hi)
+            ]
+        )
         aff_files = {f.file for f in affected}
         carried = carried + [
             f for f in candidates if f.file not in aff_files

@@ -946,6 +946,91 @@ def test_merge_using_refuses_nested_dml(spark, merge_tgt):
         )
 
 
+def test_merge_using_refuses_nondeterministic_source(spark, merge_tgt):
+    """merge_apply evaluates the source in several separate jobs —
+    a nondeterministic subquery could classify different rows per
+    job (silently inconsistent counts + written rows), so it is
+    refused up front exactly like UPDATE's nondeterministic WHERE
+    (r11 advice)."""
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    for bad in [
+        "SELECT CAST(rand() * 10 AS INT) AS k",
+        "SELECT CAST(1 AS INT) AS k, current_timestamp AS ts",
+        f"SELECT n_nationkey AS k FROM '{merge_tgt}' "
+        f"TABLESAMPLE (50 PERCENT)",
+    ]:
+        with pytest.raises(LanceDatasetError, match="nondeterministic"):
+            lance_sql(
+                spark,
+                f"MERGE INTO '{merge_tgt}' t USING ({bad}) s "
+                f"ON t.n_nationkey = s.k WHEN MATCHED THEN DELETE",
+            )
+
+
+def test_merge_by_source_hits_null_keyed_rows(spark, tmp_path):
+    """A NULL-keyed target row is always 'not matched', so BY SOURCE
+    clauses hit it — but min/max bounds and fragment zone maps both
+    skip NULLs, so pre-r12 the changed-bounds pruning could carry a
+    fragment whose only hits are NULL-keyed while still counting its
+    rows (silently wrong data + counts; r11 advice). Layout built to
+    trigger exactly that: fragment A holds the non-NULL changes
+    (keys 0-4), fragment B holds keys 100-104 (all matched,
+    untouched) plus the NULL-keyed row, so B's zone maps fail the
+    [0, 4] changed-bounds overlap."""
+    ds.register(spark)
+    root = str(tmp_path / "nulltgt.lance")
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    frag_a = spark.createDataFrame(
+        [(k, f"a{k}", 0) for k in range(5)], schema
+    ).coalesce(1)
+    frag_b = spark.createDataFrame(
+        [(k, f"b{k}", 1) for k in range(100, 105)]
+        + [(None, "nullkey", 9)],
+        schema,
+    ).coalesce(1)
+    frag_a.write.format("lance").mode("overwrite").save(root)
+    frag_b.write.format("lance").mode("append").save(root)
+
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{root}' t USING ("
+        f"  SELECT CAST(k AS INT) AS k FROM VALUES"
+        f"    (0), (100), (101), (102), (103), (104) AS v(k)"
+        f") s ON t.n_nationkey = s.k "
+        f"WHEN MATCHED AND t.n_nationkey = 0 "
+        f"THEN UPDATE SET n_name = 'ZZZ' "
+        f"WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    ).collect()
+    # hits: key 0 updated; keys 1-4 AND the NULL-keyed row deleted
+    assert [tuple(out[0])] == [(1, 0, 5)]
+    after = spark.read.format("lance").load(root).collect()
+    got = {r["n_nationkey"]: r["n_name"] for r in after}
+    assert got == {0: "ZZZ", 100: "b100", 101: "b101",
+                   102: "b102", 103: "b103", 104: "b104"}
+    assert all(r["n_nationkey"] is not None for r in after)
+
+    # all-NULL-keyed hit set: pre-r12 this path raised TypeError on
+    # min(changed_lo, None) or pruned every fragment; BY SOURCE
+    # UPDATE must still rewrite the NULL-keyed row
+    frag_c = spark.createDataFrame([(None, "ghost", 7)], schema).coalesce(1)
+    frag_c.write.format("lance").mode("append").save(root)
+    out = lance_sql(
+        spark,
+        f"MERGE INTO '{root}' t USING ("
+        f"  SELECT n_nationkey AS k FROM '{root}' "
+        f"  WHERE n_nationkey IS NOT NULL"
+        f") s ON t.n_nationkey = s.k "
+        f"WHEN NOT MATCHED BY SOURCE "
+        f"THEN UPDATE SET n_name = concat(t.n_name, '!')",
+    ).collect()
+    assert [tuple(out[0])] == [(1, 0, 0)]
+    after = spark.read.format("lance").load(root).collect()
+    assert sorted(r["n_name"] for r in after if r["n_nationkey"] is None) == [
+        "ghost!"
+    ]
+
+
 def test_merge_not_matched_by_source_delete(spark, sf_dir, merge_tgt):
     """The snapshot-sync form: UPDATE SET * + INSERT * + NOT MATCHED
     BY SOURCE DELETE makes the target equal the source snapshot."""

@@ -1227,3 +1227,75 @@ def test_version_changes_cdc(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert all(n == n.upper() for n in ins)
+
+
+def test_append_compatible_nested_nullability():
+    """Narrow-only nullability must hold RECURSIVELY: array
+    elements, struct members, and map values — not just top-level
+    fields (r11 advice: nested widening slipped through and could
+    plant NULLs a committed non-null nested slot forbids)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def j(st):
+        return json.dumps(st.jsonValue())
+
+    def arr(contains_null):
+        return StructType(
+            [
+                StructField(
+                    "a", ArrayType(IntegerType(), contains_null), True
+                )
+            ]
+        )
+
+    # identical OK; element narrowing OK; element widening refused
+    assert lf._append_compatible(j(arr(False)), j(arr(False)))
+    assert lf._append_compatible(j(arr(True)), j(arr(False)))
+    assert not lf._append_compatible(j(arr(False)), j(arr(True)))
+
+    def nested(member_nullable):
+        inner = StructType(
+            [StructField("x", StringType(), member_nullable)]
+        )
+        return StructType([StructField("s", inner, True)])
+
+    assert lf._append_compatible(j(nested(True)), j(nested(False)))
+    assert not lf._append_compatible(j(nested(False)), j(nested(True)))
+
+    def mp(value_contains_null):
+        return StructType(
+            [
+                StructField(
+                    "m",
+                    MapType(
+                        StringType(), IntegerType(), value_contains_null
+                    ),
+                    True,
+                )
+            ]
+        )
+
+    assert lf._append_compatible(j(mp(True)), j(mp(False)))
+    assert not lf._append_compatible(j(mp(False)), j(mp(True)))
+
+    # deep: array<struct<x>> with the struct member widening
+    def deep(member_nullable):
+        inner = StructType(
+            [StructField("x", StringType(), member_nullable)]
+        )
+        return StructType(
+            [StructField("a", ArrayType(inner, True), True)]
+        )
+
+    assert lf._append_compatible(j(deep(True)), j(deep(False)))
+    assert not lf._append_compatible(j(deep(False)), j(deep(True)))
+    # shape changes still refused outright
+    other = StructType([StructField("b", IntegerType(), True)])
+    assert not lf._append_compatible(j(arr(True)), j(other))
