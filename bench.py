@@ -376,6 +376,34 @@ def main() -> None:
     matched = [n for n in duck_timings if n in fresh_timings]
     fresh_matched = sum(fresh_timings[n] for n in matched)
     duck_matched = sum(duck_timings[n] for n in matched)
+    # Honesty guard (r11 verdict item 3): the raw ratio can be
+    # dominated by UNIT-OF-WORK mismatches in either direction —
+    # pipeline_compose's recursive-CTE oracle costs DuckDB ~26s
+    # (flatters spark), the DML quartet prices versioned on-disk
+    # commits against in-memory DuckDB DML (penalizes spark). Both
+    # are architectural artifacts, not engine speed. Exclude,
+    # SYMMETRICALLY, every matched query whose per-query ratio falls
+    # outside [1/8, 8] and report the ex-outlier ratio as a
+    # first-class field next to the raw one, plus the per-query
+    # ratio median — three numbers no single artifact can move.
+    per_ratio = {
+        n: fresh_timings[n] / duck_timings[n]
+        for n in matched
+        if duck_timings[n] > 0
+    }
+    _FOLD = 8.0
+    ratio_outliers = sorted(
+        n
+        for n, r in per_ratio.items()
+        if r > _FOLD or r < 1.0 / _FOLD
+    )
+    _inl = [n for n in matched if n not in ratio_outliers]
+    fresh_inl = sum(fresh_timings[n] for n in _inl)
+    duck_inl = sum(duck_timings[n] for n in _inl)
+    _rs = sorted(per_ratio.values())
+    ratio_median = (
+        round(_rs[len(_rs) // 2], 4) if _rs else None
+    )
 
     # The driver records only the TAIL of stdout (~3 KB observed in
     # r4, which truncated the summary totals). So: the ONE printed
@@ -405,6 +433,13 @@ def main() -> None:
                 )
                 if duck_matched
                 else None,
+                "fresh_vs_duckdb_ratio_ex_outliers": round(
+                    fresh_inl / duck_inl, 4
+                )
+                if duck_inl
+                else None,
+                "ratio_outliers_excluded": ratio_outliers,
+                "per_query_ratio_median": ratio_median,
             }
             if duck_timings
             else {}
@@ -417,6 +452,9 @@ def main() -> None:
         summary,
         fresh_plan_queries=fresh_timings,
         duckdb_queries=duck_timings,
+        per_query_ratios={
+            n: round(r, 4) for n, r in sorted(per_ratio.items())
+        },
         notes=(
             "Steady-state per-query numbers under ~0.25s are "
             "jitter-dominated: a median-of-5 rerun of fts_bm25 at "

@@ -32,11 +32,12 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from .sources import datasource as ds
+from .sources import iolayer as iol
 from .sources import lance_format as lf
 
 
 def _is_lance_dataset(path: str) -> bool:
-    return os.path.isdir(os.path.join(path, lf.MANIFEST_DIR))
+    return iol.isdir(os.path.join(path, lf.MANIFEST_DIR))
 
 
 def _view_name(path: str) -> str:
@@ -58,9 +59,9 @@ def _discover_datasets(root_dir: str) -> list[str]:
     if _is_lance_dataset(root_dir):
         return [root_dir]
     out = []
-    for entry in sorted(os.listdir(root_dir)):
+    for entry in sorted(iol.listdir(root_dir)):
         p = os.path.join(root_dir, entry)
-        if os.path.isdir(p) and _is_lance_dataset(p):
+        if iol.isdir(p) and _is_lance_dataset(p):
             out.append(p)
     return out
 
@@ -488,7 +489,7 @@ def _run_insert(spark: SparkSession, sql: str) -> DataFrame | None:
     query = m.group("query")
     if re.match(
         r"(?is)^\s*(COPY|CREATE|MERGE|DELETE|UPDATE|VACUUM|OPTIMIZE|"
-        r"INSERT|DESCRIBE)\b",
+        r"INSERT|DESCRIBE|ALTER)\b",
         query,
     ):
         raise lf.LanceDatasetError(
@@ -633,6 +634,94 @@ def _run_describe(spark: SparkSession, sql: str) -> DataFrame | None:
         from .sources.maintenance import _committed_schema
 
         schema = _committed_schema(lf.read_manifest(path))
+    return spark.createDataFrame(
+        [
+            (f.name, f.dataType.simpleString(), f.nullable)
+            for f in schema.fields
+        ],
+        "col_name string, data_type string, nullable boolean",
+    )
+
+
+_ALTER_START_RE = re.compile(r"(?is)^\s*ALTER\b")
+_ALTER_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+(['\"`])(?P<path>[^'\"`]+\.lance)\1"
+    r"\s+ADD\s+COLUMNS?\s+(?P<cols>.+?)\s*;?\s*$"
+)
+
+
+def _run_alter(spark: SparkSession, sql: str) -> DataFrame | None:
+    """``ALTER TABLE '<path>.lance' ADD COLUMN[S] <name> <type>[,
+    ...]`` — the SQL verb over the schema-evolution machinery that
+    already backs ``.option('mergeSchema','true')`` appends (r11
+    verdict item 4, completing the DuckDB-hosted DDL ergonomics next
+    to INSERT/DESCRIBE): the new columns are appended NULLABLE to
+    the committed schema and published as one new version carrying
+    every fragment by reference — zero data IO, pre-evolution
+    fragments surface typed NULLs through the null-filling scan
+    path. The column list is parsed by Spark's own DDL parser, so
+    the full type grammar (array<...>, struct<...>, decimal(p,s))
+    works. Refused loudly: every other ALTER verb (DROP / RENAME /
+    ALTER COLUMN retype would silently corrupt immutable
+    pre-evolution fragments), existing or duplicate column names,
+    unparsable types, native-encoded targets. Returns the NEW schema
+    (col_name, data_type, nullable) in schema order — the DESCRIBE
+    shape."""
+    if not _ALTER_START_RE.match(sql):
+        return None
+    m = _ALTER_RE.match(sql)
+    if m is None:
+        raise lf.LanceDatasetError(
+            "unsupported ALTER syntax; supported: ALTER TABLE "
+            "'<path>.lance' ADD COLUMN[S] <name> <type>[, ...] — "
+            "DROP/RENAME/retype are refused (pre-evolution fragments "
+            "are immutable; a retype would silently corrupt them)"
+        )
+    path = m.group("path")
+    _require_dml_target(path, "ALTER TABLE")
+    cols_src = m.group("cols")
+    from pyspark.sql.types import StructType
+
+    try:
+        added = StructType.fromDDL(cols_src)
+    except Exception as e:
+        raise lf.LanceDatasetError(
+            f"cannot parse ADD COLUMN list {cols_src!r}: "
+            f"{str(e)[:200]}"
+        )
+    if not added.fields:
+        raise lf.LanceDatasetError("ADD COLUMN list is empty")
+    names = [f.name for f in added.fields]
+    if len(set(names)) != len(names):
+        raise lf.LanceDatasetError(
+            f"duplicate column in ADD COLUMN list {names}"
+        )
+    manifest = lf.read_manifest(path)
+    prev = json.loads(manifest.schema_json)
+    existing = {f["name"] for f in prev["fields"]}
+    clash = sorted(set(names) & existing)
+    if clash:
+        raise lf.LanceDatasetError(
+            f"ALTER TABLE ADD COLUMN: columns {clash} already exist "
+            "(retyping/replacing a column is refused)"
+        )
+    new_json = json.dumps(
+        dict(
+            prev,
+            fields=prev["fields"]
+            + [dict(f.jsonValue(), nullable=True) for f in added.fields],
+        )
+    )
+    # an append of ZERO fragments under mergeSchema: the new version
+    # carries every existing fragment by reference with the evolved
+    # schema — exactly the mergeSchema-append commit path, so all
+    # its guards (exact-match on existing fields, CAS on the
+    # version) apply unchanged
+    lf.commit(path, new_json, [], mode="append", merge_schema=True)
+    committed = lf.read_manifest(path)
+    from pyspark.sql.types import StructType as _St
+
+    schema = _St.fromJson(json.loads(committed.schema_json))
     return spark.createDataFrame(
         [
             (f.name, f.dataType.simpleString(), f.nullable)
@@ -1157,7 +1246,7 @@ def _run_merge(spark: SparkSession, parsed: dict) -> DataFrame:
         # that is not a plain query
         if re.match(
             r"(?is)^\s*(COPY|CREATE|MERGE|DELETE|UPDATE|VACUUM|"
-            r"OPTIMIZE|INSERT)\b",
+            r"OPTIMIZE|INSERT|ALTER)\b",
             parsed["src_select"],
         ):
             raise lf.LanceDatasetError(
@@ -1532,11 +1621,26 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     queries sharing a session."""
     ds.register(spark)
 
+    def _read_only(body: str, verb: str) -> str:
+        # the body re-enters lance_sql, whose dispatch would EXECUTE
+        # a smuggled write/DDL statement before the read-path rewrite
+        # (the same guard INSERT INTO and MERGE USING apply)
+        if re.match(
+            r"(?is)^\s*(COPY|CREATE|MERGE|DELETE|UPDATE|VACUUM|"
+            r"OPTIMIZE|INSERT|ALTER)\b",
+            body,
+        ):
+            raise lf.LanceDatasetError(
+                f"{verb} takes a read-only query; nested write/DDL "
+                "statements are refused"
+            )
+        return body
+
     copy = _split_copy_to(sql)
     if copy is not None:
         select, path, opts_str = copy
         opts = _copy_options(opts_str)
-        df = lance_sql(spark, select)
+        df = lance_sql(spark, _read_only(select, "COPY (...) TO"))
         return _write_and_count(
             spark, df, path,
             opts.get("mode", "overwrite"), opts.get("compression"),
@@ -1549,7 +1653,9 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
                 f"CREATE TABLE: dataset {path!r} already exists "
                 "(use CREATE OR REPLACE TABLE to overwrite)"
             )
-        df = lance_sql(spark, ctas.group("select"))
+        df = lance_sql(
+            spark, _read_only(ctas.group("select"), "CREATE TABLE AS")
+        )
         return _write_and_count(spark, df, path, "overwrite", None)
     merge = _parse_merge(sql)
     if merge is not None:
@@ -1560,6 +1666,9 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     described = _run_describe(spark, sql)
     if described is not None:
         return described
+    altered = _run_alter(spark, sql)
+    if altered is not None:
+        return altered
     deleted = _run_delete(spark, sql)
     if deleted is not None:
         return deleted

@@ -710,6 +710,75 @@ ORDER BY version, col_name
 """
 
 
+def lance_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALTER TABLE '<path>.lance' ADD COLUMNS`` through the SQL
+    surface (r12 — the SQL verb over the schema-evolution machinery
+    that backs mergeSchema appends; completes the DuckDB-hosted DDL
+    ergonomics next to INSERT/DESCRIBE): write nation (v1), ADD
+    COLUMNS note string + bonus double (v2 — zero data IO, fragments
+    carried by reference), column-list INSERT rows that POPULATE the
+    new columns (v3), then aggregate the full table per region with
+    NULL-region (the inserted rows' null-filled n_regionkey) bucketed
+    as -1. The hashed artifact equals the oracle iff pre-evolution
+    rows surface typed NULLs for the added columns AND the insert
+    landed with the evolved schema. bonus values are quarter-integers
+    (exact in binary), so the double SUM is order-independent.
+    Refusal matrix (DROP/RENAME/retype/existing/dup/unparsable) in
+    tests/test_catalog.py."""
+    from ..catalog import lance_sql
+
+    register(spark)
+    root = _fresh_root(sf_dir, "sql_alter")
+    load(spark, sf_dir, "nation").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    lance_sql(
+        spark,
+        f"ALTER TABLE '{root}' ADD COLUMNS note string, bonus double",
+    ).collect()
+    lance_sql(
+        spark,
+        f"INSERT INTO '{root}' (n_nationkey, n_name, note, bonus) "
+        f"SELECT n_nationkey + 100, lower(n_name), "
+        f"concat('new-', n_name), CAST(n_nationkey AS DOUBLE) / 4 "
+        f"FROM '{root}' WHERE n_nationkey < 5",
+    ).collect()
+    evolved = lance_sql(spark, f"SELECT * FROM '{root}'")
+    return (
+        evolved.groupBy(
+            F.coalesce(F.col("n_regionkey"), F.lit(-1)).alias("region")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("note").alias("n_notes"),
+            F.round(F.sum("bonus"), 2).alias("total_bonus"),
+            F.countDistinct("n_nationkey").alias("n_keys"),
+        )
+        .orderBy("region")
+    )
+
+
+LANCE_SQL_ALTER_SQL = """
+WITH evolved AS (
+  SELECT n_nationkey, n_name, n_regionkey,
+         CAST(NULL AS VARCHAR) AS note, CAST(NULL AS DOUBLE) AS bonus
+  FROM nation
+  UNION ALL
+  SELECT n_nationkey + 100, lower(n_name), CAST(NULL AS INT),
+         concat('new-', n_name), CAST(n_nationkey AS DOUBLE) / 4
+  FROM nation WHERE n_nationkey < 5
+)
+SELECT COALESCE(n_regionkey, -1) AS region,
+       COUNT(*) AS n_rows,
+       COUNT(note) AS n_notes,
+       ROUND(SUM(bonus), 2) AS total_bonus,
+       COUNT(DISTINCT n_nationkey) AS n_keys
+FROM evolved
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def lance_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintenance parity (lance_format.py delete_where): write
     orders, DELETE WHERE o_totalprice > 150000, read the surviving
@@ -1060,10 +1129,17 @@ def version_changes(
     man_b = lf.read_manifest(root, v_to)
     committed = _committed_schema(man_b)
 
+    from ..sources import iolayer as iol
+
     def _tagged(frags):
         return (
             spark.read.schema(committed)
-            .parquet(*[os.path.join(root, f.file) for f in frags])
+            .parquet(
+                *[
+                    iol.spark_read_path(os.path.join(root, f.file))
+                    for f in frags
+                ]
+            )
             .withColumn("__file", F.col("_metadata.file_name"))
             .withColumn("__pos", F.col("_metadata.row_index"))
         )
@@ -1581,8 +1657,15 @@ def take_rows(
                     # the p-th LIVE row sits at physical position
                     # p + (#deletions at or before it): two-pointer
                     # walk over the sorted deletion list, in-task
-                    with open(os.path.join(root, dfile)) as fh:
-                        dels = sorted(__json.load(fh)["positions"])
+                    from lance_duckdb_spark.sources import (
+                        iolayer as _iol,
+                    )
+
+                    dels = sorted(
+                        __json.loads(
+                            _iol.read_text(os.path.join(root, dfile))
+                        )["positions"]
+                    )
                     out, di, shift = [], 0, 0
                     for lp in phys:
                         p = lp + shift
@@ -1592,7 +1675,11 @@ def take_rows(
                             p = lp + shift
                         out.append(p)
                     phys = out
-                tbl = _pq.read_table(
+                from lance_duckdb_spark.sources import (
+                    iolayer as _iol2,
+                )
+
+                tbl = _iol2.read_parquet(
                     os.path.join(root, file), columns=cols
                 ).take(phys)
                 yield tbl.to_pandas()
@@ -1771,6 +1858,7 @@ QUERIES = {
     "lance_merge_insert_values": lance_merge_insert_values,
     "lance_sql_insert": lance_sql_insert,
     "lance_describe_history": lance_describe_history,
+    "lance_sql_alter": lance_sql_alter,
     "lance_cdc_deletes": lance_cdc_deletes,
     "lance_sql_delete": lance_sql_delete,
     "lance_sql_update": lance_sql_update,
@@ -1802,6 +1890,7 @@ ORACLE = {
     "lance_merge_insert_values": LANCE_MERGE_INSERT_VALUES_SQL,
     "lance_sql_insert": LANCE_SQL_INSERT_SQL,
     "lance_describe_history": LANCE_DESCRIBE_HISTORY_SQL,
+    "lance_sql_alter": LANCE_SQL_ALTER_SQL,
     "lance_cdc_deletes": LANCE_CDC_DELETES_SQL,
     "lance_sql_delete": LANCE_SQL_DELETE_SQL,
     "lance_sql_update": LANCE_SQL_UPDATE_SQL,

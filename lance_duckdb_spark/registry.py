@@ -371,17 +371,48 @@ _RECHECK_R11: set = set()
 # fills. r10-green is the freshest tier; max staleness stays <=2
 # rounds.
 
+# All 50 rows CORRECTNESS_r11 recorded — every one hash-exact (the 5
+# r11-new queries, the 41 entries last green in r8, 4 r9-green
+# fills).
+_GREEN_R11 = {
+    "ann_ivf", "ann_ivf_indexed", "ann_ivf_pq", "ann_sq8_indexed",
+    "ann_sq8_topk", "anti_semi_joins", "array_functions",
+    "asof_join_events_orders", "char_entropy", "chunk_documents",
+    "contamination_bloom", "cross_source_overlap", "doc_fingerprint",
+    "domain_mix", "embedding_neardup_lsh", "group_quantile_arrays",
+    "lance_cdc_deletes", "lance_describe_history",
+    "lance_merge_insert_values", "lance_sql_insert",
+    "lance_stats_pushdown", "lance_take", "lang_id", "pii_redact",
+    "pipeline_compose", "quality_score", "range_join_events",
+    "repetition_filter", "sequence_packing", "sessionize_events",
+    "sketch_distinct_rollup", "stream_fts_ingest", "text_normalize",
+    "token_count", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2",
+    "tpch_q20", "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9",
+    "url_domain_stats", "window_rank_functions",
+}
+
+# Queries whose HASHED OUTPUT changes in r12 (none — the iolayer
+# refactor is IO-plumbing only, hash-preserving for every query;
+# the one new query, lance_sql_alter, leads as never-verified).
+_RECHECK_R12: set = set()
+
+# r12 rotation note (r11 verdict item 5): window leads with
+# lance_sql_alter (new), then the 46 entries last green in r9 (the
+# stalest tier, at the rotation contract's 2-round edge), then
+# 3 r10-green fills. r11-green is the freshest tier.
+
 
 def _rotate(merged: dict) -> dict:
     # Tiers by last-verified round (never-verified / recheck first);
     # within each tier the natural module order holds.
     rounds = [
         _GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4, _GREEN_R5, _GREEN_R6,
-        _GREEN_R7, _GREEN_R8, _GREEN_R9, _GREEN_R10,
+        _GREEN_R7, _GREEN_R8, _GREEN_R9, _GREEN_R10, _GREEN_R11,
     ]
 
     def last_verified(k: str) -> int:
-        if k in _RECHECK_R11:
+        if k in _RECHECK_R12:
             return 0
         return max(
             (i + 1 for i, s in enumerate(rounds) if k in s), default=0

@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from . import iolayer as io
 from . import lance_format as lf
 from . import lance_native as ln
 
@@ -185,8 +186,7 @@ def _load_bloom_file(path: str) -> dict:
     fix removed (r8 review finding). Missing/corrupt side files keep
     the fragment (conservative, as before)."""
     try:
-        with open(path) as fh:
-            return json.load(fh)
+        return json.loads(io.read_text(path))
     except (OSError, ValueError):
         return {}
 
@@ -263,7 +263,7 @@ def _read_fragment_evolved(
 
     want = schema.fieldNames()
     file_names = set(
-        pq.read_schema(os.path.join(root, frag.file)).names
+        io.read_parquet_schema(os.path.join(root, frag.file)).names
     )
     # a FULLY-CONSUMED filter may reference a column Spark pruned
     # from the projection (r8 review finding — the deletion-aware
@@ -602,7 +602,7 @@ class LanceArrowWriter(DataSourceArrowWriter):
         # the maintenance read it, instead of silently dropping the
         # concurrent writer's rows from the overwrite
         self.expected_version = expected_version
-        os.makedirs(root, exist_ok=True)
+        io.makedirs(root)
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> LanceCommitMessage:
         import pyarrow as pa
@@ -652,7 +652,7 @@ class LanceArrowWriter(DataSourceArrowWriter):
                     if not rel:
                         continue
                     try:
-                        os.remove(os.path.join(self.root, rel))
+                        io.remove(os.path.join(self.root, rel))
                     except OSError:
                         pass
 
@@ -829,7 +829,7 @@ class LanceStreamWriter(DataSourceStreamWriter):
         # commit per epoch; a replayed complete epoch rewrites the
         # same recomputed content, so replays stay correct.
         self.overwrite = overwrite
-        os.makedirs(root, exist_ok=True)
+        io.makedirs(root)
 
     def write(self, iterator) -> LanceCommitMessage:
         import pyarrow as pa
@@ -873,7 +873,7 @@ class LanceStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is not None and m.file:
                 try:
-                    os.remove(os.path.join(self.root, m.file))
+                    io.remove(os.path.join(self.root, m.file))
                 except OSError:
                     pass
 

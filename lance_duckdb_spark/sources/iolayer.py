@@ -1,0 +1,260 @@
+"""Storage abstraction for dataset IO — a dataset root can be a URI.
+
+Until r12 every byte of dataset IO went through raw POSIX calls
+(``open`` / ``os.rename`` / ``os.link`` / ``pq.write_table(path)``),
+which confines the connector to clusters whose executors share the
+driver's filesystem. The reference reads and writes through the
+lance crate's object-store abstraction (rust/lib.rs:26-51,
+``Dataset::open`` resolves an object-store URI; rust/lib.rs:341-393
+writer path); this module is the Spark-side counterpart. All
+manifest / fragment / deletion-vector / bloom IO in
+``lance_format`` / ``maintenance`` / ``datasource`` /
+``operators.lance_ops`` routes through the functions below, keyed on
+the dataset root's scheme:
+
+- plain paths (no scheme): today's local behavior, byte-for-byte —
+  POSIX files, tmp+``os.link`` exclusive-create commits.
+- ``mem://bucket/...`` roots: an OBJECT-STORE backend whose op
+  surface is exactly what S3/GCS offer — GET / atomic PUT /
+  conditional PUT / LIST / DELETE / HEAD(size, last-modified).
+  There is deliberately NO rename, link, append, or directory
+  creation in its surface. Objects are persisted in a hidden local
+  mirror directory so the Spark JVM reader and every Python worker
+  process can reach them (the role ``s3://`` plays on a real
+  cluster); the mirror is an implementation detail — call sites
+  that bypass this module and hit the root with raw POSIX calls
+  fail loudly on a ``mem://`` root (no such local path exists),
+  which is exactly what tests/test_iolayer.py asserts.
+
+Commit-protocol mapping — the part that must survive a real object
+store:
+
+===================  ==========================================
+this module          S3 / GCS
+===================  ==========================================
+``write_bytes``      PUT (atomic per key by service contract)
+``put_if_absent``    conditional PUT: S3 ``If-None-Match: *``,
+                     GCS ``x-goog-if-generation-match: 0``
+``listdir``          LIST with prefix + delimiter
+``getmtime``         LastModified from LIST/HEAD (vacuum grace)
+``remove``           DELETE (idempotent)
+``local_path``       s3a:// URI handed to the JVM reader /
+                     pyarrow S3FileSystem for Python-side reads
+===================  ==========================================
+
+A production S3/GCS backend therefore slots in behind these six
+verbs with no call-site changes. ``put_if_absent`` is the ENTIRE
+concurrency story: the manifest commit race (lance_format.commit)
+is decided by whoever creates ``_versions/N.manifest`` first, and
+conditional PUT gives the same winner-takes-the-version semantics
+as the local ``os.link`` CAS.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+_MEM_SCHEME = "mem://"
+# Shared mirror for mem:// objects. One machine (local-mode Spark):
+# /tmp is visible to the driver JVM, the Python driver, and every
+# Python worker process. Overridable for tests that want isolation.
+_MEM_ROOT_ENV = "LANCE_DUCKDB_SPARK_MEMFS"
+_MEM_ROOT_DEFAULT = "/tmp/lance_duckdb_spark_memfs"
+
+
+def _mem_root() -> str:
+    return os.environ.get(_MEM_ROOT_ENV, _MEM_ROOT_DEFAULT)
+
+
+def is_uri(path: str) -> bool:
+    return path.startswith(_MEM_SCHEME)
+
+
+def _mirror(path: str) -> str:
+    """mem://bucket/key -> <mirror root>/bucket/key."""
+    return os.path.join(_mem_root(), path[len(_MEM_SCHEME):])
+
+
+def local_path(path: str) -> str:
+    """A path the JVM parquet reader / pyarrow can open for READING.
+    Local backend: the path itself. mem://: the mirror file (stands
+    in for the s3a:// URI a real backend would return)."""
+    return _mirror(path) if is_uri(path) else path
+
+
+def _staging_dir() -> str:
+    d = os.path.join(_mem_root(), ".staging")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _put_local(tmp: str, dst_mirror: str) -> None:
+    """Finish an atomic PUT: move the fully-written staging file
+    onto the object's mirror path. os.replace is the simulator's
+    stand-in for the service-side atomicity of PUT — readers see the
+    old object or the new one, never a partial."""
+    os.makedirs(os.path.dirname(dst_mirror), exist_ok=True)
+    os.replace(tmp, dst_mirror)
+
+
+# ------------------------------------------------------------ reads
+
+
+def exists(path: str) -> bool:
+    return os.path.exists(local_path(path))
+
+
+def isdir(path: str) -> bool:
+    # object stores have no directories — a "directory" exists iff
+    # some key carries the prefix, which the mirror models as a dir
+    return os.path.isdir(local_path(path))
+
+
+def listdir(path: str) -> list[str]:
+    return os.listdir(local_path(path))
+
+
+def read_bytes(path: str) -> bytes:
+    with open(local_path(path), "rb") as f:
+        return f.read()
+
+
+def read_head(path: str, n: int) -> bytes:
+    """First ``n`` bytes of an object (a ranged GET on a real
+    store) — format sniffing without pulling the whole object."""
+    with open(local_path(path), "rb") as f:
+        return f.read(n)
+
+
+def read_text(path: str) -> str:
+    with open(local_path(path), "r") as f:
+        return f.read()
+
+
+def getsize(path: str) -> int:
+    return os.path.getsize(local_path(path))
+
+
+def getmtime(path: str) -> float:
+    return os.path.getmtime(local_path(path))
+
+
+# ----------------------------------------------------------- writes
+
+
+def makedirs(path: str) -> None:
+    """Local: mkdir -p. Object store: a no-op — keys imply their
+    prefixes; PUT needs no parent."""
+    if not is_uri(path):
+        os.makedirs(path, exist_ok=True)
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    """Atomic PUT: the object appears fully-written or not at all."""
+    if is_uri(path):
+        tmp = os.path.join(_staging_dir(), uuid.uuid4().hex)
+        with open(tmp, "wb") as f:
+            f.write(data)
+        _put_local(tmp, _mirror(path))
+    else:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+
+def write_text(path: str, text: str) -> None:
+    write_bytes(path, text.encode())
+
+
+def put_if_absent(path: str, data: bytes) -> bool:
+    """Conditional create — the commit CAS. True iff this call
+    created the object; False when the key already exists (a
+    concurrent committer won). Local backend keeps the historical
+    tmp+os.link protocol; the mem:// backend simulates S3's
+    conditional PUT (``If-None-Match: *``) with an os.link onto the
+    mirror key, atomic on one machine the way the service makes the
+    conditional PUT atomic across clients."""
+    if is_uri(path):
+        tmp = os.path.join(_staging_dir(), uuid.uuid4().hex)
+        dst = _mirror(path)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+    else:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        dst = path
+    with open(tmp, "wb") as f:
+        f.write(data)
+    try:
+        os.link(tmp, dst)  # exclusive create: EEXIST on race
+    except FileExistsError:
+        os.remove(tmp)
+        return False
+    os.remove(tmp)
+    return True
+
+
+def remove(path: str) -> None:
+    os.remove(local_path(path))
+
+
+def promote_local(src_file: str, dst_path: str) -> None:
+    """Adopt a locally-staged file (e.g. one part file of a Spark
+    native-writer stage) as a dataset object: local backend renames
+    it into place; object-store backend uploads it (PUT) and removes
+    the staged source."""
+    if is_uri(dst_path):
+        dst = _mirror(dst_path)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        # the staged file is already fully written; a cross-device
+        # move is copy+unlink, same visibility as PUT
+        shutil.move(src_file, dst)
+    else:
+        os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+        shutil.move(src_file, dst_path)
+
+
+# ---------------------------------------------------------- parquet
+
+
+def write_parquet(table, path: str, compression: str = "snappy") -> None:
+    """Write one parquet object atomically (fragments are invisible
+    until a manifest references them, but a half-written object must
+    still never be listable under data/)."""
+    import pyarrow.parquet as pq
+
+    if is_uri(path):
+        tmp = os.path.join(_staging_dir(), uuid.uuid4().hex + ".parquet")
+        pq.write_table(table, tmp, compression=compression)
+        _put_local(tmp, _mirror(path))
+    else:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(table, path, compression=compression)
+
+
+def read_parquet(path: str, columns=None, filters=None):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(local_path(path), columns=columns, filters=filters)
+
+
+def read_parquet_schema(path: str):
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(local_path(path))
+
+
+def parquet_metadata(path: str):
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(local_path(path)).metadata
+
+
+def spark_read_path(path: str) -> str:
+    """Path/URI handed to ``spark.read.parquet`` for one dataset
+    object. Local: the path itself. mem://: the mirror file (a real
+    S3 backend returns the s3a:// form here)."""
+    return local_path(path)

@@ -34,6 +34,8 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from . import iolayer as io
+
 MANIFEST_DIR = "_versions"
 DATA_DIR = "data"
 DELETION_DIR = "_deletions"
@@ -159,10 +161,10 @@ def _manifest_path(root: str, version: int) -> str:
 
 def list_versions(root: str) -> list[int]:
     vdir = os.path.join(root, MANIFEST_DIR)
-    if not os.path.isdir(vdir):
+    if not io.isdir(vdir):
         return []
     out = []
-    for name in os.listdir(vdir):
+    for name in io.listdir(vdir):
         if name.endswith(".manifest"):
             try:
                 out.append(int(name[: -len(".manifest")]))
@@ -181,8 +183,9 @@ def read_manifest(root: str, version: int | None = None) -> Manifest:
         raise LanceDatasetError(
             f"version {version} not found in {root}; have {versions}"
         )
-    with open(_manifest_path(root, version)) as f:
-        return Manifest.from_json(json.load(f))
+    return Manifest.from_json(
+        json.loads(io.read_text(_manifest_path(root, version)))
+    )
 
 
 def _json_safe(v):
@@ -208,7 +211,7 @@ def footer_stats(path: str) -> tuple[int, dict]:
     pass."""
     import pyarrow.types as pat
 
-    md = pq.ParquetFile(path).metadata
+    md = io.parquet_metadata(path)
     schema = md.schema.to_arrow_schema()
     eligible = {
         f.name
@@ -374,10 +377,11 @@ def write_fragment(
     until a manifest referencing it is committed. ``bloom_columns``
     additionally records a per-column bloom side file for equality
     pruning (see Fragment.bloom_file)."""
-    os.makedirs(os.path.join(root, DATA_DIR), exist_ok=True)
     name = f"{uuid.uuid4().hex}.parquet"
     rel = os.path.join(DATA_DIR, name)
-    pq.write_table(table, os.path.join(root, rel), compression=compression)
+    io.write_parquet(
+        table, os.path.join(root, rel), compression=compression
+    )
     bloom_rel = None
     # restrict blooms to types whose _bloom_hashes canonicalization
     # (repr(float) for numerics, str otherwise) is guaranteed
@@ -408,10 +412,8 @@ def write_fragment(
             c: build_bloom(pc.unique(table.column(c)).to_pylist())
             for c in wanted
         }
-        os.makedirs(os.path.join(root, BLOOM_DIR), exist_ok=True)
         bloom_rel = os.path.join(BLOOM_DIR, name.replace(".parquet", ".json"))
-        with open(os.path.join(root, bloom_rel), "w") as f:
-            json.dump(blooms, f)
+        io.write_text(os.path.join(root, bloom_rel), json.dumps(blooms))
     return Fragment(
         id=-1,
         file=rel,
@@ -484,15 +486,16 @@ def commit(
     after restart), the commit is a no-op and the replayed fragments
     are dropped, so the sink is effectively exactly-once.
 
-    Publication uses an exclusive-create primitive (``os.link`` of the
-    temp manifest onto the final name, which fails with EEXIST if a
-    concurrent committer won the version): losing a race means we
-    recompute against the new head and retry, so no commit — or the
-    fragments it references — is ever silently overwritten. With
+    Publication uses an exclusive-create primitive
+    (``iolayer.put_if_absent`` of the manifest — tmp+``os.link``
+    locally, conditional PUT on an object-store root — which fails
+    if a concurrent committer won the version): losing a race means
+    we recompute against the new head and retry, so no commit — or
+    the fragments it references — is ever silently overwritten. With
     ``expected_version`` set (maintenance ops), losing the race raises
     instead of retrying, making the optimistic-concurrency check
     genuinely atomic rather than check-then-act."""
-    os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+    io.makedirs(os.path.join(root, MANIFEST_DIR))
     while True:
         versions = list_versions(root)
         head = versions[-1] if versions else None
@@ -521,7 +524,7 @@ def commit(
                     if not rel:
                         continue
                     try:
-                        os.remove(os.path.join(root, rel))
+                        io.remove(os.path.join(root, rel))
                     except OSError:
                         pass
             return prev
@@ -558,13 +561,9 @@ def commit(
             f.id = i
         manifest = Manifest(next_version, schema_json, all_frags, txns)
         final = _manifest_path(root, next_version)
-        tmp = final + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(manifest.to_json(), f)
-        try:
-            os.link(tmp, final)  # exclusive create: EEXIST on race
-        except FileExistsError:
-            os.remove(tmp)
+        if not io.put_if_absent(
+            final, json.dumps(manifest.to_json()).encode()
+        ):
             if expected_version is not None:
                 raise LanceDatasetError(
                     f"concurrent commit detected: version {next_version} "
@@ -572,7 +571,6 @@ def commit(
                     "maintenance operation"
                 )
             continue  # lost an append race: recompute against new head
-        os.remove(tmp)
         return manifest
 
 
@@ -650,20 +648,20 @@ def write_deletion_file(root: str, positions: list[int]) -> str:
     fragment. JSON here; a production store would use a roaring
     bitmap (Lance proper's _deletions/*.arrow), but the contract —
     immutable side-file, fragment untouched — is identical."""
-    os.makedirs(os.path.join(root, DELETION_DIR), exist_ok=True)
     rel = os.path.join(DELETION_DIR, f"{uuid.uuid4().hex}.json")
-    tmp = os.path.join(root, rel + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump({"positions": sorted(positions)}, f)
-    os.rename(tmp, os.path.join(root, rel))
+    io.write_text(
+        os.path.join(root, rel),
+        json.dumps({"positions": sorted(positions)}),
+    )
     return rel
 
 
 def read_deletion_positions(root: str, fragment: Fragment) -> list[int]:
     if fragment.deletion_file is None:
         return []
-    with open(os.path.join(root, fragment.deletion_file)) as f:
-        return json.load(f)["positions"]
+    return json.loads(
+        io.read_text(os.path.join(root, fragment.deletion_file))
+    )["positions"]
 
 
 def _apply_deletions(
@@ -709,14 +707,14 @@ def read_fragment(
     if fragment.deletion_file is not None:
         # positions index PHYSICAL rows: read unfiltered (columns
         # pruning keeps row order), mask, then value-filter
-        table = pq.read_table(path, columns=columns)
+        table = io.read_parquet(path, columns=columns)
         table = _apply_deletions(
             table, read_deletion_positions(root, fragment)
         )
         if filter_expr is not None:
             table = table.filter(filter_expr)
         return table
-    return pq.read_table(path, columns=columns, filters=filter_expr)
+    return io.read_parquet(path, columns=columns, filters=filter_expr)
 
 
 def _bloom_columns_of(root: str, frags: list["Fragment"]) -> list[str]:
@@ -728,8 +726,11 @@ def _bloom_columns_of(root: str, frags: list["Fragment"]) -> list[str]:
     for f in frags:
         if f.bloom_file:
             try:
-                with open(os.path.join(root, f.bloom_file)) as fh:
-                    cols.update(json.load(fh).keys())
+                cols.update(
+                    json.loads(
+                        io.read_text(os.path.join(root, f.bloom_file))
+                    ).keys()
+                )
             except OSError:
                 pass
     return sorted(cols)
@@ -850,7 +851,7 @@ def delete_where(
             # predicate is definitely TRUE — NULL excluded, which IS
             # SQL DELETE's keep-on-NULL), collect hit positions
             table = _conform_to(
-                pq.read_table(os.path.join(root, f.file)), target
+                io.read_parquet(os.path.join(root, f.file)), target
             )
             table = table.append_column(
                 "__pos", pa.array(np.arange(table.num_rows), pa.int64())
@@ -952,40 +953,42 @@ def cleanup_old_versions(
     bytes_reclaimed = 0
     for sub in (DATA_DIR, DELETION_DIR, BLOOM_DIR):
         d = os.path.join(root, sub)
-        if not os.path.isdir(d):
+        if not io.isdir(d):
             continue
         now = _time.time()
-        for name in sorted(os.listdir(d)):
+        for name in sorted(io.listdir(d)):
             rel = os.path.join(sub, name)
             if rel in referenced:
                 continue
             p = os.path.join(root, rel)
             try:
-                if now - os.path.getmtime(p) < older_than_seconds:
+                if now - io.getmtime(p) < older_than_seconds:
                     continue  # possibly staged by an in-flight write
-                bytes_reclaimed += os.path.getsize(p)
-                os.remove(p)
+                bytes_reclaimed += io.getsize(p)
+                io.remove(p)
             except OSError:
                 continue  # raced with a concurrent cleanup
             files_removed += 1
     for v in drop_versions:
-        os.remove(_manifest_path(root, v))
-    # a writer killed between staging '<N>.manifest.tmp.<hex>' and
-    # os.link leaks the tmp forever (nothing else ever deletes it —
-    # r8 review finding); reclaim stale ones under the same
-    # older_than grace that protects in-flight commits
+        io.remove(_manifest_path(root, v))
+    # a LOCAL writer killed between staging '<N>.manifest.tmp.<hex>'
+    # and os.link leaks the tmp forever (nothing else ever deletes it
+    # — r8 review finding); reclaim stale ones under the same
+    # older_than grace that protects in-flight commits. Object-store
+    # roots stage commits OUTSIDE the dataset prefix (iolayer), so
+    # this loop finds nothing there by construction.
     mdir = os.path.join(root, MANIFEST_DIR)
-    if os.path.isdir(mdir):
+    if io.isdir(mdir):
         now = _time.time()
-        for name in os.listdir(mdir):
+        for name in io.listdir(mdir):
             if ".manifest.tmp." not in name:
                 continue
             p = os.path.join(mdir, name)
             try:
-                if now - os.path.getmtime(p) < older_than_seconds:
+                if now - io.getmtime(p) < older_than_seconds:
                     continue
-                bytes_reclaimed += os.path.getsize(p)
-                os.remove(p)
+                bytes_reclaimed += io.getsize(p)
+                io.remove(p)
                 files_removed += 1
             except OSError:
                 continue

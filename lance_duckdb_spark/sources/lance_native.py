@@ -24,10 +24,11 @@ Scope (disclosed honestly):
   edge policy documented in :data:`LOGICAL_TO_ARROW`;
 * decoding v2 data files whose pages use the *plain* encodings
   (flat fixed-width values, 64/32-bit-offset variable-width binary,
-  no compression, no nulls) — which is what Lance 2.0 writes for
-  plain tabular data.  Pages using miniblock compression, dictionary,
-  or validity buffers raise :class:`LanceNativeUnsupported`; callers
-  may then fall back to the optional ``lance`` wheel.
+  VALIDITY BUFFERS for nullable data since r4, no compression) —
+  which is what Lance 2.0 writes for plain tabular data.  Pages
+  using miniblock compression or dictionary encoding raise
+  :class:`LanceNativeUnsupported`; callers may then fall back to
+  the optional ``lance`` wheel.
 """
 
 from __future__ import annotations
@@ -341,15 +342,18 @@ def parse_manifest(path: str) -> NativeManifest:
 
 def is_native_dataset(root: str) -> bool:
     """True when ``root`` holds protobuf manifests (Lance proper), as
-    opposed to this repo's JSON-manifest store."""
+    opposed to this repo's JSON-manifest store. Routed through the
+    iolayer so URI roots (object-store backends) dispatch correctly
+    — native .lance page decode itself stays local-only (the decoder
+    seeks within files; documented in README's storage contract)."""
+    from . import iolayer as _io
+
     vdir = os.path.join(root, "_versions")
-    if not os.path.isdir(vdir):
+    if not _io.isdir(vdir):
         return False
-    for name in os.listdir(vdir):
+    for name in _io.listdir(vdir):
         if name.endswith(".manifest"):
-            with open(os.path.join(vdir, name), "rb") as fh:
-                head = fh.read(1)
-            return head != b"{"
+            return _io.read_head(os.path.join(vdir, name), 1) != b"{"
     return False
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 import os
 import re
 import shutil
+
+from . import iolayer as iol
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -139,7 +141,10 @@ def delete_where_sql(spark: SparkSession, root: str, predicate_sql: str) -> int:
     if not manifest.fragments:
         return 0
     committed = _committed_schema(manifest)
-    paths = [os.path.join(root, f.file) for f in manifest.fragments]
+    paths = [
+        iol.spark_read_path(os.path.join(root, f.file))
+        for f in manifest.fragments
+    ]
     df = (
         spark.read.schema(committed)
         .parquet(*paths)
@@ -203,7 +208,12 @@ def _deletion_masks_df(spark: SparkSession, root: str, fragments):
     )
     masks = (
         spark.read.schema("positions array<long>")
-        .json([os.path.join(root, f.deletion_file) for f in with_dels])
+        .json(
+            [
+                iol.spark_read_path(os.path.join(root, f.deletion_file))
+                for f in with_dels
+            ]
+        )
         .withColumn("__dfile", F.col("_metadata.file_name"))
         .join(F.broadcast(pairs), "__dfile")
         .select("__file", F.explode("positions").alias("__pos"))
@@ -256,14 +266,21 @@ def _commit_deletion_hits(
         n_new = len(new)
         prior = existing.get(fname)
         if prior:
-            with open(_os.path.join(root, prior)) as fh:
-                new |= set(_json.load(fh)["positions"])
+            new |= set(
+                _json.loads(iol.read_text(_os.path.join(root, prior)))[
+                    "positions"
+                ]
+            )
         rel = _os.path.join(lf.DELETION_DIR, f"{_uuid.uuid4().hex}.json")
-        _os.makedirs(_os.path.join(root, lf.DELETION_DIR), exist_ok=True)
-        tmp = _os.path.join(root, rel + ".tmp")
-        with open(tmp, "w") as fh:
-            _json.dump({"positions": sorted(new)}, fh)
-        _os.rename(tmp, _os.path.join(root, rel))
+        # atomic PUT through the iolayer: tmp+rename locally,
+        # object PUT on a URI root — executors need only reach the
+        # same storage backend the driver commits to (the shared-
+        # filesystem assumption is now the LOCAL backend's contract,
+        # not the code's)
+        iol.write_text(
+            _os.path.join(root, rel),
+            _json.dumps({"positions": sorted(new)}),
+        )
         return _pd.DataFrame(
             {
                 "__file": [fname],
@@ -374,7 +391,12 @@ def update_where_sql(
     def _tagged(fragments):
         return (
             spark.read.schema(committed)
-            .parquet(*[os.path.join(root, f.file) for f in fragments])
+            .parquet(
+                *[
+                    iol.spark_read_path(os.path.join(root, f.file))
+                    for f in fragments
+                ]
+            )
             .withColumn("__file", F.col("_metadata.file_name"))
             .withColumn("__pos", F.col("_metadata.row_index"))
         )
@@ -446,7 +468,12 @@ def _live_view(
 
     df = (
         spark.read.schema(committed)
-        .parquet(*[os.path.join(root, f.file) for f in fragments])
+        .parquet(
+            *[
+                iol.spark_read_path(os.path.join(root, f.file))
+                for f in fragments
+            ]
+        )
         .withColumn("__file", F.col("_metadata.file_name"))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
@@ -948,7 +975,10 @@ def _merge_commit(
     # through the lance writer into a staging dataset, then the
     # staged fragment files are adopted into this dataset's data/
     if affected:
-        paths = [os.path.join(root, f.file) for f in affected]
+        paths = [
+            iol.spark_read_path(os.path.join(root, f.file))
+            for f in affected
+        ]
         # read with the dataset's COMMITTED schema, not one file's
         # inferred footer: after a mergeSchema append the affected
         # fragments are heterogeneous, and footer inference from the
@@ -1029,7 +1059,18 @@ def _stage_fragments(
     ``(fragments, total_rows)`` — commit is the caller's move, so a
     discovered no-op can decline to publish a version. See
     ``_stage_and_commit`` for the native-writer rationale."""
-    staging = f"{root}.upsert-{uuid.uuid4().hex}"
+    # Spark's native writer needs a JVM-writable location: next to
+    # the dataset locally; a local temp dir when the root is an
+    # object-store URI (the staged part files are then PUT into the
+    # dataset prefix one by one — on a real cluster this stage would
+    # target the store directly via its hadoop URI, but the adopt-
+    # by-promote protocol is identical)
+    if iol.is_uri(root):
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="lance-dml-stage-")
+    else:
+        staging = f"{root}.upsert-{uuid.uuid4().hex}"
     sess = rewritten.sparkSession
     conf_key = "spark.sql.parquet.outputTimestampType"
     prev = sess.conf.get(conf_key, None)
@@ -1044,7 +1085,7 @@ def _stage_fragments(
                 sess.conf.unset(conf_key)
             else:
                 sess.conf.set(conf_key, prev)
-        os.makedirs(os.path.join(root, lf.DATA_DIR), exist_ok=True)
+        iol.makedirs(os.path.join(root, lf.DATA_DIR))
         for fname in sorted(os.listdir(staging)):
             if not fname.endswith(".parquet"):
                 continue
@@ -1053,7 +1094,7 @@ def _stage_fragments(
             if num_rows == 0:
                 continue
             rel = os.path.join(lf.DATA_DIR, f"{uuid.uuid4().hex}.parquet")
-            shutil.move(fpath, os.path.join(root, rel))
+            iol.promote_local(fpath, os.path.join(root, rel))
             new_frags.append(lf.Fragment(-1, rel, num_rows, stats))
             n_staged += num_rows
     finally:

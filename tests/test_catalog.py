@@ -1369,3 +1369,84 @@ def test_sql_describe_and_history(spark, sf_dir, merge_tgt):
     assert hist[3] == (n0 - n_del + 1, n_del)
     with pytest.raises(LanceDatasetError, match="not a lance dataset"):
         lance_sql(spark, "DESCRIBE 'missing.lance'")
+
+
+def test_alter_table_add_columns(spark, sf_dir, merge_tgt):
+    """ALTER TABLE ADD COLUMN[S] (r12): new columns append NULLABLE
+    to the committed schema as a zero-IO version (fragments carried
+    by reference); pre-evolution rows surface typed NULLs; INSERT
+    can then populate them. Everything else is refused."""
+    from lance_duckdb_spark.sources.lance_format import (
+        LanceDatasetError,
+    )
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    v_before = lf.read_manifest(merge_tgt).version
+    frags_before = [f.file for f in lf.read_manifest(merge_tgt).fragments]
+    out = lance_sql(
+        spark,
+        f"ALTER TABLE '{merge_tgt}' ADD COLUMNS "
+        f"note string, score decimal(10,2), tags array<string>",
+    ).collect()
+    cols = {r["col_name"]: (r["data_type"], r["nullable"]) for r in out}
+    assert cols["note"] == ("string", True)
+    assert cols["score"] == ("decimal(10,2)", True)
+    assert cols["tags"] == ("array<string>", True)
+    man = lf.read_manifest(merge_tgt)
+    # zero data IO: same fragment files, one new version
+    assert man.version == v_before + 1
+    assert [f.file for f in man.fragments] == frags_before
+    # pre-evolution rows read typed NULLs
+    rows = spark.read.format("lance").load(merge_tgt).collect()
+    assert all(r["note"] is None and r["score"] is None for r in rows)
+    # and INSERT populates the evolved columns
+    lance_sql(
+        spark,
+        f"INSERT INTO '{merge_tgt}' (n_nationkey, n_name, note) "
+        f"VALUES (CAST(400 AS INT), 'EVOLVED', 'hello')",
+    ).collect()
+    got = {
+        r["n_nationkey"]: r["note"]
+        for r in spark.read.format("lance").load(merge_tgt).collect()
+    }
+    assert got[400] == "hello"
+
+    # refusal matrix
+    for bad, pat in [
+        (f"ALTER TABLE '{merge_tgt}' DROP COLUMN n_name",
+         "unsupported ALTER"),
+        (f"ALTER TABLE '{merge_tgt}' RENAME COLUMN n_name TO x",
+         "unsupported ALTER"),
+        (f"ALTER TABLE '{merge_tgt}' ALTER COLUMN n_name TYPE int",
+         "unsupported ALTER"),
+        (f"ALTER TABLE '{merge_tgt}' ADD COLUMN n_name string",
+         "already exist"),
+        (f"ALTER TABLE '{merge_tgt}' ADD COLUMNS a int, a string",
+         "duplicate column"),
+        (f"ALTER TABLE '{merge_tgt}' ADD COLUMN b nosuchtype",
+         "cannot parse"),
+    ]:
+        with pytest.raises(LanceDatasetError, match=pat):
+            lance_sql(spark, bad)
+
+
+def test_copy_and_ctas_refuse_nested_writes(spark, merge_tgt, tmp_path):
+    """COPY (...) TO and CTAS bodies re-enter lance_sql — a smuggled
+    write/DDL statement there must refuse, like INSERT/MERGE do."""
+    from lance_duckdb_spark.sources.lance_format import (
+        LanceDatasetError,
+    )
+
+    dst = str(tmp_path / "out.lance")
+    with pytest.raises(LanceDatasetError, match="read-only"):
+        lance_sql(
+            spark,
+            f"COPY (DELETE FROM '{merge_tgt}' WHERE 1=1) TO '{dst}' "
+            f"(FORMAT LANCE)",
+        )
+    with pytest.raises(LanceDatasetError, match="read-only"):
+        lance_sql(
+            spark,
+            f"CREATE TABLE '{dst}' AS "
+            f"ALTER TABLE '{merge_tgt}' ADD COLUMN x int",
+        )
