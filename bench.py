@@ -377,25 +377,28 @@ def main() -> None:
     fresh_matched = sum(fresh_timings[n] for n in matched)
     duck_matched = sum(duck_timings[n] for n in matched)
     # Honesty guard (r11 verdict item 3): the raw ratio can be
-    # dominated by UNIT-OF-WORK mismatches in either direction —
-    # pipeline_compose's recursive-CTE oracle costs DuckDB ~26s
-    # (flatters spark), the DML quartet prices versioned on-disk
-    # commits against in-memory DuckDB DML (penalizes spark). Both
-    # are architectural artifacts, not engine speed. Exclude,
-    # SYMMETRICALLY, every matched query whose per-query ratio falls
-    # outside [1/8, 8] and report the ex-outlier ratio as a
-    # first-class field next to the raw one, plus the per-query
-    # ratio median — three numbers no single artifact can move.
+    # dominated by an oracle-side ARCHITECTURAL artifact —
+    # pipeline_compose's recursive-CTE oracle costs DuckDB ~26s of
+    # row-at-a-time work, which flatters the spark/duck total by
+    # ~0.4. The ex-outliers field strips ONLY such spark-FAVORING
+    # entries (per-query ratio < 1/8, i.e. the oracle is the >8x
+    # architectural loser): a ONE-SIDED exclusion can only make the
+    # reported ratio WORSE for spark, never better, so it cannot be
+    # gamed into a win. Entries that PENALIZE spark (the DML write
+    # quartet pricing versioned on-disk commits against in-memory
+    # DuckDB DML; plan+JIT fixed cost on sub-second queries at toy
+    # scale) are deliberately KEPT — BENCH_DETAIL's notes decompose
+    # them, the headline number does not excuse them. The per-query
+    # ratio median and full per-query ratios (detail file) complete
+    # the picture; note the median at sf0.1 is dominated by
+    # fixed-cost-vs-microsecond-oracle entries, not data slope.
     per_ratio = {
         n: fresh_timings[n] / duck_timings[n]
         for n in matched
         if duck_timings[n] > 0
     }
-    _FOLD = 8.0
     ratio_outliers = sorted(
-        n
-        for n, r in per_ratio.items()
-        if r > _FOLD or r < 1.0 / _FOLD
+        n for n, r in per_ratio.items() if r < 1.0 / 8.0
     )
     _inl = [n for n in matched if n not in ratio_outliers]
     fresh_inl = sum(fresh_timings[n] for n in _inl)
@@ -507,7 +510,20 @@ def main() -> None:
             "~1.45-1.50 — the DML write quartet + merge_insert_"
             "values still carry ~14s of versioned on-disk commits "
             "against ~0.2s of DuckDB in-memory DML; data-dominated "
-            "read entries remain at-or-below duck per-query."
+            "read entries remain at-or-below duck per-query. "
+            "r12 environment note: this round's container runs "
+            "Spark ~1.3-1.4x slower than r11's UNIFORMLY (pure-JVM "
+            "tpch_q1 1.38->1.96s, tpch_q3 0.54->1.12s fresh; worst "
+            "on Python-worker stages) while the DuckDB side is flat "
+            "(65.3->62.0s) — an identical-code A/B against the r11 "
+            "HEAD measured the same slowdown, so it is the machine, "
+            "not a regression; compare rounds on the ratio band and "
+            "the per-query ratios, not absolute seconds. The "
+            "ex-outliers field is deliberately ONE-SIDED (drops "
+            "only spark-FAVORING >8x oracle artifacts — in r12 "
+            "exactly pipeline_compose) so it can never overstate "
+            "the engine; the spark-penalizing DML/fixed-cost "
+            "entries stay in."
         ),
     )
     try:

@@ -36,6 +36,8 @@ import hashlib
 import os
 import shutil
 
+from ..sources import iolayer as iol
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -180,8 +182,7 @@ def _write_stats_dir(path: str, n_docs: int, sum_dl: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(path, exist_ok=True)
-    pq.write_table(
+    iol.write_parquet(
         pa.table(
             {
                 "n_docs": pa.array([n_docs], pa.int64()),
@@ -193,9 +194,7 @@ def _write_stats_dir(path: str, n_docs: int, sum_dl: int) -> None:
 
 
 def _read_stats_dir(path: str) -> dict:
-    import pyarrow.parquet as pq
-
-    return pq.read_table(path).to_pylist()[0]
+    return iol.read_parquet(path).to_pylist()[0]
 
 
 def _df_dirs_of(meta: dict) -> list[str]:
@@ -210,22 +209,23 @@ def _df_dirs_of(meta: dict) -> list[str]:
 def _read_fts_meta(index_dir: str) -> dict:
     import json
 
-    with open(os.path.join(index_dir, "_meta.json")) as fh:
-        return json.load(fh)
+    return json.loads(
+        iol.read_text(os.path.join(index_dir, "_meta.json"))
+    )
 
 
 def _publish_fts_meta(index_dir: str, meta: dict) -> None:
-    """Atomic publish (tmp write + os.replace): a reader sees either
+    """Atomic publish (iolayer.write_text — tmp+replace locally,
+    object PUT on a URI store): a reader sees either
     the old meta or the new one, never a torn file — the same
     publish discipline as the vector index's CAS meta, minus the
     compare (FTS extends are driven by one maintenance job here;
     racing extenders would need the vector_index CAS pattern)."""
     import json
 
-    tmp = os.path.join(index_dir, "_meta.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(index_dir, "_meta.json"))
+    iol.write_text(
+        os.path.join(index_dir, "_meta.json"), json.dumps(meta)
+    )
 
 
 def _reclaim_fts_dirs(
@@ -245,13 +245,11 @@ def _reclaim_fts_dirs(
             | set(_df_dirs_of(prev))
             | {prev.get("stats_dir")}
         )
-    for entry in os.listdir(index_dir):
+    for entry in iol.listdir(index_dir):
         if entry not in keep and entry.startswith(
             ("postings", "_postings_d", "_df_v", "_stats_v")
         ):
-            shutil.rmtree(
-                os.path.join(index_dir, entry), ignore_errors=True
-            )
+            iol.rmtree(os.path.join(index_dir, entry))
 
 
 def build_fts_index(
@@ -335,12 +333,12 @@ def build_fts_index(
         # decimal-summed, so file order cannot move a hash.
         postings.repartition(N_BUCKETS, "bucket").write.mode(
             "overwrite"
-        ).partitionBy("bucket").parquet(os.path.join(index_dir, pname))
+        ).partitionBy("bucket").parquet(iol.spark_write_path(os.path.join(index_dir, pname)))
         dfreq.withColumn(
             "bucket", _bucket_expr(F.col("term"))
         ).repartition(N_BUCKETS, "bucket").write.mode(
             "overwrite"
-        ).partitionBy("bucket").parquet(os.path.join(index_dir, df_name))
+        ).partitionBy("bucket").parquet(iol.spark_write_path(os.path.join(index_dir, df_name)))
         _write_stats_dir(
             os.path.join(index_dir, stats_name), int(n_docs), int(sum_dl)
         )
@@ -432,7 +430,9 @@ def extend_fts_index(
         ).repartition(N_BUCKETS, "bucket").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(
-            os.path.join(index_dir, postings_delta)
+            iol.spark_write_path(
+                os.path.join(index_dir, postings_delta)
+            )
         )
         # the df DELTA for just this increment — never a merge with
         # the existing dictionary (that merge is O(distinct corpus
@@ -446,7 +446,7 @@ def extend_fts_index(
             .repartition(N_BUCKETS, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(os.path.join(index_dir, df_dir))
+            .parquet(iol.spark_write_path(os.path.join(index_dir, df_dir)))
         )
     finally:
         tf.unpersist()
@@ -497,7 +497,7 @@ def search_bm25(
     from functools import reduce
 
     posting_scans = [
-        spark.read.parquet(os.path.join(index_dir, d))
+        spark.read.parquet(iol.spark_read_path(os.path.join(index_dir, d)))
         for d in meta.get("postings_dirs", ["postings"])
     ]
     postings = (
@@ -509,7 +509,7 @@ def search_bm25(
     # to the queried terms' buckets, so the union touches a few rows
     # per generation regardless of dictionary size
     df_scans = [
-        spark.read.parquet(os.path.join(index_dir, d))
+        spark.read.parquet(iol.spark_read_path(os.path.join(index_dir, d)))
         for d in _df_dirs_of(meta)
     ]
     dfreq = (
@@ -520,7 +520,9 @@ def search_bm25(
         .agg(F.sum("df").cast("long").alias("df"))
     )
     stats = spark.read.parquet(
-        os.path.join(index_dir, meta["stats_dir"])
+        iol.spark_read_path(
+            os.path.join(index_dir, meta["stats_dir"])
+        )
     ).select(
         "n_docs",
         (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
@@ -567,16 +569,14 @@ def ensure_fts_index(
     marker = os.path.join(index_dir, "_built_for.json")
     reuse = False
     try:
-        with open(marker) as fh:
-            reuse = _json.load(fh) == want
+        reuse = _json.loads(iol.read_text(marker)) == want
         _read_fts_meta(index_dir)  # meta must exist and parse too
     except Exception:
         reuse = False
     if not reuse:
-        shutil.rmtree(index_dir, ignore_errors=True)
+        iol.rmtree(index_dir)
         build_fts_index(spark, docs, index_dir)
-        with open(marker, "w") as fh:
-            _json.dump(want, fh)
+        iol.write_text(marker, _json.dumps(want))
 
 
 def fts_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -232,23 +232,24 @@ def _sq8_meta_path(store_dir: str) -> str:
 
 
 def _publish_sq8_meta(store_dir: str, meta: dict) -> None:
-    """Atomic publish (tmp write + os.replace) — a reader sees either
+    """Atomic publish through the iolayer — a reader sees either
     the old part list or the new one, never a torn state. Same
     discipline as the FTS index meta (operators/fts.py)."""
     import json as _json
-    import os
 
-    tmp = _sq8_meta_path(store_dir) + ".tmp"
-    with open(tmp, "w") as fh:
-        _json.dump(meta, fh)
-    os.replace(tmp, _sq8_meta_path(store_dir))
+    from ..sources import iolayer as iol
+
+    iol.write_text(_sq8_meta_path(store_dir), _json.dumps(meta))
 
 
 def _sq8_parts(store_dir: str) -> list[str]:
     import json as _json
 
-    with open(_sq8_meta_path(store_dir)) as fh:
-        return _json.load(fh)["parts"]
+    from ..sources import iolayer as iol
+
+    return _json.loads(iol.read_text(_sq8_meta_path(store_dir)))[
+        "parts"
+    ]
 
 
 def read_sq8_store(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -257,8 +258,13 @@ def read_sq8_store(spark: SparkSession, store_dir: str) -> DataFrame:
     (crash debris, in-flight retries) are invisible."""
     import os
 
+    from ..sources import iolayer as iol
+
     return spark.read.parquet(
-        *[os.path.join(store_dir, p) for p in _sq8_parts(store_dir)]
+        *[
+            iol.spark_read_path(os.path.join(store_dir, p))
+            for p in _sq8_parts(store_dir)
+        ]
     )
 
 
@@ -274,10 +280,12 @@ def build_sq8_store(spark: SparkSession, emb: DataFrame, store_dir: str) -> None
     import os
     import uuid as _uuid
 
-    os.makedirs(store_dir, exist_ok=True)
+    from ..sources import iolayer as iol
+
+    iol.makedirs(store_dir)
     part = f"part_{_uuid.uuid4().hex[:8]}"
     _encoded(emb).write.mode("overwrite").parquet(
-        os.path.join(store_dir, part)
+        iol.spark_write_path(os.path.join(store_dir, part))
     )
     _publish_sq8_meta(store_dir, {"parts": [part]})
 
@@ -300,9 +308,11 @@ def extend_sq8_store(
     import os
     import uuid as _uuid
 
+    from ..sources import iolayer as iol
+
     part = f"part_{_uuid.uuid4().hex[:8]}"
     _encoded(new_emb).write.mode("overwrite").parquet(
-        os.path.join(store_dir, part)
+        iol.spark_write_path(os.path.join(store_dir, part))
     )
     _publish_sq8_meta(
         store_dir, {"parts": _sq8_parts(store_dir) + [part]}

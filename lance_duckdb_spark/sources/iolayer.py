@@ -201,6 +201,13 @@ def remove(path: str) -> None:
     os.remove(local_path(path))
 
 
+def rmtree(path: str) -> None:
+    """Remove a whole prefix (a LIST + batched DELETE on a real
+    store); missing prefixes are a no-op — reclamation callers race
+    benignly."""
+    shutil.rmtree(local_path(path), ignore_errors=True)
+
+
 def promote_local(src_file: str, dst_path: str) -> None:
     """Adopt a locally-staged file (e.g. one part file of a Spark
     native-writer stage) as a dataset object: local backend renames
@@ -257,4 +264,14 @@ def spark_read_path(path: str) -> str:
     """Path/URI handed to ``spark.read.parquet`` for one dataset
     object. Local: the path itself. mem://: the mirror file (a real
     S3 backend returns the s3a:// form here)."""
+    return local_path(path)
+
+
+def spark_write_path(path: str) -> str:
+    """Location handed to Spark's NATIVE writer for a whole
+    partitioned directory (the index stores' bucket/cell posting
+    dirs). Local + mem://: the (mirror) directory; a real S3 backend
+    returns the s3a:// form and Spark's cloud committer provides the
+    commit atomicity this module's PUT verbs provide for single
+    objects."""
     return local_path(path)

@@ -37,6 +37,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import iolayer as iol
 from . import lance_format as lf
 from .datasource import register
 
@@ -75,7 +76,10 @@ def build_scalar_index(
         raise lf.LanceDatasetError(
             f"no column {column!r} in dataset schema"
         )
-    paths = [os.path.join(root, f.file) for f in manifest.fragments]
+    paths = [
+        iol.spark_read_path(os.path.join(root, f.file))
+        for f in manifest.fragments
+    ]
     if not paths:
         # spark.read.parquet() with zero paths crashes opaquely —
         # name the actual problem instead (r4 ADVICE edge)
@@ -121,51 +125,41 @@ def build_scalar_index(
         .select("value", "fragment", "n_rows")
         .sort("value")
         .write.mode("overwrite")
-        .parquet(os.path.join(idx_dir, entries_name))
+        .parquet(iol.spark_write_path(os.path.join(idx_dir, entries_name)))
     )
     meta = {
         "column": column,
         "dataset_version": manifest.version,
         "entries_dir": entries_name,
     }
-    os.makedirs(idx_dir, exist_ok=True)
+    iol.makedirs(idx_dir)
     meta_path = os.path.join(idx_dir, "index.json")
     lock = meta_path + ".lock"
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    # conditional create — same primitive as the manifest CAS
+    if not iol.put_if_absent(lock, b""):
         raise lf.LanceDatasetError(
             f"concurrent scalar-index build detected ({lock} exists); "
             "retry after the other builder finishes (or remove the "
             "lock if its holder crashed)"
         )
     try:
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, meta_path)
-        for name in os.listdir(idx_dir):
+        iol.write_text(meta_path, json.dumps(meta))
+        for name in iol.listdir(idx_dir):
             if name.startswith("entries") and name != entries_name:
-                import shutil as _shutil
-
-                _shutil.rmtree(
-                    os.path.join(idx_dir, name), ignore_errors=True
-                )
+                iol.rmtree(os.path.join(idx_dir, name))
     finally:
-        os.close(fd)
-        os.unlink(lock)
+        iol.remove(lock)
     return meta
 
 
 def read_scalar_index_meta(root: str, column: str) -> dict:
     p = os.path.join(_index_dir(root, column), "index.json")
-    if not os.path.exists(p):
+    if not iol.exists(p):
         raise lf.LanceDatasetError(
             f"no scalar index on {column!r} at {root}; "
             "run build_scalar_index first"
         )
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(iol.read_text(p))
 
 
 def scalar_index_scan(
@@ -192,8 +186,11 @@ def scalar_index_scan(
             "indexed snapshot)"
         )
     entries = spark.read.parquet(
-        os.path.join(
-            _index_dir(root, column), meta.get("entries_dir", "entries")
+        iol.spark_read_path(
+            os.path.join(
+                _index_dir(root, column),
+                meta.get("entries_dir", "entries"),
+            )
         )
     )
     if eq is not None:

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..materialize import release_spill, spill_to_parquet
+from . import iolayer as iol
 from . import lance_format as lf
 from .datasource import register
 
@@ -81,18 +82,17 @@ def _write_meta_cas(
     and is reclaimed by the next rebuild's sweep of unreferenced
     dirs."""
     lock = path + ".lock"
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    # conditional create (os.O_EXCL locally, conditional PUT on an
+    # object-store root) — the same primitive as the manifest CAS
+    if not iol.put_if_absent(lock, b""):
         raise lf.LanceDatasetError(
             "concurrent index maintenance detected "
             f"({lock} exists); retry after the other maintainer "
             "finishes (or remove the lock if its holder crashed)"
         )
     try:
-        if expected_version is not None and os.path.exists(path):
-            with open(path) as f:
-                cur = json.load(f)
+        if expected_version is not None and iol.exists(path):
+            cur = json.loads(iol.read_text(path))
             if cur.get("dataset_version") != expected_version:
                 raise lf.LanceDatasetError(
                     "index meta advanced to dataset version "
@@ -100,10 +100,7 @@ def _write_meta_cas(
                     f"ran from {expected_version}; re-run the extend "
                     "against the new head"
                 )
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, path)
+        iol.write_text(path, json.dumps(meta))
         if reclaim_idx_dir is not None:
             # rebuilds sweep superseded dirs INSIDE the publish lock:
             # publishers are serialized here, so the meta just
@@ -114,8 +111,7 @@ def _write_meta_cas(
             # published in the meantime)
             _reclaim_unreferenced_dirs(reclaim_idx_dir, meta)
     finally:
-        os.close(fd)
-        os.unlink(lock)
+        iol.remove(lock)
 
 
 def _postings_dir(root: str, meta: dict | None = None) -> str:
@@ -137,20 +133,18 @@ def _reclaim_unreferenced_dirs(idx_dir: str, meta: dict) -> None:
     reference — called ONLY from rebuilds (which supersede all
     deltas by contract); extends never reclaim, so a concurrent
     extend's staged-but-unpublished dir is not at risk from them."""
-    import shutil as _shutil
-
-    if not os.path.isdir(idx_dir):
+    if not iol.isdir(idx_dir):
         return
     keep = {meta.get("postings_dir", "postings")} | set(
         meta.get("delta_dirs", [])
     )
     if meta.get("fine_dir"):
         keep.add(meta["fine_dir"])
-    for name in os.listdir(idx_dir):
+    for name in iol.listdir(idx_dir):
         if (
             name.startswith("postings") or name.startswith("fine_")
         ) and name not in keep:
-            _shutil.rmtree(os.path.join(idx_dir, name), ignore_errors=True)
+            iol.rmtree(os.path.join(idx_dir, name))
 
 
 def _read_postings_dirs(spark: SparkSession, dirs: list[str], buckets, cells=None):
@@ -165,7 +159,7 @@ def _read_postings_dirs(spark: SparkSession, dirs: list[str], buckets, cells=Non
     want = sorted(buckets)
 
     def one(d):
-        df = spark.read.parquet(d)
+        df = spark.read.parquet(iol.spark_read_path(d))
         if cells is not None:
             df = df.where(F.col("cell_id").isin(sorted(cells)))
             df = df.drop("cell_id")
@@ -530,7 +524,7 @@ def build_ivf_index(
         postings.repartition("bucket_id")
         .write.mode("overwrite")
         .partitionBy("bucket_id")
-        .parquet(os.path.join(root, INDEX_DIR, pname))
+        .parquet(iol.spark_write_path(os.path.join(root, INDEX_DIR, pname)))
     )
     meta = {
         "column": column,
@@ -541,7 +535,7 @@ def build_ivf_index(
         "centroids": C.tolist(),
         "postings_dir": pname,
     }
-    os.makedirs(os.path.join(root, INDEX_DIR), exist_ok=True)
+    iol.makedirs(os.path.join(root, INDEX_DIR))
     _write_meta_cas(
         _index_meta_path(root),
         meta,
@@ -615,10 +609,10 @@ def _build_two_level(
             fine_cells.repartition("cell_id")
             .write.mode("overwrite")
             .partitionBy("cell_id")
-            .parquet(os.path.join(root, INDEX_DIR, fname))
+            .parquet(iol.spark_write_path(os.path.join(root, INDEX_DIR, fname)))
         )
         fine_cells = spark.read.parquet(
-            os.path.join(root, INDEX_DIR, fname)
+            iol.spark_read_path(os.path.join(root, INDEX_DIR, fname))
         )
         best = _two_level_assign(
             spark, df, bc_coarse, fine_cells, column, id_col
@@ -629,7 +623,7 @@ def _build_two_level(
             postings.repartition("cell_id")
             .write.mode("overwrite")
             .partitionBy("cell_id")
-            .parquet(os.path.join(root, INDEX_DIR, pname))
+            .parquet(iol.spark_write_path(os.path.join(root, INDEX_DIR, pname)))
         )
     finally:
         release_spill(fine)
@@ -646,7 +640,7 @@ def _build_two_level(
         "fine_dir": fname,
         "postings_dir": pname,
     }
-    os.makedirs(os.path.join(root, INDEX_DIR), exist_ok=True)
+    iol.makedirs(os.path.join(root, INDEX_DIR))
     _write_meta_cas(
         _index_meta_path(root),
         meta,
@@ -658,12 +652,11 @@ def _build_two_level(
 
 def read_index_meta(root: str) -> dict:
     p = _index_meta_path(root)
-    if not os.path.exists(p):
+    if not iol.exists(p):
         raise lf.LanceDatasetError(
             f"no IVF index at {root}; run build_ivf_index first"
         )
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(iol.read_text(p))
 
 
 def ann_search(
@@ -750,7 +743,7 @@ def ann_search(
             all_cells.update(cs)
         fine_rows = (
             spark.read.parquet(
-                os.path.join(root, INDEX_DIR, meta["fine_dir"])
+                iol.spark_read_path(os.path.join(root, INDEX_DIR, meta["fine_dir"]))
             )
             .where(F.col("cell_id").isin(sorted(all_cells)))
             .collect()
@@ -1071,7 +1064,7 @@ def build_ivf_pq_index(
         postings.repartition("bucket_id")
         .write.mode("overwrite")
         .partitionBy("bucket_id")
-        .parquet(os.path.join(root, PQ_INDEX_DIR, pname))
+        .parquet(iol.spark_write_path(os.path.join(root, PQ_INDEX_DIR, pname)))
     )
     meta = {
         "column": column,
@@ -1085,7 +1078,7 @@ def build_ivf_pq_index(
         "codebooks": CB.tolist(),
         "postings_dir": pname,
     }
-    os.makedirs(os.path.join(root, PQ_INDEX_DIR), exist_ok=True)
+    iol.makedirs(os.path.join(root, PQ_INDEX_DIR))
     _write_meta_cas(
         _pq_meta_path(root),
         meta,
@@ -1100,12 +1093,11 @@ def build_ivf_pq_index(
 
 def read_pq_index_meta(root: str) -> dict:
     p = _pq_meta_path(root)
-    if not os.path.exists(p):
+    if not iol.exists(p):
         raise lf.LanceDatasetError(
             f"no IVF_PQ index at {root}; run build_ivf_pq_index first"
         )
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(iol.read_text(p))
 
 
 def ann_search_pq(
@@ -1353,7 +1345,7 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
         S = np.array(meta["coarse_centroids"], dtype=np.float64)
         bc_coarse = spark.sparkContext.broadcast(S)
         fine_cells = spark.read.parquet(
-            os.path.join(root, INDEX_DIR, meta["fine_dir"])
+            iol.spark_read_path(os.path.join(root, INDEX_DIR, meta["fine_dir"]))
         )
         best = _two_level_assign(
             spark, new_rows, bc_coarse, fine_cells, column, id_col
@@ -1363,7 +1355,7 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
             .repartition("cell_id")
             .write.mode("overwrite")
             .partitionBy("cell_id")
-            .parquet(delta_dir)
+            .parquet(iol.spark_write_path(delta_dir))
         )
     else:
         C = np.array(meta["centroids"], dtype=np.float64)
@@ -1373,7 +1365,7 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
             .repartition("bucket_id")
             .write.mode("overwrite")
             .partitionBy("bucket_id")
-            .parquet(delta_dir)
+            .parquet(iol.spark_write_path(delta_dir))
         )
     meta = dict(meta)
     meta["dataset_version"] = head.version
@@ -1434,7 +1426,7 @@ def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
         .repartition("bucket_id")
         .write.mode("overwrite")
         .partitionBy("bucket_id")
-        .parquet(os.path.join(root, PQ_INDEX_DIR, delta_name))
+        .parquet(iol.spark_write_path(os.path.join(root, PQ_INDEX_DIR, delta_name)))
     )
     meta = dict(meta)
     meta["dataset_version"] = head.version

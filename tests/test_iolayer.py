@@ -206,3 +206,56 @@ def test_mem_vacuum_and_commit_cas(spark, sf_dir, mem_root):
     assert iol.put_if_absent(key, b"{}") is True
     assert iol.put_if_absent(key, b"{}") is False
     iol.remove(key)
+
+
+def test_mem_index_stores(spark, sf_dir, mem_root):
+    """The index family on an object-store root (r12 extension of
+    the storage contract): IVF build + partition-pruned ANN search,
+    scalar-index build + pruned scan, FTS build + BM25 search — all
+    with the dataset root AND the index/store dirs on ``mem://``.
+    Python-side meta/locks/reclaims flow through the six verbs
+    (conditional-create lock = the manifest CAS primitive); the
+    JVM-written partitioned posting dirs go through spark_write_path
+    (the hook a real s3a backend fills)."""
+    from lance_duckdb_spark.operators.fts import (
+        build_fts_index,
+        search_bm25,
+    )
+    from lance_duckdb_spark.sources.scalar_index import (
+        build_scalar_index,
+        scalar_index_scan,
+    )
+    from lance_duckdb_spark.sources.vector_index import (
+        ann_search,
+        build_ivf_index,
+        read_index_meta,
+    )
+
+    register(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    emb.write.format("lance").mode("overwrite").save(mem_root)
+    meta = build_ivf_index(spark, mem_root, k=8)
+    assert read_index_meta(mem_root)["k"] == 8
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    got = ann_search(spark, mem_root, probes, k_neighbors=5).collect()
+    assert len(got) == 15  # 3 probes x 5 neighbors
+    assert meta["postings_dir"].startswith("postings")
+
+    # scalar index over a second mem dataset
+    sroot = mem_root.rsplit("/", 1)[0] + "/scalar.lance"
+    load(spark, sf_dir, "nation").write.format("lance").mode(
+        "overwrite"
+    ).save(sroot)
+    build_scalar_index(spark, sroot, "n_nationkey")
+    rows = scalar_index_scan(spark, sroot, "n_nationkey", eq=7).collect()
+    assert [r["n_nationkey"] for r in rows] == [7]
+
+    # FTS index dir itself on the object store
+    fts_dir = mem_root.rsplit("/", 1)[0] + "/fts_index"
+    docs = load(spark, sf_dir, "documents")
+    build_fts_index(spark, docs, fts_dir)
+    hits = search_bm25(spark, fts_dir, ["the", "data"], k=10).collect()
+    assert 0 < len(hits) <= 10
+    assert all(r["score"] > 0 for r in hits)
