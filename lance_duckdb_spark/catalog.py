@@ -646,7 +646,8 @@ def _run_describe(spark: SparkSession, sql: str) -> DataFrame | None:
 _ALTER_START_RE = re.compile(r"(?is)^\s*ALTER\b")
 _ALTER_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(['\"`])(?P<path>[^'\"`]+\.lance)\1"
-    r"\s+ADD\s+COLUMNS?\s+(?P<cols>.+?)\s*;?\s*$"
+    r"\s+(?:ADD\s+COLUMNS?\s+(?P<cols>.+?)"
+    r"|DROP\s+COLUMNS?\s+(?P<dropcols>.+?))\s*;?\s*$"
 )
 
 
@@ -661,24 +662,35 @@ def _run_alter(spark: SparkSession, sql: str) -> DataFrame | None:
     fragments surface typed NULLs through the null-filling scan
     path. The column list is parsed by Spark's own DDL parser, so
     the full type grammar (array<...>, struct<...>, decimal(p,s))
-    works. Refused loudly: every other ALTER verb (DROP / RENAME /
-    ALTER COLUMN retype would silently corrupt immutable
-    pre-evolution fragments), existing or duplicate column names,
-    unparsable types, native-encoded targets. Returns the NEW schema
-    (col_name, data_type, nullable) in schema order — the DESCRIBE
-    shape."""
+    works. ``DROP COLUMN[S]`` (r12, ``_run_alter_drop``) is the
+    metadata-only inverse — Lance proper's drop_columns: the
+    committed schema loses the fields, every fragment is carried by
+    reference (zero data IO; pre-drop files keep the bytes, scans
+    never read them), and the names are TOMBSTONED in the manifest —
+    re-adding one is refused until a full rewrite replaces every
+    pre-drop fragment, because the null-filling scan reads by name
+    and would surface the old bytes as the new column's values.
+    Refused loudly: RENAME / ALTER COLUMN retype (would silently
+    corrupt immutable pre-evolution fragments), existing or
+    duplicate or tombstoned column names on ADD, unknown names or
+    dropping every column on DROP, unparsable types, native-encoded
+    targets. Returns the NEW schema (col_name, data_type, nullable)
+    in schema order — the DESCRIBE shape."""
     if not _ALTER_START_RE.match(sql):
         return None
     m = _ALTER_RE.match(sql)
     if m is None:
         raise lf.LanceDatasetError(
             "unsupported ALTER syntax; supported: ALTER TABLE "
-            "'<path>.lance' ADD COLUMN[S] <name> <type>[, ...] — "
-            "DROP/RENAME/retype are refused (pre-evolution fragments "
-            "are immutable; a retype would silently corrupt them)"
+            "'<path>.lance' ADD COLUMN[S] <name> <type>[, ...] and "
+            "DROP COLUMN[S] <name>[, ...] — RENAME/retype are "
+            "refused (pre-evolution fragments are immutable; a "
+            "retype would silently corrupt them)"
         )
     path = m.group("path")
     _require_dml_target(path, "ALTER TABLE")
+    if m.group("dropcols") is not None:
+        return _run_alter_drop(spark, path, m.group("dropcols"))
     cols_src = m.group("cols")
     from pyspark.sql.types import StructType
 
@@ -718,6 +730,56 @@ def _run_alter(spark: SparkSession, sql: str) -> DataFrame | None:
     # its guards (exact-match on existing fields, CAS on the
     # version) apply unchanged
     lf.commit(path, new_json, [], mode="append", merge_schema=True)
+    committed = lf.read_manifest(path)
+    from pyspark.sql.types import StructType as _St
+
+    schema = _St.fromJson(json.loads(committed.schema_json))
+    return spark.createDataFrame(
+        [
+            (f.name, f.dataType.simpleString(), f.nullable)
+            for f in schema.fields
+        ],
+        "col_name string, data_type string, nullable boolean",
+    )
+
+
+def _run_alter_drop(
+    spark: SparkSession, path: str, cols_src: str
+) -> DataFrame:
+    """The DROP COLUMN[S] branch of ``_run_alter`` (see its
+    docstring for the tombstone contract)."""
+    names = [c.strip().strip("`") for c in cols_src.split(",")]
+    if any(not re.match(r"^[A-Za-z_]\w*$", c) for c in names):
+        raise lf.LanceDatasetError(
+            f"malformed DROP COLUMN list {cols_src!r}"
+        )
+    if len(set(names)) != len(names):
+        raise lf.LanceDatasetError(
+            f"duplicate column in DROP COLUMN list {names}"
+        )
+    manifest = lf.read_manifest(path)
+    prev = json.loads(manifest.schema_json)
+    existing = [f["name"] for f in prev["fields"]]
+    unknown = sorted(set(names) - set(existing))
+    if unknown:
+        raise lf.LanceDatasetError(
+            f"DROP COLUMN names unknown columns {unknown}; dataset "
+            f"columns: {existing}"
+        )
+    kept = [f for f in prev["fields"] if f["name"] not in set(names)]
+    if not kept:
+        raise lf.LanceDatasetError(
+            "DROP COLUMN would remove every column; drop the "
+            "dataset instead"
+        )
+    lf.commit(
+        path,
+        json.dumps(dict(prev, fields=kept)),
+        [],
+        mode="append",
+        expected_version=manifest.version,
+        drop_columns=names,
+    )
     committed = lf.read_manifest(path)
     from pyspark.sql.types import StructType as _St
 

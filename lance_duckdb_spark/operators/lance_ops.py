@@ -711,19 +711,22 @@ ORDER BY version, col_name
 
 
 def lance_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``ALTER TABLE '<path>.lance' ADD COLUMNS`` through the SQL
-    surface (r12 — the SQL verb over the schema-evolution machinery
-    that backs mergeSchema appends; completes the DuckDB-hosted DDL
+    """``ALTER TABLE '<path>.lance' ADD COLUMNS`` + ``DROP COLUMN``
+    through the SQL surface (r12 — the SQL verbs over the
+    schema-evolution machinery; completes the DuckDB-hosted DDL
     ergonomics next to INSERT/DESCRIBE): write nation (v1), ADD
-    COLUMNS note string + bonus double (v2 — zero data IO, fragments
+    COLUMNS note/bonus/tmp_flag (v2 — zero data IO, fragments
     carried by reference), column-list INSERT rows that POPULATE the
-    new columns (v3), then aggregate the full table per region with
-    NULL-region (the inserted rows' null-filled n_regionkey) bucketed
-    as -1. The hashed artifact equals the oracle iff pre-evolution
-    rows surface typed NULLs for the added columns AND the insert
-    landed with the evolved schema. bonus values are quarter-integers
-    (exact in binary), so the double SUM is order-independent.
-    Refusal matrix (DROP/RENAME/retype/existing/dup/unparsable) in
+    new columns (v3), DROP COLUMN tmp_flag (v4 — metadata-only,
+    name tombstoned against re-add), then aggregate the full table
+    per region with NULL-region (the inserted rows' null-filled
+    n_regionkey) bucketed as -1 and the post-drop column COUNT as a
+    hashed literal. Equal to the oracle iff pre-evolution rows
+    surface typed NULLs for the added columns, the insert landed
+    with the evolved schema, AND the drop narrowed the schema.
+    bonus values are quarter-integers (exact in binary), so the
+    double SUM is order-independent. Refusal matrix
+    (RENAME/retype/existing/dup/unparsable/revive-after-drop) in
     tests/test_catalog.py."""
     from ..catalog import lance_sql
 
@@ -734,7 +737,8 @@ def lance_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).save(root)
     lance_sql(
         spark,
-        f"ALTER TABLE '{root}' ADD COLUMNS note string, bonus double",
+        f"ALTER TABLE '{root}' ADD COLUMNS note string, "
+        f"bonus double, tmp_flag int",
     ).collect()
     lance_sql(
         spark,
@@ -742,6 +746,13 @@ def lance_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT n_nationkey + 100, lower(n_name), "
         f"concat('new-', n_name), CAST(n_nationkey AS DOUBLE) / 4 "
         f"FROM '{root}' WHERE n_nationkey < 5",
+    ).collect()
+    # metadata-only DROP (r12): tmp_flag tombstones out; the read
+    # below must surface exactly 5 columns — n_cols is a literal
+    # derived from the POST-DROP schema, so a failed drop (6
+    # columns) hash-mismatches the oracle
+    lance_sql(
+        spark, f"ALTER TABLE '{root}' DROP COLUMN tmp_flag"
     ).collect()
     evolved = lance_sql(spark, f"SELECT * FROM '{root}'")
     return (
@@ -753,6 +764,9 @@ def lance_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("note").alias("n_notes"),
             F.round(F.sum("bonus"), 2).alias("total_bonus"),
             F.countDistinct("n_nationkey").alias("n_keys"),
+        )
+        .withColumn(
+            "n_cols", F.lit(len(evolved.columns)).cast("long")
         )
         .orderBy("region")
     )
@@ -772,7 +786,8 @@ SELECT COALESCE(n_regionkey, -1) AS region,
        COUNT(*) AS n_rows,
        COUNT(note) AS n_notes,
        ROUND(SUM(bonus), 2) AS total_bonus,
-       COUNT(DISTINCT n_nationkey) AS n_keys
+       COUNT(DISTINCT n_nationkey) AS n_keys,
+       CAST(5 AS BIGINT) AS n_cols
 FROM evolved
 GROUP BY 1
 ORDER BY 1

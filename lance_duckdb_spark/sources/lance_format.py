@@ -114,6 +114,25 @@ class Manifest:
     # under checkpoint recovery when the sink has a stable txnAppId);
     # an unknown txn id always commits.
     stream_txns: dict = field(default_factory=dict)
+    # tombstones for DROPPED column names (ALTER TABLE DROP COLUMN —
+    # a metadata-only drop): pre-drop fragments still physically
+    # carry the column, and the null-filling scan path reads by
+    # NAME, so re-adding a tombstoned name would silently surface
+    # the OLD bytes (possibly the wrong type) for pre-drop rows.
+    # Each entry is {"name": <col>, "at_version": <drop version>};
+    # commit() clears an entry exactly when the new fragment set
+    # shares NO file with the drop-time manifest (every pre-drop
+    # file rewritten under the committed schema — the bytes are
+    # provably gone; all rewrite paths conform to it). A vacuumed
+    # drop-time manifest keeps the tombstone (conservative).
+    dropped_columns: list = field(default_factory=list)
+
+    @property
+    def dropped_names(self) -> set:
+        return {
+            e["name"] if isinstance(e, dict) else e
+            for e in self.dropped_columns
+        }
 
     # convenience views used by tests/inspection
     @property
@@ -129,12 +148,17 @@ class Manifest:
         return max(self.stream_txns.values())
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "version": self.version,
             "schema_json": self.schema_json,
             "fragments": [f.to_json() for f in self.fragments],
             "stream_txns": self.stream_txns,
         }
+        if self.dropped_columns:
+            d["dropped_columns"] = sorted(
+                self.dropped_columns, key=lambda e: e["name"]
+            )
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "Manifest":
@@ -152,6 +176,7 @@ class Manifest:
             d["schema_json"],
             [Fragment.from_json(f) for f in d["fragments"]],
             dict(txns),
+            list(d.get("dropped_columns", [])),
         )
 
 
@@ -475,6 +500,7 @@ def commit(
     stream_txn_id: str | None = None,
     expected_version: int | None = None,
     merge_schema: bool = False,
+    drop_columns: list[str] | None = None,
 ) -> Manifest:
     """Publish the next version. Atomic: manifest is written to a
     temp name and renamed into place (POSIX rename atomicity), the
@@ -532,9 +558,52 @@ def commit(
             txns[stream_txn_id] = max(
                 stream_batch_id, txns.get(stream_txn_id, stream_batch_id)
             )
-        if mode == "append" and prev is not None:
+        if mode == "append" and prev is not None and drop_columns:
+            # ALTER TABLE DROP COLUMN: a metadata-only commit — zero
+            # fragments, schema narrowed to exactly (prev fields -
+            # drop set), every fragment carried by reference. The
+            # caller derives the narrowed schema; validate it here so
+            # no other caller can smuggle an arbitrary retype through
+            # the drop path.
+            if fragments:
+                raise LanceDatasetError(
+                    "drop_columns commits are metadata-only; got "
+                    f"{len(fragments)} fragments"
+                )
+            want = [
+                f
+                for f in json.loads(prev.schema_json)["fields"]
+                if f["name"] not in set(drop_columns)
+            ]
+            got = json.loads(schema_json)["fields"]
+            if got != want:
+                raise LanceDatasetError(
+                    "drop_columns schema must equal the committed "
+                    "schema minus exactly the dropped fields"
+                )
+            base = list(prev.fragments)
+        elif mode == "append" and prev is not None:
             if prev.schema_json != schema_json:
                 if merge_schema:
+                    # a tombstoned name may not come back: pre-drop
+                    # fragments still hold its old bytes under that
+                    # name and the null-filling scan would surface
+                    # them as the new column's values
+                    revived = sorted(
+                        {
+                            f["name"]
+                            for f in json.loads(schema_json)["fields"]
+                        }
+                        & prev.dropped_names
+                    )
+                    if revived:
+                        raise LanceDatasetError(
+                            f"cannot re-add dropped columns {revived}: "
+                            "fragments written before the drop still "
+                            "carry the old bytes under this name — "
+                            "rewrite the dataset (CREATE OR REPLACE "
+                            "TABLE ... AS SELECT) to reclaim it"
+                        )
                     schema_json = _merge_schemas(
                         prev.schema_json, schema_json
                     )
@@ -559,7 +628,33 @@ def commit(
         all_frags = base + fragments
         for i, f in enumerate(all_frags):
             f.id = i
-        manifest = Manifest(next_version, schema_json, all_frags, txns)
+        # tombstone lifecycle (see Manifest.dropped_columns): carry
+        # each live entry forward unless NO file of the drop-time
+        # manifest survives into this commit's fragment set
+        tombstones = []
+        if prev is not None and prev.dropped_columns:
+            files_now = {f.file for f in all_frags}
+            for e in prev.dropped_columns:
+                if not isinstance(e, dict):
+                    e = {"name": e, "at_version": None}
+                v = e.get("at_version")
+                keep = True
+                if v is not None:
+                    try:
+                        pre = {
+                            f.file
+                            for f in read_manifest(root, v).fragments
+                        }
+                        keep = bool(files_now & pre)
+                    except LanceDatasetError:
+                        keep = True  # drop-time manifest vacuumed
+                if keep:
+                    tombstones.append(e)
+        for n in drop_columns or []:
+            tombstones.append({"name": n, "at_version": next_version})
+        manifest = Manifest(
+            next_version, schema_json, all_frags, txns, tombstones
+        )
         final = _manifest_path(root, next_version)
         if not io.put_if_absent(
             final, json.dumps(manifest.to_json()).encode()

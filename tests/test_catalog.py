@@ -1413,8 +1413,6 @@ def test_alter_table_add_columns(spark, sf_dir, merge_tgt):
 
     # refusal matrix
     for bad, pat in [
-        (f"ALTER TABLE '{merge_tgt}' DROP COLUMN n_name",
-         "unsupported ALTER"),
         (f"ALTER TABLE '{merge_tgt}' RENAME COLUMN n_name TO x",
          "unsupported ALTER"),
         (f"ALTER TABLE '{merge_tgt}' ALTER COLUMN n_name TYPE int",
@@ -1425,9 +1423,136 @@ def test_alter_table_add_columns(spark, sf_dir, merge_tgt):
          "duplicate column"),
         (f"ALTER TABLE '{merge_tgt}' ADD COLUMN b nosuchtype",
          "cannot parse"),
+        (f"ALTER TABLE '{merge_tgt}' DROP COLUMN nope",
+         "unknown columns"),
+        (f"ALTER TABLE '{merge_tgt}' DROP COLUMNS score, score",
+         "duplicate column"),
     ]:
         with pytest.raises(LanceDatasetError, match=pat):
             lance_sql(spark, bad)
+
+
+def test_alter_table_drop_column(spark, sf_dir, merge_tgt):
+    """DROP COLUMN (r12): metadata-only — schema narrows, every
+    fragment carried by reference, pre-drop versions still
+    time-travel with the column, and the name is TOMBSTONED: re-add
+    is refused (pre-drop files still hold old bytes under the name),
+    reclaimed only by a full rewrite."""
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.lance_format import (
+        LanceDatasetError,
+    )
+
+    v_before = lf.read_manifest(merge_tgt).version
+    frags_before = [
+        f.file for f in lf.read_manifest(merge_tgt).fragments
+    ]
+    out = lance_sql(
+        spark, f"ALTER TABLE '{merge_tgt}' DROP COLUMN n_regionkey"
+    ).collect()
+    assert [r["col_name"] for r in out] == ["n_nationkey", "n_name"]
+    man = lf.read_manifest(merge_tgt)
+    assert man.version == v_before + 1
+    assert [f.file for f in man.fragments] == frags_before  # zero IO
+    assert man.dropped_names == {"n_regionkey"}
+    live = spark.read.format("lance").load(merge_tgt)
+    assert live.columns == ["n_nationkey", "n_name"]
+    # pre-drop version still time-travels WITH the column
+    old = (
+        spark.read.format("lance")
+        .option("version", v_before)
+        .load(merge_tgt)
+    )
+    assert "n_regionkey" in old.columns
+    assert old.where(F.col("n_regionkey").isNotNull()).count() > 0
+    # re-adding the tombstoned name refuses while pre-drop files
+    # survive — via ALTER ADD and via a mergeSchema append alike
+    with pytest.raises(LanceDatasetError, match="re-add dropped"):
+        lance_sql(
+            spark,
+            f"ALTER TABLE '{merge_tgt}' ADD COLUMN n_regionkey int",
+        )
+    evolved = spark.createDataFrame(
+        [(900, "X", 1)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    # the Python-DS writer wraps the commit-side refusal in Spark's
+    # AnalysisException; the message survives
+    with pytest.raises(Exception, match="re-add dropped"):
+        evolved.write.format("lance").mode("append").option(
+            "mergeSchema", "true"
+        ).save(merge_tgt)
+    # dropping everything refuses
+    with pytest.raises(LanceDatasetError, match="every column"):
+        lance_sql(
+            spark,
+            f"ALTER TABLE '{merge_tgt}' DROP COLUMNS "
+            f"n_nationkey, n_name",
+        )
+    # a TRUE full rewrite (no carried fragment) reclaims the name
+    lance_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE '{merge_tgt}' AS "
+        f"SELECT n_nationkey, n_name FROM '{merge_tgt}'",
+    ).collect()
+    assert lf.read_manifest(merge_tgt).dropped_names == set()
+    lance_sql(
+        spark,
+        f"ALTER TABLE '{merge_tgt}' ADD COLUMN n_regionkey int",
+    ).collect()
+    back = spark.read.format("lance").load(merge_tgt)
+    assert back.where(F.col("n_regionkey").isNotNull()).count() == 0
+
+
+def test_drop_column_tombstone_vs_rewrites(spark, sf_dir, tmp_path):
+    """Tombstone lifecycle is PHYSICAL, not time-based: it survives
+    any commit that carries a pre-drop fragment forward (a partial
+    rewrite — the surviving file still holds the old bytes) and
+    clears exactly when a maintenance rewrite replaces EVERY pre-drop
+    file with committed-schema files (all rewrite paths conform to
+    the committed schema, so the bytes are then provably gone)."""
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.lance_format import (
+        LanceDatasetError,
+    )
+
+    ds.register(spark)
+    root = str(tmp_path / "tomb.lance")
+    schema = "k int, name string, extra int"
+    spark.createDataFrame(
+        [(i, f"a{i}", i * 10) for i in range(5)], schema
+    ).coalesce(1).write.format("lance").mode("overwrite").save(root)
+    spark.createDataFrame(
+        [(i, f"b{i}", i * 10) for i in range(100, 105)], schema
+    ).coalesce(1).write.format("lance").mode("append").save(root)
+
+    lance_sql(spark, f"ALTER TABLE '{root}' DROP COLUMN extra").collect()
+    assert lf.read_manifest(root).dropped_names == {"extra"}
+    # PARTIAL rewrite: UPDATE hits only fragment B (keys >= 100);
+    # fragment A still physically holds 'extra' — tombstone stays,
+    # re-add still refused
+    lance_sql(
+        spark,
+        f"UPDATE '{root}' SET name = upper(name) WHERE k >= 100",
+    ).collect()
+    assert lf.read_manifest(root).dropped_names == {"extra"}
+    with pytest.raises(LanceDatasetError, match="re-add dropped"):
+        lance_sql(spark, f"ALTER TABLE '{root}' ADD COLUMN extra int")
+    # FULL rewrite: the second UPDATE hits fragment A too — no
+    # pre-drop file survives, the name is reclaimed and a re-add
+    # reads NULLs (never the old bytes)
+    lance_sql(
+        spark,
+        f"UPDATE '{root}' SET name = lower(name) WHERE k < 100",
+    ).collect()
+    assert lf.read_manifest(root).dropped_names == set()
+    lance_sql(spark, f"ALTER TABLE '{root}' ADD COLUMN extra int").collect()
+    rows = spark.read.format("lance").load(root).collect()
+    assert len(rows) == 10
+    assert all(r["extra"] is None for r in rows)
 
 
 def test_copy_and_ctas_refuse_nested_writes(spark, merge_tgt, tmp_path):
