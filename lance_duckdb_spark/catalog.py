@@ -708,6 +708,17 @@ def _run_alter(spark: SparkSession, sql: str) -> DataFrame | None:
         raise lf.LanceDatasetError(
             f"duplicate column in ADD COLUMN list {names}"
         )
+    not_null = [f.name for f in added.fields if not f.nullable]
+    if not_null:
+        # refuse loudly rather than silently coercing the user's
+        # NOT NULL to nullable (r12 advice): pre-evolution fragments
+        # must surface NULLs through the null-filling scan path, so
+        # a NOT NULL add is unsatisfiable by construction
+        raise lf.LanceDatasetError(
+            f"ALTER TABLE ADD COLUMN: {not_null} declared NOT NULL — "
+            "refused; added columns must be nullable because "
+            "pre-evolution fragments surface NULLs for them"
+        )
     manifest = lf.read_manifest(path)
     prev = json.loads(manifest.schema_json)
     existing = {f["name"] for f in prev["fields"]}

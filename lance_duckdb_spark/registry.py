@@ -403,16 +403,53 @@ _RECHECK_R12: set = set()
 # 3 r10-green fills. r11-green is the freshest tier.
 
 
+# All 50 rows CORRECTNESS_r12 recorded — every one hash-exact (the 1
+# r12-new query lance_sql_alter, the 46 entries last green in r9, and
+# 3 r10-green fills).
+_GREEN_R12 = {
+    "ann_topk_bruteforce", "boilerplate_lines", "continuous_aggregate",
+    "dedup_clusters", "dedup_exact", "dedup_incremental",
+    "dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
+    "event_transitions", "events_json_extract", "fts_bm25",
+    "fts_bm25_indexed", "lance_bloom_pruning", "lance_delete_vector",
+    "lance_merge", "lance_native_write", "lance_pushdown_scan",
+    "lance_roundtrip", "lance_scalar_index", "lance_schema_evolution",
+    "lance_sql_alter", "lance_sql_copy", "lance_sql_delete",
+    "lance_sql_update", "lance_time_travel", "lance_vacuum",
+    "lance_version_diff", "lance_zorder_pruning", "leakage_safe_split",
+    "minhash_containment", "ngram_jaccard", "perplexity_score",
+    "running_totals", "session_window_native", "skewed_hot_key_agg",
+    "skewed_hot_key_join", "sql_api_priority_matrix", "stream_dedup",
+    "stream_sessionization", "stream_sink_roundtrip",
+    "stream_stream_join", "stream_windowed_counts",
+    "string_agg_ordered", "temperature_resample",
+    "top_revenue_per_segment", "tpch_q1", "tpch_q22", "tpch_q3",
+    "tpch_q4",
+}
+
+# Queries whose HASHED OUTPUT changes in r13 go here (treated as
+# never-verified so they lead the window).
+_RECHECK_R13: set = set()
+
+# r13 rotation note (r12 verdict item 6): window leads with any
+# r13-new queries + _RECHECK_R13, then the 47 entries last green in
+# r10 (the stalest tier — ann_knn_join, bucketed_colocated_join,
+# cube_revenue, hybrid_search, ... exactly the set the r12 verdict
+# flagged), then r11-green fills. r12-green is the freshest tier;
+# max staleness stays <=2 rounds.
+
+
 def _rotate(merged: dict) -> dict:
     # Tiers by last-verified round (never-verified / recheck first);
     # within each tier the natural module order holds.
     rounds = [
         _GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4, _GREEN_R5, _GREEN_R6,
         _GREEN_R7, _GREEN_R8, _GREEN_R9, _GREEN_R10, _GREEN_R11,
+        _GREEN_R12,
     ]
 
     def last_verified(k: str) -> int:
-        if k in _RECHECK_R12:
+        if k in _RECHECK_R13:
             return 0
         return max(
             (i + 1 for i, s in enumerate(rounds) if k in s), default=0

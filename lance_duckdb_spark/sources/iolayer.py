@@ -58,14 +58,27 @@ import uuid
 
 _MEM_SCHEME = "mem://"
 # Shared mirror for mem:// objects. One machine (local-mode Spark):
-# /tmp is visible to the driver JVM, the Python driver, and every
-# Python worker process. Overridable for tests that want isolation.
+# the temp dir is visible to the driver JVM, the Python driver, and
+# every Python worker process. Overridable for tests that want
+# isolation. The default is PER-USER (uid suffix) and created 0700:
+# a fixed world-writable path would let a previous run's stale
+# objects make a "fresh" mem:// key already exist, and on multi-user
+# hosts another user could pre-create or tamper with the directory
+# (tmp squatting) — r12 advice.
 _MEM_ROOT_ENV = "LANCE_DUCKDB_SPARK_MEMFS"
-_MEM_ROOT_DEFAULT = "/tmp/lance_duckdb_spark_memfs"
 
 
 def _mem_root() -> str:
-    return os.environ.get(_MEM_ROOT_ENV, _MEM_ROOT_DEFAULT)
+    configured = os.environ.get(_MEM_ROOT_ENV)
+    if configured:
+        return configured
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"lance_duckdb_spark_memfs_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
 
 
 def is_uri(path: str) -> bool:
@@ -214,11 +227,19 @@ def promote_local(src_file: str, dst_path: str) -> None:
     it into place; object-store backend uploads it (PUT) and removes
     the staged source."""
     if is_uri(dst_path):
-        dst = _mirror(dst_path)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        # the staged file is already fully written; a cross-device
-        # move is copy+unlink, same visibility as PUT
-        shutil.move(src_file, dst)
+        # Never copy directly onto the mirror key: a cross-device
+        # shutil.move degrades to copy-into-place + unlink, so a
+        # concurrent lister could observe a half-written object —
+        # violating the atomic-PUT contract (r12 advice). Stage on
+        # the mirror's own filesystem, then publish with os.replace
+        # exactly like write_bytes/write_parquet do.
+        tmp = os.path.join(_staging_dir(), uuid.uuid4().hex)
+        if os.stat(src_file).st_dev == os.stat(_staging_dir()).st_dev:
+            os.replace(src_file, tmp)  # same device: free rename
+        else:
+            shutil.copyfile(src_file, tmp)
+            os.remove(src_file)
+        _put_local(tmp, _mirror(dst_path))
     else:
         os.makedirs(os.path.dirname(dst_path), exist_ok=True)
         shutil.move(src_file, dst_path)

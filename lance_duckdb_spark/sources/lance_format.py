@@ -176,7 +176,15 @@ class Manifest:
             d["schema_json"],
             [Fragment.from_json(f) for f in d["fragments"]],
             dict(txns),
-            list(d.get("dropped_columns", [])),
+            # normalize to ONE representation at the parse boundary
+            # (r12 advice): a bare-string entry (hand-edited or
+            # legacy manifest) becomes {"name", "at_version": None},
+            # so to_json's sort key, dropped_names, and commit's
+            # carry-forward all see dicts
+            [
+                e if isinstance(e, dict) else {"name": e, "at_version": None}
+                for e in d.get("dropped_columns", [])
+            ],
         )
 
 

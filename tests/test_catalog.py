@@ -1423,6 +1423,10 @@ def test_alter_table_add_columns(spark, sf_dir, merge_tgt):
          "duplicate column"),
         (f"ALTER TABLE '{merge_tgt}' ADD COLUMN b nosuchtype",
          "cannot parse"),
+        # r13: NOT NULL is refused loudly, never silently coerced —
+        # pre-evolution fragments must surface NULLs
+        (f"ALTER TABLE '{merge_tgt}' ADD COLUMN c int NOT NULL",
+         "NOT NULL"),
         (f"ALTER TABLE '{merge_tgt}' DROP COLUMN nope",
          "unknown columns"),
         (f"ALTER TABLE '{merge_tgt}' DROP COLUMNS score, score",

@@ -259,3 +259,68 @@ def test_mem_index_stores(spark, sf_dir, mem_root):
     hits = search_bm25(spark, fts_dir, ["the", "data"], k=10).collect()
     assert 0 < len(hits) <= 10
     assert all(r["score"] > 0 for r in hits)
+
+
+def test_mem_root_default_is_per_user(monkeypatch):
+    """r13 (r12 advice): with no env override, the mem:// mirror
+    defaults to a per-user, 0700 directory — a fixed world-writable
+    /tmp path is both stale-state-prone and tmp-squattable."""
+    monkeypatch.delenv(iol._MEM_ROOT_ENV, raising=False)
+    root = iol._mem_root()
+    assert root.endswith(f"_{os.getuid()}")
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+
+
+def test_promote_local_atomic_publish(tmp_path, monkeypatch, mem_root):
+    """r13 (r12 advice): promote_local must stage on the mirror's own
+    filesystem and publish with os.replace — a crash between staging
+    and publish leaves NOTHING listable at the destination key
+    (previously a cross-device shutil.move copied directly onto the
+    key, exposing a partial object)."""
+    src = tmp_path / "part-00000.parquet"
+    src.write_bytes(b"fragment-bytes")
+    dst = f"{mem_root}/data/frag-0.parquet"
+
+    # crash injection: die between the staging copy and the publish
+    def boom(tmp, dst_mirror):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(iol, "_put_local", boom)
+    with pytest.raises(RuntimeError, match="crash before publish"):
+        iol.promote_local(str(src), dst)
+    # the partial must not be listable or readable under data/
+    assert not iol.exists(dst)
+    data_dir = f"{mem_root}/data"
+    assert (not iol.isdir(data_dir)) or "frag-0.parquet" not in iol.listdir(
+        data_dir
+    )
+
+    # happy path: publish succeeds, source consumed, bytes intact
+    monkeypatch.undo()
+    src2 = tmp_path / "part-00001.parquet"
+    src2.write_bytes(b"fragment-bytes-2")
+    iol.promote_local(str(src2), dst)
+    assert iol.read_bytes(dst) == b"fragment-bytes-2"
+    assert not src2.exists()
+
+
+def test_manifest_dropped_columns_string_entries_normalized():
+    """r13 (r12 advice): bare-string dropped_columns entries are
+    normalized to dicts at the from_json boundary, so to_json's sort
+    key no longer TypeErrors and all three codepaths share one
+    representation."""
+    m = lf.Manifest.from_json(
+        {
+            "version": 1,
+            "schema_json": "{}",
+            "fragments": [],
+            "dropped_columns": ["zeta", {"name": "alpha", "at_version": 2}],
+        }
+    )
+    assert m.dropped_names == {"zeta", "alpha"}
+    d = m.to_json()  # previously raised TypeError on bare strings
+    assert [e["name"] for e in d["dropped_columns"]] == ["alpha", "zeta"]
+    assert {e["name"]: e["at_version"] for e in d["dropped_columns"]} == {
+        "alpha": 2,
+        "zeta": None,
+    }
