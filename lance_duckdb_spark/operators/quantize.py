@@ -319,31 +319,29 @@ def extend_sq8_store(
     )
 
 
-def ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C54: the PERSISTED-store spelling of ann_sq8_topk — build the
-    int8 code store once, serve the search by scanning the store
-    (a quarter of the vector bytes) and touching original vectors
-    only in the exact rescore of bound-surviving candidates (a
-    broadcast semi-join over one narrow pass of the original table;
-    on a vec_id-partitioned layout that pass prunes to point reads).
-    Same lossless-bound candidate logic as ann_sq8_topk, so the
-    output is bit-identical to ann_topk_bruteforce and shares its
-    oracle — the storage tier changes WHERE bytes are read, never
-    what any emitted score is."""
-    import os
-    import shutil
+def sq8_store_search(
+    spark: SparkSession,
+    emb: DataFrame,
+    store_dir: str,
+    filter: str | None = None,
+) -> DataFrame:
+    """Serve exact top-k from a persisted SQ8 store (the search body
+    of ann_sq8_indexed, extracted r13 so a row predicate can ride
+    along): scan the int8 codes, emit the lossless-bound candidate
+    superset per batch, exact-rescore against the original vectors.
 
+    ``filter`` (r13, r12 VERDICT item 1): a Spark SQL predicate over
+    ``emb``'s columns with PRE-filter semantics — the store scan is
+    semi-joined to the qualifying ids BEFORE the batch bound logic,
+    so each batch's k-th-best threshold, the candidate superset, and
+    the final window all rank qualifying rows only. The lossless
+    guarantee is unchanged: the output is the exact brute-force
+    top-k over the qualifying sub-corpus."""
     import numpy as np
     import pandas as pd
 
     from .common import spread
     from .similarity import _dot_arrow, _clamp1, norm as _norm
-
-    emb = load(spark, sf_dir, "embeddings")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    store_dir = os.path.join("/tmp/lance_duckdb_spark", tag, "sq8_store")
-    shutil.rmtree(store_dir, ignore_errors=True)
-    build_sq8_store(spark, emb, store_dir)
 
     probe_rows = (
         emb.where(F.col("vec_id") < N_PROBES)
@@ -409,6 +407,10 @@ def ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     store = read_sq8_store(spark, store_dir)
+    if filter is not None:
+        store = store.join(
+            emb.where(filter).select("vec_id"), "vec_id", "left_semi"
+        )
     candidates = spread(store).mapInPandas(
         probe_store, "probe_id long, neighbor_id long"
     )
@@ -454,6 +456,28 @@ def ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id", "cos_sim", "rnk")
         .orderBy("probe_id", "rnk")
     )
+
+
+def ann_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C54: the PERSISTED-store spelling of ann_sq8_topk — build the
+    int8 code store once, serve the search by scanning the store
+    (a quarter of the vector bytes) and touching original vectors
+    only in the exact rescore of bound-surviving candidates (a
+    broadcast semi-join over one narrow pass of the original table;
+    on a vec_id-partitioned layout that pass prunes to point reads).
+    Same lossless-bound candidate logic as ann_sq8_topk, so the
+    output is bit-identical to ann_topk_bruteforce and shares its
+    oracle — the storage tier changes WHERE bytes are read, never
+    what any emitted score is."""
+    import os
+    import shutil
+
+    emb = load(spark, sf_dir, "embeddings")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    store_dir = os.path.join("/tmp/lance_duckdb_spark", tag, "sq8_store")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    build_sq8_store(spark, emb, store_dir)
+    return sq8_store_search(spark, emb, store_dir)
 
 
 QUERIES = {

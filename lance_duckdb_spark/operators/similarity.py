@@ -833,6 +833,140 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rnk")
 
 
+# Filtered ANN search (r13, r12 VERDICT item 1 — the production
+# vector-search call shape; Lance proper's nearest+filter scan,
+# rust/scanner.rs with rust/lib.rs:148-236 and lance_scan's pushdown
+# in src/lance_scan.cpp). The predicate rides the INDEXED search with
+# PRE-filter semantics: the top-k window ranks qualifying rows only —
+# a post-filtered unfiltered top-k would under-return (at ~20%
+# selectivity, ~8 of 10 results vanish). `label` is the embeddings
+# table's metadata column; the filter reaches the dataset scan
+# through the datasource pushdown and the candidate set is
+# semi-joined on vec_id before ranking (sources/vector_index.py
+# _filter_ids).
+ANN_FILTER_PRED = "label IN (2, 5)"
+# At ~20% selectivity the qualifying neighbors spread across more
+# buckets than an unfiltered top-k's (each bucket holds ~5x fewer
+# qualifying rows), so the filtered search probes 12/16 buckets (vs
+# 6 unfiltered) — the standard filtered-ANN nprobe escalation; at
+# production k=4096 the same 2x-over-unfiltered factor stays a small
+# fraction of k. Measured recall 0.88-0.99 across sf0.001/0.01/0.1
+# (nprobe=8 drew 0.72-0.83 — the escalation is what buys the
+# headroom); flag bound one notch below the measured floor (the r5
+# discipline: sf jitter can't flip a driver row, a real regression
+# still does).
+FILTERED_RECALL_BOUND = 0.8
+FILTERED_NPROBE = 12
+
+
+def _ann_topk_filtered_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact filtered top-k: brute force over ONLY the qualifying
+    corpus rows — the ground truth a pre-filter search must chase
+    (and the SQL-replicable hashed sub-result of ann_ivf_filtered).
+    Same plan discipline as ann_topk_bruteforce: norms projected
+    before the broadcast join, one unrolled codegen dot."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        norm("embedding").alias("p_nrm"),
+    )
+    corpus = emb.where(ANN_FILTER_PRED).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        norm("embedding").alias("n_nrm"),
+    )
+    scored = corpus.join(
+        F.broadcast(probes), F.col("probe_id") != F.col("neighbor_id")
+    ).select(
+        "probe_id",
+        "neighbor_id",
+        _clamp1(
+            _dot("pe", "ne") / (F.col("p_nrm") * F.col("n_nrm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query (r13): predicate + vector in ONE indexed search.
+    The embeddings table (vec_id, embedding, label) is written as a
+    lance dataset, IVF-indexed, and searched with
+    ``filter=ANN_FILTER_PRED`` — pre-filter semantics, buckets still
+    partition-pruned, staleness-guarded like every indexed search.
+
+    Hash discipline (the ann_ivf_indexed recall-flag pattern):
+    k-means-refined centroids aren't SQL-replicable, so the hashed
+    rows are the EXACT filtered brute-force top-k plus a constant
+    ``filtered_recall_ok`` boolean — recall of the filtered index
+    search vs filtered-exact >= FILTERED_RECALL_BOUND — which the
+    oracle asserts literally TRUE. Every result of the index search
+    satisfying the predicate is additionally asserted in
+    tests/test_filtered_ann.py (with delta-extend and staleness
+    coverage)."""
+    import os
+    import shutil
+
+    from ..sources.datasource import register
+    from ..sources.vector_index import ann_search, build_ivf_index
+
+    register(spark)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join("/tmp/lance_duckdb_spark", tag, "ivffiltered.lance")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.dirname(root), exist_ok=True)
+    emb = load(spark, sf_dir, "embeddings")
+    emb.select("vec_id", "embedding", "label").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    build_ivf_index(spark, root, k=IVF_K, lloyd_iters=2)
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    approx = ann_search(
+        spark,
+        root,
+        probes,
+        k_neighbors=TOP_K,
+        nprobe=FILTERED_NPROBE,
+        filter=ANN_FILTER_PRED,
+    )
+    exact = _ann_topk_filtered_exact(spark, sf_dir)
+    return _with_recall_flag(
+        exact, approx, FILTERED_RECALL_BOUND, "filtered_recall_ok"
+    ).orderBy("probe_id", "rnk")
+
+
+ANN_FILTERED_SQL = f"""
+SELECT probe_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk,
+       TRUE AS filtered_recall_ok
+FROM (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+    list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])) AS cos_sim,
+    ROW_NUMBER() OVER (
+      PARTITION BY p.vec_id
+      ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) DESC,
+               c.vec_id ASC) AS rnk
+  FROM embeddings p, embeddings c
+  WHERE p.vec_id < {N_PROBES} AND c.vec_id != p.vec_id
+    AND c.label IN (2, 5)
+)
+WHERE rnk <= {TOP_K}
+ORDER BY probe_id, rnk
+"""
+
+
 # -- IVF-bucketed near-dup (the 100 TB dedup path) --------------------------
 
 # each vector joins its NDUP_ASSIGN nearest centroid buckets: a pair
@@ -1418,6 +1552,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_ivf_indexed": ann_ivf_indexed,
     "ann_ivf_pq": ann_ivf_pq,
+    "ann_ivf_filtered": ann_ivf_filtered,
     "embedding_neardup_ivf": embedding_neardup_ivf,
 }
 
@@ -1429,4 +1564,5 @@ ORACLE = {
     "ann_ivf": ANN_IVF_SQL,
     "ann_ivf_indexed": _topk_flag_sql("ivf_recall_ok"),
     "ann_ivf_pq": _topk_flag_sql("pq_recall_ok"),
+    "ann_ivf_filtered": ANN_FILTERED_SQL,
 }

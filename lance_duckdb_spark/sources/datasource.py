@@ -911,11 +911,40 @@ class LanceDataSource(DataSource):
             from pyspark.sql.pandas.types import from_arrow_schema
 
             man = ln.open_dataset(root, self._version())
-            return from_arrow_schema(man.arrow_schema())
+            return self._project(from_arrow_schema(man.arrow_schema()))
         manifest = lf.read_manifest(root, self._version())
         import json
 
-        return StructType.fromJson(json.loads(manifest.schema_json))
+        return self._project(
+            StructType.fromJson(json.loads(manifest.schema_json))
+        )
+
+    def _project(self, full: StructType) -> StructType:
+        """``.option("columns", "a,b")`` — EXPLICIT projection
+        pushdown (r13). Spark 4.1 plans Python data sources without
+        handing the reader its column pruning, so by default every
+        scan decodes the full row width even under a narrow
+        ``select``; this option narrows the reader's schema itself,
+        and the fragment read paths (which read exactly
+        ``schema.fieldNames()`` plus pushed-filter columns) then skip
+        the unlisted columns' bytes entirely — the difference between
+        reading ids+labels and dragging a 64-float embedding column
+        through a filter-ids scan. Unknown names are refused loudly;
+        listed order is the output order (projection semantics)."""
+        cols = self.options.get("columns")
+        if cols is None:
+            return full
+        want = [c.strip() for c in cols.split(",") if c.strip()]
+        by_name = {f.name: f for f in full.fields}
+        unknown = [c for c in want if c not in by_name]
+        if unknown:
+            raise lf.LanceDatasetError(
+                f"columns option names unknown columns {unknown}; "
+                f"dataset columns: {list(by_name)}"
+            )
+        if not want:
+            raise lf.LanceDatasetError("columns option is empty")
+        return StructType([by_name[c] for c in want])
 
     def _begin_version(self) -> int | None:
         v = self.options.get("begin_version", self.options.get("beginversion"))
@@ -961,6 +990,12 @@ class LanceDataSource(DataSource):
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> LanceArrowWriter:
+        if self.options.get("columns"):
+            raise lf.LanceDatasetError(
+                "'columns' is a read-side projection option; a write "
+                "through a narrowed schema would silently drop the "
+                "unlisted columns — remove the option"
+            )
         if ln.is_native_dataset(self._root()):
             raise lf.LanceDatasetError(
                 "writing into a dataset created by Lance proper is not "
