@@ -647,7 +647,9 @@ _ALTER_START_RE = re.compile(r"(?is)^\s*ALTER\b")
 _ALTER_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(['\"`])(?P<path>[^'\"`]+\.lance)\1"
     r"\s+(?:ADD\s+COLUMNS?\s+(?P<cols>.+?)"
-    r"|DROP\s+COLUMNS?\s+(?P<dropcols>.+?))\s*;?\s*$"
+    r"|DROP\s+COLUMNS?\s+(?P<dropcols>.+?)"
+    r"|RENAME\s+COLUMN\s+(?P<rfrom>`?\w+`?)\s+TO\s+(?P<rto>`?\w+`?))"
+    r"\s*;?\s*$"
 )
 
 
@@ -667,31 +669,50 @@ def _run_alter(spark: SparkSession, sql: str) -> DataFrame | None:
     committed schema loses the fields, every fragment is carried by
     reference (zero data IO; pre-drop files keep the bytes, scans
     never read them), and the names are TOMBSTONED in the manifest —
-    re-adding one is refused until a full rewrite replaces every
-    pre-drop fragment, because the null-filling scan reads by name
-    and would surface the old bytes as the new column's values.
-    Refused loudly: RENAME / ALTER COLUMN retype (would silently
-    corrupt immutable pre-evolution fragments), existing or
-    duplicate or tombstoned column names on ADD, unknown names or
-    dropping every column on DROP, unparsable types, native-encoded
-    targets. Returns the NEW schema (col_name, data_type, nullable)
-    in schema order — the DESCRIBE shape."""
+    re-adding one is refused only while pre-drop fragments LACK
+    stable field ids (legacy, read by name — old bytes would
+    surface); with ids everywhere the re-added name gets a fresh id
+    and the tombstone retires (r13). ``RENAME COLUMN a TO b`` (r13,
+    ``_run_alter_rename``) is metadata-only through the stable
+    field ids (rust/types.rs field model): fragments keep their
+    physical names, readers resolve by id, old versions time-travel
+    under the old name; requires every fragment id-stamped (legacy
+    datasets must OPTIMIZE first), and by-name read paths
+    (take_rows, version_changes, DML) refuse until a compact
+    materializes the rename. Refused loudly: ALTER COLUMN retype
+    (would silently corrupt immutable pre-evolution fragments),
+    existing or duplicate column names on ADD/RENAME targets,
+    unknown names or dropping every column on DROP, unparsable
+    types, native-encoded targets. Returns the NEW schema
+    (col_name, data_type, nullable) in schema order — the DESCRIBE
+    shape."""
     if not _ALTER_START_RE.match(sql):
         return None
     m = _ALTER_RE.match(sql)
     if m is None:
         raise lf.LanceDatasetError(
             "unsupported ALTER syntax; supported: ALTER TABLE "
-            "'<path>.lance' ADD COLUMN[S] <name> <type>[, ...] and "
-            "DROP COLUMN[S] <name>[, ...] — RENAME/retype are "
-            "refused (pre-evolution fragments are immutable; a "
-            "retype would silently corrupt them)"
+            "'<path>.lance' ADD COLUMN[S] <name> <type>[, ...], "
+            "DROP COLUMN[S] <name>[, ...], RENAME COLUMN <a> TO <b> "
+            "— retype (ALTER COLUMN ... TYPE) is refused "
+            "(pre-evolution fragments are immutable; a retype would "
+            "silently corrupt them)"
         )
     path = m.group("path")
     _require_dml_target(path, "ALTER TABLE")
+    if m.group("rfrom") is not None:
+        return _run_alter_rename(
+            spark, path, m.group("rfrom"), m.group("rto")
+        )
     if m.group("dropcols") is not None:
         return _run_alter_drop(spark, path, m.group("dropcols"))
     cols_src = m.group("cols")
+    bf = _BACKFILL_RE.match(cols_src)
+    if bf is not None:
+        return _run_alter_add_backfill(
+            spark, path, bf.group("name"), bf.group("type"),
+            bf.group("expr"),
+        )
     from pyspark.sql.types import StructType
 
     try:
@@ -752,6 +773,149 @@ def _run_alter(spark: SparkSession, sql: str) -> DataFrame | None:
         ],
         "col_name string, data_type string, nullable boolean",
     )
+
+
+# ADD COLUMN <name> <type> AS (<expr>): the backfilled single-column
+# form — parens around the expression make the grammar unambiguous
+# against multi-column ADD lists (a type can itself contain commas:
+# decimal(10,2), struct<...>)
+_BACKFILL_RE = re.compile(
+    r"(?s)^\s*(?P<name>`?\w+`?)\s+(?P<type>[^()]+?|[^()]*\([^()]*\)"
+    r"[^()]*?)\s+AS\s+\((?P<expr>.+)\)\s*$"
+)
+
+
+def _run_alter_add_backfill(
+    spark: SparkSession, path: str, name: str, type_src: str, expr: str
+) -> DataFrame:
+    """``ALTER TABLE ... ADD COLUMN <name> <type> AS (<expr>)``
+    (r13, r12 VERDICT item 3 — Lance proper's ``add_columns`` with
+    an expression, evaluated over existing rows): the expression is
+    Spark SQL over the dataset's columns, computed on the CURRENT
+    live rows and committed as a fragment REWRITE version (the
+    Spark-first spelling of per-fragment column files: one
+    distributed job, old versions still time-travel without the
+    column). Unlike the NULL-fill ADD this is O(data) — the cost is
+    loud in the verb's semantics, not hidden.
+
+    Refusals: existing/tombstoned-legacy name, unparsable type,
+    nondeterministic expressions (the rewrite would bake
+    unreproducible values — same _NONDET_RE as MERGE sources), and
+    a declared type that differs from the expression's ANALYZED
+    type (no silent cast: write CAST(... AS <type>) in the
+    expression to make the conversion explicit)."""
+    from pyspark.sql.types import StructType
+
+    from .sources.maintenance import _NONDET_RE
+
+    name = name.strip("`")
+    nondet = _NONDET_RE.search(expr)
+    if nondet:
+        raise lf.LanceDatasetError(
+            f"ADD COLUMN ... AS: expression contains nondeterministic "
+            f"function {nondet.group(0).rstrip('(').strip()!r}; a "
+            "backfill must be reproducible — precompute the value or "
+            "use a deterministic expression"
+        )
+    try:
+        declared = StructType.fromDDL(f"`{name}` {type_src}").fields[0]
+    except Exception as e:
+        raise lf.LanceDatasetError(
+            f"cannot parse ADD COLUMN type {type_src!r}: {str(e)[:200]}"
+        )
+    manifest = lf.read_manifest(path)
+    prev = json.loads(manifest.schema_json)
+    existing = {f["name"] for f in prev["fields"]}
+    if name in existing:
+        raise lf.LanceDatasetError(
+            f"ALTER TABLE ADD COLUMN: columns [{name!r}] already "
+            "exist (retyping/replacing a column is refused)"
+        )
+    live = _native_live_df(spark, path)
+    try:
+        backfilled = live.selectExpr("*", f"({expr}) AS `{name}`")
+        got_type = backfilled.schema[name].dataType
+    except Exception as e:
+        raise lf.LanceDatasetError(
+            f"ADD COLUMN ... AS: cannot evaluate {expr!r} over the "
+            f"dataset columns: {str(e)[:300]}"
+        )
+    if got_type.simpleString() != declared.dataType.simpleString():
+        raise lf.LanceDatasetError(
+            f"ADD COLUMN ... AS: declared type "
+            f"{declared.dataType.simpleString()} != expression type "
+            f"{got_type.simpleString()}; write CAST(({expr}) AS "
+            f"{declared.dataType.simpleString()}) to make the "
+            "conversion explicit"
+        )
+    # one fragment-rewrite version: every pre-add file is replaced,
+    # so any live tombstones retire with it (commit's physical
+    # lifecycle) and the new field gets a fresh id
+    backfilled.write.format("lance").mode("overwrite").option(
+        "expectedVersion", str(manifest.version)
+    ).save(path)
+    return _describe_schema(spark, path)
+
+
+def _describe_schema(spark: SparkSession, path: str) -> DataFrame:
+    """The committed schema in DESCRIBE shape — the ALTER verbs'
+    shared return value."""
+    from pyspark.sql.types import StructType as _St
+
+    committed = lf.read_manifest(path)
+    schema = _St.fromJson(json.loads(committed.schema_json))
+    return spark.createDataFrame(
+        [
+            (f.name, f.dataType.simpleString(), f.nullable)
+            for f in schema.fields
+        ],
+        "col_name string, data_type string, nullable boolean",
+    )
+
+
+def _run_alter_rename(
+    spark: SparkSession, path: str, src: str, dst: str
+) -> DataFrame:
+    """The RENAME COLUMN branch of ``_run_alter`` (r13): one
+    metadata-only commit re-keying the stable field id — see the
+    _run_alter docstring for the contract and lance_format.commit's
+    rename_columns branch for the refusal matrix (unknown source,
+    colliding target, legacy id-less fragments)."""
+    src, dst = src.strip("`"), dst.strip("`")
+    if not re.match(r"^[A-Za-z_]\w*$", dst):
+        raise lf.LanceDatasetError(
+            f"malformed RENAME COLUMN target {dst!r}"
+        )
+    manifest = lf.read_manifest(path)
+    prev = json.loads(manifest.schema_json)
+    names = [f["name"] for f in prev["fields"]]
+    if src not in names:
+        raise lf.LanceDatasetError(
+            f"RENAME COLUMN names unknown column {src!r}; dataset "
+            f"columns: {names}"
+        )
+    if dst in names:
+        raise lf.LanceDatasetError(
+            f"RENAME COLUMN target {dst!r} already exists"
+        )
+    new_json = json.dumps(
+        dict(
+            prev,
+            fields=[
+                dict(f, name=dst) if f["name"] == src else f
+                for f in prev["fields"]
+            ],
+        )
+    )
+    lf.commit(
+        path,
+        new_json,
+        [],
+        mode="append",
+        expected_version=manifest.version,
+        rename_columns={src: dst},
+    )
+    return _describe_schema(spark, path)
 
 
 def _run_alter_drop(
@@ -1623,14 +1787,59 @@ def _native_live_df(spark: SparkSession, path: str) -> DataFrame:
     NATIVE parquet DataFrame: committed schema (evolved columns
     null-fill), deletion vectors applied. The file-source backing is
     what lets lance_sql views participate in vectorized scans,
-    Catalyst pushdown, and per-position planning."""
+    Catalyst pushdown, and per-position planning.
+
+    Field-id aware (r13): fragments whose PHYSICAL column names
+    drifted from the current schema (metadata-only RENAME, or a
+    re-add over a dead column) are read in their own union branch
+    under a physical-name schema and projected back to current names
+    by stable field id — the name-resolved parquet scan would
+    otherwise silently null-fill a renamed field (or surface dead
+    bytes under a re-added name). Un-renamed datasets keep the
+    single-branch plan unchanged."""
+    from pyspark.sql import functions as F
+
+    from .sources.datasource import _partition_colmap
     from .sources.maintenance import _committed_schema, _live_view
 
     manifest = lf.read_manifest(path)
     committed = _committed_schema(manifest)
     if not manifest.fragments:
         return spark.createDataFrame([], committed)
-    return _live_view(spark, path, committed, manifest.fragments)
+    groups: dict = {}
+    for f in manifest.fragments:
+        groups.setdefault(_partition_colmap(manifest, f), []).append(f)
+    from pyspark.sql.types import StructField, StructType
+
+    parts = []
+    for cm, frags in groups.items():
+        if cm is None:  # identity / legacy: by-name is correct
+            parts.append(_live_view(spark, path, committed, frags))
+            continue
+        cmd = dict(cm)
+        phys = StructType(
+            [
+                StructField(cmd[fl.name], fl.dataType, True)
+                for fl in committed.fields
+                if fl.name in cmd
+            ]
+        )
+        parts.append(
+            _live_view(spark, path, phys, frags).select(
+                *[
+                    (
+                        F.col(cmd[fl.name]).alias(fl.name)
+                        if fl.name in cmd
+                        else F.lit(None).cast(fl.dataType).alias(fl.name)
+                    )
+                    for fl in committed.fields
+                ]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def lance_sql(spark: SparkSession, sql: str) -> DataFrame:

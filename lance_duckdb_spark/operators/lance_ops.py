@@ -712,21 +712,27 @@ ORDER BY version, col_name
 
 def lance_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ALTER TABLE '<path>.lance' ADD COLUMNS`` + ``DROP COLUMN``
-    through the SQL surface (r12 — the SQL verbs over the
-    schema-evolution machinery; completes the DuckDB-hosted DDL
-    ergonomics next to INSERT/DESCRIBE): write nation (v1), ADD
-    COLUMNS note/bonus/tmp_flag (v2 — zero data IO, fragments
-    carried by reference), column-list INSERT rows that POPULATE the
-    new columns (v3), DROP COLUMN tmp_flag (v4 — metadata-only,
-    name tombstoned against re-add), then aggregate the full table
-    per region with NULL-region (the inserted rows' null-filled
-    n_regionkey) bucketed as -1 and the post-drop column COUNT as a
-    hashed literal. Equal to the oracle iff pre-evolution rows
-    surface typed NULLs for the added columns, the insert landed
-    with the evolved schema, AND the drop narrowed the schema.
-    bonus values are quarter-integers (exact in binary), so the
-    double SUM is order-independent. Refusal matrix
-    (RENAME/retype/existing/dup/unparsable/revive-after-drop) in
+    + ``RENAME COLUMN`` through the SQL surface (r12 ADD/DROP, r13
+    RENAME — the SQL verbs over the schema-evolution machinery;
+    completes the DuckDB-hosted DDL ergonomics next to
+    INSERT/DESCRIBE): write nation (v1), ADD COLUMNS
+    note/bonus/tmp_flag (v2 — zero data IO, fragments carried by
+    reference), column-list INSERT rows that POPULATE the new
+    columns (v3), DROP COLUMN tmp_flag (v4 — metadata-only, name
+    tombstoned against re-add while legacy fragments survive),
+    RENAME COLUMN note TO annotation (v5 — metadata-only through
+    the stable field ids, rust/types.rs parity: fragments keep the
+    physical name, the scan resolves by id), then aggregate the
+    full table per region with NULL-region (the inserted rows'
+    null-filled n_regionkey) bucketed as -1 and the post-drop
+    column COUNT as a hashed literal. Equal to the oracle iff
+    pre-evolution rows surface typed NULLs for the added columns,
+    the insert landed with the evolved schema, the drop narrowed
+    the schema, AND the renamed column still serves the populated
+    values (a by-name read would count 0 annotations and
+    hash-mismatch). bonus values are quarter-integers (exact in
+    binary), so the double SUM is order-independent. Refusal matrix
+    (retype/existing/dup/unparsable/legacy-rename) in
     tests/test_catalog.py."""
     from ..catalog import lance_sql
 
@@ -754,6 +760,19 @@ def lance_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lance_sql(
         spark, f"ALTER TABLE '{root}' DROP COLUMN tmp_flag"
     ).collect()
+    # metadata-only RENAME (r13): zero data IO, values must survive
+    # under the new name via by-id resolution
+    lance_sql(
+        spark, f"ALTER TABLE '{root}' RENAME COLUMN note TO annotation"
+    ).collect()
+    # backfilled ADD (r13): the expression evaluates over EXISTING
+    # rows (Lance proper's add_columns(expr)) as one rewrite
+    # version — half/quarter-integer arithmetic, exact in binary
+    lance_sql(
+        spark,
+        f"ALTER TABLE '{root}' ADD COLUMN score double AS "
+        f"(coalesce(bonus, 0.0) + CAST(n_nationkey AS DOUBLE) / 2)",
+    ).collect()
     evolved = lance_sql(spark, f"SELECT * FROM '{root}'")
     return (
         evolved.groupBy(
@@ -761,8 +780,9 @@ def lance_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.count("note").alias("n_notes"),
+            F.count("annotation").alias("n_annotations"),
             F.round(F.sum("bonus"), 2).alias("total_bonus"),
+            F.round(F.sum("score"), 2).alias("total_score"),
             F.countDistinct("n_nationkey").alias("n_keys"),
         )
         .withColumn(
@@ -775,20 +795,26 @@ def lance_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANCE_SQL_ALTER_SQL = """
 WITH evolved AS (
   SELECT n_nationkey, n_name, n_regionkey,
-         CAST(NULL AS VARCHAR) AS note, CAST(NULL AS DOUBLE) AS bonus
+         CAST(NULL AS VARCHAR) AS annotation, CAST(NULL AS DOUBLE) AS bonus
   FROM nation
   UNION ALL
   SELECT n_nationkey + 100, lower(n_name), CAST(NULL AS INT),
          concat('new-', n_name), CAST(n_nationkey AS DOUBLE) / 4
   FROM nation WHERE n_nationkey < 5
+),
+backfilled AS (
+  SELECT *,
+         COALESCE(bonus, 0.0) + CAST(n_nationkey AS DOUBLE) / 2 AS score
+  FROM evolved
 )
 SELECT COALESCE(n_regionkey, -1) AS region,
        COUNT(*) AS n_rows,
-       COUNT(note) AS n_notes,
+       COUNT(annotation) AS n_annotations,
        ROUND(SUM(bonus), 2) AS total_bonus,
+       ROUND(SUM(score), 2) AS total_score,
        COUNT(DISTINCT n_nationkey) AS n_keys,
-       CAST(5 AS BIGINT) AS n_cols
-FROM evolved
+       CAST(6 AS BIGINT) AS n_cols
+FROM backfilled
 GROUP BY 1
 ORDER BY 1
 """
@@ -1142,6 +1168,9 @@ def version_changes(
 
     man_a = lf.read_manifest(root, v_from)
     man_b = lf.read_manifest(root, v_to)
+    # _tagged reads fragment parquet by CURRENT name (r13 guard)
+    lf.require_physical_identity(man_a, "version_changes")
+    lf.require_physical_identity(man_b, "version_changes")
     committed = _committed_schema(man_b)
 
     from ..sources import iolayer as iol
@@ -1618,6 +1647,9 @@ def take_rows(
     from ..sources import lance_format as lf
 
     man = lf.read_manifest(root)
+    # worker fetches read parquet columns by CURRENT name (r13
+    # guard: a renamed physical column would silently drop out)
+    lf.require_physical_identity(man, "take_rows")
     schema = StructType.fromJson(_json.loads(man.schema_json))
     if columns is not None:
         missing = set(columns) - set(schema.fieldNames())

@@ -429,7 +429,12 @@ _GREEN_R12 = {
 
 # Queries whose HASHED OUTPUT changes in r13 go here (treated as
 # never-verified so they lead the window).
-_RECHECK_R13: set = set()
+_RECHECK_R13: set = {
+    # r13: the ALTER chain gained a RENAME COLUMN step (note ->
+    # annotation) — new output column names, new hashes; oracle
+    # changed in lockstep
+    "lance_sql_alter",
+}
 
 # r13 rotation note (r12 verdict item 6): window leads with any
 # r13-new queries + _RECHECK_R13, then the 47 entries last green in

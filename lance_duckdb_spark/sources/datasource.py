@@ -78,6 +78,13 @@ class FragmentPartition(InputPartition):
     # each scan's executors see exactly the filters of the planning
     # that produced their partition list.
     pushed: tuple = ()
+    # stable-field-id resolution (r13): tuple of (current name,
+    # physical name) pairs for fields PRESENT in this fragment, in
+    # schema order — fields not listed are absent (typed-NULL fill)
+    # even when a same-named physical column exists (dead id).
+    # None = resolve by name (legacy fragments, and the identity
+    # fast path which keeps parquet-level filter pushdown).
+    colmap: tuple | None = None
 
 
 @dataclass
@@ -244,22 +251,103 @@ def _fragment_may_match(
     return True
 
 
+def _partition_colmap(manifest: "lf.Manifest", f: "lf.Fragment") -> tuple | None:
+    """Per-fragment field-id resolution map for a scan partition
+    (r13). None = by-name fast path: legacy fragments, and the
+    identity case (every physically-present current field sits
+    under its own name AND no dead same-named column shadows a
+    current field) — which keeps parquet-level filter pushdown on
+    the overwhelmingly common un-renamed dataset."""
+    cm = manifest.colmap(f)
+    if cm is None:
+        return None
+    identity = all(k == v for k, v in cm.items()) and all(
+        (n in cm) == (n in f.field_ids) for n in manifest.field_ids
+    )
+    return None if identity else tuple(cm.items())
+
+
+def _read_fragment_by_id(
+    root: str,
+    frag: "lf.Fragment",
+    schema: StructType,
+    pushed: list[Filter],
+    cm: dict,
+):
+    """The stable-field-id spelling of ``_read_fragment_evolved``
+    (r13, RENAME COLUMN support): ``cm`` maps current field names to
+    this fragment's PHYSICAL column names; current fields absent
+    from ``cm`` are typed-NULL-filled even if the file carries a
+    same-named column (its id is dead — the re-add case). Columns
+    are read pruned by physical name, renamed to current names, and
+    pushed filters are evaluated post-rename in current-name space —
+    row-group-level pushdown is traded away only for the rare
+    renamed fragment (the identity fast path keeps it)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    want = schema.fieldNames()
+    target = to_arrow_schema(schema)
+    absent_only = [
+        f
+        for f in pushed
+        if f.attribute
+        and f.attribute[0] not in cm
+        and f.attribute[0] not in want
+    ]
+    if any(not isinstance(f, IsNull) for f in absent_only):
+        return target.empty_table()
+    eff_pushed = [f for f in pushed if f not in absent_only]
+    extra = [
+        c
+        for c in dict.fromkeys(
+            f.attribute[0] for f in eff_pushed if f.attribute
+        )
+        if c not in want and c in cm
+    ]
+    read_want = want + extra
+    phys = [cm[c] for c in read_want if c in cm]
+    table = lf.read_fragment(root, frag, columns=phys or None)
+    rev = {v: k for k, v in cm.items()}
+    table = table.rename_columns([rev[c] for c in table.column_names])
+    for name in want:
+        if name not in table.column_names:
+            fld = target.field(target.get_field_index(name))
+            table = table.append_column(
+                fld, pa.nulls(table.num_rows, fld.type)
+            )
+    filter_expr = _to_arrow_filter(eff_pushed)
+    if filter_expr is not None:
+        table = pads.dataset(table).to_table(filter=filter_expr)
+    return table.select(want)
+
+
 def _read_fragment_evolved(
     root: str,
     frag: "lf.Fragment",
     schema: StructType,
     pushed: list[Filter],
+    colmap: tuple | None = None,
 ):
     """Deletion-aware fragment read that also honors schema
     evolution: columns added after this fragment was written (or
     omitted by a mergeSchema append) are filled with typed NULLs,
     and pushed filters are then applied over the filled table so
     their NULL semantics stay exact (a value predicate on an absent
-    column keeps nothing; IS NULL keeps everything)."""
+    column keeps nothing; IS NULL keeps everything). With ``colmap``
+    set, resolution runs by stable field id instead of by name (see
+    ``_read_fragment_by_id``)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import to_arrow_schema
+
+    if colmap is not None:
+        return _read_fragment_by_id(
+            root, frag, schema, pushed, dict(colmap)
+        )
 
     want = schema.fieldNames()
     file_names = set(
@@ -407,17 +495,35 @@ class LanceScanReader(DataSourceReader):
             if not _pushable(f, fc):
                 yield f  # Spark keeps evaluating these
 
+    def _colmap_for(self, f) -> tuple | None:
+        return _partition_colmap(self.manifest, f)
+
     def partitions(self):
         # fragment-level data skipping: drop fragments whose zone map
         # ([min,max] per column, recorded at write time) proves the
         # pushed filters can never match — at 100 TB this turns a
         # range query over a sorted/partitioned table into a scan of
         # only the overlapping fragments, before any IO is issued.
-        kept = [
-            f
-            for f in self.manifest.fragments
-            if _fragment_may_match(f, self.pushed, self.root)
-        ]
+        import dataclasses as _dc
+
+        kept = []
+        for f in self.manifest.fragments:
+            cm = self._colmap_for(f)
+            prune = self.pushed
+            if cm is not None:
+                # zone-map/bloom keys are PHYSICAL names: translate
+                # the pushed attributes per fragment; filters on
+                # fields absent from the fragment are skipped for
+                # pruning (conservative — the read path produces the
+                # exact empty/null-filled result anyway)
+                cmd = dict(cm)
+                prune = [
+                    _dc.replace(flt, attribute=(cmd[flt.attribute[0]],))
+                    for flt in self.pushed
+                    if flt.attribute and flt.attribute[0] in cmd
+                ]
+            if _fragment_may_match(f, prune, self.root):
+                kept.append((f, cm))
         if not kept:
             # everything pruned: one sentinel empty partition (Spark
             # calls read(None) if the partition list is empty)
@@ -429,8 +535,9 @@ class LanceScanReader(DataSourceReader):
                 f.num_rows,
                 f.deletion_file,
                 tuple(self.pushed),
+                cm,
             )
-            for f in kept
+            for f, cm in kept
         ]
 
     def __getstate__(self):
@@ -457,6 +564,7 @@ class LanceScanReader(DataSourceReader):
             self.schema,
             # partition-bound, NEVER self.pushed — see FragmentPartition
             list(partition.pushed),
+            partition.colmap,
         )
         yield from table.to_batches()
 
@@ -769,8 +877,19 @@ class LanceStreamReader(DataSourceStreamReader):
         self._floor = max(
             self._floor or 0, start["frag_count"], end["frag_count"]
         )
+        try:
+            man = lf.read_manifest(self.root)
+        except lf.LanceDatasetError:
+            man = None
         return [
-            FragmentPartition(self.root, f.file, f.num_rows, f.deletion_file)
+            FragmentPartition(
+                self.root,
+                f.file,
+                f.num_rows,
+                f.deletion_file,
+                (),
+                _partition_colmap(man, f) if man is not None else None,
+            )
             for f in window
         ]
 
@@ -785,6 +904,7 @@ class LanceStreamReader(DataSourceStreamReader):
             ),
             self.schema,
             [],
+            partition.colmap,
         )
         yield from table.to_batches()
 

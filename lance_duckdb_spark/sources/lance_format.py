@@ -69,6 +69,16 @@ class Fragment:
     # clustered columns). Written with the fragment, so unlike an
     # external index it can never go stale.
     bloom_file: str | None = None
+    # stable-field-id map (r13 — the rust/types.rs field model that
+    # makes RENAME COLUMN metadata-only): {physical column name in
+    # THIS file -> stable field id}, stamped by commit() from the
+    # write schema. Readers resolve the CURRENT schema's fields to
+    # physical columns BY ID (Manifest.colmap), so a renamed field
+    # still reads its old bytes and a re-added name can never
+    # surface a dead column's bytes. None = legacy fragment
+    # (pre-r13): resolved by name, protected by the tombstone
+    # lifecycle.
+    field_ids: dict | None = None
 
     @property
     def live_rows(self) -> int:
@@ -86,6 +96,8 @@ class Fragment:
             d["num_deleted"] = self.num_deleted
         if self.bloom_file is not None:
             d["bloom_file"] = self.bloom_file
+        if self.field_ids is not None:
+            d["field_ids"] = self.field_ids
         return d
 
     @staticmethod
@@ -98,6 +110,7 @@ class Fragment:
             d.get("deletion_file"),
             d.get("num_deleted", 0),
             d.get("bloom_file"),
+            d.get("field_ids"),
         )
 
 
@@ -126,6 +139,15 @@ class Manifest:
     # provably gone; all rewrite paths conform to it). A vacuumed
     # drop-time manifest keeps the tombstone (conservative).
     dropped_columns: list = field(default_factory=list)
+    # stable field ids (r13): {current field name -> id}. Ids are
+    # assigned once per name lineage and never reused
+    # (next_field_id is monotonic), so RENAME is a key change here
+    # and a re-added name gets a FRESH id — by-id fragments then
+    # provably null-fill it. None = dataset predates field ids
+    # (bootstrapped on its next commit; its old fragments stay
+    # name-resolved).
+    field_ids: dict | None = None
+    next_field_id: int = 0
 
     @property
     def dropped_names(self) -> set:
@@ -133,6 +155,50 @@ class Manifest:
             e["name"] if isinstance(e, dict) else e
             for e in self.dropped_columns
         }
+
+    def colmap(self, frag: Fragment) -> dict | None:
+        """{current field name -> physical column name in ``frag``},
+        resolved by stable field id, in current-schema order; fields
+        absent from the dict are NOT in the fragment (typed-NULL
+        fill) even when a same-named physical column exists (that
+        column's id is dead — the re-add case). None when either
+        side predates field ids: the caller must fall back to
+        by-name resolution (today's behavior, tombstone-guarded)."""
+        if self.field_ids is None or frag.field_ids is None:
+            return None
+        by_id = {v: k for k, v in frag.field_ids.items()}
+        out = {}
+        for f in json.loads(self.schema_json)["fields"]:
+            phys = by_id.get(self.field_ids.get(f["name"]))
+            if phys is not None:
+                out[f["name"]] = phys
+        return out
+
+    def physical_mismatches(self) -> list[str]:
+        """Fragment files whose PHYSICAL column names no longer
+        line up with the current schema names (a rename happened, or
+        a name was re-added over a dead column): any reader that
+        resolves by name — ``spark.read.schema(committed).parquet``,
+        take-by-position fetches — would silently read NULLs or the
+        WRONG column's bytes from these. Such paths must refuse
+        until a rewrite (OPTIMIZE/compact) re-materializes the
+        fragments under current names. Legacy (id-less) fragments
+        are by-name by definition and never mismatch."""
+        if self.field_ids is None:
+            return []
+        bad = []
+        for fr in self.fragments:
+            if fr.field_ids is None:
+                continue
+            rev = {v: k for k, v in fr.field_ids.items()}
+            for name, fid in self.field_ids.items():
+                phys = rev.get(fid)
+                if (phys is not None and phys != name) or (
+                    phys != name and name in fr.field_ids
+                ):
+                    bad.append(fr.file)
+                    break
+        return bad
 
     # convenience views used by tests/inspection
     @property
@@ -158,6 +224,9 @@ class Manifest:
             d["dropped_columns"] = sorted(
                 self.dropped_columns, key=lambda e: e["name"]
             )
+        if self.field_ids is not None:
+            d["field_ids"] = self.field_ids
+            d["next_field_id"] = self.next_field_id
         return d
 
     @staticmethod
@@ -185,6 +254,8 @@ class Manifest:
                 e if isinstance(e, dict) else {"name": e, "at_version": None}
                 for e in d.get("dropped_columns", [])
             ],
+            d.get("field_ids"),
+            d.get("next_field_id", 0),
         )
 
 
@@ -509,6 +580,7 @@ def commit(
     expected_version: int | None = None,
     merge_schema: bool = False,
     drop_columns: list[str] | None = None,
+    rename_columns: dict | None = None,
 ) -> Manifest:
     """Publish the next version. Atomic: manifest is written to a
     temp name and renamed into place (POSIX rename atomicity), the
@@ -530,6 +602,10 @@ def commit(
     instead of retrying, making the optimistic-concurrency check
     genuinely atomic rather than check-then-act."""
     io.makedirs(os.path.join(root, MANIFEST_DIR))
+    # physical columns of any NEW fragment files in this commit: the
+    # schema as the WRITER sent it, captured before merge/append
+    # branches may replace schema_json with the committed one
+    write_fields = [f["name"] for f in json.loads(schema_json)["fields"]]
     while True:
         versions = list_versions(root)
         head = versions[-1] if versions else None
@@ -566,7 +642,66 @@ def commit(
             txns[stream_txn_id] = max(
                 stream_batch_id, txns.get(stream_txn_id, stream_batch_id)
             )
-        if mode == "append" and prev is not None and drop_columns:
+        revived_safe: set = set()
+        if mode == "append" and prev is not None and rename_columns:
+            # ALTER TABLE RENAME COLUMN (r13): metadata-only — the
+            # schema's field names change, every fragment is carried
+            # by reference, and the stable field ids keep pointing
+            # readers at the old physical columns. Requires every
+            # fragment to carry field ids: a legacy fragment is read
+            # BY NAME, so the renamed field would silently null-fill
+            # from it.
+            if fragments:
+                raise LanceDatasetError(
+                    "rename_columns commits are metadata-only; got "
+                    f"{len(fragments)} fragments"
+                )
+            if drop_columns:
+                raise LanceDatasetError(
+                    "rename_columns and drop_columns cannot share a "
+                    "commit"
+                )
+            prev_fields = json.loads(prev.schema_json)["fields"]
+            names = [f["name"] for f in prev_fields]
+            unknown = sorted(set(rename_columns) - set(names))
+            if unknown:
+                raise LanceDatasetError(
+                    f"RENAME COLUMN names unknown columns {unknown}; "
+                    f"dataset columns: {names}"
+                )
+            surviving = [rename_columns.get(n, n) for n in names]
+            if len(set(surviving)) != len(surviving):
+                raise LanceDatasetError(
+                    f"RENAME COLUMN targets collide with surviving "
+                    f"columns: {sorted(set(rename_columns.values()))}"
+                )
+            legacy = [
+                f.file
+                for f in prev.fragments
+                if f.field_ids is None
+            ]
+            if prev.field_ids is None or legacy:
+                raise LanceDatasetError(
+                    f"RENAME COLUMN requires stable field ids on "
+                    f"every fragment, but {len(legacy) or 'all'} "
+                    "fragments predate them and are read by name — "
+                    "rewrite the dataset (OPTIMIZE or CREATE OR "
+                    "REPLACE TABLE ... AS SELECT) first"
+                )
+            want = [
+                dict(f, name=rename_columns.get(f["name"], f["name"]))
+                for f in prev_fields
+            ]
+            if json.loads(schema_json)["fields"] != want:
+                raise LanceDatasetError(
+                    "rename_columns schema must equal the committed "
+                    "schema with exactly the renamed names replaced"
+                )
+            # a rename target landing on a tombstoned name is safe
+            # here (all fragments id-mapped) — retire its tombstone
+            revived_safe = set(rename_columns.values()) & prev.dropped_names
+            base = list(prev.fragments)
+        elif mode == "append" and prev is not None and drop_columns:
             # ALTER TABLE DROP COLUMN: a metadata-only commit — zero
             # fragments, schema narrowed to exactly (prev fields -
             # drop set), every fragment carried by reference. The
@@ -593,10 +728,14 @@ def commit(
         elif mode == "append" and prev is not None:
             if prev.schema_json != schema_json:
                 if merge_schema:
-                    # a tombstoned name may not come back: pre-drop
-                    # fragments still hold its old bytes under that
-                    # name and the null-filling scan would surface
-                    # them as the new column's values
+                    # a tombstoned name may only come back when every
+                    # surviving fragment carries field ids: the
+                    # re-added field then gets a FRESH id and by-id
+                    # resolution provably null-fills it from pre-drop
+                    # files (r13 — tombstone retirement). With any
+                    # LEGACY fragment in the set, the null-filling
+                    # scan reads by name and would surface the old
+                    # bytes — refuse as before.
                     revived = sorted(
                         {
                             f["name"]
@@ -605,13 +744,22 @@ def commit(
                         & prev.dropped_names
                     )
                     if revived:
-                        raise LanceDatasetError(
-                            f"cannot re-add dropped columns {revived}: "
-                            "fragments written before the drop still "
-                            "carry the old bytes under this name — "
-                            "rewrite the dataset (CREATE OR REPLACE "
-                            "TABLE ... AS SELECT) to reclaim it"
-                        )
+                        legacy = [
+                            f.file
+                            for f in prev.fragments
+                            if f.field_ids is None
+                        ]
+                        if legacy or prev.field_ids is None:
+                            raise LanceDatasetError(
+                                f"cannot re-add dropped columns "
+                                f"{revived}: fragments written before "
+                                "the drop lack stable field ids and "
+                                "still carry the old bytes under this "
+                                "name — rewrite the dataset (CREATE "
+                                "OR REPLACE TABLE ... AS SELECT) to "
+                                "reclaim it"
+                            )
+                        revived_safe = set(revived)
                     schema_json = _merge_schemas(
                         prev.schema_json, schema_json
                     )
@@ -636,15 +784,62 @@ def commit(
         all_frags = base + fragments
         for i, f in enumerate(all_frags):
             f.id = i
+        # stable field ids (r13): carry the previous map (rename
+        # re-keys it — same ids, new names), assign monotonically
+        # fresh ids to new names, and drop removed names WITHOUT
+        # reusing their ids — the whole point: a re-added name is a
+        # NEW field to every by-id reader. A dataset without a map
+        # bootstraps one here; its pre-existing fragments stay
+        # id-less (legacy, by-name).
+        if prev is not None and prev.field_ids is not None:
+            id_map = dict(prev.field_ids)
+            next_id = prev.next_field_id
+        else:
+            id_map, next_id = {}, 0
+        if rename_columns:
+            id_map = {
+                rename_columns.get(k, k): v for k, v in id_map.items()
+            }
+        final_fields = [
+            f["name"] for f in json.loads(schema_json)["fields"]
+        ]
+        for n in final_fields:
+            if n not in id_map:
+                id_map[n] = next_id
+                next_id += 1
+        id_map = {n: id_map[n] for n in final_fields}
+        # stamp fragments: a NEW file's physical columns are the
+        # write schema's names; a file carried from the previous
+        # version keeps its recorded map (deletion-vector copies and
+        # maintenance reconstructions may arrive as bare Fragment
+        # objects — inherit, never restamp, or a renamed file would
+        # be mislabeled with current names)
+        prev_by_file = (
+            {f.file: f.field_ids for f in prev.fragments}
+            if prev is not None
+            else {}
+        )
+        for f in all_frags:
+            if f.field_ids is None:
+                if f.file in prev_by_file:
+                    f.field_ids = prev_by_file[f.file]  # may stay None
+                else:
+                    f.field_ids = {
+                        n: id_map[n] for n in write_fields if n in id_map
+                    }
         # tombstone lifecycle (see Manifest.dropped_columns): carry
         # each live entry forward unless NO file of the drop-time
-        # manifest survives into this commit's fragment set
+        # manifest survives into this commit's fragment set, or the
+        # name was safely revived this commit (all-id-mapped re-add
+        # or rename-onto — the id indirection retires the tombstone)
         tombstones = []
         if prev is not None and prev.dropped_columns:
             files_now = {f.file for f in all_frags}
             for e in prev.dropped_columns:
                 if not isinstance(e, dict):
                     e = {"name": e, "at_version": None}
+                if e["name"] in revived_safe:
+                    continue
                 v = e.get("at_version")
                 keep = True
                 if v is not None:
@@ -661,7 +856,13 @@ def commit(
         for n in drop_columns or []:
             tombstones.append({"name": n, "at_version": next_version})
         manifest = Manifest(
-            next_version, schema_json, all_frags, txns, tombstones
+            next_version,
+            schema_json,
+            all_frags,
+            txns,
+            tombstones,
+            id_map,
+            next_id,
         )
         final = _manifest_path(root, next_version)
         if not io.put_if_absent(
@@ -820,22 +1021,72 @@ def read_fragment(
     return io.read_parquet(path, columns=columns, filters=filter_expr)
 
 
-def _bloom_columns_of(root: str, frags: list["Fragment"]) -> list[str]:
+def require_physical_identity(manifest: Manifest, op: str) -> None:
+    """Loud guard for read paths that resolve fragment columns BY
+    NAME against the current schema (``spark.read.schema(committed)
+    .parquet(...)``, take-by-position fetches): after a RENAME (or a
+    re-add over an id-mapped drop) those reads would silently
+    null-fill the renamed field — or worse, surface a dead column's
+    bytes. Refuse until a rewrite re-materializes the fragments
+    under current names."""
+    bad = manifest.physical_mismatches()
+    if bad:
+        raise LanceDatasetError(
+            f"{op}: {len(bad)} fragment(s) (e.g. {bad[:2]}) carry "
+            "physical column names that differ from the current "
+            "schema (RENAME COLUMN is metadata-only) — run OPTIMIZE "
+            "/ compact to materialize the rename before this "
+            "operation"
+        )
+
+
+def resolve_to_current(
+    table: pa.Table, manifest: Manifest, frag: Fragment
+) -> pa.Table:
+    """Rename a freshly-read fragment table from PHYSICAL column
+    names into the manifest's CURRENT names by stable field id
+    (r13): renamed fields keep their bytes under the new name, and
+    physical columns whose id is dead in the current schema (dropped
+    or superseded by a re-add) are removed so downstream null-fill
+    treats them as absent. Identity (and legacy by-name fragments)
+    pass through untouched."""
+    cm = manifest.colmap(frag)
+    if cm is None or all(k == v for k, v in cm.items()):
+        return table
+    cols, names = [], []
+    for cur, phys in cm.items():  # current-schema order
+        if phys in table.column_names:
+            cols.append(table.column(phys))
+            names.append(cur)
+    return pa.table(cols, names=names)
+
+
+def _bloom_columns_of(
+    root: str,
+    frags: list["Fragment"],
+    manifest: "Manifest | None" = None,
+) -> list[str]:
     """Union of columns any of these fragments carries blooms for —
     maintenance rewrites (compact, delete_where) must re-record the
     same bloom columns on the fragments they produce, or point-probe
-    pruning silently regresses after every rewrite."""
+    pruning silently regresses after every rewrite. Bloom keys are
+    PHYSICAL names; pass ``manifest`` to translate them to current
+    names by field id (rewritten fragments carry current names)."""
     cols: set[str] = set()
     for f in frags:
         if f.bloom_file:
             try:
-                cols.update(
-                    json.loads(
-                        io.read_text(os.path.join(root, f.bloom_file))
-                    ).keys()
-                )
+                keys = json.loads(
+                    io.read_text(os.path.join(root, f.bloom_file))
+                ).keys()
             except OSError:
-                pass
+                continue
+            cm = manifest.colmap(f) if manifest is not None else None
+            if cm:
+                rev = {v: k for k, v in cm.items()}
+                cols.update(rev[k] for k in keys if k in rev)
+            else:
+                cols.update(keys)
     return sorted(cols)
 
 
@@ -865,15 +1116,24 @@ def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
     runs as a distributed job per fragment group; here the driver
     loop is fine for the manifest sizes tests use."""
     manifest = read_manifest(root)
-    # rewrite small fragments AND fragments carrying deletion
-    # vectors (materialize_deletions — Lance compact_files does the
-    # same): compaction is where deferred deletes pay their IO
+    # rewrite small fragments, fragments carrying deletion vectors
+    # (materialize_deletions — Lance compact_files does the same),
+    # AND fragments whose physical column names drifted from the
+    # current schema (metadata-only RENAME; compaction is where the
+    # rename pays its IO and by-name readers become safe again)
+    mismatched = set(manifest.physical_mismatches())
     small = [
         f
         for f in manifest.fragments
-        if f.num_rows < target_rows or f.deletion_file is not None
+        if f.num_rows < target_rows
+        or f.deletion_file is not None
+        or f.file in mismatched
     ]
-    if len(small) <= 1 and not any(f.deletion_file for f in small):
+    if (
+        len(small) <= 1
+        and not any(f.deletion_file for f in small)
+        and not any(f.file in mismatched for f in small)
+    ):
         return manifest
     keep = [f for f in manifest.fragments if f not in small]
 
@@ -885,10 +1145,15 @@ def compact(root: str, target_rows: int = 1_000_000) -> Manifest:
     # dataset and compaction is impossible.
     target = _arrow_schema(manifest.schema_json)
 
-    blooms = _bloom_columns_of(root, small)
+    blooms = _bloom_columns_of(root, small, manifest)
     tables, new_frags, batch_rows = [], [], 0
     for f in small:
-        tables.append(_conform_to(read_fragment(root, f), target))
+        tables.append(
+            _conform_to(
+                resolve_to_current(read_fragment(root, f), manifest, f),
+                target,
+            )
+        )
         batch_rows += f.live_rows
         if batch_rows >= target_rows:
             new_frags.append(
@@ -954,7 +1219,12 @@ def delete_where(
             # predicate is definitely TRUE — NULL excluded, which IS
             # SQL DELETE's keep-on-NULL), collect hit positions
             table = _conform_to(
-                io.read_parquet(os.path.join(root, f.file)), target
+                resolve_to_current(
+                    io.read_parquet(os.path.join(root, f.file)),
+                    manifest,
+                    f,
+                ),
+                target,
             )
             table = table.append_column(
                 "__pos", pa.array(np.arange(table.num_rows), pa.int64())
@@ -993,7 +1263,9 @@ def delete_where(
                 )
             )
             continue
-        table = _conform_to(read_fragment(root, f), target)  # deletion-aware
+        table = _conform_to(  # deletion-aware
+            resolve_to_current(read_fragment(root, f), manifest, f), target
+        )
         keep_mask = pc.coalesce(~predicate, pa.scalar(True))
         kept = table.filter(keep_mask)
         if kept.num_rows == f.live_rows and f.deletion_file is None:
@@ -1002,7 +1274,7 @@ def delete_where(
             new_frags.append(
                 write_fragment(
                     root, kept,
-                    bloom_columns=_bloom_columns_of(root, [f]),
+                    bloom_columns=_bloom_columns_of(root, [f], manifest),
                 )
             )
     return commit(

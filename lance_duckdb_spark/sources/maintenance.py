@@ -62,6 +62,9 @@ def upsert(
     pure-append path (r8 review)."""
     register(spark)
     manifest = lf.read_manifest(root)
+    # by-name fragment reads below (r13 guard: renamed
+    # physical columns would silently null-fill)
+    lf.require_physical_identity(manifest, "upsert")
     # schema check runs in BOTH paths: with no overlapping fragment
     # the old flow committed updates verbatim under the old
     # schema_json — a missing column silently null-filled on read, an
@@ -100,6 +103,9 @@ def delete_keys(spark: SparkSession, root: str, keys: DataFrame, key: str) -> No
 
     register(spark)
     manifest = lf.read_manifest(root)
+    # by-name fragment reads below (r13 guard: renamed
+    # physical columns would silently null-fill)
+    lf.require_physical_identity(manifest, "delete_keys")
     _merge_commit(
         spark,
         root,
@@ -138,6 +144,9 @@ def delete_where_sql(spark: SparkSession, root: str, predicate_sql: str) -> int:
     from pyspark.sql import functions as F
 
     manifest = lf.read_manifest(root)
+    # by-name fragment reads below (r13 guard: renamed
+    # physical columns would silently null-fill)
+    lf.require_physical_identity(manifest, "DELETE")
     if not manifest.fragments:
         return 0
     committed = _committed_schema(manifest)
@@ -374,6 +383,9 @@ def update_where_sql(
             "and inline it as a literal"
         )
     manifest = lf.read_manifest(root)
+    # by-name fragment reads below (r13 guard: renamed
+    # physical columns would silently null-fill)
+    lf.require_physical_identity(manifest, "UPDATE")
     committed = _committed_schema(manifest)
     names = {f.name for f in committed.fields}
     unknown = sorted(set(assignments) - names)
@@ -530,6 +542,9 @@ def merge_apply(
 
     register(spark)
     manifest = lf.read_manifest(root)
+    # by-name fragment reads below (r13 guard: renamed
+    # physical columns would silently null-fill)
+    lf.require_physical_identity(manifest, "MERGE")
     committed = _committed_schema(manifest)
     names = [f.name for f in committed.fields]
     reserved = [

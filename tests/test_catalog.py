@@ -1413,8 +1413,10 @@ def test_alter_table_add_columns(spark, sf_dir, merge_tgt):
 
     # refusal matrix
     for bad, pat in [
-        (f"ALTER TABLE '{merge_tgt}' RENAME COLUMN n_name TO x",
-         "unsupported ALTER"),
+        (f"ALTER TABLE '{merge_tgt}' RENAME COLUMN nope TO x",
+         "unknown column"),
+        (f"ALTER TABLE '{merge_tgt}' RENAME COLUMN n_name TO note",
+         "already exists"),
         (f"ALTER TABLE '{merge_tgt}' ALTER COLUMN n_name TYPE int",
          "unsupported ALTER"),
         (f"ALTER TABLE '{merge_tgt}' ADD COLUMN n_name string",
@@ -1439,9 +1441,11 @@ def test_alter_table_add_columns(spark, sf_dir, merge_tgt):
 def test_alter_table_drop_column(spark, sf_dir, merge_tgt):
     """DROP COLUMN (r12): metadata-only — schema narrows, every
     fragment carried by reference, pre-drop versions still
-    time-travel with the column, and the name is TOMBSTONED: re-add
-    is refused (pre-drop files still hold old bytes under the name),
-    reclaimed only by a full rewrite."""
+    time-travel with the column, and the name is TOMBSTONED. Since
+    r13 (stable field ids), re-adding the name on an all-id-mapped
+    dataset is ALLOWED: the re-added field gets a fresh id, pre-drop
+    files provably null-fill it (the dead column's bytes can never
+    surface), and the tombstone retires."""
     from pyspark.sql import functions as F
 
     from lance_duckdb_spark.sources import lance_format as lf
@@ -1471,22 +1475,6 @@ def test_alter_table_drop_column(spark, sf_dir, merge_tgt):
     )
     assert "n_regionkey" in old.columns
     assert old.where(F.col("n_regionkey").isNotNull()).count() > 0
-    # re-adding the tombstoned name refuses while pre-drop files
-    # survive — via ALTER ADD and via a mergeSchema append alike
-    with pytest.raises(LanceDatasetError, match="re-add dropped"):
-        lance_sql(
-            spark,
-            f"ALTER TABLE '{merge_tgt}' ADD COLUMN n_regionkey int",
-        )
-    evolved = spark.createDataFrame(
-        [(900, "X", 1)], "n_nationkey int, n_name string, n_regionkey int"
-    )
-    # the Python-DS writer wraps the commit-side refusal in Spark's
-    # AnalysisException; the message survives
-    with pytest.raises(Exception, match="re-add dropped"):
-        evolved.write.format("lance").mode("append").option(
-            "mergeSchema", "true"
-        ).save(merge_tgt)
     # dropping everything refuses
     with pytest.raises(LanceDatasetError, match="every column"):
         lance_sql(
@@ -1494,34 +1482,168 @@ def test_alter_table_drop_column(spark, sf_dir, merge_tgt):
             f"ALTER TABLE '{merge_tgt}' DROP COLUMNS "
             f"n_nationkey, n_name",
         )
-    # a TRUE full rewrite (no carried fragment) reclaims the name
-    lance_sql(
-        spark,
-        f"CREATE OR REPLACE TABLE '{merge_tgt}' AS "
-        f"SELECT n_nationkey, n_name FROM '{merge_tgt}'",
-    ).collect()
-    assert lf.read_manifest(merge_tgt).dropped_names == set()
+    # r13 tombstone retirement: re-adding the dropped name on an
+    # all-id-mapped dataset succeeds, reads NULL from EVERY pre-add
+    # fragment (the old bytes are dead by id), and the tombstone is
+    # gone
     lance_sql(
         spark,
         f"ALTER TABLE '{merge_tgt}' ADD COLUMN n_regionkey int",
     ).collect()
-    back = spark.read.format("lance").load(merge_tgt)
-    assert back.where(F.col("n_regionkey").isNotNull()).count() == 0
+    man2 = lf.read_manifest(merge_tgt)
+    assert man2.dropped_names == set()
+    readded = spark.read.format("lance").load(merge_tgt)
+    assert readded.where(F.col("n_regionkey").isNotNull()).count() == 0
+    # the old version STILL serves the original values
+    old2 = (
+        spark.read.format("lance")
+        .option("version", v_before)
+        .load(merge_tgt)
+    )
+    assert old2.where(F.col("n_regionkey").isNotNull()).count() > 0
+
+
+def test_alter_table_drop_readd_refused_on_legacy(spark, sf_dir, tmp_path):
+    """The r12 refusal survives for LEGACY datasets: with any
+    fragment lacking field ids, the null-filling scan reads by name
+    and a re-add would surface the dead bytes — refused loudly."""
+    import json as _json
+
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.datasource import register
+    from lance_duckdb_spark.tables import load
+
+    register(spark)
+    root = str(tmp_path / "legacy_readd.lance")
+    load(spark, sf_dir, "nation").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    # strip field ids, simulating a pre-r13 dataset
+    man = lf.read_manifest(root)
+    d = man.to_json()
+    d.pop("field_ids", None)
+    d.pop("next_field_id", None)
+    for fr in d["fragments"]:
+        fr.pop("field_ids", None)
+    from lance_duckdb_spark.sources import iolayer as iol
+
+    iol.write_text(
+        f"{root}/_versions/{man.version}.manifest", _json.dumps(d)
+    )
+    lance_sql(
+        spark, f"ALTER TABLE '{root}' DROP COLUMN n_regionkey"
+    ).collect()
+    with pytest.raises(
+        lf.LanceDatasetError, match="lack stable field ids"
+    ):
+        lance_sql(
+            spark,
+            f"ALTER TABLE '{root}' ADD COLUMN n_regionkey int",
+        )
+    # and RENAME refuses on legacy fragments too
+    with pytest.raises(
+        lf.LanceDatasetError, match="stable field ids"
+    ):
+        lance_sql(
+            spark,
+            f"ALTER TABLE '{root}' RENAME COLUMN n_name TO nm",
+        )
+    # a full rewrite still reclaims the name (r12 path)
+    lance_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE '{root}' AS "
+        f"SELECT n_nationkey, n_name FROM '{root}'",
+    ).collect()
+    assert lf.read_manifest(root).dropped_names == set()
+
+
+def test_alter_table_rename_column(spark, sf_dir, merge_tgt):
+    """RENAME COLUMN (r13): metadata-only through stable field ids —
+    zero data IO, values survive under the new name, old versions
+    time-travel under the old name, DML refuses until a compact
+    materializes the rename, and compact retires the mismatch."""
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    v_before = lf.read_manifest(merge_tgt).version
+    frags_before = [
+        f.file for f in lf.read_manifest(merge_tgt).fragments
+    ]
+    before = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.format("lance").load(merge_tgt).collect()
+    }
+    out = lance_sql(
+        spark,
+        f"ALTER TABLE '{merge_tgt}' RENAME COLUMN n_name TO nation_name",
+    ).collect()
+    assert [r["col_name"] for r in out] == [
+        "n_nationkey", "nation_name", "n_regionkey",
+    ]
+    man = lf.read_manifest(merge_tgt)
+    assert man.version == v_before + 1
+    assert [f.file for f in man.fragments] == frags_before  # zero IO
+    # values intact under the new name
+    after = {
+        r["n_nationkey"]: r["nation_name"]
+        for r in spark.read.format("lance").load(merge_tgt).collect()
+    }
+    assert after == before
+    # filters on the renamed column still work (physical translation)
+    one = (
+        spark.read.format("lance")
+        .load(merge_tgt)
+        .where(F.col("nation_name") == before[0])
+        .collect()
+    )
+    assert [r["n_nationkey"] for r in one] == [0]
+    # old version time-travels under the OLD name
+    old = (
+        spark.read.format("lance")
+        .option("version", v_before)
+        .load(merge_tgt)
+    )
+    assert "n_name" in old.columns and "nation_name" not in old.columns
+    # by-name read paths refuse until the rename is materialized
+    from lance_duckdb_spark.operators.lance_ops import take_rows
+
+    with pytest.raises(
+        lf.LanceDatasetError, match="materialize the rename"
+    ):
+        take_rows(spark, merge_tgt, [0])
+    with pytest.raises(
+        lf.LanceDatasetError, match="materialize the rename"
+    ):
+        lance_sql(
+            spark,
+            f"UPDATE '{merge_tgt}' SET n_regionkey = 9 "
+            f"WHERE n_nationkey = 0",
+        )
+    # compact materializes: physical names now current, DML works
+    lf.compact(merge_tgt, target_rows=1)
+    assert lf.read_manifest(merge_tgt).physical_mismatches() == []
+    got = take_rows(spark, merge_tgt, [0]).collect()
+    assert len(got) == 1
+    after2 = {
+        r["n_nationkey"]: r["nation_name"]
+        for r in spark.read.format("lance").load(merge_tgt).collect()
+    }
+    assert after2 == before
 
 
 def test_drop_column_tombstone_vs_rewrites(spark, sf_dir, tmp_path):
     """Tombstone lifecycle is PHYSICAL, not time-based: it survives
     any commit that carries a pre-drop fragment forward (a partial
     rewrite — the surviving file still holds the old bytes) and
-    clears exactly when a maintenance rewrite replaces EVERY pre-drop
-    file with committed-schema files (all rewrite paths conform to
-    the committed schema, so the bytes are then provably gone)."""
-    from pyspark.sql import functions as F
-
+    clears when a maintenance rewrite replaces EVERY pre-drop file.
+    Since r13, on an all-id-mapped dataset the tombstone is also
+    RETIRED by a safe re-add (fresh field id — the old bytes are
+    dead by id even in surviving pre-drop files), so the re-add
+    succeeds mid-lifecycle and reads NULLs everywhere; the legacy
+    refusal is covered in test_alter_table_drop_readd_refused_on_
+    legacy."""
     from lance_duckdb_spark.sources import lance_format as lf
-    from lance_duckdb_spark.sources.lance_format import (
-        LanceDatasetError,
-    )
 
     ds.register(spark)
     root = str(tmp_path / "tomb.lance")
@@ -1536,27 +1658,42 @@ def test_drop_column_tombstone_vs_rewrites(spark, sf_dir, tmp_path):
     lance_sql(spark, f"ALTER TABLE '{root}' DROP COLUMN extra").collect()
     assert lf.read_manifest(root).dropped_names == {"extra"}
     # PARTIAL rewrite: UPDATE hits only fragment B (keys >= 100);
-    # fragment A still physically holds 'extra' — tombstone stays,
-    # re-add still refused
+    # fragment A still physically holds 'extra' — the tombstone
+    # carries forward (physical lifecycle unchanged)
     lance_sql(
         spark,
         f"UPDATE '{root}' SET name = upper(name) WHERE k >= 100",
     ).collect()
     assert lf.read_manifest(root).dropped_names == {"extra"}
-    with pytest.raises(LanceDatasetError, match="re-add dropped"):
-        lance_sql(spark, f"ALTER TABLE '{root}' ADD COLUMN extra int")
-    # FULL rewrite: the second UPDATE hits fragment A too — no
-    # pre-drop file survives, the name is reclaimed and a re-add
-    # reads NULLs (never the old bytes)
-    lance_sql(
-        spark,
-        f"UPDATE '{root}' SET name = lower(name) WHERE k < 100",
-    ).collect()
-    assert lf.read_manifest(root).dropped_names == set()
+    # r13: the re-add SUCCEEDS on the all-id-mapped dataset — fresh
+    # field id, tombstone retired, pre-drop bytes provably dead
     lance_sql(spark, f"ALTER TABLE '{root}' ADD COLUMN extra int").collect()
+    man = lf.read_manifest(root)
+    assert man.dropped_names == set()
+    # fragment A still physically carries the old 'extra' under its
+    # dead id; the scan must NULL-fill, never surface i*10
     rows = spark.read.format("lance").load(root).collect()
     assert len(rows) == 10
     assert all(r["extra"] is None for r in rows)
+    # the re-added field's id differs from every fragment-recorded
+    # 'extra' id (the no-reuse invariant the NULL-fill rests on)
+    new_id = man.field_ids["extra"]
+    for fr in man.fragments:
+        if fr.field_ids and "extra" in fr.field_ids:
+            assert fr.field_ids["extra"] != new_id
+    # and an INSERT into the re-added column serves values while
+    # old fragments keep reading NULL
+    lance_sql(
+        spark,
+        f"INSERT INTO '{root}' (k, name, extra) "
+        f"VALUES (CAST(500 AS INT), 'fresh', CAST(7 AS INT))",
+    ).collect()
+    got = {
+        r["k"]: r["extra"]
+        for r in spark.read.format("lance").load(root).collect()
+    }
+    assert got[500] == 7
+    assert all(v is None for k, v in got.items() if k != 500)
 
 
 def test_copy_and_ctas_refuse_nested_writes(spark, merge_tgt, tmp_path):
@@ -1579,3 +1716,51 @@ def test_copy_and_ctas_refuse_nested_writes(spark, merge_tgt, tmp_path):
             f"CREATE TABLE '{dst}' AS "
             f"ALTER TABLE '{merge_tgt}' ADD COLUMN x int",
         )
+
+
+def test_alter_table_add_column_backfill(spark, sf_dir, merge_tgt):
+    """ADD COLUMN ... AS (<expr>) (r13): the expression evaluates
+    over EXISTING rows and commits as one rewrite version — values
+    present immediately, old versions time-travel without the
+    column, type mismatches and nondeterminism refused loudly."""
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.lance_format import (
+        LanceDatasetError,
+    )
+
+    v_before = lf.read_manifest(merge_tgt).version
+    out = lance_sql(
+        spark,
+        f"ALTER TABLE '{merge_tgt}' ADD COLUMN double_key int AS "
+        f"(n_nationkey * 2)",
+    ).collect()
+    assert ("double_key", "int", True) in [tuple(r) for r in out]
+    rows = spark.read.format("lance").load(merge_tgt).collect()
+    assert all(r["double_key"] == r["n_nationkey"] * 2 for r in rows)
+    # a rewrite version: old version time-travels WITHOUT the column
+    old = (
+        spark.read.format("lance")
+        .option("version", v_before)
+        .load(merge_tgt)
+    )
+    assert "double_key" not in old.columns
+    for bad, pat in [
+        (f"ALTER TABLE '{merge_tgt}' ADD COLUMN double_key int AS "
+         f"(n_nationkey)", "already exist"),
+        (f"ALTER TABLE '{merge_tgt}' ADD COLUMN r double AS (rand())",
+         "nondeterministic"),
+        (f"ALTER TABLE '{merge_tgt}' ADD COLUMN s int AS (n_name)",
+         "make the\n?.*conversion explicit|conversion explicit"),
+        (f"ALTER TABLE '{merge_tgt}' ADD COLUMN t nosuchtype AS "
+         f"(n_nationkey)", "cannot parse"),
+        (f"ALTER TABLE '{merge_tgt}' ADD COLUMN u int AS (nope + 1)",
+         "cannot evaluate"),
+    ]:
+        with pytest.raises(LanceDatasetError, match=pat):
+            lance_sql(spark, bad)
+    # the backfill rewrite replaced every fragment, so a pre-drop
+    # tombstone would have retired; the new field carries a fresh id
+    man = lf.read_manifest(merge_tgt)
+    assert man.field_ids["double_key"] == max(man.field_ids.values())
