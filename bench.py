@@ -136,6 +136,10 @@ HEADLINE = [
     # compute)
     "lance_merge_insert_values",
     "pipeline_compose",
+    # r13 addition: filtered ANN (predicate + vector in one indexed
+    # search — build + pre-filtered pruned search; the oracle pays
+    # the filtered brute-force scan, the comparable unit of work)
+    "ann_ivf_filtered",
 ]
 
 # DuckDB work-equivalents for the write-path entries: the Spark side

@@ -156,6 +156,20 @@ class Manifest:
             for e in self.dropped_columns
         }
 
+    @property
+    def _field_names(self) -> list:
+        """Top-level field names, parsed once per Manifest object —
+        colmap runs per FRAGMENT at scan planning, and re-parsing
+        schema_json 100k times for a 100k-fragment dataset would be
+        a planning-time bottleneck of this module's own making."""
+        cached = getattr(self, "_field_names_cache", None)
+        if cached is None:
+            cached = [
+                f["name"] for f in json.loads(self.schema_json)["fields"]
+            ]
+            object.__setattr__(self, "_field_names_cache", cached)
+        return cached
+
     def colmap(self, frag: Fragment) -> dict | None:
         """{current field name -> physical column name in ``frag``},
         resolved by stable field id, in current-schema order; fields
@@ -168,10 +182,10 @@ class Manifest:
             return None
         by_id = {v: k for k, v in frag.field_ids.items()}
         out = {}
-        for f in json.loads(self.schema_json)["fields"]:
-            phys = by_id.get(self.field_ids.get(f["name"]))
+        for name in self._field_names:
+            phys = by_id.get(self.field_ids.get(name))
             if phys is not None:
-                out[f["name"]] = phys
+                out[name] = phys
         return out
 
     def physical_mismatches(self) -> list[str]:

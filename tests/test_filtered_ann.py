@@ -223,3 +223,75 @@ def test_filter_ids_scan_is_column_pruned(spark, sf_dir, labeled_root):
     )
     assert "ReadSchema: struct<vec_id:bigint,label:int>" in formatted
     assert "PushedFilters: [In(label, [2,5])]" in formatted
+
+
+def test_filtered_search_two_level(spark, sf_dir, tmp_path, monkeypatch):
+    """The filter predicate composes with the TWO-LEVEL index layout
+    identically: the qualifying semi-join applies after the
+    cell-pruned postings read, so every result qualifies and the
+    top-k is over qualifying rows only."""
+    import numpy as np
+    import pandas as pd
+
+    from lance_duckdb_spark.sources import vector_index as vi
+
+    monkeypatch.setattr(vi, "TWO_LEVEL_K_MIN", 8)
+    register(spark)
+    rng = np.random.default_rng(7)
+    n, dim = 400, 16
+    X = rng.standard_normal((n, dim)).astype(np.float32)
+    labels = (np.arange(n) % 10).astype(np.int32)
+    root = str(tmp_path / "tlf.lance")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(X),
+            "label": labels,
+        }
+    )
+    spark.createDataFrame(pdf).write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    meta = vi.build_ivf_index(spark, root, k=32, lloyd_iters=1)
+    assert meta.get("two_level")
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {"probe_id": np.arange(3, dtype=np.int64), "embedding": list(X[:3])}
+        )
+    )
+    got = vi.ann_search(
+        spark, root, probes, k_neighbors=5, nprobe=16,
+        filter=ANN_FILTER_PRED,
+    ).collect()
+    assert len(got) == 15  # 3 probes x full k
+    assert all(labels[r["neighbor_id"]] in (2, 5) for r in got)
+
+
+def test_stream_read_over_renamed_dataset(spark, sf_dir, tmp_path):
+    """A streaming read of a renamed dataset resolves by field id
+    too (the stream partitions carry the same colmap as batch):
+    values stream under the NEW name, never null-filled."""
+    from pyspark.sql.types import Row
+
+    from lance_duckdb_spark.catalog import lance_sql
+
+    register(spark)
+    root = str(tmp_path / "stream_rn.lance")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k int, val string"
+    ).write.format("lance").mode("overwrite").save(root)
+    lance_sql(
+        spark, f"ALTER TABLE '{root}' RENAME COLUMN val TO payload"
+    ).collect()
+    stream = spark.readStream.format("lance").load(root)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("renamed_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from renamed_stream").collect()
+    assert len(rows) == 20
+    assert {r["payload"] for r in rows} == {f"v{i}" for i in range(20)}
