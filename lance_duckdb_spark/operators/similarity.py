@@ -913,22 +913,56 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfying the predicate is additionally asserted in
     tests/test_filtered_ann.py (with delta-extend and staleness
     coverage)."""
+    import json as _json
     import os
     import shutil
 
+    from pyspark.sql.types import StructType
+
+    from ..sources import lance_format as lf
     from ..sources.datasource import register
-    from ..sources.vector_index import ann_search, build_ivf_index
+    from ..sources.vector_index import (
+        ann_search,
+        build_ivf_index,
+        read_index_meta,
+    )
 
     register(spark)
     tag = os.path.basename(sf_dir.rstrip("/"))
     root = os.path.join("/tmp/lance_duckdb_spark", tag, "ivffiltered.lance")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(os.path.dirname(root), exist_ok=True)
     emb = load(spark, sf_dir, "embeddings")
-    emb.select("vec_id", "embedding", "label").write.format("lance").mode(
-        "overwrite"
-    ).save(root)
-    build_ivf_index(spark, root, k=IVF_K, lloyd_iters=2)
+    src = emb.select("vec_id", "embedding", "label")
+    # Reuse the staged dataset + index when already present and
+    # current (the lance_take discipline): content is deterministic
+    # per sf (same rows, same sort-free write, deterministic k-means
+    # init + Lloyd), so the rebuilt index is bit-identical to the
+    # reused one — serving cost, not output, is what changes. The
+    # row count comes from the parquet FOOTER, not a count() action.
+    reuse = False
+    try:
+        import pyarrow.parquet as _pq
+
+        n_src = _pq.read_metadata(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).num_rows
+        m = lf.read_manifest(root)
+        meta = read_index_meta(root)
+        reuse = (
+            m.version == 1
+            and sum(f.num_rows for f in m.fragments) == n_src
+            and StructType.fromJson(_json.loads(m.schema_json))
+            == src.schema
+            and meta["dataset_version"] == 1
+            and meta["k"] == IVF_K
+            and meta["column"] == "embedding"
+        )
+    except Exception:
+        reuse = False
+    if not reuse:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        src.write.format("lance").mode("overwrite").save(root)
+        build_ivf_index(spark, root, k=IVF_K, lloyd_iters=2)
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
