@@ -856,7 +856,15 @@ class LanceStreamReader(DataSourceStreamReader):
         # already-consumed prefix now names a different file — even
         # with count and last file unchanged), fail loudly rather
         # than silently skipping or replaying wrong fragments.
-        frags = self._frags()
+        # ONE manifest read serves both the offset check and the
+        # per-fragment colmap: a second read could land on a version
+        # committed in between (e.g. a RENAME), whose colmap would
+        # resolve against names this stream's pinned schema predates
+        try:
+            man = lf.read_manifest(self.root)
+        except lf.LanceDatasetError:
+            man = None
+        frags = man.fragments if man is not None else []
         rewrite_msg = (
             "lance stream source: dataset was compacted/overwritten "
             "under a running stream; restart the query with a fresh "
@@ -877,10 +885,6 @@ class LanceStreamReader(DataSourceStreamReader):
         self._floor = max(
             self._floor or 0, start["frag_count"], end["frag_count"]
         )
-        try:
-            man = lf.read_manifest(self.root)
-        except lf.LanceDatasetError:
-            man = None
         return [
             FragmentPartition(
                 self.root,
