@@ -818,10 +818,32 @@ def _run_alter_add_backfill(
             "use a deterministic expression"
         )
     try:
-        declared = StructType.fromDDL(f"`{name}` {type_src}").fields[0]
+        declared_struct = StructType.fromDDL(f"`{name}` {type_src}")
     except Exception as e:
         raise lf.LanceDatasetError(
             f"cannot parse ADD COLUMN type {type_src!r}: {str(e)[:200]}"
+        )
+    if len(declared_struct.fields) != 1:
+        # the regex can match a MULTI-column ADD list whose last
+        # element carries AS (...) — "flag int, score double AS
+        # (expr)" parses as name=flag, type="int, score double";
+        # silently taking fields[0] would drop the other columns and
+        # backfill the wrong one (r13 review finding)
+        raise lf.LanceDatasetError(
+            "ADD COLUMN ... AS (<expr>) takes exactly ONE column; "
+            f"got a list {type_src!r} — issue separate ALTER "
+            "statements (the NULL-fill multi-column form has no "
+            "backfill expression)"
+        )
+    declared = declared_struct.fields[0]
+    if not declared.nullable:
+        # same silent-coercion refusal as the plain ADD branch: the
+        # declared NOT NULL would otherwise be dropped on the floor
+        # (the written schema takes the expression's nullability)
+        raise lf.LanceDatasetError(
+            f"ALTER TABLE ADD COLUMN: [{name!r}] declared NOT NULL — "
+            "refused; backfilled columns commit as nullable (declare "
+            "the column without NOT NULL)"
         )
     manifest = lf.read_manifest(path)
     prev = json.loads(manifest.schema_json)

@@ -309,7 +309,12 @@ def _read_fragment_by_id(
     ]
     read_want = want + extra
     phys = [cm[c] for c in read_want if c in cm]
-    table = lf.read_fragment(root, frag, columns=phys or None)
+    # ALWAYS an explicit (possibly empty) projection — `phys or
+    # None` would read the FULL physical row width when no wanted
+    # field is present in this fragment (pyarrow keeps num_rows for
+    # columns=[]), and a dead physical column outside cm would then
+    # KeyError the rename below (r13 review finding)
+    table = lf.read_fragment(root, frag, columns=phys)
     rev = {v: k for k, v in cm.items()}
     table = table.rename_columns([rev[c] for c in table.column_names])
     for name in want:
@@ -865,6 +870,25 @@ class LanceStreamReader(DataSourceStreamReader):
         except lf.LanceDatasetError:
             man = None
         frags = man.fragments if man is not None else []
+        if man is not None:
+            # a RENAME/DROP committed under the running stream makes
+            # a pinned column name vanish from the current schema —
+            # the colmap below is keyed by CURRENT names, so the
+            # stream would silently emit NULLs for the pinned name
+            # (r13 review finding); fail loudly like the
+            # compaction/overwrite case instead. ADDed columns are
+            # fine: the pinned names remain a subset.
+            current = set(man._field_names)
+            gone = sorted(
+                set(self.schema.fieldNames()) - current
+            )
+            if gone:
+                raise lf.LanceDatasetError(
+                    f"lance stream source: columns {gone} were "
+                    "renamed or dropped under a running stream; "
+                    "restart the query with a fresh checkpoint "
+                    "against the current schema"
+                )
         rewrite_msg = (
             "lance stream source: dataset was compacted/overwritten "
             "under a running stream; restart the query with a fresh "

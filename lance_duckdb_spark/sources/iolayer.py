@@ -78,6 +78,25 @@ def _mem_root() -> str:
         tempfile.gettempdir(), f"lance_duckdb_spark_memfs_{os.getuid()}"
     )
     os.makedirs(root, mode=0o700, exist_ok=True)
+    # makedirs(exist_ok=True) silently accepts a PRE-EXISTING dir —
+    # mode applies only on creation — so verify the squatting
+    # protection actually holds: the path must be a real directory
+    # (not a symlink into attacker-controlled space) owned by us
+    # and closed to group/other (r13 review finding)
+    st = os.lstat(root)
+    import stat as _stat
+
+    if (
+        not _stat.S_ISDIR(st.st_mode)
+        or st.st_uid != os.getuid()
+        or st.st_mode & 0o077
+    ):
+        raise OSError(
+            f"mem:// mirror root {root!r} exists but is not a 0700 "
+            "directory owned by this user (symlink/tmp-squatting "
+            f"hazard); remove it or set ${_MEM_ROOT_ENV} to a "
+            "trusted location"
+        )
     return root
 
 

@@ -1065,8 +1065,21 @@ def resolve_to_current(
     treats them as absent. Identity (and legacy by-name fragments)
     pass through untouched."""
     cm = manifest.colmap(frag)
-    if cm is None or all(k == v for k, v in cm.items()):
+    if cm is None:
         return table
+    # ALWAYS project when the fragment is id-mapped — even under an
+    # identity name map: a physical column whose id is dead in the
+    # current schema (dropped, then the NAME re-added with a fresh
+    # id) is absent from cm but present in the table, and passing it
+    # through would let _conform_to pick it up BY NAME — compaction
+    # would then permanently materialize the dead bytes as the
+    # re-added column's values (r13 review finding; the scan path's
+    # _partition_colmap catches this shadow case, this path must
+    # too)
+    if all(k == v for k, v in cm.items()) and set(
+        table.column_names
+    ) <= set(cm.values()):
+        return table  # true identity, nothing shadowed
     cols, names = [], []
     for cur, phys in cm.items():  # current-schema order
         if phys in table.column_names:

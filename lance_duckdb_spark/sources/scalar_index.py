@@ -71,6 +71,10 @@ def build_scalar_index(
             "store)"
         )
     manifest = lf.read_manifest(root)
+    # the fragment read below resolves columns by CURRENT name (r13
+    # guard): building on a renamed column would index all-NULL and
+    # serve silently empty results
+    lf.require_physical_identity(manifest, "build_scalar_index")
     committed = StructType.fromJson(json.loads(manifest.schema_json))
     if column not in committed.fieldNames():
         raise lf.LanceDatasetError(

@@ -1764,3 +1764,151 @@ def test_alter_table_add_column_backfill(spark, sf_dir, merge_tgt):
     # tombstone would have retired; the new field carries a fresh id
     man = lf.read_manifest(merge_tgt)
     assert man.field_ids["double_key"] == max(man.field_ids.values())
+
+
+def test_compact_and_delete_never_resurrect_dead_bytes(
+    spark, sf_dir, tmp_path
+):
+    """r13 review finding: after DROP + re-ADD (fresh field id), a
+    maintenance rewrite (compact / delete_where) of pre-drop
+    fragments must null-fill the re-added name — never materialize
+    the dead physical bytes back under it by name."""
+    import pyarrow.compute as pc
+
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    ds.register(spark)
+    root = str(tmp_path / "deadbytes.lance")
+    spark.createDataFrame(
+        [(i, f"a{i}", i * 10) for i in range(6)],
+        "k int, name string, extra int",
+    ).coalesce(1).write.format("lance").mode("overwrite").save(root)
+    lance_sql(spark, f"ALTER TABLE '{root}' DROP COLUMN extra").collect()
+    lance_sql(spark, f"ALTER TABLE '{root}' ADD COLUMN extra int").collect()
+    # delete_where rewrites the (pre-drop) fragment: predicate on a
+    # live column, and the rewritten rows must carry NULL extra
+    lf.delete_where(root, pc.field("k") == 0)
+    rows = spark.read.format("lance").load(root).collect()
+    assert len(rows) == 5
+    assert all(r["extra"] is None for r in rows)
+    # compact likewise (fresh dataset to isolate)
+    root2 = str(tmp_path / "deadbytes2.lance")
+    spark.createDataFrame(
+        [(i, f"a{i}", i * 10) for i in range(6)],
+        "k int, name string, extra int",
+    ).coalesce(1).write.format("lance").mode("overwrite").save(root2)
+    lance_sql(spark, f"ALTER TABLE '{root2}' DROP COLUMN extra").collect()
+    lance_sql(spark, f"ALTER TABLE '{root2}' ADD COLUMN extra int").collect()
+    lf.compact(root2, target_rows=1)
+    rows2 = spark.read.format("lance").load(root2).collect()
+    assert len(rows2) == 6
+    assert all(r["extra"] is None for r in rows2)
+    # and the physical mismatch is gone after the rewrite
+    assert lf.read_manifest(root2).physical_mismatches() == []
+
+
+def test_backfill_refuses_multi_column_list(spark, sf_dir, merge_tgt):
+    """r13 review finding: a multi-column ADD list whose LAST element
+    carries AS (...) must refuse loudly, not silently drop columns
+    and backfill the first."""
+    from lance_duckdb_spark.sources.lance_format import (
+        LanceDatasetError,
+    )
+
+    with pytest.raises(LanceDatasetError, match="exactly ONE column"):
+        lance_sql(
+            spark,
+            f"ALTER TABLE '{merge_tgt}' ADD COLUMNS flag int, "
+            f"score double AS (n_nationkey * 2)",
+        )
+    with pytest.raises(LanceDatasetError, match="NOT NULL"):
+        lance_sql(
+            spark,
+            f"ALTER TABLE '{merge_tgt}' ADD COLUMN s2 int NOT NULL "
+            f"AS (n_nationkey)",
+        )
+
+
+def test_scalar_index_refuses_renamed_dataset(spark, sf_dir, merge_tgt):
+    """r13 review finding: build_scalar_index reads fragments by
+    CURRENT name — on a renamed (unmaterialized) dataset it would
+    index all-NULL and serve silently empty results; refuse."""
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.scalar_index import (
+        build_scalar_index,
+    )
+
+    lance_sql(
+        spark,
+        f"ALTER TABLE '{merge_tgt}' RENAME COLUMN n_name TO nm",
+    ).collect()
+    with pytest.raises(
+        lf.LanceDatasetError, match="materialize the rename"
+    ):
+        build_scalar_index(spark, merge_tgt, "nm")
+    # after compact the build works
+    lf.compact(merge_tgt, target_rows=1)
+    build_scalar_index(spark, merge_tgt, "nm")
+
+
+def test_stream_refuses_mid_stream_rename(spark, sf_dir, tmp_path):
+    """r13 review finding: a RENAME committed under a running stream
+    must fail the next batch loudly (the pinned schema's name no
+    longer exists in the current schema), never silently stream
+    NULLs."""
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.datasource import (
+        LanceStreamReader,
+    )
+
+    ds.register(spark)
+    root = str(tmp_path / "stream_mid_rn.lance")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k int, val string"
+    ).write.format("lance").mode("overwrite").save(root)
+    # reader pinned at the pre-rename schema (as a running query is)
+    from pyspark.sql.types import StructType
+
+    import json as _json
+
+    pinned = StructType.fromJson(
+        _json.loads(lf.read_manifest(root).schema_json)
+    )
+    reader = LanceStreamReader(root, pinned)
+    start = reader.initialOffset()
+    lance_sql(
+        spark, f"ALTER TABLE '{root}' RENAME COLUMN val TO payload"
+    ).collect()
+    end = {"frag_count": 1, "prefix_sha": reader._prefix_sha(
+        lf.read_manifest(root).fragments, 1)}
+    with pytest.raises(
+        lf.LanceDatasetError, match="renamed or dropped under a running"
+    ):
+        reader.partitions(start, end)
+
+
+def test_columns_option_on_renamed_fragment_no_crash(
+    spark, sf_dir, tmp_path
+):
+    """r13 review finding: an explicit columns projection naming only
+    a field ABSENT from a renamed (non-identity) fragment must not
+    read the full row width or crash — it null-fills."""
+    ds.register(spark)
+    root = str(tmp_path / "proj_rn.lance")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "k int, val string"
+    ).write.format("lance").mode("overwrite").save(root)
+    lance_sql(
+        spark, f"ALTER TABLE '{root}' RENAME COLUMN val TO payload"
+    ).collect()
+    lance_sql(
+        spark, f"ALTER TABLE '{root}' ADD COLUMN newcol int"
+    ).collect()
+    got = (
+        spark.read.format("lance")
+        .option("columns", "newcol")
+        .load(root)
+        .collect()
+    )
+    assert len(got) == 4
+    assert all(r["newcol"] is None for r in got)
