@@ -295,3 +295,51 @@ def test_stream_read_over_renamed_dataset(spark, sf_dir, tmp_path):
     rows = spark.sql("select * from renamed_stream").collect()
     assert len(rows) == 20
     assert {r["payload"] for r in rows} == {f"v{i}" for i in range(20)}
+
+
+def test_filtered_search_keeps_bucket_pruning(spark, sf_dir, labeled_root):
+    """The pre-filter semi-join must not cost the index its bucket
+    partition pruning: the postings scan still carries a bucket_id
+    PartitionFilter, and the qualifying-id side joins as LeftSemi."""
+    build_ivf_index(spark, labeled_root, k=IVF_K, lloyd_iters=1)
+    df = ann_search(
+        spark,
+        labeled_root,
+        _probes(spark, sf_dir).limit(1),
+        k_neighbors=5,
+        nprobe=2,
+        filter=ANN_FILTER_PRED,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "bucket_id" in seg
+    assert "LeftSemi" in plan
+
+
+def test_filtered_search_allow_stale_is_snapshot_consistent(
+    spark, sf_dir, labeled_root
+):
+    """filter + allow_stale: the qualifying-id set is evaluated on
+    the dataset PINNED at the indexed version, so rows appended
+    after the build are invisible to the filtered search even when
+    they satisfy the predicate — the same snapshot the unfiltered
+    stale search serves."""
+    build_ivf_index(spark, labeled_root, k=IVF_K, lloyd_iters=2)
+    emb = load(spark, sf_dir, "embeddings")
+    vec = list(
+        emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    spark.createDataFrame(
+        [(900010, vec, 2)], "vec_id long, embedding array<float>, label int"
+    ).write.format("lance").mode("append").save(labeled_root)
+    got = ann_search(
+        spark,
+        labeled_root,
+        _probes(spark, sf_dir),
+        k_neighbors=TOP_K,
+        nprobe=FILTERED_NPROBE,
+        filter=ANN_FILTER_PRED,
+        allow_stale=True,
+    ).collect()
+    assert all(r["neighbor_id"] != 900010 for r in got)

@@ -98,6 +98,9 @@ TIER3_OPS = [
     # side per-fragment side-file writes; driver sees O(hit
     # fragments) metadata)
     "lance_delete_10pct_rows",
+    # r13: filtered ANN end-to-end (two-level auto-engages at sfd100:
+    # k = 2.1M/500 = 4200 >= TWO_LEVEL_K_MIN)
+    "ann_ivf_filtered_search",
 ]
 
 # The third measured decade (r9 VERDICT item 1's done-criterion for
@@ -191,6 +194,50 @@ def main() -> None:
         finally:
             sh.rmtree(root, ignore_errors=True)
 
+    def filtered_ann_search(d: str) -> int:
+        import shutil
+
+        import pyarrow.parquet as _pq
+
+        from lance_duckdb_spark.sources.datasource import register
+        from lance_duckdb_spark.sources.vector_index import (
+            ann_search,
+            build_ivf_index,
+        )
+
+        register(spark)
+        tag = os.path.basename(d.rstrip("/"))
+        root = os.path.join(
+            REPO, ".data", "smoke_work", f"{tag}_ivf_filtered.lance"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        emb = load(spark, d, "embeddings")
+        emb.select("vec_id", "embedding", "label").write.format(
+            "lance"
+        ).mode("overwrite").save(root)
+        n = _pq.read_metadata(
+            os.path.join(d, "embeddings.parquet")
+        ).num_rows
+        # ~500 vectors per bucket at every scale (the same rule as
+        # the ivf_neardup leg); nprobe stays CONSTANT — the per-probe
+        # pruned IO is a fixed bucket count, a shrinking fraction of
+        # the index as the corpus grows
+        build_ivf_index(spark, root, k=max(16, n // 500), lloyd_iters=1)
+        probes = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        out = ann_search(
+            spark,
+            root,
+            probes,
+            k_neighbors=10,
+            nprobe=12,
+            filter="label IN (2, 5)",
+        ).collect()
+        assert all(r["cos_sim"] is not None for r in out)
+        return len(out)
+
     def minhash_candidates(d: str) -> int:
         docs = load(spark, d, "documents")
         bands = dedup._band_hashes(
@@ -273,6 +320,15 @@ def main() -> None:
         # kind gates sec_ratio instead of row_ratio).
         "ann_sq8_topk_scan": (
             lambda d: quantize.ann_sq8_topk(spark, d).count(), "scan"),
+        # r13: FILTERED ANN end-to-end (build + pre-filtered pruned
+        # search, label IN (2,5) ~20% selectivity). Output rows are
+        # constant (10 probes x k=10) by construction, so the
+        # linearity signal is RUNTIME: the build is linear (Lloyd
+        # over n; two-level past k=4096) and the search's pruned IO
+        # per probe is a CONSTANT bucket count (nprobe=12) of
+        # ~500-vector buckets plus a linear qualifying-id column
+        # scan — total must cost ~10x at 10x data, never ~100x.
+        "ann_ivf_filtered_search": (filtered_ann_search, "scan"),
         # r11 (verdict item 1 done-criterion): DELETE ~10% of the
         # documents corpus through the deletion-vector path. The
         # per-fragment side files are written EXECUTOR-side and the
