@@ -648,9 +648,42 @@ _ALTER_RE = re.compile(
     r"(?is)^\s*ALTER\s+TABLE\s+(['\"`])(?P<path>[^'\"`]+\.lance)\1"
     r"\s+(?:ADD\s+COLUMNS?\s+(?P<cols>.+?)"
     r"|DROP\s+COLUMNS?\s+(?P<dropcols>.+?)"
-    r"|RENAME\s+COLUMN\s+(?P<rfrom>`?\w+`?)\s+TO\s+(?P<rto>`?\w+`?))"
+    r"|RENAME\s+COLUMN\s+(?P<rfrom>`?\w+`?)\s+TO\s+(?P<rto>`?\w+`?)"
+    r"|ALTER\s+COLUMN\s+(?P<tcol>`?\w+`?)\s+TYPE\s+(?P<ttype>.+?))"
     r"\s*;?\s*$"
 )
+
+# Exact-valued type widenings for ALTER COLUMN ... TYPE: every value
+# of the source type is representable bit-exactly in the target.
+# Deliberately NOT included: bigint->double (53-bit mantissa loses
+# precision past 2^53), double->float (truncates), any
+# numeric->string (formatting, not widening), date->timestamp
+# (timezone semantics). Lossy conversions spell themselves as an
+# explicit-cast backfill: ADD COLUMN tmp <type> AS (CAST(col AS
+# <type>)) + DROP + RENAME.
+_SAFE_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
+    ("tinyint", "float"), ("smallint", "float"),
+}
+
+
+def _widening_ok(src: str, dst: str) -> bool:
+    if (src, dst) in _SAFE_WIDENINGS:
+        return True
+    m_s = re.match(r"^decimal\((\d+),(\d+)\)$", src)
+    m_d = re.match(r"^decimal\((\d+),(\d+)\)$", dst)
+    if m_s and m_d:
+        ps, ss = int(m_s.group(1)), int(m_s.group(2))
+        pd_, sd = int(m_d.group(1)), int(m_d.group(2))
+        # scale may grow only with matching precision headroom:
+        # every (p,s) value fits (p', s') iff s' >= s and
+        # p' - s' >= p - s (integer digits don't shrink)
+        return sd >= ss and (pd_ - sd) >= (ps - ss)
+    return False
 
 
 def _run_alter(spark: SparkSession, sql: str) -> DataFrame | None:
@@ -679,30 +712,34 @@ def _run_alter(spark: SparkSession, sql: str) -> DataFrame | None:
     under the old name; requires every fragment id-stamped (legacy
     datasets must OPTIMIZE first), and by-name read paths
     (take_rows, version_changes, DML) refuse until a compact
-    materializes the rename. Refused loudly: ALTER COLUMN retype
-    (would silently corrupt immutable pre-evolution fragments),
-    existing or duplicate column names on ADD/RENAME targets,
-    unknown names or dropping every column on DROP, unparsable
-    types, native-encoded targets. Returns the NEW schema
-    (col_name, data_type, nullable) in schema order — the DESCRIBE
-    shape."""
+    materializes the rename. ``ALTER COLUMN <name> TYPE <type>``
+    (r13, ``_run_alter_retype``) accepts EXACT-VALUED widenings
+    only, as a fragment-rewrite version. Refused loudly: lossy
+    retypes (with the explicit-cast backfill spelled out), existing
+    or duplicate column names on ADD/RENAME targets, unknown names
+    or dropping every column on DROP, unparsable types,
+    native-encoded targets. Returns the NEW schema (col_name,
+    data_type, nullable) in schema order — the DESCRIBE shape."""
     if not _ALTER_START_RE.match(sql):
         return None
     m = _ALTER_RE.match(sql)
     if m is None:
         raise lf.LanceDatasetError(
             "unsupported ALTER syntax; supported: ALTER TABLE "
-            "'<path>.lance' ADD COLUMN[S] <name> <type>[, ...], "
-            "DROP COLUMN[S] <name>[, ...], RENAME COLUMN <a> TO <b> "
-            "— retype (ALTER COLUMN ... TYPE) is refused "
-            "(pre-evolution fragments are immutable; a retype would "
-            "silently corrupt them)"
+            "'<path>.lance' ADD COLUMN[S] <name> <type>[, ...] "
+            "[AS (<expr>)], DROP COLUMN[S] <name>[, ...], "
+            "RENAME COLUMN <a> TO <b>, ALTER COLUMN <name> TYPE "
+            "<type> (exact-valued widenings only)"
         )
     path = m.group("path")
     _require_dml_target(path, "ALTER TABLE")
     if m.group("rfrom") is not None:
         return _run_alter_rename(
             spark, path, m.group("rfrom"), m.group("rto")
+        )
+    if m.group("tcol") is not None:
+        return _run_alter_retype(
+            spark, path, m.group("tcol"), m.group("ttype")
         )
     if m.group("dropcols") is not None:
         return _run_alter_drop(spark, path, m.group("dropcols"))
@@ -893,6 +930,65 @@ def _describe_schema(spark: SparkSession, path: str) -> DataFrame:
         ],
         "col_name string, data_type string, nullable boolean",
     )
+
+
+def _run_alter_retype(
+    spark: SparkSession, path: str, col: str, type_src: str
+) -> DataFrame:
+    """``ALTER TABLE ... ALTER COLUMN <name> TYPE <type>`` (r13 —
+    Lance proper's ``alter_columns`` with a data-type change): only
+    EXACT-VALUED widenings (int family up, float→double, decimal
+    precision/scale growth with integer-digit headroom — see
+    ``_SAFE_WIDENINGS``) are accepted; the cast evaluates over the
+    current live rows and commits as one fragment REWRITE version,
+    so pre-retype versions still time-travel with the old type and
+    immutable old fragments are never reinterpreted in place. The
+    column keeps its stable field id (same name through the rewrite
+    commit). Lossy conversions are refused with the explicit-cast
+    backfill spelled out."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    col = col.strip("`")
+    manifest = lf.read_manifest(path)
+    prev = json.loads(manifest.schema_json)
+    by_name = {f["name"]: f for f in prev["fields"]}
+    if col not in by_name:
+        raise lf.LanceDatasetError(
+            f"ALTER COLUMN names unknown column {col!r}; dataset "
+            f"columns: {list(by_name)}"
+        )
+    try:
+        declared = StructType.fromDDL(f"`{col}` {type_src}").fields[0]
+    except Exception as e:
+        raise lf.LanceDatasetError(
+            f"cannot parse ALTER COLUMN type {type_src!r}: "
+            f"{str(e)[:200]}"
+        )
+    src_t = StructType.fromJson(
+        {"type": "struct", "fields": [by_name[col]]}
+    ).fields[0].dataType.simpleString()
+    dst_t = declared.dataType.simpleString()
+    if src_t == dst_t:
+        raise lf.LanceDatasetError(
+            f"ALTER COLUMN: {col!r} is already of type {dst_t}"
+        )
+    if not _widening_ok(src_t, dst_t):
+        raise lf.LanceDatasetError(
+            f"ALTER COLUMN {col!r} TYPE {dst_t}: {src_t} -> {dst_t} "
+            "is not an exact-valued widening — only conversions "
+            "where every value survives bit-exactly are accepted "
+            "(int family up, float->double, decimal growth). For a "
+            "lossy conversion make the cast explicit: ADD COLUMN "
+            f"tmp {dst_t} AS (CAST({col} AS {dst_t})), DROP COLUMN "
+            f"{col}, RENAME COLUMN tmp TO {col}"
+        )
+    live = _native_live_df(spark, path)
+    retyped = live.withColumn(col, F.col(col).cast(declared.dataType))
+    retyped.write.format("lance").mode("overwrite").option(
+        "expectedVersion", str(manifest.version)
+    ).save(path)
+    return _describe_schema(spark, path)
 
 
 def _run_alter_rename(

@@ -773,6 +773,15 @@ def lance_sql_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ALTER TABLE '{root}' ADD COLUMN score double AS "
         f"(coalesce(bonus, 0.0) + CAST(n_nationkey AS DOUBLE) / 2)",
     ).collect()
+    # exact-valued retype (r13): int -> bigint rewrite version; the
+    # column feeds the hashed n_keys/n_rows counts, so a row lost
+    # or value changed by the rewrite breaks the oracle hash (the
+    # aggregate output types are count-longs either way, so the
+    # oracle text is unchanged)
+    lance_sql(
+        spark,
+        f"ALTER TABLE '{root}' ALTER COLUMN n_nationkey TYPE bigint",
+    ).collect()
     evolved = lance_sql(spark, f"SELECT * FROM '{root}'")
     return (
         evolved.groupBy(

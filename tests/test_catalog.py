@@ -1417,8 +1417,10 @@ def test_alter_table_add_columns(spark, sf_dir, merge_tgt):
          "unknown column"),
         (f"ALTER TABLE '{merge_tgt}' RENAME COLUMN n_name TO note",
          "already exists"),
+        # r13: retype exists now, but only exact-valued widenings —
+        # string -> int is lossy and refuses with the backfill recipe
         (f"ALTER TABLE '{merge_tgt}' ALTER COLUMN n_name TYPE int",
-         "unsupported ALTER"),
+         "exact-valued widening"),
         (f"ALTER TABLE '{merge_tgt}' ADD COLUMN n_name string",
          "already exist"),
         (f"ALTER TABLE '{merge_tgt}' ADD COLUMNS a int, a string",
@@ -1912,3 +1914,83 @@ def test_columns_option_on_renamed_fragment_no_crash(
     )
     assert len(got) == 4
     assert all(r["newcol"] is None for r in got)
+
+
+def test_alter_column_retype_widening(spark, sf_dir, merge_tgt):
+    """ALTER COLUMN ... TYPE (r13): exact-valued widenings commit as
+    one rewrite version — values identical under the wider type, old
+    versions time-travel with the old type, the field keeps its
+    stable id; lossy casts and unknowns refuse loudly."""
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.lance_format import (
+        LanceDatasetError,
+    )
+
+    v_before = lf.read_manifest(merge_tgt).version
+    id_before = lf.read_manifest(merge_tgt).field_ids["n_regionkey"]
+    before = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.format("lance").load(merge_tgt).collect()
+    }
+    out = lance_sql(
+        spark,
+        f"ALTER TABLE '{merge_tgt}' ALTER COLUMN n_regionkey TYPE bigint",
+    ).collect()
+    assert ("n_regionkey", "bigint", True) in [tuple(r) for r in out]
+    man = lf.read_manifest(merge_tgt)
+    assert man.version == v_before + 1
+    assert man.field_ids["n_regionkey"] == id_before  # identity kept
+    after = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in spark.read.format("lance").load(merge_tgt).collect()
+    }
+    assert after == before
+    # time travel: old type
+    old = (
+        spark.read.format("lance")
+        .option("version", v_before)
+        .load(merge_tgt)
+    )
+    assert dict(old.dtypes)["n_regionkey"] == "int"
+    # refusals
+    for bad, pat in [
+        (f"ALTER TABLE '{merge_tgt}' ALTER COLUMN n_regionkey TYPE int",
+         "not an exact-valued widening"),  # narrowing back
+        (f"ALTER TABLE '{merge_tgt}' ALTER COLUMN n_regionkey TYPE bigint",
+         "already of type"),
+        (f"ALTER TABLE '{merge_tgt}' ALTER COLUMN nope TYPE bigint",
+         "unknown column"),
+        (f"ALTER TABLE '{merge_tgt}' ALTER COLUMN n_nationkey TYPE nosuch",
+         "cannot parse"),
+    ]:
+        with pytest.raises(LanceDatasetError, match=pat):
+            lance_sql(spark, bad)
+
+
+def test_alter_column_retype_decimal_growth(spark, sf_dir, tmp_path):
+    ds.register(spark)
+    root = str(tmp_path / "retype_dec.lance")
+    spark.sql(
+        "SELECT CAST(id AS int) AS k, "
+        "CAST(id * 1.25 AS decimal(10,2)) AS amt FROM range(5)"
+    ).write.format("lance").mode("overwrite").save(root)
+    lance_sql(
+        spark,
+        f"ALTER TABLE '{root}' ALTER COLUMN amt TYPE decimal(14,4)",
+    ).collect()
+    rows = spark.read.format("lance").load(root).orderBy("k").collect()
+    assert [str(r["amt"]) for r in rows] == [
+        "0.0000", "1.2500", "2.5000", "3.7500", "5.0000",
+    ]
+    from lance_duckdb_spark.sources.lance_format import (
+        LanceDatasetError,
+    )
+
+    # losing integer-digit headroom refuses even when scale grows
+    with pytest.raises(LanceDatasetError, match="exact-valued"):
+        lance_sql(
+            spark,
+            f"ALTER TABLE '{root}' ALTER COLUMN amt TYPE decimal(14,8)",
+        )
