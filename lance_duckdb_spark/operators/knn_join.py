@@ -281,6 +281,7 @@ def ann_knn_join_vectorized(
     k_centroids: int = IVF_K,
     coarse_m: int | None = None,
     probes: int | None = None,
+    corpus_filter: str | None = None,
 ) -> DataFrame:
     """The >10x SCALE PATH for the batch KNN join — same algorithm,
     same answer (BIT-IDENTICAL to ``ann_knn_join``, so it shares its
@@ -303,7 +304,18 @@ def ann_knn_join_vectorized(
       JVM plan as the reference form.
 
     k_centroids must still scale with the corpus (k ~ n/500) — the
-    smoke runs this variant at that setting."""
+    smoke runs this variant at that setting.
+
+    ``corpus_filter`` (r13): a Spark-SQL row predicate over the
+    embeddings table with PRE-filter semantics on the CORPUS side —
+    "k nearest QUALIFYING neighbors per query row" (the curation
+    shape: join each doc to its nearest high-quality/in-domain
+    vectors). Qualifying ids semi-join the corpus role before
+    bucket scoring, so the per-bucket local top-K and the global
+    window rank qualifying candidates only; the query side stays
+    unfiltered. Per-vector bucket assignment is independent of
+    other rows, so filtering before or after assignment is
+    equivalent — the oracle filters the assign CTE."""
     import math
 
     import numpy as np
@@ -338,7 +350,9 @@ def ann_knn_join_vectorized(
             ),
             label="knn_assign2",
         )
-        return _knn_from_assigned(spark, emb, assigned)
+        return _knn_from_assigned(
+            spark, emb, assigned, corpus_filter=corpus_filter
+        )
     cent_rows = (
         emb.select("vec_id", "embedding")
         .orderBy("vec_id")
@@ -399,23 +413,38 @@ def ann_knn_join_vectorized(
         ),
         label="knn_assign",
     )
-    return _knn_from_assigned(spark, emb, assigned)
+    return _knn_from_assigned(
+        spark, emb, assigned, corpus_filter=corpus_filter
+    )
 
 
 def _knn_from_assigned(
-    spark: SparkSession, emb: DataFrame, assigned: DataFrame
+    spark: SparkSession,
+    emb: DataFrame,
+    assigned: DataFrame,
+    corpus_filter: str | None = None,
 ) -> DataFrame:
     """Shared ann_knn_join_vectorized tail over a spilled
     (vec_id, centroid_id, crnk) assignment (flat or two-level):
-    role-tagged bucket scoring, pair dedupe, per-query top-k."""
+    role-tagged bucket scoring, pair dedupe, per-query top-k.
+    ``corpus_filter`` restricts the CORPUS role to qualifying rows
+    (pre-filter semantics; see ann_knn_join_vectorized)."""
     import numpy as np
     import pandas as pd
 
     from .similarity import _require_nonzero_norms, _seq_norms
 
+    corpus_role = assigned.where(F.col("crnk") <= KNN_ASSIGN).select(
+        "vec_id", "centroid_id", F.lit(0).alias("role")
+    )
+    if corpus_filter is not None:
+        corpus_role = corpus_role.join(
+            emb.where(corpus_filter).select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
     tagged = (
-        assigned.where(F.col("crnk") <= KNN_ASSIGN)
-        .select("vec_id", "centroid_id", F.lit(0).alias("role"))
+        corpus_role
         .unionByName(
             assigned.where(
                 (F.col("vec_id") % KNN_QUERY_MOD == KNN_QUERY_REM)
@@ -497,12 +526,77 @@ def _knn_from_assigned(
     )
 
 
+def ann_knn_join_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query (r13): the batch KNN join with a CORPUS-side
+    predicate — every query row's top-k nearest QUALIFYING
+    neighbors (label IN (2, 5), ~20% selectivity), the curation
+    shape of r12 verdict item 1's filtered search. Runs the
+    vectorized scale path with ``corpus_filter``; every step stays
+    deterministic (same seed centroids, same tie-breaks, exact
+    fold cosine), so the oracle replicates the ALGORITHM with the
+    assign CTE filtered — hash-exact, no recall flag needed.
+    Pre-filter semantics are what the hash proves: a post-filtered
+    unfiltered join would return ~1 qualifying row per query where
+    this returns the full k."""
+    return ann_knn_join_vectorized(
+        spark, sf_dir, corpus_filter="label IN (2, 5)"
+    )
+
+
+ANN_KNN_JOIN_FILTERED_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c AS (
+  SELECT vec_id AS centroid_id, emb AS ce FROM e ORDER BY vec_id LIMIT {IVF_K}
+),
+assign AS (
+  SELECT neighbor_id, centroid_id, ne FROM (
+    SELECT e.vec_id AS neighbor_id, e.emb AS ne, e.label, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.emb, c.ce) DESC,
+                 c.centroid_id ASC) AS crnk
+    FROM e CROSS JOIN c) t
+  WHERE crnk <= {KNN_ASSIGN} AND label IN (2, 5)
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qe FROM e
+  WHERE vec_id % {KNN_QUERY_MOD} = {KNN_QUERY_REM}
+),
+qb AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, c.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+                 c.centroid_id ASC) AS brnk
+    FROM q CROSS JOIN c) t
+  WHERE brnk <= {KNN_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT qb.query_id, a.neighbor_id,
+    list_cosine_similarity(qb.qe, a.ne) AS cos_sim
+  FROM qb JOIN assign a USING (centroid_id)
+  WHERE a.neighbor_id <> qb.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM cand) t
+WHERE rnk <= {KNN_JOIN_K}
+ORDER BY query_id, rnk
+"""
+
+
 QUERIES = {
     "ann_knn_join": ann_knn_join,
     "ann_knn_join_vectorized": ann_knn_join_vectorized,
+    "ann_knn_join_filtered": ann_knn_join_filtered,
 }
 ORACLE = {
     "ann_knn_join": ANN_KNN_JOIN_SQL,
     # same algorithm, bit-identical output — shares the oracle
     "ann_knn_join_vectorized": ANN_KNN_JOIN_SQL,
+    "ann_knn_join_filtered": ANN_KNN_JOIN_FILTERED_SQL,
 }

@@ -231,3 +231,34 @@ def test_declarative_form_refuses_large_corpus(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(knn_join, "KNN_DECLARATIVE_MAX_CORPUS", 1)
     with pytest.raises(ValueError, match="ann_knn_join_vectorized"):
         knn_join.ann_knn_join(spark, sf_dir).collect()
+
+
+def test_knn_join_filtered_corpus_predicate(spark, sf_dir):
+    """r13: corpus-side pre-filter — every neighbor satisfies the
+    predicate, every query still gets the full k (qualifying
+    candidates fill the window), and a post-filter of the
+    unfiltered join provably under-returns."""
+    from pyspark.sql import functions as F
+
+    from lance_duckdb_spark.operators.knn_join import (
+        KNN_JOIN_K,
+        ann_knn_join_filtered,
+        ann_knn_join_vectorized,
+    )
+    from lance_duckdb_spark.tables import load
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    got = ann_knn_join_filtered(spark, sf_dir).collect()
+    assert all(labels[r["neighbor_id"]] in (2, 5) for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == KNN_JOIN_K for v in per_q.values())
+    unfiltered = ann_knn_join_vectorized(spark, sf_dir).collect()
+    post = [r for r in unfiltered if labels[r["neighbor_id"]] in (2, 5)]
+    assert len(post) < len(got)
