@@ -119,12 +119,24 @@ def _topk(components: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def fts_bm25(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+def fts_bm25(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    doc_filter: str | None = None,
+) -> DataFrame:
     """BM25 top-k (default 20) for a fixed conjunctive-OR term query,
     computed directly from the corpus (the index-free baseline; the
     indexed path must reproduce it bit-for-bit). ``k`` exists so
     hybrid_search's lexical arm reuses THIS pipeline at its deeper
-    RANK_CAP instead of duplicating it (r8 review finding)."""
+    RANK_CAP instead of duplicating it (r8 review finding).
+
+    ``doc_filter`` (r13): a Spark-SQL predicate over the documents
+    table with PRE-filter semantics — qualifying doc ids semi-join
+    the per-doc scores BEFORE the top-k, so the k results are the
+    best QUALIFYING documents. Corpus statistics (IDF, avgdl) stay
+    GLOBAL — the production filtered-search contract (the filter
+    restricts candidates, it does not re-weigh the corpus)."""
     docs = load(spark, sf_dir, "documents")
     tf = _term_freq(docs)
     dl = _doc_len(tf)
@@ -137,6 +149,10 @@ def fts_bm25(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", _score_expr().alias("comp"))
     )
+    if doc_filter is not None:
+        comp = comp.join(
+            docs.where(doc_filter).select("doc_id"), "doc_id", "left_semi"
+        )
     return _topk(comp, k)
 
 

@@ -70,16 +70,29 @@ def _lex_arm_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fts.fts_bm25(spark, sf_dir, k=RANK_CAP)
 
 
-def _vec_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _vec_arm(
+    spark: SparkSession, sf_dir: str, doc_filter: str | None = None
+) -> DataFrame:
     """Cosine top-RANK_CAP against the broadcast probe vector.
     Norms are projected before the join (the ann_topk_bruteforce
-    codegen lesson) and the probe row is a broadcast 1-row dim."""
+    codegen lesson) and the probe row is a broadcast 1-row dim.
+    ``doc_filter`` (r13): pre-filter — qualifying doc ids (doc_id
+    == vec_id in this corpus) semi-join the candidates before the
+    top-RANK_CAP cut."""
     emb = load(spark, sf_dir, "embeddings")
     probe = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
         F.col("embedding").alias("pe"), norm("embedding").alias("p_nrm")
     )
+    cand = emb.where(F.col("vec_id") != PROBE_VEC_ID)
+    if doc_filter is not None:
+        qual = (
+            load(spark, sf_dir, "documents")
+            .where(doc_filter)
+            .select(F.col("doc_id").alias("vec_id"))
+        )
+        cand = cand.join(qual, "vec_id", "left_semi")
     return (
-        emb.where(F.col("vec_id") != PROBE_VEC_ID)
+        cand
         .select(
             F.col("vec_id").alias("doc_id"),
             F.col("embedding").alias("ne"),
@@ -210,12 +223,87 @@ LIMIT {HYBRID_TOP_K}
 """
 
 
+# Filtered hybrid retrieval (r13): the RAG production shape — a
+# metadata predicate rides the fused query. ~27% selectivity on the
+# test corpus; BM25 statistics stay GLOBAL (see fts_bm25.doc_filter).
+HYBRID_FILTER_PRED = "lang IN ('de', 'fr')"
+
+
+def hybrid_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query (r13): both arms pre-filtered by a documents
+    predicate — the fused top-k ranks QUALIFYING docs only (each
+    arm's RANK_CAP cut applies after its qualifying semi-join, so a
+    doc outside the filter can never crowd a qualifying one out of
+    either arm). Deterministic end to end, so the oracle replicates
+    both filtered arms — hash-exact."""
+    lex = _rank(
+        fts.fts_bm25(
+            spark, sf_dir, k=RANK_CAP, doc_filter=HYBRID_FILTER_PRED
+        ),
+        "lex_rank",
+    )
+    vec = _rank(
+        _vec_arm(spark, sf_dir, doc_filter=HYBRID_FILTER_PRED),
+        "vec_rank",
+    )
+    return _fuse(lex, vec)
+
+
+HYBRID_SEARCH_FILTERED_SQL = f"""
+{_strip_final_select(fts.FTS_BM25_SQL)},
+qual AS (
+  SELECT doc_id FROM documents WHERE lang IN ('de', 'fr')
+),
+lex_scores AS (
+  SELECT doc_id, COUNT(*) AS n_terms,
+         CAST(ROUND(SUM(comp), 4) AS DOUBLE) AS score
+  FROM comp WHERE doc_id IN (SELECT doc_id FROM qual)
+  GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+    FROM lex_scores
+  ) WHERE lex_rank <= {RANK_CAP}
+),
+vec_scores AS (
+  SELECT c.vec_id AS doc_id,
+         list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS score
+  FROM embeddings c, embeddings p
+  WHERE p.vec_id = {PROBE_VEC_ID} AND c.vec_id != {PROBE_VEC_ID}
+    AND c.vec_id IN (SELECT doc_id FROM qual)
+),
+vec AS (
+  SELECT doc_id, CAST(vec_rank AS INTEGER) AS vec_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS vec_rank
+    FROM vec_scores
+  ) WHERE vec_rank <= {RANK_CAP}
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       l.lex_rank, v.vec_rank,
+       CAST(
+         COALESCE(CAST(ROUND(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rank), 6)
+                       AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+         + COALESCE(CAST(ROUND(CAST(1.0 AS DOUBLE) / ({RRF_K} + v.vec_rank), 6)
+                         AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+       AS DOUBLE) AS rrf_score
+FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {HYBRID_TOP_K}
+"""
+
+
 QUERIES = {
     "hybrid_search": hybrid_search,
     "hybrid_search_indexed": hybrid_search_indexed,
+    "hybrid_search_filtered": hybrid_search_filtered,
 }
 
 ORACLE = {
     "hybrid_search": HYBRID_SEARCH_SQL,
     "hybrid_search_indexed": HYBRID_SEARCH_SQL,
+    "hybrid_search_filtered": HYBRID_SEARCH_FILTERED_SQL,
 }

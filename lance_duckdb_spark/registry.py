@@ -436,12 +436,21 @@ _RECHECK_R13: set = {
     "lance_sql_alter",
 }
 
-# r13 rotation note (r12 verdict item 6): window leads with any
-# r13-new queries + _RECHECK_R13, then the 47 entries last green in
+# r13 rotation note (r12 verdict item 6): window = 3 r13 new/recheck
+# entries (ann_ivf_filtered, ann_knn_join_filtered, lance_sql_alter
+# with its extended chain) + exactly the 47 entries last green in
 # r10 (the stalest tier — ann_knn_join, bucketed_colocated_join,
-# cube_revenue, hybrid_search, ... exactly the set the r12 verdict
-# flagged), then r11-green fills. r12-green is the freshest tier;
-# max staleness stays <=2 rounds.
+# cube_revenue, hybrid_search, ... the set the r12 verdict flagged)
+# = 50 slots, zero fills. Verified by executing the rotation.
+#
+# DELIBERATE DEFERRAL: r13 added FOUR queries needing a window slot,
+# one more than fits beside the 47 contract-edge entries. The
+# staleness contract (<=2 rounds) wins over a debut: the newest
+# query, hybrid_search_filtered, is pinned just AFTER the r10 tier
+# (position 51) so its first driver row lands in the r14 window,
+# where it must LEAD. It is fully verified this round by the local
+# driver sim (hash-exact vs its oracle at sf0.01) and pytest.
+_DEFER_TO_R14 = {"hybrid_search_filtered"}
 
 
 def _rotate(merged: dict) -> dict:
@@ -453,7 +462,9 @@ def _rotate(merged: dict) -> dict:
         _GREEN_R12,
     ]
 
-    def last_verified(k: str) -> int:
+    def last_verified(k: str) -> float:
+        if k in _DEFER_TO_R14:
+            return 10.5  # after the r10 tier, before r11 — slot 51
         if k in _RECHECK_R13:
             return 0
         return max(

