@@ -290,6 +290,14 @@ def _read_fragment_by_id(
 
     want = schema.fieldNames()
     target = to_arrow_schema(schema)
+    # DEFENSIVE (r13 advice): with today's one caller, pushed filter
+    # attributes always name reader-schema columns, so absent_only is
+    # always empty and `extra` below never fires — Spark prunes the
+    # read schema to (projection ∪ filter columns) before handing us
+    # the plan. The branches guard a future caller that pushes
+    # filters outside the projected schema (the evolved-read path
+    # below genuinely needs them); mirroring it keeps the two
+    # resolution paths drop-in equivalent.
     absent_only = [
         f
         for f in pushed

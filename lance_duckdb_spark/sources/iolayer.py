@@ -52,6 +52,7 @@ as the local ``os.link`` CAS.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import uuid
@@ -69,9 +70,20 @@ _MEM_ROOT_ENV = "LANCE_DUCKDB_SPARK_MEMFS"
 
 
 def _mem_root() -> str:
+    # Validated once per (env-var value) and memoized — this runs on
+    # every mem:///pafs:// verb via _mirror()/_pafs_root(), and the
+    # makedirs+lstat squatting check is pure syscall overhead on hot
+    # manifest/fragment paths once the root has been vetted (r13
+    # advice). Re-validates only when $LANCE_DUCKDB_SPARK_MEMFS
+    # changes (tests swap it per-case).
     configured = os.environ.get(_MEM_ROOT_ENV)
     if configured:
         return configured
+    return _default_mem_root()
+
+
+@functools.lru_cache(maxsize=1)
+def _default_mem_root() -> str:
     import tempfile
 
     root = os.path.join(
@@ -241,7 +253,15 @@ def getsize(path: str) -> int:
 
 def getmtime(path: str) -> float:
     if is_pafs(path):
-        return _pafs_info(path).mtime.timestamp()
+        # pyarrow filesystems may report FileInfo.mtime = None (the
+        # advertised S3FileSystem swap-in included, for some prefix
+        # listings) — surface a clear OSError instead of an
+        # AttributeError on NoneType (r13 advice). Callers (vacuum
+        # grace) treat failure as "too fresh to reap", the safe side.
+        mtime = _pafs_info(path).mtime
+        if mtime is None:
+            raise OSError(f"object store reports no mtime for {path!r}")
+        return mtime.timestamp()
     return os.path.getmtime(local_path(path))
 
 
