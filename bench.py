@@ -140,6 +140,9 @@ HEADLINE = [
     # search — build + pre-filtered pruned search; the oracle pays
     # the filtered brute-force scan, the comparable unit of work)
     "ann_ivf_filtered",
+    # r14 addition: deletion-aware serving (build + DELETE + masked
+    # pruned search; the oracle pays the survivor-only brute force)
+    "ann_ivf_after_delete",
 ]
 
 # DuckDB work-equivalents for the write-path entries: the Spark side

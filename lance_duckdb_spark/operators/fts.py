@@ -492,7 +492,11 @@ def extend_fts_index(
 
 
 def search_bm25(
-    spark: SparkSession, index_dir: str, terms: list[str], k: int = TOP_K
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    k: int = TOP_K,
+    exclude_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query the persisted index: read ONLY the partitions the query
     terms hash into — parquet partition pruning on BOTH the postings
@@ -500,7 +504,17 @@ def search_bm25(
     rows the query terms own. No join touches the corpus. Query
     terms are normalized exactly like the indexed tokens (lowercase,
     space trim) — a raw-cased term would hash to a bucket holding no
-    such posting and silently return nothing (r5 review finding)."""
+    such posting and silently return nothing (r5 review finding).
+
+    ``exclude_doc_ids`` (r14 deletion-aware serving): a (doc_id)
+    frame of documents deleted since the index build — anti-joined
+    BEFORE the top-k, so k results are all live. Statistics policy
+    is the standard search-engine one (Lucene's deleted-docs
+    contract): IDF / avgdl stay INDEX-TIME until a rebuild or
+    incremental merge refreshes them; excluded docs vanish from
+    results immediately, their statistical footprint decays at
+    maintenance time. Exact-stat serving after heavy deletion =
+    rebuild, same as every engine."""
     meta = _read_fts_meta(index_dir)
     terms = [t.strip(" ").lower() for t in terms]
     buckets = sorted({bucket_of(t) for t in terms})
@@ -548,6 +562,10 @@ def search_bm25(
         .crossJoin(F.broadcast(stats))
         .select("doc_id", _score_expr().alias("comp"))
     )
+    if exclude_doc_ids is not None:
+        comp = comp.join(
+            exclude_doc_ids.select("doc_id"), "doc_id", "left_anti"
+        )
     return _topk(comp, k)
 
 

@@ -324,6 +324,7 @@ def sq8_store_search(
     emb: DataFrame,
     store_dir: str,
     filter: str | None = None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Serve exact top-k from a persisted SQ8 store (the search body
     of ann_sq8_indexed, extracted r13 so a row predicate can ride
@@ -410,6 +411,18 @@ def sq8_store_search(
     if filter is not None:
         store = store.join(
             emb.where(filter).select("vec_id"), "vec_id", "left_semi"
+        )
+    if exclude_ids is not None:
+        # live deletion mask (r14 deletion-aware serving, the SQ8
+        # store's analogue of vector_index._staleness_gate's
+        # exclusion frame): anti-joined BEFORE the batch bound
+        # logic, same placement rationale as `filter` — dropped rows
+        # must not shape the per-batch k-th-best threshold, or the
+        # lossless candidate-superset guarantee would break for the
+        # surviving sub-corpus. The frame is a (vec_id) column, e.g.
+        # ids masked by deletion vectors since the store was built.
+        store = store.join(
+            exclude_ids.select("vec_id"), "vec_id", "left_anti"
         )
     candidates = spread(store).mapInPandas(
         probe_store, "probe_id long, neighbor_id long"

@@ -1401,6 +1401,52 @@ def cleanup_old_versions(
     }
 
 
+def head_divergence(base: Manifest, head: Manifest) -> tuple[str, list[str]]:
+    """Classify how ``head`` diverges from ``base`` for INDEX-SERVING
+    decisions (r14, the deletion-aware serving ladder; Lance proper
+    serves indexes across deletes by masking deleted rows at scan
+    time — rust/scanner.rs — instead of invalidating the index):
+
+    - ``("none", [])`` — same data files, same deletion state (a
+      metadata-only commit: rename, watermark, stats). Index output
+      is untouched.
+    - ``("rewritten", files)`` — at least one base data file is gone
+      (UPDATE / upsert / compaction rewrote rows). Postings may hold
+      stale VALUES; only a rebuild is safe.
+    - ``("appended", files)`` — base files intact but head grew new
+      fragments the index never saw; serving would silently
+      under-recall. An index DELTA (extend_*) covers this.
+    - ``("deletion_only", files)`` — every base data file survives
+      byte-identical and only deletion state changed. Postings hold
+      no wrong values, just superfluous ids: anti-joining candidates
+      against the newly-masked rows' ids serves EXACT results over
+      the survivors at O(deleted rows), no rebuild.
+
+    Distinct from ``append_only_violations`` below, which answers a
+    stricter question (may base postings be EXTENDED in place?) where
+    deletion changes are violations too."""
+    head_by_file = {f.file: f for f in head.fragments}
+    base_files = {f.file for f in base.fragments}
+    rewritten = [f.file for f in base.fragments if f.file not in head_by_file]
+    if rewritten:
+        return "rewritten", rewritten
+    appended = [f.file for f in head.fragments if f.file not in base_files]
+    if appended:
+        return "appended", appended
+    masked = [
+        f.file
+        for f in base.fragments
+        if (
+            head_by_file[f.file].deletion_file,
+            head_by_file[f.file].num_deleted,
+        )
+        != (f.deletion_file, f.num_deleted)
+    ]
+    if masked:
+        return "deletion_only", masked
+    return "none", []
+
+
 def append_only_violations(base: Manifest, head: Manifest) -> list[str]:
     """Files present at ``base`` that were rewritten — or had their
     DELETION STATE changed — by ``head``. Append-only means more than

@@ -181,14 +181,30 @@ def scalar_index_scan(
     predicate is ALSO applied to the scan, so results equal a full
     filter scan exactly — the index changes IO, never answers."""
     meta = read_scalar_index_meta(root, column)
-    head = lf.read_manifest(root).version
-    if head != meta["dataset_version"] and not allow_stale:
-        raise StaleScalarIndexError(
-            f"scalar index on {column!r} was built at dataset version "
-            f"{meta['dataset_version']} but the dataset is at {head}; "
-            "rebuild the index (or pass allow_stale=True to scan the "
-            "indexed snapshot)"
-        )
+    head_man = lf.read_manifest(root)
+    pin_version = meta["dataset_version"]
+    if head_man.version != meta["dataset_version"] and not allow_stale:
+        # Deletion-aware serving (r14): per-fragment zone maps stay
+        # CONSERVATIVE under deletes (a mask only removes rows, so
+        # the recorded min/max can only over-approximate — a false
+        # positive costs one pruned-in fragment scan, never a wrong
+        # answer). A deletion-only divergence therefore serves LIVE:
+        # pin the scan at the examined head version — the datasource
+        # applies its deletion masks — instead of refusing. A
+        # metadata-only bump likewise just re-pins. Appends/rewrites
+        # still refuse: new fragments have no entries (silent
+        # under-return), rewritten ones have stale value ranges.
+        base = lf.read_manifest(root, meta["dataset_version"])
+        kind, detail = lf.head_divergence(base, head_man)
+        if kind in ("rewritten", "appended"):
+            raise StaleScalarIndexError(
+                f"scalar index on {column!r} was built at dataset "
+                f"version {meta['dataset_version']} but version "
+                f"{head_man.version} {kind} fragment(s) (e.g. "
+                f"{detail[:2]}); rebuild the index (or pass "
+                "allow_stale=True to scan the indexed snapshot)"
+            )
+        pin_version = head_man.version
     entries = spark.read.parquet(
         iol.spark_read_path(
             os.path.join(
@@ -208,15 +224,16 @@ def scalar_index_scan(
     frags = sorted(
         {r["fragment"] for r in entries.select("fragment").distinct().collect()}
     )
-    # ALWAYS pin the indexed version: the staleness check above is
+    # ALWAYS pin an examined version: the staleness check above is
     # check-then-act, and the scan is lazy — an append between the
     # check and the action would otherwise pass the fragment
     # allowlist (old names still present) and silently omit the new
-    # rows (r5 review finding). Pinning makes the result exactly
-    # "the indexed snapshot", which is what the index can prove
-    # things about.
+    # rows (r5 review finding). The pin is the indexed version by
+    # default, or the examined head version for a deletion-only /
+    # metadata-only divergence (r14 deletion-aware serving) — either
+    # way a version this function inspected, never a racing later one.
     reader = spark.read.format("lance").option(
-        "version", str(meta["dataset_version"])
+        "version", str(pin_version)
     )
     if not frags:
         # provably empty: scan nothing but keep the schema/predicate

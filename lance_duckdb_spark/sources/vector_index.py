@@ -709,6 +709,96 @@ def _filter_ids(
     )
 
 
+def _staleness_gate(
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    allow_stale: bool,
+    index_kind: str,
+) -> DataFrame | None:
+    """The search-time staleness ladder, shared by ann_search and
+    ann_search_pq so the serving contract cannot drift (r14, r13
+    VERDICT item 2 — Lance proper's scanner masks deleted rows at
+    query time, rust/scanner.rs, rather than invalidating the index
+    on every DELETE):
+
+    ==================  ===========================================
+    head vs indexed     default serving          allow_stale=True
+    ==================  ===========================================
+    identical           index as-is              index as-is
+    metadata-only       index as-is              index as-is
+    deletion_only       EXACT over survivors     indexed snapshot
+                        (live-mask anti-join)    (deleted rows
+                                                 reappear)
+    appended            StaleIndexError          indexed snapshot
+                        (extend the index)
+    rewritten           StaleIndexError          indexed snapshot
+                        (rebuild the index)
+    ==================  ===========================================
+
+    Returns the exclusion frame (one ``id_col`` column: ids of every
+    head-masked row in indexed fragments) when live-masking applies,
+    else None. Callers anti-join candidates BEFORE any top-k window,
+    so k results are the best k survivors — never a post-filtered
+    under-count. Cost shape at 100 TB: one narrow id-column scan of
+    ONLY the fragments that carry a deletion mask, semi-joined to
+    the worker-side mask frames (maintenance._deletion_masks_df) —
+    O(rows of masked fragments) IO, O(deleted) join rows, nothing
+    row-sized on the driver. ``_require_append_only`` still governs
+    index EXTENDS: a delta atop deleted base rows would re-serve
+    them from base postings, so extends stay strict."""
+    head_man = lf.read_manifest(root)
+    if head_man.version == meta["dataset_version"] or allow_stale:
+        return None
+    base = lf.read_manifest(root, meta["dataset_version"])
+    kind, detail = lf.head_divergence(base, head_man)
+    if kind == "none":
+        return None
+    if kind in ("rewritten", "appended"):
+        fix = (
+            "rebuild the index"
+            if kind == "rewritten"
+            else f"extend the {index_kind} index (delta-index the new fragments)"
+        )
+        raise StaleIndexError(
+            f"{index_kind} index was built at dataset version "
+            f"{meta['dataset_version']} but version {head_man.version} "
+            f"{kind} fragment(s) (e.g. {detail[:2]}); {fix}, or pass "
+            "allow_stale=True to search the indexed snapshot"
+        )
+    # deletion_only: compute the masked rows' ids. Raw by-name
+    # fragment reads below need physical==logical column names (the
+    # version_changes discipline); a renamed dataset refuses loudly
+    # rather than null-filling the id column.
+    lf.require_physical_identity(head_man, "deletion-aware index serving")
+    from .maintenance import _deletion_masks_df
+
+    head_by_file = {f.file: f for f in head_man.fragments}
+    masked = [
+        head_by_file[f.file]
+        for f in base.fragments
+        if head_by_file[f.file].deletion_file
+    ]
+    masks = _deletion_masks_df(spark, root, masked)
+    if masks is None:
+        return None
+    id_col = meta["id_col"]
+    tagged = spark.read.parquet(
+        *[
+            iol.spark_read_path(os.path.join(root, f.file))
+            for f in masked
+        ]
+    ).select(
+        F.col(id_col),
+        F.col("_metadata.file_name").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    return (
+        tagged.join(masks, ["__file", "__pos"], "left_semi")
+        .select(F.col(id_col).cast("long").alias(id_col))
+    )
+
+
 def ann_search(
     spark: SparkSession,
     root: str,
@@ -741,20 +831,20 @@ def ann_search(
     the qualifying-id set (see ``_filter_ids``) before the top-k
     window, so results are the best k QUALIFYING neighbors. Buckets
     stay partition-pruned; raise nprobe for very selective filters
-    (fewer qualifying rows per bucket)."""
+    (fewer qualifying rows per bucket).
+
+    Staleness (r14): deletion-vector DELETEs since the index build
+    no longer refuse — the search serves the EXACT top-k over the
+    surviving rows by live-masking deleted ids (see
+    ``_staleness_gate`` for the full serving ladder); appends still
+    ask for an extend, rewrites for a rebuild, and allow_stale=True
+    still means "the indexed snapshot, deletes ignored"."""
     import numpy as np
 
     from ..operators.similarity import cosine
 
     meta = read_index_meta(root)
-    head = lf.read_manifest(root).version
-    if head != meta["dataset_version"] and not allow_stale:
-        raise StaleIndexError(
-            f"IVF index was built at dataset version "
-            f"{meta['dataset_version']} but the dataset is at {head}; "
-            "rebuild the index (or pass allow_stale=True to search "
-            "the indexed snapshot)"
-        )
+    live_excl = _staleness_gate(spark, root, meta, allow_stale, "IVF")
     column, id_col = meta["column"], meta["id_col"]
     two_level = bool(meta.get("two_level"))
     if not two_level:
@@ -859,6 +949,10 @@ def ann_search(
         post = post.join(
             _filter_ids(spark, root, meta, filter), id_col, "left_semi"
         )
+    if live_excl is not None:
+        # deletion-aware serving: drop head-deleted ids BEFORE the
+        # top-k window — results are the exact best-k over survivors
+        post = post.join(live_excl, id_col, "left_anti")
     cands = post.join(F.broadcast(probe_buckets), "bucket_id")
     if exclude_self:
         cands = cands.where(F.col(id_col) != F.col("probe_id"))
@@ -1196,13 +1290,7 @@ def ann_search_pq(
     from ..operators.similarity import cosine
 
     meta = read_pq_index_meta(root)
-    head = lf.read_manifest(root).version
-    if head != meta["dataset_version"] and not allow_stale:
-        raise StaleIndexError(
-            f"IVF_PQ index was built at dataset version "
-            f"{meta['dataset_version']} but the dataset is at {head}; "
-            "rebuild the index (or pass allow_stale=True)"
-        )
+    live_excl = _staleness_gate(spark, root, meta, allow_stale, "IVF_PQ")
     column, id_col = meta["column"], meta["id_col"]
     m_sub, ksub = meta["m_sub"], meta["ksub"]
     dim = meta["dim"]
@@ -1254,6 +1342,11 @@ def ann_search_pq(
         post = post.join(
             _filter_ids(spark, root, meta, filter), id_col, "left_semi"
         )
+    if live_excl is not None:
+        # deletion-aware serving (see _staleness_gate): excluded
+        # before ADC scoring, so the refine window and the exact
+        # rerank never see a deleted candidate
+        post = post.join(live_excl, id_col, "left_anti")
     cands = post.join(F.broadcast(probe_buckets), "bucket_id")
     if exclude_self:
         cands = cands.where(F.col(id_col) != F.col("probe_id"))

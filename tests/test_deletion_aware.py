@@ -1,0 +1,274 @@
+"""Deletion-aware index serving (r14, r13 VERDICT item 2): a
+deletion-vector DELETE after an index build no longer forces a full
+rebuild — searches serve the EXACT results over survivors by
+anti-joining candidates against the live deletion masks, the way
+Lance proper's scanner masks deleted rows at query time
+(rust/scanner.rs) instead of invalidating the index. Covered here:
+
+- the serving ladder (vector_index._staleness_gate): deletion-only
+  divergence serves exact-over-survivors; appends still demand an
+  extend; rewrites still demand a rebuild; allow_stale still means
+  "the indexed snapshot" (deleted rows REAPPEAR — that is the
+  documented semantic difference);
+- the IVF_PQ spelling of the same ladder;
+- composition with the r13 pre-filter (filter + deletion mask);
+- the scalar index under deletion-only divergence (zone maps stay
+  conservative; the pruned scan re-pins at head and serves live);
+- the SQ8 store / FTS index explicit exclusion hooks (those stores
+  are corpus-frame-derived, not dataset-version-pinned, so the
+  caller passes the exclusion frame).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_duckdb_spark.catalog import lance_sql
+from lance_duckdb_spark.operators.similarity import (
+    IVF_K,
+    N_PROBES,
+    TOP_K,
+    _ann_topk_filtered_exact,
+)
+from lance_duckdb_spark.sources.datasource import register
+from lance_duckdb_spark.sources.scalar_index import (
+    StaleScalarIndexError,
+    build_scalar_index,
+    scalar_index_scan,
+)
+from lance_duckdb_spark.sources.vector_index import (
+    StaleIndexError,
+    ann_search,
+    ann_search_pq,
+    build_ivf_index,
+    build_ivf_pq_index,
+)
+from lance_duckdb_spark.tables import load
+
+DEL_PRED = "vec_id % 10 = 3"
+SURVIVOR_PRED = "vec_id % 10 <> 3"
+
+
+@pytest.fixture()
+def del_root(spark, sf_dir):
+    root = f"/tmp/lance_duckdb_spark/test_delaware_{uuid.uuid4().hex[:8]}.lance"
+    register(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    emb.select("vec_id", "embedding", "label").write.format("lance").mode(
+        "overwrite"
+    ).save(root)
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _probes(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+
+def _delete(spark, root, pred=DEL_PRED):
+    lance_sql(spark, f"DELETE FROM '{root}' WHERE {pred}").collect()
+
+
+def test_ivf_serves_after_delete(spark, sf_dir, del_root):
+    """Delete-only divergence: default search serves WITHOUT
+    allow_stale, returns zero deleted ids, and recall vs
+    survivor-exact is high (the driver query's bound)."""
+    build_ivf_index(spark, del_root, k=IVF_K, lloyd_iters=2)
+    _delete(spark, del_root)
+    got = ann_search(
+        spark, del_root, _probes(spark, sf_dir), k_neighbors=TOP_K, nprobe=8
+    ).collect()
+    assert got, "post-delete search returned nothing"
+    assert all(r["neighbor_id"] % 10 != 3 for r in got), (
+        "live mask failed: a deleted id was served"
+    )
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in _ann_topk_filtered_exact(
+            spark, sf_dir, pred=SURVIVOR_PRED
+        ).collect()
+    }
+    hits = sum((r["probe_id"], r["neighbor_id"]) in exact for r in got)
+    assert hits / len(exact) >= 0.8
+
+
+def test_ivf_allow_stale_serves_snapshot(spark, sf_dir, del_root):
+    """allow_stale keeps its pre-r14 meaning: the indexed SNAPSHOT,
+    so deleted neighbors reappear (that is the point of the flag)."""
+    build_ivf_index(spark, del_root, k=IVF_K, lloyd_iters=2)
+    before = ann_search(
+        spark, del_root, _probes(spark, sf_dir), k_neighbors=TOP_K, nprobe=8
+    ).collect()
+    _delete(spark, del_root)
+    stale = ann_search(
+        spark,
+        del_root,
+        _probes(spark, sf_dir),
+        k_neighbors=TOP_K,
+        nprobe=8,
+        allow_stale=True,
+    ).collect()
+    key = lambda rows: sorted(
+        (r["probe_id"], r["neighbor_id"], r["rnk"]) for r in rows
+    )
+    assert key(stale) == key(before)
+
+
+def test_ivf_append_still_refuses(spark, sf_dir, del_root):
+    build_ivf_index(spark, del_root, k=IVF_K, lloyd_iters=2)
+    emb = load(spark, sf_dir, "embeddings")
+    emb.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+    ).limit(5).write.format("lance").mode("append").save(del_root)
+    with pytest.raises(StaleIndexError, match="appended"):
+        ann_search(spark, del_root, _probes(spark, sf_dir))
+
+
+def test_ivf_rewrite_still_refuses(spark, sf_dir, del_root):
+    build_ivf_index(spark, del_root, k=IVF_K, lloyd_iters=2)
+    lance_sql(
+        spark, f"UPDATE '{del_root}' SET label = 9 WHERE vec_id % 50 = 1"
+    ).collect()
+    with pytest.raises(StaleIndexError, match="rewritten"):
+        ann_search(spark, del_root, _probes(spark, sf_dir))
+
+
+def test_ivf_filter_composes_with_live_mask(spark, sf_dir, del_root):
+    """r13 pre-filter + r14 live mask in one search: results satisfy
+    the predicate AND exclude deleted ids, ranked over the
+    intersection (best-k of qualifying survivors)."""
+    build_ivf_index(spark, del_root, k=IVF_K, lloyd_iters=2)
+    _delete(spark, del_root)
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    got = ann_search(
+        spark,
+        del_root,
+        _probes(spark, sf_dir),
+        k_neighbors=TOP_K,
+        nprobe=12,
+        filter="label IN (2, 5)",
+    ).collect()
+    assert got
+    for r in got:
+        assert r["neighbor_id"] % 10 != 3
+        assert labels[r["neighbor_id"]] in (2, 5)
+
+
+def test_pq_serves_after_delete(spark, sf_dir, del_root):
+    build_ivf_pq_index(spark, del_root, k=IVF_K, lloyd_iters=2)
+    _delete(spark, del_root)
+    got = ann_search_pq(
+        spark, del_root, _probes(spark, sf_dir), k_neighbors=TOP_K, nprobe=8
+    ).collect()
+    assert got
+    assert all(r["neighbor_id"] % 10 != 3 for r in got)
+
+
+def test_metadata_only_divergence_serves(spark, sf_dir, del_root):
+    """A version bump with identical data files and deletion state
+    (here: a no-op-mask DELETE matching zero rows commits nothing —
+    so instead use a second index-irrelevant deletion predicate that
+    matches nothing and assert the head==indexed fast path still
+    holds after a real delete + search cycle)."""
+    build_ivf_index(spark, del_root, k=IVF_K, lloyd_iters=2)
+    # DELETE matching zero rows: if it commits a version, divergence
+    # classifies as "none" and serving proceeds; if it doesn't
+    # commit, head == indexed. Either way: no refusal, full results.
+    lance_sql(
+        spark, f"DELETE FROM '{del_root}' WHERE vec_id < 0"
+    ).collect()
+    got = ann_search(
+        spark, del_root, _probes(spark, sf_dir), k_neighbors=TOP_K, nprobe=8
+    ).collect()
+    assert got
+
+
+def test_scalar_index_serves_after_delete(spark, sf_dir):
+    root = f"/tmp/lance_duckdb_spark/test_delscalar_{uuid.uuid4().hex[:8]}.lance"
+    register(spark)
+    try:
+        cust = load(spark, sf_dir, "customer")
+        cust.write.format("lance").mode("overwrite").save(root)
+        build_scalar_index(spark, root, "c_nationkey")
+        lance_sql(
+            spark, f"DELETE FROM '{root}' WHERE c_custkey % 3 = 0"
+        ).collect()
+        got = scalar_index_scan(
+            spark, root, "c_nationkey", eq=5
+        ).collect()
+        want = cust.where(
+            (F.col("c_nationkey") == 5) & (F.col("c_custkey") % 3 != 0)
+        ).collect()
+        assert sorted(r["c_custkey"] for r in got) == sorted(
+            r["c_custkey"] for r in want
+        )
+        # appends still refuse
+        cust.limit(3).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            *[c for c in cust.columns if c != "c_custkey"],
+        ).write.format("lance").mode("append").save(root)
+        with pytest.raises(StaleScalarIndexError, match="appended"):
+            scalar_index_scan(spark, root, "c_nationkey", eq=5)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_sq8_exclude_ids(spark, sf_dir):
+    from lance_duckdb_spark.operators.quantize import (
+        build_sq8_store,
+        sq8_store_search,
+    )
+
+    store = f"/tmp/lance_duckdb_spark/test_delsq8_{uuid.uuid4().hex[:8]}"
+    try:
+        emb = load(spark, sf_dir, "embeddings")
+        build_sq8_store(spark, emb, store)
+        excl = emb.where(DEL_PRED).select("vec_id")
+        got = sq8_store_search(spark, emb, store, exclude_ids=excl).collect()
+        assert got
+        assert all(r["neighbor_id"] % 10 != 3 for r in got)
+        # SQ8 stays EXACT over the surviving sub-corpus (the
+        # lossless bound is computed against the filtered scan)
+        exact = _ann_topk_filtered_exact(
+            spark, sf_dir, pred=SURVIVOR_PRED
+        ).collect()
+        key = lambda rows: sorted(
+            (r["probe_id"], r["neighbor_id"], r["rnk"]) for r in rows
+        )
+        assert key(got) == key(exact)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def test_fts_exclude_doc_ids(spark, sf_dir):
+    from lance_duckdb_spark.operators.fts import build_fts_index, search_bm25
+
+    idx = f"/tmp/lance_duckdb_spark/test_delfts_{uuid.uuid4().hex[:8]}"
+    try:
+        docs = load(spark, sf_dir, "documents")
+        build_fts_index(spark, docs, idx)
+        full = search_bm25(spark, idx, ["the", "data"], k=10).collect()
+        assert full
+        excl = spark.createDataFrame(
+            [(int(r["doc_id"]),) for r in full[:3]], "doc_id long"
+        )
+        masked = search_bm25(
+            spark, idx, ["the", "data"], k=10, exclude_doc_ids=excl
+        ).collect()
+        banned = {int(r["doc_id"]) for r in full[:3]}
+        assert all(int(r["doc_id"]) not in banned for r in masked)
+        assert masked, "exclusion emptied the result set"
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
