@@ -1960,6 +1960,148 @@ def _native_live_df(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+# ------------------------------------------------------- ANN sugar
+#
+# The DuckDB-UX spelling of the r13 filtered ANN search (r14, r13
+# VERDICT item 3): the reference's users type SQL against a DuckDB
+# that evaluates `list_cosine_similarity` natively; here the same
+# ORDER BY <cosine expr> LIMIT k over a '<path>.lance' scan is
+# recognized and served from the PERSISTED IVF index (bucket-pruned,
+# pre-filtered when a WHERE rides along, deletion-aware per
+# vector_index._staleness_gate) instead of a brute-force scan Spark
+# could not even express (the similarity functions are not Spark
+# builtins). Statements that name a similarity function but don't
+# fit the servable shape refuse LOUDLY with the recipe — silent
+# fallthrough would surface as an unresolved-function error three
+# layers deeper.
+
+_ANN_COS_FNS = (
+    "(?:list_cosine_similarity|array_cosine_similarity|"
+    "cosine_similarity)"
+)
+_ANN_OTHER_METRIC_RE = re.compile(
+    r"(?is)\b(list_distance|array_distance|l2_distance|"
+    r"list_inner_product|array_inner_product|dot_product|"
+    r"inner_product|list_negative_inner_product)\s*\("
+)
+_ANN_SQL_RE = re.compile(
+    rf"""(?isx)^\s*
+    SELECT\s+(?P<idcol>`[^`]+`|[A-Za-z_]\w*)\s*,\s*
+    (?P<simexpr>
+      (?P<fn>{_ANN_COS_FNS})\s*\(\s*
+      (?P<veccol>`[^`]+`|[A-Za-z_]\w*)\s*,\s*
+      (?:ARRAY\s*)?\[\s*(?P<vec>[^\]]*)\]\s*\)
+    )\s*
+    (?:AS\s+(?P<alias>[A-Za-z_]\w*)\s*)?
+    FROM\s+'(?P<path>[^']+\.lance)'\s*
+    (?:WHERE\s+(?P<where>.*?)\s*)?
+    ORDER\s+BY\s+(?P<ord>.+?)\s+DESC\s*
+    LIMIT\s+(?P<k>\d+)\s*;?\s*$
+    """
+)
+# nprobe defaults relative to the test-scale bucket count; the
+# filtered escalation mirrors similarity.FILTERED_NPROBE's rationale
+# (qualifying rows spread across more buckets)
+_ANN_SQL_NPROBE = 8
+_ANN_SQL_NPROBE_FILTERED = 12
+
+_ANN_SHAPE_MSG = (
+    "ANN SQL serving recognizes exactly: SELECT <id_col>, "
+    "<cosine_fn>(<vector_col>, [<float>, ...]) [AS <alias>] FROM "
+    "'<path>.lance' [WHERE <pred>] ORDER BY <alias>|<expr> DESC "
+    "LIMIT <k>. The similarity functions are index-served sugar, "
+    "not Spark builtins — rewrite the statement to this shape"
+)
+
+
+def _run_ann(spark: SparkSession, sql: str) -> DataFrame | None:
+    has_cos = re.search(rf"(?is)\b{_ANN_COS_FNS}\s*\(", sql)
+    has_other = _ANN_OTHER_METRIC_RE.search(sql)
+    if not (has_cos or has_other):
+        return None
+    if not re.search(r"(?is)'[^']+\.lance'", sql):
+        return None  # similarity fn over a non-lance relation: not ours
+    if has_other:
+        raise lf.LanceDatasetError(
+            f"ANN SQL serving: {has_other.group(1)} does not match "
+            "the persisted index metric (cosine) — only a "
+            "cosine-similarity ORDER BY is index-servable; rebuild "
+            "the index under the metric you need or rank by cosine"
+        )
+    m = _ANN_SQL_RE.match(sql)
+    if m is None:
+        raise lf.LanceDatasetError(_ANN_SHAPE_MSG)
+    path = m.group("path")
+    if not _is_lance_dataset(path):
+        raise lf.LanceDatasetError(
+            f"ANN SQL serving: no lance dataset at {path!r}"
+        )
+    from .sources.vector_index import ann_search, read_index_meta
+
+    try:
+        meta = read_index_meta(path)
+    except lf.LanceDatasetError as e:
+        raise lf.LanceDatasetError(
+            f"ANN SQL serving needs a persisted IVF index at {path!r} "
+            "— build_ivf_index first (an un-indexed ORDER BY "
+            "similarity over the full corpus is a brute-force scan; "
+            "this sugar deliberately refuses to hide that cost)"
+        ) from e
+    idcol = m.group("idcol").strip("`")
+    veccol = m.group("veccol").strip("`")
+    if veccol != meta["column"]:
+        raise lf.LanceDatasetError(
+            f"ANN SQL serving: the index covers column "
+            f"{meta['column']!r} but the query ranks {veccol!r}"
+        )
+    if idcol != meta["id_col"]:
+        raise lf.LanceDatasetError(
+            f"ANN SQL serving: the index id column is "
+            f"{meta['id_col']!r} but the query selects {idcol!r}"
+        )
+    alias = m.group("alias") or "score"
+    squash = lambda s: re.sub(r"\s+", "", s)
+    ord_c = squash(m.group("ord")).strip("`")
+    if ord_c not in (alias, squash(m.group("simexpr"))):
+        raise lf.LanceDatasetError(
+            "ANN SQL serving: ORDER BY must repeat the similarity "
+            f"expression or its alias {alias!r} (got "
+            f"{m.group('ord').strip()!r}); " + _ANN_SHAPE_MSG
+        )
+    vec_txt = m.group("vec")
+    vec = [
+        float(t)
+        for t in re.findall(
+            r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", vec_txt
+        )
+    ]
+    if len(vec) != meta["dim"]:
+        raise lf.LanceDatasetError(
+            f"ANN SQL serving: query vector has {len(vec)} "
+            f"components, the index is built over dim {meta['dim']}"
+        )
+    from pyspark.sql import functions as F
+
+    where = m.group("where")
+    probes = spark.createDataFrame(
+        [(0, vec)],
+        schema=f"probe_id long, {meta['column']} array<double>",
+    )
+    res = ann_search(
+        spark,
+        path,
+        probes,
+        k_neighbors=int(m.group("k")),
+        nprobe=_ANN_SQL_NPROBE_FILTERED if where else _ANN_SQL_NPROBE,
+        filter=where,
+        exclude_self=False,
+    )
+    return res.select(
+        F.col("neighbor_id").alias(idcol),
+        F.col("cos_sim").alias(alias),
+    ).orderBy(F.desc(alias), F.asc(idcol))
+
+
 def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL where quoted ``'path.lance'`` literals are table
     references — DuckDB replacement-scan parity
@@ -2005,6 +2147,12 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
       ``rows_inserted``.
     - ``DESCRIBE [HISTORY] '<path>.lance'`` — schema rows / the
       version chain (_run_describe).
+    - ``SELECT <id_col>, <cosine_fn>(<vec_col>, [<floats>]) AS s
+      FROM '<path>.lance' [WHERE <pred>] ORDER BY s DESC LIMIT k``
+      — the DuckDB-UX ANN spelling, served from the persisted IVF
+      index (bucket-pruned; pre-filtered when WHERE is present;
+      deletion-aware). Loud refusal when no index exists or the
+      metric/shape doesn't match (_run_ann).
 
     Each distinct quoted ``.lance`` path that exists on disk is
     registered as a deterministic temp view and the literal is
@@ -2078,6 +2226,9 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     maint = _run_maintenance(spark, sql)
     if maint is not None:
         return maint
+    ann = _run_ann(spark, sql)
+    if ann is not None:
+        return ann
 
     used_views: set[str] = set()
     occurrence: dict[str, int] = {}

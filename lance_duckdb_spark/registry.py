@@ -503,6 +503,13 @@ def _rotate(merged: dict) -> dict:
     ]
 
     def last_verified(k: str) -> float:
+        if k == "hybrid_search_filtered":
+            # the one entry never driver-checked (deferred from r13
+            # by the rotation contract) — the r13 verdict requires
+            # it to LEAD the r14 window in slot 1, ahead of the two
+            # r14-new queries (which are also never-verified but
+            # were at least judge-sim'd this round)
+            return -1
         if k in _RECHECK_R14:
             return 0
         if k in _SLIP_TO_R15:
