@@ -649,7 +649,8 @@ _ALTER_RE = re.compile(
     r"\s+(?:ADD\s+COLUMNS?\s+(?P<cols>.+?)"
     r"|DROP\s+COLUMNS?\s+(?P<dropcols>.+?)"
     r"|RENAME\s+COLUMN\s+(?P<rfrom>`?\w+`?)\s+TO\s+(?P<rto>`?\w+`?)"
-    r"|ALTER\s+COLUMN\s+(?P<tcol>`?\w+`?)\s+TYPE\s+(?P<ttype>.+?))"
+    r"|ALTER\s+COLUMN\s+(?P<tcol>`?\w+`?)\s+TYPE\s+(?P<ttype>.+?)"
+    r"(?:\s+USING\s+\((?P<texpr>.+)\))?)"
     r"\s*;?\s*$"
 )
 
@@ -729,7 +730,8 @@ def _run_alter(spark: SparkSession, sql: str) -> DataFrame | None:
             "'<path>.lance' ADD COLUMN[S] <name> <type>[, ...] "
             "[AS (<expr>)], DROP COLUMN[S] <name>[, ...], "
             "RENAME COLUMN <a> TO <b>, ALTER COLUMN <name> TYPE "
-            "<type> (exact-valued widenings only)"
+            "<type> [USING (<expr>)] (exact-valued widenings "
+            "implicit; anything else via the explicit USING cast)"
         )
     path = m.group("path")
     _require_dml_target(path, "ALTER TABLE")
@@ -739,7 +741,8 @@ def _run_alter(spark: SparkSession, sql: str) -> DataFrame | None:
         )
     if m.group("tcol") is not None:
         return _run_alter_retype(
-            spark, path, m.group("tcol"), m.group("ttype")
+            spark, path, m.group("tcol"), m.group("ttype"),
+            m.group("texpr"),
         )
     if m.group("dropcols") is not None:
         return _run_alter_drop(spark, path, m.group("dropcols"))
@@ -933,10 +936,15 @@ def _describe_schema(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _run_alter_retype(
-    spark: SparkSession, path: str, col: str, type_src: str
+    spark: SparkSession,
+    path: str,
+    col: str,
+    type_src: str,
+    using_expr: str | None = None,
 ) -> DataFrame:
-    """``ALTER TABLE ... ALTER COLUMN <name> TYPE <type>`` (r13 —
-    Lance proper's ``alter_columns`` with a data-type change): only
+    """``ALTER TABLE ... ALTER COLUMN <name> TYPE <type> [USING
+    (<expr>)]`` (r13; USING r14 — Lance proper's ``alter_columns``
+    takes the cast expression directly): without USING, only
     EXACT-VALUED widenings (int family up, float→double, decimal
     precision/scale growth with integer-digit headroom — see
     ``_SAFE_WIDENINGS``) are accepted; the cast evaluates over the
@@ -944,8 +952,18 @@ def _run_alter_retype(
     so pre-retype versions still time-travel with the old type and
     immutable old fragments are never reinterpreted in place. The
     column keeps its stable field id (same name through the rewrite
-    commit). Lossy conversions are refused with the explicit-cast
-    backfill spelled out."""
+    commit).
+
+    With ``USING (<expr>)`` the conversion is EXPLICIT: the Spark
+    SQL expression (over the old row — any column may appear)
+    replaces the implicit cast, so lossy conversions become one
+    statement instead of the 3-step ADD/DROP/RENAME recipe. The
+    expression must evaluate to exactly the declared type (wrap it
+    in CAST otherwise — silent coercion would put a type in the
+    schema the expression didn't produce); a same-type USING is
+    refused as an UPDATE in disguise. Lossy conversions WITHOUT
+    USING are refused with the working USING statement spelled
+    out."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -972,19 +990,42 @@ def _run_alter_retype(
     if src_t == dst_t:
         raise lf.LanceDatasetError(
             f"ALTER COLUMN: {col!r} is already of type {dst_t}"
+            + (
+                " — a same-type USING is a value rewrite, not a "
+                f"retype; use UPDATE ... SET {col} = <expr>"
+                if using_expr is not None
+                else ""
+            )
         )
-    if not _widening_ok(src_t, dst_t):
+    if using_expr is None and not _widening_ok(src_t, dst_t):
         raise lf.LanceDatasetError(
             f"ALTER COLUMN {col!r} TYPE {dst_t}: {src_t} -> {dst_t} "
             "is not an exact-valued widening — only conversions "
             "where every value survives bit-exactly are accepted "
             "(int family up, float->double, decimal growth). For a "
-            "lossy conversion make the cast explicit: ADD COLUMN "
-            f"tmp {dst_t} AS (CAST({col} AS {dst_t})), DROP COLUMN "
-            f"{col}, RENAME COLUMN tmp TO {col}"
+            "lossy conversion make the cast explicit: ALTER COLUMN "
+            f"{col} TYPE {dst_t} USING (CAST({col} AS {dst_t}))"
         )
     live = _native_live_df(spark, path)
-    retyped = live.withColumn(col, F.col(col).cast(declared.dataType))
+    if using_expr is not None:
+        try:
+            retyped = live.withColumn(col, F.expr(using_expr))
+            got_t = retyped.schema[col].dataType
+        except Exception as e:
+            raise lf.LanceDatasetError(
+                f"ALTER COLUMN {col!r} USING ({using_expr}): the "
+                f"expression failed to resolve over the dataset's "
+                f"columns: {str(e)[:300]}"
+            )
+        if got_t.simpleString() != dst_t:
+            raise lf.LanceDatasetError(
+                f"ALTER COLUMN {col!r} TYPE {dst_t} USING "
+                f"({using_expr}): the expression evaluates to "
+                f"{got_t.simpleString()}, not the declared {dst_t} — "
+                f"wrap it: USING (CAST({using_expr} AS {dst_t}))"
+            )
+    else:
+        retyped = live.withColumn(col, F.col(col).cast(declared.dataType))
     retyped.write.format("lance").mode("overwrite").option(
         "expectedVersion", str(manifest.version)
     ).save(path)

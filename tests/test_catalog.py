@@ -1994,3 +1994,71 @@ def test_alter_column_retype_decimal_growth(spark, sf_dir, tmp_path):
             spark,
             f"ALTER TABLE '{root}' ALTER COLUMN amt TYPE decimal(14,8)",
         )
+
+
+def test_alter_column_retype_using(spark, sf_dir, tmp_path):
+    """ALTER COLUMN ... TYPE ... USING (<expr>) (r14): the explicit-
+    cast escape hatch as ONE statement — the lossy-retype refusal's
+    recipe is now a working verb. Expression over the OLD row (any
+    column may appear), must evaluate to exactly the declared type,
+    commits as one rewrite version with the stable field id kept."""
+    from lance_duckdb_spark.sources import lance_format as lf
+    from lance_duckdb_spark.sources.lance_format import LanceDatasetError
+
+    ds.register(spark)
+    root = str(tmp_path / "retype_using.lance")
+    spark.sql(
+        "SELECT CAST(id AS bigint) AS k, CAST(id * 1.5 AS double) AS v "
+        "FROM range(5)"
+    ).write.format("lance").mode("overwrite").save(root)
+    v_before = lf.read_manifest(root).version
+    id_before = lf.read_manifest(root).field_ids["v"]
+
+    # lossy double -> int: refused implicitly, served via USING
+    with pytest.raises(LanceDatasetError, match="USING"):
+        lance_sql(spark, f"ALTER TABLE '{root}' ALTER COLUMN v TYPE int")
+    out = lance_sql(
+        spark,
+        f"ALTER TABLE '{root}' ALTER COLUMN v TYPE int "
+        f"USING (CAST(FLOOR(v) AS int))",
+    ).collect()
+    assert ("v", "int", True) in [tuple(r) for r in out]
+    man = lf.read_manifest(root)
+    assert man.version == v_before + 1
+    assert man.field_ids["v"] == id_before  # identity kept
+    rows = spark.read.format("lance").load(root).orderBy("k").collect()
+    assert [r["v"] for r in rows] == [0, 1, 3, 4, 6]
+    # time travel: pre-retype version keeps the old type and values
+    old = (
+        spark.read.format("lance").option("version", v_before).load(root)
+    )
+    assert dict(old.dtypes)["v"] == "double"
+
+    # the expression may reference OTHER columns of the old row
+    lance_sql(
+        spark,
+        f"ALTER TABLE '{root}' ALTER COLUMN v TYPE string "
+        f"USING (CONCAT(CAST(k AS string), ':', CAST(v AS string)))",
+    ).collect()
+    rows = spark.read.format("lance").load(root).orderBy("k").collect()
+    assert [r["v"] for r in rows] == ["0:0", "1:1", "2:3", "3:4", "4:6"]
+
+    # refusal matrix
+    for bad, pat in [
+        # type mismatch: expression type must equal the declared type
+        (f"ALTER TABLE '{root}' ALTER COLUMN v TYPE int USING (k)",
+         "evaluates to"),
+        # same-type USING is an UPDATE in disguise
+        (f"ALTER TABLE '{root}' ALTER COLUMN v TYPE string "
+         f"USING (UPPER(v))",
+         "UPDATE"),
+        # unknown column inside the expression
+        (f"ALTER TABLE '{root}' ALTER COLUMN v TYPE int "
+         f"USING (CAST(nope AS int))",
+         "failed to resolve"),
+        # unknown target column
+        (f"ALTER TABLE '{root}' ALTER COLUMN nope TYPE int USING (k)",
+         "unknown column"),
+    ]:
+        with pytest.raises(LanceDatasetError, match=pat):
+            lance_sql(spark, bad)
