@@ -2077,17 +2077,32 @@ def _run_ann(spark: SparkSession, sql: str) -> DataFrame | None:
         raise lf.LanceDatasetError(
             f"ANN SQL serving: no lance dataset at {path!r}"
         )
-    from .sources.vector_index import ann_search, read_index_meta
+    from .sources.vector_index import (
+        ann_search,
+        ann_search_pq,
+        read_index_meta,
+        read_pq_index_meta,
+    )
 
+    search_fn = ann_search
     try:
         meta = read_index_meta(path)
-    except lf.LanceDatasetError as e:
-        raise lf.LanceDatasetError(
-            f"ANN SQL serving needs a persisted IVF index at {path!r} "
-            "— build_ivf_index first (an un-indexed ORDER BY "
-            "similarity over the full corpus is a brute-force scan; "
-            "this sugar deliberately refuses to hide that cost)"
-        ) from e
+    except lf.LanceDatasetError:
+        # IVF_PQ is Lance proper's default index — serve from it
+        # when the flat-IVF index is absent (same candidate/pruning
+        # shape; PQ adds the ADC refine + exact rerank internally)
+        try:
+            meta = read_pq_index_meta(path)
+            search_fn = ann_search_pq
+        except lf.LanceDatasetError as e:
+            raise lf.LanceDatasetError(
+                f"ANN SQL serving needs a persisted IVF or IVF_PQ "
+                f"index at {path!r} — build_ivf_index / "
+                "build_ivf_pq_index first (an un-indexed ORDER BY "
+                "similarity over the full corpus is a brute-force "
+                "scan; this sugar deliberately refuses to hide that "
+                "cost)"
+            ) from e
     idcol = m.group("idcol").strip("`")
     veccol = m.group("veccol").strip("`")
     if veccol != meta["column"]:
@@ -2128,7 +2143,7 @@ def _run_ann(spark: SparkSession, sql: str) -> DataFrame | None:
         [(0, vec)],
         schema=f"probe_id long, {meta['column']} array<double>",
     )
-    res = ann_search(
+    res = search_fn(
         spark,
         path,
         probes,

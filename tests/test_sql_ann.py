@@ -137,12 +137,40 @@ def test_sql_ann_refuses_without_index(spark, sf_dir):
         load(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding"
         ).write.format("lance").mode("overwrite").save(root)
-        with pytest.raises(lf.LanceDatasetError, match="persisted IVF index"):
+        with pytest.raises(
+            lf.LanceDatasetError, match="persisted IVF or IVF_PQ"
+        ):
             lance_sql(
                 spark,
                 f"SELECT vec_id, cosine_similarity(embedding, [0.1, 0.2]) "
                 f"AS s FROM '{root}' ORDER BY s DESC LIMIT 5",
             )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_sql_ann_serves_from_pq_index(spark, sf_dir):
+    """With only an IVF_PQ index present (Lance proper's default),
+    the SQL sugar serves through ann_search_pq instead of refusing."""
+    from lance_duckdb_spark.operators.similarity import IVF_K, TOP_K
+    from lance_duckdb_spark.sources.vector_index import build_ivf_pq_index
+
+    root = f"/tmp/lance_duckdb_spark/test_sqlann_pq_{uuid.uuid4().hex[:8]}.lance"
+    register(spark)
+    try:
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        ).write.format("lance").mode("overwrite").save(root)
+        build_ivf_pq_index(spark, root, k=IVF_K, lloyd_iters=2)
+        lit = _vec_literal(spark, sf_dir)
+        got = lance_sql(
+            spark,
+            f"SELECT vec_id, cosine_similarity(embedding, [{lit}]) "
+            f"AS score FROM '{root}' ORDER BY score DESC LIMIT {TOP_K}",
+        ).collect()
+        assert len(got) == TOP_K
+        # probe 0's own vector ranks itself first (exclude_self=False)
+        assert got[0]["vec_id"] == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
