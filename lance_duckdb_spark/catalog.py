@@ -2040,11 +2040,19 @@ _ANN_SQL_RE = re.compile(
     LIMIT\s+(?P<k>\d+)\s*;?\s*$
     """
 )
-# nprobe defaults relative to the test-scale bucket count; the
-# filtered escalation mirrors similarity.FILTERED_NPROBE's rationale
-# (qualifying rows spread across more buckets)
-_ANN_SQL_NPROBE = 8
-_ANN_SQL_NPROBE_FILTERED = 12
+# nprobe scales with the index's bucket count (r14 review: fixed
+# 8/12 calibrated at the 16-bucket test scale would probe ~3% of a
+# k=256 index and silently collapse recall): sqrt(k) with a floor of
+# 8 — the standard IVF default shape — and the filtered escalation
+# at 1.5x mirrors similarity.FILTERED_NPROBE's rationale (qualifying
+# rows spread across more buckets). At k=16 this lands on the
+# measured 8/12. Callers needing explicit control use ann_search()
+# directly (documented in the refusal/shape message's module doc).
+
+
+def _ann_sql_nprobe(k_buckets: int, filtered: bool) -> int:
+    base = max(8, int(round(k_buckets**0.5)))
+    return min(k_buckets, int(round(base * 1.5)) if filtered else base)
 
 _ANN_SHAPE_MSG = (
     "ANN SQL serving recognizes exactly: SELECT <id_col>, "
@@ -2056,8 +2064,16 @@ _ANN_SHAPE_MSG = (
 
 
 def _run_ann(spark: SparkSession, sql: str) -> DataFrame | None:
-    has_cos = re.search(rf"(?is)\b{_ANN_COS_FNS}\s*\(", sql)
-    has_other = _ANN_OTHER_METRIC_RE.search(sql)
+    # Detect similarity functions on a copy with STRING LITERALS
+    # stripped (the _filter_ids discipline, r14 review): a function
+    # name inside a literal ("... WHERE body LIKE
+    # '%cosine_similarity(%'") must not hijack a valid generic query
+    # into the ANN shape refusal. A genuine ANN statement names the
+    # function outside any literal, so detection is unaffected; the
+    # path check runs on the RAW text (the path itself is a literal).
+    stripped = re.sub(r"'[^']*'", " ", sql)
+    has_cos = re.search(rf"(?is)\b{_ANN_COS_FNS}\s*\(", stripped)
+    has_other = _ANN_OTHER_METRIC_RE.search(stripped)
     if not (has_cos or has_other):
         return None
     if not re.search(r"(?is)'[^']+\.lance'", sql):
@@ -2103,34 +2119,53 @@ def _run_ann(spark: SparkSession, sql: str) -> DataFrame | None:
                 "scan; this sugar deliberately refuses to hide that "
                 "cost)"
             ) from e
+    # identifier comparisons are CASE-INSENSITIVE (r14 review):
+    # Spark resolves columns case-insensitively by default and
+    # DuckDB likewise — the (?i) grammar must not be stricter than
+    # the engines it fronts. Serving uses the index meta's spelling.
     idcol = m.group("idcol").strip("`")
     veccol = m.group("veccol").strip("`")
-    if veccol != meta["column"]:
+    if veccol.lower() != meta["column"].lower():
         raise lf.LanceDatasetError(
             f"ANN SQL serving: the index covers column "
             f"{meta['column']!r} but the query ranks {veccol!r}"
         )
-    if idcol != meta["id_col"]:
+    if idcol.lower() != meta["id_col"].lower():
         raise lf.LanceDatasetError(
             f"ANN SQL serving: the index id column is "
             f"{meta['id_col']!r} but the query selects {idcol!r}"
         )
+    idcol, veccol = meta["id_col"], meta["column"]
     alias = m.group("alias") or "score"
-    squash = lambda s: re.sub(r"\s+", "", s)
+    squash = lambda s: re.sub(r"\s+", "", s).lower()
     ord_c = squash(m.group("ord")).strip("`")
-    if ord_c not in (alias, squash(m.group("simexpr"))):
+    if ord_c not in (alias.lower(), squash(m.group("simexpr"))):
         raise lf.LanceDatasetError(
             "ANN SQL serving: ORDER BY must repeat the similarity "
             f"expression or its alias {alias!r} (got "
             f"{m.group('ord').strip()!r}); " + _ANN_SHAPE_MSG
         )
+    # STRICT vector-literal parse (r14 review: a findall of number
+    # tokens would silently extract '2' from a malformed 'x2' — or
+    # read '[0.1 0.2]' as two components — and search a vector the
+    # user never wrote): split on commas, every piece must be a
+    # float on its own.
     vec_txt = m.group("vec")
-    vec = [
-        float(t)
-        for t in re.findall(
-            r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", vec_txt
+    try:
+        vec = [float(p.strip()) for p in vec_txt.split(",")]
+    except ValueError:
+        bad = [
+            p.strip()
+            for p in vec_txt.split(",")
+            if not re.fullmatch(
+                r"[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", p.strip()
+            )
+        ]
+        raise lf.LanceDatasetError(
+            f"ANN SQL serving: query-vector elements {bad[:3]} are "
+            "not numeric literals — the vector must be a "
+            "comma-separated list of floats"
         )
-    ]
     if len(vec) != meta["dim"]:
         raise lf.LanceDatasetError(
             f"ANN SQL serving: query vector has {len(vec)} "
@@ -2148,7 +2183,7 @@ def _run_ann(spark: SparkSession, sql: str) -> DataFrame | None:
         path,
         probes,
         k_neighbors=int(m.group("k")),
-        nprobe=_ANN_SQL_NPROBE_FILTERED if where else _ANN_SQL_NPROBE,
+        nprobe=_ann_sql_nprobe(int(meta["k"]), where is not None),
         filter=where,
         exclude_self=False,
     )

@@ -531,6 +531,7 @@ def _with_recall_flag(
     bound: float,
     flag_col: str,
     keys: tuple[str, str] = ("probe_id", "neighbor_id"),
+    extra_ok: DataFrame | None = None,
 ) -> DataFrame:
     """exact rows + one constant boolean column: recall of the
     approximate result against the exact rows is >= bound. The 1-row
@@ -539,7 +540,12 @@ def _with_recall_flag(
     it is spilled to a parquet stage — its (expensive) subtree
     executes once and the small result is re-read from durable
     storage per branch (localCheckpoint would pin the blocks in
-    executor memory, unrecoverable after executor loss)."""
+    executor memory, unrecoverable after executor loss).
+
+    ``extra_ok`` (r14): an optional 1-row single-boolean frame ANDed
+    into the flag — e.g. ann_ivf_after_delete's "zero deleted ids
+    served" audit rides the same flag column instead of duplicating
+    this aggregate shape."""
     exact = spill_to_parquet(exact, "recall_exact")
     hits = exact.select(*keys).join(
         approx.select(*keys).withColumn("hit", F.lit(1)),
@@ -553,6 +559,10 @@ def _with_recall_flag(
             >= bound
         ).alias(flag_col)
     )
+    if extra_ok is not None:
+        stats = stats.crossJoin(extra_ok.toDF("__extra_ok")).select(
+            (F.col(flag_col) & F.col("__extra_ok")).alias(flag_col)
+        )
     return exact.crossJoin(F.broadcast(stats))
 
 
@@ -900,15 +910,25 @@ def _ann_topk_filtered_exact(
     )
 
 
-def _staged_filtered_root(spark: SparkSession, sf_dir: str) -> str:
-    """The shared staged (vec_id, embedding, label) lance dataset +
-    IVF index serving ann_ivf_filtered AND lance_sql_ann. Reuse the
-    staged artifact when already present and current (the lance_take
-    discipline): content is deterministic per sf (same rows, same
-    sort-free write, deterministic k-means init + Lloyd), so a
-    rebuilt index is bit-identical to the reused one — serving cost,
-    not output, is what changes. The row count comes from the
-    parquet FOOTER, not a count() action."""
+def _staged_ivf_dataset(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    delete_pred: str | None = None,
+) -> str:
+    """Shared staging core for the indexed driver queries: a
+    (vec_id, embedding, label) lance dataset + IVF index under
+    /tmp/.../<name>, optionally followed by a deletion-vector DELETE
+    (``delete_pred`` — the after-delete scenario's version 2). Reuse
+    the staged artifact when already present and current (the
+    lance_take discipline): content is deterministic per sf (same
+    rows, same sort-free write, deterministic k-means init + Lloyd,
+    and a DELETE whose mask is a pure function of vec_id), so a
+    rebuilt artifact is bit-identical to the reused one — serving
+    cost, not output, is what changes. The row count comes from the
+    parquet FOOTER, not a count() action. ONE implementation (r14
+    review) so the staging/reuse discipline cannot drift between
+    ann_ivf_filtered / lance_sql_ann / ann_ivf_after_delete."""
     import json as _json
     import os
     import shutil
@@ -921,9 +941,10 @@ def _staged_filtered_root(spark: SparkSession, sf_dir: str) -> str:
 
     register(spark)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join("/tmp/lance_duckdb_spark", tag, "ivffiltered.lance")
+    root = os.path.join("/tmp/lance_duckdb_spark", tag, name)
     emb = load(spark, sf_dir, "embeddings")
     src = emb.select("vec_id", "embedding", "label")
+    expected_version = 1 if delete_pred is None else 2
     reuse = False
     try:
         import pyarrow.parquet as _pq
@@ -934,8 +955,12 @@ def _staged_filtered_root(spark: SparkSession, sf_dir: str) -> str:
         m = lf.read_manifest(root)
         meta = read_index_meta(root)
         reuse = (
-            m.version == 1
+            m.version == expected_version
             and sum(f.num_rows for f in m.fragments) == n_src
+            and (
+                delete_pred is None
+                or sum(f.num_deleted for f in m.fragments) > 0
+            )
             and StructType.fromJson(_json.loads(m.schema_json))
             == src.schema
             and meta["dataset_version"] == 1
@@ -949,7 +974,19 @@ def _staged_filtered_root(spark: SparkSession, sf_dir: str) -> str:
         os.makedirs(os.path.dirname(root), exist_ok=True)
         src.write.format("lance").mode("overwrite").save(root)
         build_ivf_index(spark, root, k=IVF_K, lloyd_iters=2)
+        if delete_pred is not None:
+            from ..catalog import lance_sql
+
+            lance_sql(
+                spark, f"DELETE FROM '{root}' WHERE {delete_pred}"
+            ).collect()
     return root
+
+
+def _staged_filtered_root(spark: SparkSession, sf_dir: str) -> str:
+    """The staged dataset+index shared by ann_ivf_filtered AND
+    lance_sql_ann (see _staged_ivf_dataset)."""
+    return _staged_ivf_dataset(spark, sf_dir, "ivffiltered.lance")
 
 
 def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,60 +1061,12 @@ def ann_ivf_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     literally TRUE; tests/test_deletion_aware.py covers the serving
     ladder (delete-only serves, append/rewrite still refuse,
     allow_stale still means the snapshot)."""
-    import json as _json
-    import os
-    import shutil
+    from ..sources.vector_index import ann_search
 
-    from pyspark.sql.types import StructType
-
-    from ..catalog import lance_sql
-    from ..sources import lance_format as lf
-    from ..sources.datasource import register
-    from ..sources.vector_index import (
-        ann_search,
-        build_ivf_index,
-        read_index_meta,
+    root = _staged_ivf_dataset(
+        spark, sf_dir, "ivfafterdel.lance", delete_pred=AFTER_DELETE_PRED
     )
-
-    register(spark)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    root = os.path.join("/tmp/lance_duckdb_spark", tag, "ivfafterdel.lance")
     emb = load(spark, sf_dir, "embeddings")
-    src = emb.select("vec_id", "embedding", "label")
-    # Reuse the staged dataset + index when already present and
-    # current (the ann_ivf_filtered discipline): deterministic
-    # content per sf — same rows, deterministic k-means, and a
-    # DELETE whose mask is a pure function of vec_id — so a rebuild
-    # is bit-identical to the reused state.
-    reuse = False
-    try:
-        import pyarrow.parquet as _pq
-
-        n_src = _pq.read_metadata(
-            os.path.join(sf_dir, "embeddings.parquet")
-        ).num_rows
-        m = lf.read_manifest(root)
-        meta = read_index_meta(root)
-        reuse = (
-            m.version == 2
-            and sum(f.num_rows for f in m.fragments) == n_src
-            and sum(f.num_deleted for f in m.fragments) > 0
-            and StructType.fromJson(_json.loads(m.schema_json))
-            == src.schema
-            and meta["dataset_version"] == 1
-            and meta["k"] == IVF_K
-            and meta["column"] == "embedding"
-        )
-    except Exception:
-        reuse = False
-    if not reuse:
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(os.path.dirname(root), exist_ok=True)
-        src.write.format("lance").mode("overwrite").save(root)
-        build_ivf_index(spark, root, k=IVF_K, lloyd_iters=2)
-        lance_sql(
-            spark, f"DELETE FROM '{root}' WHERE {AFTER_DELETE_PRED}"
-        ).collect()
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
@@ -1091,38 +1080,26 @@ def ann_ivf_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _ann_topk_filtered_exact(
         spark, sf_dir, pred=AFTER_DELETE_SURVIVOR_PRED
     )
-    exact = spill_to_parquet(exact, "after_delete_exact")
-    keys = ["probe_id", "neighbor_id"]
-    hits = exact.select(*keys).join(
-        approx.select(*keys).withColumn("hit", F.lit(1)), keys, "left"
-    )
-    recall_ok = hits.agg(
-        (
-            F.coalesce(F.sum("hit"), F.lit(0))
-            / F.greatest(F.count(F.lit(1)), F.lit(1))
-            >= AFTER_DELETE_RECALL_BOUND
-        ).alias("r_ok")
-    )
     # (b) is the deletion-aware contract itself: a single deleted id
-    # in the served top-k means the live mask failed
+    # in the served top-k means the live mask failed. Derived from
+    # AFTER_DELETE_PRED (vec_id -> neighbor_id) so the audit can
+    # never drift from the staged DELETE's predicate (r14 review).
+    neighbor_deleted = AFTER_DELETE_PRED.replace("vec_id", "neighbor_id")
     none_deleted = approx.agg(
         (
             F.coalesce(
-                F.sum(
-                    F.when(F.expr("neighbor_id % 10 = 3"), 1)
-                ),
-                F.lit(0),
+                F.sum(F.when(F.expr(neighbor_deleted), 1)), F.lit(0)
             )
             == 0
         ).alias("d_ok")
     )
-    stats = recall_ok.crossJoin(none_deleted).select(
-        (F.col("r_ok") & F.col("d_ok")).alias("after_delete_ok")
-    )
-    return (
-        exact.crossJoin(F.broadcast(stats))
-        .orderBy("probe_id", "rnk")
-    )
+    return _with_recall_flag(
+        exact,
+        approx,
+        AFTER_DELETE_RECALL_BOUND,
+        "after_delete_ok",
+        extra_ok=none_deleted,
+    ).orderBy("probe_id", "rnk")
 
 
 ANN_AFTER_DELETE_SQL = f"""

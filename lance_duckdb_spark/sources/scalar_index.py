@@ -194,7 +194,17 @@ def scalar_index_scan(
         # metadata-only bump likewise just re-pins. Appends/rewrites
         # still refuse: new fragments have no entries (silent
         # under-return), rewritten ones have stale value ranges.
-        base = lf.read_manifest(root, meta["dataset_version"])
+        try:
+            base = lf.read_manifest(root, meta["dataset_version"])
+        except lf.LanceDatasetError as e:
+            # vacuumed indexed version: fall back to the pre-r14
+            # refusal instead of a bare version-not-found (r14 review)
+            raise StaleScalarIndexError(
+                f"scalar index on {column!r} was built at dataset "
+                f"version {meta['dataset_version']}, whose manifest "
+                "is no longer retained (vacuumed); rebuild the index "
+                f"({str(e)[:120]})"
+            )
         kind, detail = lf.head_divergence(base, head_man)
         if kind in ("rewritten", "appended"):
             raise StaleScalarIndexError(

@@ -750,7 +750,21 @@ def _staleness_gate(
     head_man = lf.read_manifest(root)
     if head_man.version == meta["dataset_version"] or allow_stale:
         return None
-    base = lf.read_manifest(root, meta["dataset_version"])
+    try:
+        base = lf.read_manifest(root, meta["dataset_version"])
+    except lf.LanceDatasetError as e:
+        # the indexed version's manifest may have been VACUUMed away
+        # (cleanup_old_versions keeps the tail) — without it the
+        # divergence can't be classified, so fall back to the
+        # pre-r14 contract: a clean StaleIndexError with the
+        # recipe, never a bare version-not-found crash (r14 review)
+        raise StaleIndexError(
+            f"{index_kind} index was built at dataset version "
+            f"{meta['dataset_version']}, whose manifest is no longer "
+            f"retained (vacuumed); rebuild the index, or pass "
+            "allow_stale=True to search the indexed snapshot if its "
+            f"data files survive ({str(e)[:120]})"
+        )
     kind, detail = lf.head_divergence(base, head_man)
     if kind == "none":
         return None

@@ -272,3 +272,22 @@ def test_fts_exclude_doc_ids(spark, sf_dir):
         assert masked, "exclusion emptied the result set"
     finally:
         shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_vacuumed_indexed_version_refuses_cleanly(spark, sf_dir, del_root):
+    """r14 review: when vacuum has dropped the indexed version's
+    manifest, the staleness gate must raise a clean StaleIndexError
+    with the rebuild recipe — not a bare version-not-found crash."""
+    from lance_duckdb_spark.sources import lance_format as lf
+
+    build_ivf_index(spark, del_root, k=IVF_K, lloyd_iters=1)
+    _delete(spark, del_root, "vec_id % 11 = 1")
+    _delete(spark, del_root, "vec_id % 13 = 1")
+    lf.cleanup_old_versions(del_root, keep_last=2, older_than_seconds=0.0)
+    with pytest.raises(StaleIndexError, match="no longer retained"):
+        ann_search(spark, del_root, _probes(spark, sf_dir))
+    # allow_stale still reaches the snapshot if data files survive
+    got = ann_search(
+        spark, del_root, _probes(spark, sf_dir), allow_stale=True
+    ).collect()
+    assert got

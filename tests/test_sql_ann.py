@@ -223,3 +223,47 @@ def test_plain_sql_unaffected(spark, sf_dir, ann_root):
         spark, f"SELECT COUNT(*) AS n FROM '{ann_root}'"
     ).collect()[0]["n"]
     assert n > 0
+
+
+def test_sql_ann_string_literal_does_not_hijack(spark, sf_dir, ann_root):
+    """r14 review: a similarity-function name inside a string
+    literal must not pull a valid generic query into the ANN shape
+    refusal."""
+    n = lance_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM '{ann_root}' "
+        f"WHERE 'cosine_similarity(' <> 'list_distance('",
+    ).collect()[0]["n"]
+    assert n > 0
+
+
+def test_sql_ann_strict_vector_literal(spark, ann_root):
+    """r14 review: malformed vector elements refuse instead of
+    silently parsing the digits out of them."""
+    with pytest.raises(lf.LanceDatasetError, match="not numeric"):
+        lance_sql(
+            spark,
+            f"SELECT vec_id, cosine_similarity(embedding, [0.1, x2, 0.3]) "
+            f"AS s FROM '{ann_root}' ORDER BY s DESC LIMIT 5",
+        )
+    with pytest.raises(lf.LanceDatasetError, match="not numeric"):
+        lance_sql(
+            spark,
+            f"SELECT vec_id, cosine_similarity(embedding, [0.1 0.2]) "
+            f"AS s FROM '{ann_root}' ORDER BY s DESC LIMIT 5",
+        )
+
+
+def test_sql_ann_case_insensitive_identifiers(spark, sf_dir, ann_root):
+    """r14 review: the sugar must not be stricter than Spark/DuckDB's
+    case-insensitive resolution."""
+    lit = _vec_literal(spark, sf_dir)
+    got = lance_sql(
+        spark,
+        f"SELECT VEC_ID, COSINE_SIMILARITY(EMBEDDING, [{lit}]) "
+        f"AS Score FROM '{ann_root}' ORDER BY SCORE DESC LIMIT 5",
+    )
+    rows = got.collect()
+    assert len(rows) == 5
+    # output columns use the index meta's canonical spelling
+    assert got.columns == ["vec_id", "Score"]
