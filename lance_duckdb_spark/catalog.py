@@ -2059,7 +2059,9 @@ _ANN_SHAPE_MSG = (
     "<cosine_fn>(<vector_col>, [<float>, ...]) [AS <alias>] FROM "
     "'<path>.lance' [WHERE <pred>] ORDER BY <alias>|<expr> DESC "
     "LIMIT <k>. The similarity functions are index-served sugar, "
-    "not Spark builtins — rewrite the statement to this shape"
+    "not Spark builtins — rewrite the statement to this shape, or "
+    "call vector_index.ann_search() directly for explicit "
+    "nprobe/refine control"
 )
 
 
