@@ -101,6 +101,9 @@ TIER3_OPS = [
     # r13: filtered ANN end-to-end (two-level auto-engages at sfd100:
     # k = 2.1M/500 = 4200 >= TWO_LEVEL_K_MIN)
     "ann_ivf_filtered_search",
+    # r14: deletion-aware serving end-to-end (build + 10% DELETE +
+    # live-masked search at head)
+    "ann_after_delete_search",
 ]
 
 # The third measured decade (r9 VERDICT item 1's done-criterion for
@@ -238,6 +241,50 @@ def main() -> None:
         assert all(r["cos_sim"] is not None for r in out)
         return len(out)
 
+    def after_delete_ann_search(d: str) -> int:
+        """r14 deletion-aware serving at scale: build the IVF index,
+        deletion-vector-DELETE ~10% (the executor-side side-file
+        path), then search at HEAD — the live-mask anti-join must
+        stay a fixed-cost step (one narrow id scan of masked
+        fragments) with flat driver RSS as the corpus grows."""
+        import shutil
+
+        import pyarrow.parquet as _pq
+
+        from lance_duckdb_spark.catalog import lance_sql
+        from lance_duckdb_spark.sources.datasource import register
+        from lance_duckdb_spark.sources.vector_index import (
+            ann_search,
+            build_ivf_index,
+        )
+
+        register(spark)
+        tag = os.path.basename(d.rstrip("/"))
+        root = os.path.join(
+            REPO, ".data", "smoke_work", f"{tag}_ivf_afterdel.lance"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        emb = load(spark, d, "embeddings")
+        emb.select("vec_id", "embedding", "label").write.format(
+            "lance"
+        ).mode("overwrite").save(root)
+        n = _pq.read_metadata(
+            os.path.join(d, "embeddings.parquet")
+        ).num_rows
+        build_ivf_index(spark, root, k=max(16, n // 500), lloyd_iters=1)
+        lance_sql(
+            spark, f"DELETE FROM '{root}' WHERE vec_id % 10 = 3"
+        ).collect()
+        probes = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("probe_id"), "embedding"
+        )
+        out = ann_search(
+            spark, root, probes, k_neighbors=10, nprobe=12
+        ).collect()
+        assert out and all(r["neighbor_id"] % 10 != 3 for r in out)
+        return len(out)
+
     def minhash_candidates(d: str) -> int:
         docs = load(spark, d, "documents")
         bands = dedup._band_hashes(
@@ -329,6 +376,7 @@ def main() -> None:
         # ~500-vector buckets plus a linear qualifying-id column
         # scan — total must cost ~10x at 10x data, never ~100x.
         "ann_ivf_filtered_search": (filtered_ann_search, "scan"),
+        "ann_after_delete_search": (after_delete_ann_search, "scan"),
         # r11 (verdict item 1 done-criterion): DELETE ~10% of the
         # documents corpus through the deletion-vector path. The
         # per-fragment side files are written EXECUTOR-side and the
