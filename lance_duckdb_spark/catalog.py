@@ -2195,6 +2195,113 @@ def _run_ann(spark: SparkSession, sql: str) -> DataFrame | None:
     ).orderBy(F.desc(alias), F.asc(idcol))
 
 
+# FTS through SQL (r14): the match_bm25 spelling DuckDB's FTS
+# extension gives its users, served from the DATASET-ATTACHED
+# inverted index (operators/fts.build_fts_index_for_dataset) with
+# the same serving ladder as the ANN sugar — WHERE pre-filters,
+# deletion-aware, loud refusals.
+_FTS_SQL_RE = re.compile(
+    r"""(?isx)^\s*
+    SELECT\s+(?P<idcol>`[^`]+`|[A-Za-z_]\w*)\s*,\s*
+    (?P<matchexpr>
+      match_bm25\s*\(\s*
+      (?P<textcol>`[^`]+`|[A-Za-z_]\w*)\s*,\s*
+      '(?P<query>[^']*)'\s*\)
+    )\s*
+    (?:AS\s+(?P<alias>[A-Za-z_]\w*)\s*)?
+    FROM\s+'(?P<path>[^']+\.lance)'\s*
+    (?:WHERE\s+(?P<where>.*?)\s*)?
+    ORDER\s+BY\s+(?P<ord>.+?)\s+DESC\s*
+    LIMIT\s+(?P<k>\d+)\s*;?\s*$
+    """
+)
+
+_FTS_SHAPE_MSG = (
+    "FTS SQL serving recognizes exactly: SELECT <id_col>, "
+    "match_bm25(<text_col>, '<query terms>') [AS <alias>] FROM "
+    "'<path>.lance' [WHERE <pred>] ORDER BY <alias>|<expr> DESC "
+    "LIMIT <k>. match_bm25 is index-served sugar, not a Spark "
+    "builtin — rewrite the statement to this shape, or call "
+    "operators.fts.search_bm25_dataset() directly"
+)
+
+
+def _run_fts(spark: SparkSession, sql: str) -> DataFrame | None:
+    stripped = re.sub(r"'[^']*'", " ", sql)
+    if not re.search(r"(?is)\bmatch_bm25\s*\(", stripped):
+        return None
+    if not re.search(r"(?is)'[^']+\.lance'", sql):
+        return None
+    m = _FTS_SQL_RE.match(sql)
+    if m is None:
+        raise lf.LanceDatasetError(_FTS_SHAPE_MSG)
+    path = m.group("path")
+    if not _is_lance_dataset(path):
+        raise lf.LanceDatasetError(
+            f"FTS SQL serving: no lance dataset at {path!r}"
+        )
+    from .operators.fts import (
+        FTS_DATASET_DIR,
+        _read_fts_meta,
+        search_bm25_dataset,
+    )
+
+    idx = os.path.join(path, FTS_DATASET_DIR)
+    try:
+        meta = _read_fts_meta(idx)
+    except (OSError, ValueError) as e:
+        raise lf.LanceDatasetError(
+            f"FTS SQL serving needs a dataset-attached inverted "
+            f"index at {idx!r} — build_fts_index_for_dataset first "
+            "(an un-indexed match_bm25 over the full corpus is a "
+            "brute-force scan; this sugar deliberately refuses to "
+            "hide that cost)"
+        ) from e
+    if "dataset_version" not in meta:
+        raise lf.LanceDatasetError(
+            f"the FTS index at {idx!r} is not dataset-attached — "
+            "rebuild it with build_fts_index_for_dataset"
+        )
+    idcol = m.group("idcol").strip("`")
+    textcol = m.group("textcol").strip("`")
+    if textcol.lower() != meta["text_col"].lower():
+        raise lf.LanceDatasetError(
+            f"FTS SQL serving: the index covers column "
+            f"{meta['text_col']!r} but the query matches {textcol!r}"
+        )
+    if idcol.lower() != meta["id_col"].lower():
+        raise lf.LanceDatasetError(
+            f"FTS SQL serving: the index id column is "
+            f"{meta['id_col']!r} but the query selects {idcol!r}"
+        )
+    idcol = meta["id_col"]
+    alias = m.group("alias") or "score"
+    squash = lambda s: re.sub(r"\s+", "", s).lower()
+    ord_c = squash(m.group("ord")).strip("`")
+    if ord_c not in (alias.lower(), squash(m.group("matchexpr"))):
+        raise lf.LanceDatasetError(
+            "FTS SQL serving: ORDER BY must repeat the match_bm25 "
+            f"expression or its alias {alias!r}; " + _FTS_SHAPE_MSG
+        )
+    terms = m.group("query").split()
+    if not terms:
+        raise lf.LanceDatasetError(
+            "FTS SQL serving: the match_bm25 query string is empty"
+        )
+    from pyspark.sql import functions as F
+
+    res = search_bm25_dataset(
+        spark,
+        path,
+        terms,
+        k=int(m.group("k")),
+        filter=m.group("where"),
+    )
+    return res.select(
+        F.col("doc_id").alias(idcol), F.col("score").alias(alias)
+    ).orderBy(F.desc(alias), F.asc(idcol))
+
+
 def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL where quoted ``'path.lance'`` literals are table
     references — DuckDB replacement-scan parity
@@ -2246,6 +2353,12 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
       index (bucket-pruned; pre-filtered when WHERE is present;
       deletion-aware). Loud refusal when no index exists or the
       metric/shape doesn't match (_run_ann).
+    - ``SELECT <id_col>, match_bm25(<text_col>, '<terms>') AS s
+      FROM '<path>.lance' [WHERE <pred>] ORDER BY s DESC LIMIT k``
+      — the DuckDB-FTS-extension spelling, served from the
+      dataset-attached inverted index with the same ladder
+      (term-bucket pruning, WHERE pre-filter, deletion-aware;
+      _run_fts).
 
     Each distinct quoted ``.lance`` path that exists on disk is
     registered as a deterministic temp view and the literal is
@@ -2322,6 +2435,9 @@ def lance_sql(spark: SparkSession, sql: str) -> DataFrame:
     ann = _run_ann(spark, sql)
     if ann is not None:
         return ann
+    fts = _run_fts(spark, sql)
+    if fts is not None:
+        return fts
 
     used_views: set[str] = set()
     occurrence: dict[str, int] = {}

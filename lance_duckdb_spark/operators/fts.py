@@ -497,6 +497,7 @@ def search_bm25(
     terms: list[str],
     k: int = TOP_K,
     exclude_doc_ids: DataFrame | None = None,
+    include_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query the persisted index: read ONLY the partitions the query
     terms hash into — parquet partition pruning on BOTH the postings
@@ -508,7 +509,11 @@ def search_bm25(
 
     ``exclude_doc_ids`` (r14 deletion-aware serving): a (doc_id)
     frame of documents deleted since the index build — anti-joined
-    BEFORE the top-k, so k results are all live. Statistics policy
+    BEFORE the top-k, so k results are all live. ``include_doc_ids``
+    (r14): the pre-filter counterpart — qualifying ids semi-joined
+    before the top-k (the fts_bm25.doc_filter contract for callers
+    that evaluate the predicate themselves, e.g.
+    ``search_bm25_dataset``'s WHERE). Statistics policy
     is the standard search-engine one (Lucene's deleted-docs
     contract): IDF / avgdl stay INDEX-TIME until a rebuild or
     incremental merge refreshes them; excluded docs vanish from
@@ -562,6 +567,13 @@ def search_bm25(
         .crossJoin(F.broadcast(stats))
         .select("doc_id", _score_expr().alias("comp"))
     )
+    if include_doc_ids is not None:
+        # pre-filter semantics (the fts_bm25.doc_filter contract):
+        # qualifying ids semi-join BEFORE the top-k, statistics stay
+        # index-time global
+        comp = comp.join(
+            include_doc_ids.select("doc_id"), "doc_id", "left_semi"
+        )
     if exclude_doc_ids is not None:
         comp = comp.join(
             exclude_doc_ids.select("doc_id"), "doc_id", "left_anti"
@@ -706,6 +718,126 @@ def fts_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     return search_bm25(spark, index_dir, list(QUERY_TERMS))
+
+
+# --------------------------------------- dataset-attached FTS (r14)
+#
+# The index variants above take a documents DataFrame and live at an
+# arbitrary index_dir — the caller owns corpus identity. A
+# DATASET-ATTACHED index lives under the lance root itself
+# (`_indexes/fts`, the vector-index layout) and pins the dataset
+# version it indexed, which buys the version-aware serving ladder:
+# deletion-vector DELETEs serve live (deleted docs masked out of the
+# top-k) instead of serving ghosts or refusing, appends refuse
+# toward an extend, rewrites toward a rebuild — vector_index's
+# _staleness_gate applied to text retrieval, and the machinery
+# behind lance_sql's match_bm25 sugar (catalog._run_fts).
+
+FTS_DATASET_DIR = "_indexes/fts"
+
+
+def build_fts_index_for_dataset(
+    spark: SparkSession,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Index the LIVE rows of the lance dataset at its current
+    version into ``<root>/_indexes/fts``; the version pin + column
+    names ride in the index meta. Doc ids are the dataset's
+    ``id_col`` values (cast long), so the serving ladder's deletion
+    masks translate directly."""
+    from ..sources import lance_format as lf
+    from ..sources.datasource import register
+
+    register(spark)
+    man = lf.read_manifest(root)
+    docs = (
+        spark.read.format("lance")
+        .option("version", str(man.version))
+        .option("columns", f"{id_col},{text_col}")
+        .load(root)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+    )
+    idx = os.path.join(root, FTS_DATASET_DIR)
+    build_fts_index(spark, docs, idx)
+    meta = _read_fts_meta(idx)
+    meta.update(
+        {
+            "dataset_version": man.version,
+            "id_col": id_col,
+            "text_col": text_col,
+        }
+    )
+    _publish_fts_meta(idx, meta)
+    return idx
+
+
+def search_bm25_dataset(
+    spark: SparkSession,
+    root: str,
+    terms: list[str],
+    k: int = TOP_K,
+    allow_stale: bool = False,
+    filter: str | None = None,
+) -> DataFrame:
+    """Deletion-aware BM25 over a dataset-attached index — the
+    vector-index serving ladder (vector_index._staleness_gate)
+    applied to text retrieval: head == indexed or metadata-only
+    serves as-is; deletion-only divergence serves the LIVE corpus
+    (newly-masked doc ids anti-joined before the top-k; IDF/avgdl
+    stay index-time per the Lucene deleted-docs contract); appends
+    refuse toward extend_fts_index; rewrites toward a rebuild;
+    ``allow_stale=True`` serves the indexed snapshot.
+
+    ``filter`` (pre-filter semantics): a Spark SQL predicate over
+    the dataset's columns, evaluated on the dataset PINNED at the
+    indexed version (the _filter_ids discipline) and semi-joined
+    before the top-k — the best k QUALIFYING live documents."""
+    from ..sources import lance_format as lf
+    from ..sources.datasource import register
+    from ..sources.vector_index import _staleness_gate
+
+    register(spark)
+    idx = os.path.join(root, FTS_DATASET_DIR)
+    meta = _read_fts_meta(idx)
+    if "dataset_version" not in meta:
+        raise lf.LanceDatasetError(
+            f"the FTS index at {idx!r} is not dataset-attached (no "
+            "version pin) — build it with build_fts_index_for_dataset"
+        )
+    gate_meta = {
+        "dataset_version": meta["dataset_version"],
+        "id_col": meta["id_col"],
+    }
+    excl = _staleness_gate(spark, root, gate_meta, allow_stale, "FTS")
+    exclude = (
+        None
+        if excl is None
+        else excl.select(F.col(meta["id_col"]).alias("doc_id"))
+    )
+    include = None
+    if filter is not None:
+        include = (
+            spark.read.format("lance")
+            .option("version", str(meta["dataset_version"]))
+            .load(root)
+            .where(filter)
+            .select(
+                F.col(meta["id_col"]).cast("long").alias("doc_id")
+            )
+        )
+    return search_bm25(
+        spark,
+        idx,
+        terms,
+        k=k,
+        exclude_doc_ids=exclude,
+        include_doc_ids=include,
+    )
 
 
 QUERIES = {

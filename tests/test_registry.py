@@ -52,3 +52,23 @@ def test_query_callables_have_docstrings_or_module_docs():
     for name, fn in QUERY_REGISTRY.items():
         mod = inspect.getmodule(fn)
         assert fn.__doc__ or mod.__doc__, f"{name} lacks documentation"
+
+
+def test_r14_window_composition():
+    """The rotation contract, pinned (r14): the driver checks the
+    FIRST 50 registry entries. This round's window must lead with
+    hybrid_search_filtered (the only never-driver-checked entry,
+    slot 1 per the r13 verdict), then the two r14-new queries, then
+    the r11-stale tier; the three deliberately-slipped entries
+    (tpch_q11/q12/q15 — documented in SURVEY §2's coverage note)
+    sit at positions 51-53 so they lead r15's stale tier. A registry
+    edit that silently reshuffles this breaks the staleness
+    contract — fail here first."""
+    order = list(QUERY_REGISTRY)
+    assert order[0] == "hybrid_search_filtered"
+    assert set(order[1:3]) == {"ann_ivf_after_delete", "lance_sql_ann"}
+    assert order[50:53] == ["tpch_q11", "tpch_q12", "tpch_q15"]
+    window = set(order[:50])
+    assert not (window & {"tpch_q11", "tpch_q12", "tpch_q15"})
+    # every entry still has exactly one slot
+    assert len(order) == len(set(order)) == 152
