@@ -1455,7 +1455,8 @@ def append_only_violations(base: Manifest, head: Manifest) -> list[str]:
     check would silently serve/deliver deleted rows (the r5 review
     finding). ONE definition of the fragment identity rule, shared by
     the CDC begin_version diff (datasource.LanceScanReader) and the
-    vector-index delta guard (vector_index._require_append_only) so
+    vector-index CDC guard (vector_index historically shared it; the
+    r14 extends use the laxer _require_extendable instead) so
     the rule cannot drift between them (r8 review finding)."""
     head_by_file = {f.file: f for f in head.fragments}
     return [

@@ -744,30 +744,61 @@ def _staleness_gate(
     ONLY the fragments that carry a deletion mask, semi-joined to
     the worker-side mask frames (maintenance._deletion_masks_df) —
     O(rows of masked fragments) IO, O(deleted) join rows, nothing
-    row-sized on the driver. ``_require_append_only`` still governs
-    index EXTENDS: a delta atop deleted base rows would re-serve
-    them from base postings, so extends stay strict."""
+    row-sized on the driver.
+
+    Extends (r14 late): ``_require_extendable`` tolerates
+    deletion-only changes — the extend then sets the meta's
+    ``serve_live_mask`` flag, and this gate masks the CURRENT
+    deletion state on every subsequent search (even at head == pin,
+    where base postings predate the pin's masks), which closes the
+    delete→append→extend loop without a rebuild. With the flag set,
+    ``allow_stale`` masks with the PIN's deletion state instead —
+    "the indexed snapshot" stays the rows live at the pin. Rewrites
+    refuse everywhere; only a rebuild clears the flag."""
     head_man = lf.read_manifest(root)
-    if head_man.version == meta["dataset_version"] or allow_stale:
-        return None
-    try:
-        base = lf.read_manifest(root, meta["dataset_version"])
-    except lf.LanceDatasetError as e:
+    live_floor = bool(meta.get("serve_live_mask"))
+
+    def _vacuumed(e) -> StaleIndexError:
         # the indexed version's manifest may have been VACUUMed away
         # (cleanup_old_versions keeps the tail) — without it the
-        # divergence can't be classified, so fall back to the
-        # pre-r14 contract: a clean StaleIndexError with the
+        # divergence/snapshot can't be reconstructed, so fall back
+        # to the pre-r14 contract: a clean StaleIndexError with the
         # recipe, never a bare version-not-found crash (r14 review)
-        raise StaleIndexError(
+        return StaleIndexError(
             f"{index_kind} index was built at dataset version "
             f"{meta['dataset_version']}, whose manifest is no longer "
             f"retained (vacuumed); rebuild the index, or pass "
             "allow_stale=True to search the indexed snapshot if its "
             f"data files survive ({str(e)[:120]})"
         )
+
+    if allow_stale:
+        if not live_floor:
+            return None  # snapshot = the postings as built
+        # after a deletion-tolerant extend the postings contain rows
+        # already masked AT the pin — "the indexed snapshot" means
+        # the rows live at the pinned version, so mask with the
+        # pin's own deletion state
+        try:
+            pin = lf.read_manifest(root, meta["dataset_version"])
+        except lf.LanceDatasetError as e:
+            raise _vacuumed(e)
+        return _masked_ids(spark, root, pin, meta["id_col"])
+    if head_man.version == meta["dataset_version"]:
+        # head == pin: clean unless a deletion-tolerant extend
+        # re-pinned onto a version whose masks the postings predate
+        if not live_floor:
+            return None
+        return _masked_ids(spark, root, head_man, meta["id_col"])
+    try:
+        base = lf.read_manifest(root, meta["dataset_version"])
+    except lf.LanceDatasetError as e:
+        raise _vacuumed(e)
     kind, detail = lf.head_divergence(base, head_man)
     if kind == "none":
-        return None
+        if not live_floor:
+            return None
+        return _masked_ids(spark, root, head_man, meta["id_col"])
     if kind in ("rewritten", "appended"):
         fix = (
             "rebuild the index"
@@ -780,23 +811,32 @@ def _staleness_gate(
             f"{kind} fragment(s) (e.g. {detail[:2]}); {fix}, or pass "
             "allow_stale=True to search the indexed snapshot"
         )
-    # deletion_only: compute the masked rows' ids. Raw by-name
-    # fragment reads below need physical==logical column names (the
-    # version_changes discipline); a renamed dataset refuses loudly
-    # rather than null-filling the id column.
-    lf.require_physical_identity(head_man, "deletion-aware index serving")
+    # deletion_only (same fragment files — masking head's masks
+    # covers both the new deletions and, when live_floor, the
+    # pre-extend ones)
+    return _masked_ids(spark, root, head_man, meta["id_col"])
+
+
+def _masked_ids(
+    spark: SparkSession, root: str, man, id_col: str
+) -> DataFrame | None:
+    """ids of every masked row of ``man``'s fragments, as the
+    serving-time exclusion frame (None when nothing is masked).
+    Over-inclusion is impossible by construction — a masked row must
+    never be served — and ids masked before an index build are
+    simply absent from postings, so the anti-join is a no-op for
+    them. Raw by-name fragment reads need physical==logical column
+    names (the version_changes discipline); a renamed dataset
+    refuses loudly rather than null-filling the id column."""
+    masked = [f for f in man.fragments if f.deletion_file]
+    if not masked:
+        return None
+    lf.require_physical_identity(man, "deletion-aware index serving")
     from .maintenance import _deletion_masks_df
 
-    head_by_file = {f.file: f for f in head_man.fragments}
-    masked = [
-        head_by_file[f.file]
-        for f in base.fragments
-        if head_by_file[f.file].deletion_file
-    ]
     masks = _deletion_masks_df(spark, root, masked)
     if masks is None:
         return None
-    id_col = meta["id_col"]
     tagged = spark.read.parquet(
         *[
             iol.spark_read_path(os.path.join(root, f.file))
@@ -1441,24 +1481,40 @@ def ann_search_pq(
 
 # ----------------------------------------------------- index deltas
 
-def _require_append_only(base, head, rebuild_hint: str) -> list:
-    """Raise unless ``head`` is append-only since ``base`` — shared
-    by both index-delta paths so the (file, deletion_file,
-    num_deleted) identity rule cannot drift between them. Append-only
-    means MORE than the same file names surviving: a deletion-vector
-    delete keeps f.file but changes its deletion state, and silently
-    accepting it would leave base postings serving deleted rows.
-    Returns head's NEW fragments."""
-    changed = lf.append_only_violations(base, head)
-    if changed:
+def _require_extendable(base, head, rebuild_hint: str) -> tuple:
+    """Extend guard, shared by both index-delta paths so the
+    fragment-identity rule cannot drift between them. REWRITES since
+    ``base`` refuse (postings would hold stale VALUES — only a
+    rebuild is safe). DELETION-ONLY changes are tolerated since r14:
+    base postings hold no wrong values, just ids the serving ladder
+    must mask — the extend marks the meta ``serve_live_mask`` so
+    ``_staleness_gate`` anti-joins the current deletion masks on
+    EVERY search from then on, including at head == pin (without the
+    flag, a re-pin onto a masked version would resurrect the
+    pre-extend-deleted rows from base postings — the leak that kept
+    extends strict through r13). Returns ``(new_fragments,
+    had_deletions)``."""
+    head_by_file = {f.file: f for f in head.fragments}
+    rewritten = [
+        f.file for f in base.fragments if f.file not in head_by_file
+    ]
+    if rewritten:
         raise lf.LanceDatasetError(
-            f"fragments {changed[:3]} from indexed version "
-            f"{base.version} were rewritten or had rows deleted; an "
-            "index delta requires append-only history — rebuild with "
-            + rebuild_hint
+            f"fragments {rewritten[:3]} from indexed version "
+            f"{base.version} were rewritten; an index delta requires "
+            "the base data files intact — rebuild with " + rebuild_hint
         )
+    had_deletions = any(
+        (
+            head_by_file[f.file].deletion_file,
+            head_by_file[f.file].num_deleted,
+        )
+        != (f.deletion_file, f.num_deleted)
+        for f in base.fragments
+    )
     base_files = {f.file for f in base.fragments}
-    return [f for f in head.fragments if f.file not in base_files]
+    new = [f for f in head.fragments if f.file not in base_files]
+    return new, had_deletions
 
 
 def extend_ivf_index(spark: SparkSession, root: str) -> dict:
@@ -1467,9 +1523,12 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
     are assigned to the EXISTING centroids and written as an
     additional bucket-partitioned postings directory — the base
     postings and the k-means fit are untouched, so indexing cost is
-    O(appended rows), not O(corpus). Requires append-only history
-    since the indexed version (same contract as CDC reads — a
-    rewrite in between forces a rebuild, enforced loudly).
+    O(appended rows), not O(corpus). Rewrites since the indexed
+    version force a rebuild (enforced loudly); deletion-only changes
+    are tolerated since r14 — the extend sets ``serve_live_mask`` so
+    the staleness gate keeps masking the deleted ids base postings
+    still carry (see ``_require_extendable``), closing the
+    delete→append→extend loop without a rebuild.
 
     Search over base + deltas stays partition-pruned: every delta is
     partitioned by the same bucket_id. Centroids drift as the
@@ -1485,26 +1544,37 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
     if head.version == start_version:
         return meta  # nothing to index
     base = lf.read_manifest(root, meta["dataset_version"])
-    new_fragments = _require_append_only(base, head, "build_ivf_index")
+    new_fragments, had_deletions = _require_extendable(
+        base, head, "build_ivf_index"
+    )
+    live_mask = bool(meta.get("serve_live_mask")) or had_deletions
     if not new_fragments:
-        # version advanced without new data files (e.g. a streaming
-        # watermark commit): nothing to index, just re-pin the meta —
-        # writing an empty delta dir would break every later read
+        # version advanced without new data files (a streaming
+        # watermark commit, or a pure DELETE): nothing to index,
+        # just re-pin the meta — writing an empty delta dir would
+        # break every later read. The flag rides along: a pure
+        # DELETE's ids live on in base postings past the re-pin.
         meta = dict(meta)
         meta["dataset_version"] = head.version
+        if live_mask:
+            meta["serve_live_mask"] = True
         _write_meta_cas(_index_meta_path(root), meta, start_version)
         return meta
     column, id_col = meta["column"], meta["id_col"]
-    # pin the scan's END at the head this extend is publishing for:
-    # unpinned, a racing append landing between the manifest read and
-    # the scan's planning would be INDEXED here but not RECORDED in
-    # dataset_version, so the next extend would index it again —
-    # duplicate postings give one neighbor two ranks in ann_search
-    # (r8 review finding)
+    # Scan EXACTLY the new fragments at the head this extend is
+    # publishing for (r8 racing-append pin, now via the explicit
+    # fragment allowlist instead of the begin_version diff — the
+    # diff reader refuses deletion-only history, which extends
+    # tolerate since r14). The pinned-version read applies the new
+    # fragments' own current masks, so rows already deleted never
+    # enter the delta.
     new_rows = (
         spark.read.format("lance")
-        .option("begin_version", str(meta["dataset_version"]))
         .option("version", str(head.version))
+        .option(
+            "fragment_files",
+            ",".join(f.file for f in new_fragments),
+        )
         .load(root)
         .select(id_col, column)
     )
@@ -1549,6 +1619,8 @@ def extend_ivf_index(spark: SparkSession, root: str) -> dict:
     meta = dict(meta)
     meta["dataset_version"] = head.version
     meta["delta_dirs"] = meta.get("delta_dirs", []) + [delta_name]
+    if live_mask:
+        meta["serve_live_mask"] = True
     _write_meta_cas(_index_meta_path(root), meta, start_version)
     return meta
 
@@ -1558,9 +1630,11 @@ def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
     normalized, assigned to the EXISTING coarse centroids, and
     residual-encoded with the EXISTING codebooks — O(append) index
     maintenance for Lance proper's default index type, no k-means or
-    PQ retraining. Same append-only contract and data-less-bump
-    re-pin as extend_ivf_index; quantizer drift is the documented
-    cost, repaid by a periodic full rebuild."""
+    PQ retraining. Same extend contract and data-less-bump
+    re-pin as extend_ivf_index (rewrites rebuild; deletion-only
+    tolerated with the ``serve_live_mask`` flag since r14);
+    quantizer drift is the documented cost, repaid by a periodic
+    full rebuild."""
     import numpy as np
     import pandas as pd
 
@@ -1571,21 +1645,29 @@ def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
     if head.version == start_version:
         return meta
     base = lf.read_manifest(root, meta["dataset_version"])
-    new_fragments = _require_append_only(base, head, "build_ivf_pq_index")
+    new_fragments, had_deletions = _require_extendable(
+        base, head, "build_ivf_pq_index"
+    )
+    live_mask = bool(meta.get("serve_live_mask")) or had_deletions
     if not new_fragments:
         meta = dict(meta)
         meta["dataset_version"] = head.version
+        if live_mask:
+            meta["serve_live_mask"] = True
         _write_meta_cas(_pq_meta_path(root), meta, start_version)
         return meta
     column, id_col = meta["column"], meta["id_col"]
     C = np.array(meta["centroids"], dtype=np.float64)
     CB = np.array(meta["codebooks"], dtype=np.float64)
-    # pinned end version: same racing-append double-index hazard as
-    # extend_ivf_index (r8 review finding)
+    # pinned head + explicit new-fragment allowlist: same rationale
+    # as extend_ivf_index (racing-append pin; masks applied)
     new_rows = (
         spark.read.format("lance")
-        .option("begin_version", str(meta["dataset_version"]))
         .option("version", str(head.version))
+        .option(
+            "fragment_files",
+            ",".join(f.file for f in new_fragments),
+        )
         .load(root)
         .select(id_col, column)
     )
@@ -1610,5 +1692,7 @@ def extend_ivf_pq_index(spark: SparkSession, root: str) -> dict:
     meta = dict(meta)
     meta["dataset_version"] = head.version
     meta["delta_dirs"] = meta.get("delta_dirs", []) + [delta_name]
+    if live_mask:
+        meta["serve_live_mask"] = True
     _write_meta_cas(_pq_meta_path(root), meta, start_version)
     return meta

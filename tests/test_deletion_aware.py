@@ -291,3 +291,103 @@ def test_vacuumed_indexed_version_refuses_cleanly(spark, sf_dir, del_root):
         spark, del_root, _probes(spark, sf_dir), allow_stale=True
     ).collect()
     assert got
+
+
+def _append_copies(spark, sf_dir, root, n=5, offset=10_000_000):
+    emb = load(spark, sf_dir, "embeddings")
+    emb.select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding", "label"
+    ).limit(n).write.format("lance").mode("append").save(root)
+
+
+def test_delete_append_extend_loop(spark, sf_dir, del_root):
+    """The full curation loop with ZERO rebuilds (r14 late):
+    DELETE → APPEND → EXTEND → search. The extend re-pins onto the
+    masked head, so this is exactly the leak case that kept extends
+    strict through r13: base postings still carry the deleted ids
+    and head == pin hides the divergence — the serve_live_mask flag
+    must keep masking them, while the appended rows become
+    searchable through the delta."""
+    from lance_duckdb_spark.sources.vector_index import (
+        extend_ivf_index,
+        read_index_meta,
+    )
+
+    build_ivf_index(spark, del_root, k=IVF_K, lloyd_iters=2)
+    _delete(spark, del_root)                       # 10% masked
+    _append_copies(spark, sf_dir, del_root, n=5)   # new fragment
+    meta = extend_ivf_index(spark, del_root)
+    assert meta["serve_live_mask"] is True
+    got = ann_search(
+        spark, del_root, _probes(spark, sf_dir), k_neighbors=TOP_K,
+        nprobe=8,
+    ).collect()
+    assert got
+    # pre-extend-deleted ids stay dead at head == pin
+    assert all(
+        r["neighbor_id"] >= 10_000_000 or r["neighbor_id"] % 10 != 3
+        for r in got
+    )
+    # the appended near-copies of probes 0..4 are found (identical
+    # vectors to the probes — guaranteed top-1 per probed bucket)
+    assert any(r["neighbor_id"] >= 10_000_000 for r in got)
+    # a FURTHER delete after the extend is masked too (deletion-only
+    # divergence from the new pin)
+    lance_sql(
+        spark,
+        f"DELETE FROM '{del_root}' WHERE vec_id >= 10000000",
+    ).collect()
+    got2 = ann_search(
+        spark, del_root, _probes(spark, sf_dir), k_neighbors=TOP_K,
+        nprobe=8,
+    ).collect()
+    assert got2
+    assert all(
+        r["neighbor_id"] < 10_000_000 and r["neighbor_id"] % 10 != 3
+        for r in got2
+    )
+    # allow_stale after a live-mask extend = rows live AT the pin:
+    # the pre-pin deleted BASE ids stay out; the appended rows stay
+    # in (including those whose +10M id happens to hit the deletion
+    # predicate's modulus — they were live at the pin, which is the
+    # point of the snapshot)
+    stale = ann_search(
+        spark, del_root, _probes(spark, sf_dir), k_neighbors=TOP_K,
+        nprobe=8, allow_stale=True,
+    ).collect()
+    assert all(
+        r["neighbor_id"] >= 10_000_000 or r["neighbor_id"] % 10 != 3
+        for r in stale
+    )
+    assert any(r["neighbor_id"] >= 10_000_000 for r in stale)
+    # rewrites still force a rebuild
+    lance_sql(
+        spark, f"UPDATE '{del_root}' SET label = 9 WHERE vec_id % 50 = 1"
+    ).collect()
+    with pytest.raises(StaleIndexError, match="rewritten"):
+        ann_search(spark, del_root, _probes(spark, sf_dir))
+    meta = read_index_meta(del_root)
+    assert meta["serve_live_mask"] is True
+
+
+def test_delete_append_extend_loop_pq(spark, sf_dir, del_root):
+    """The same zero-rebuild loop through the IVF_PQ delta path."""
+    from lance_duckdb_spark.sources.vector_index import (
+        extend_ivf_pq_index,
+    )
+
+    build_ivf_pq_index(spark, del_root, k=IVF_K, lloyd_iters=2)
+    _delete(spark, del_root)
+    _append_copies(spark, sf_dir, del_root, n=5)
+    meta = extend_ivf_pq_index(spark, del_root)
+    assert meta["serve_live_mask"] is True
+    got = ann_search_pq(
+        spark, del_root, _probes(spark, sf_dir), k_neighbors=TOP_K,
+        nprobe=8,
+    ).collect()
+    assert got
+    assert all(
+        r["neighbor_id"] >= 10_000_000 or r["neighbor_id"] % 10 != 3
+        for r in got
+    )
+    assert any(r["neighbor_id"] >= 10_000_000 for r in got)

@@ -86,7 +86,9 @@ def test_pq_staleness_guard(spark, sf_dir, pq_root):
 
 def test_pq_index_delta_appends_without_rebuild(spark, sf_dir, tmp_path):
     """extend_ivf_pq_index: appended vectors become searchable via a
-    delta postings dir; base codes untouched; dv deletes refused."""
+    delta postings dir; base codes untouched; a dv delete no longer
+    refuses the next extend (r14) — it re-pins with serve_live_mask
+    and the search masks the deleted ids."""
     import pyarrow.compute as pc
 
     root = str(tmp_path / "pqd.lance")
@@ -108,9 +110,17 @@ def test_pq_index_delta_appends_without_rebuild(spark, sf_dir, tmp_path):
     assert any(n % 2 == 1 for n in found)  # appended vectors searchable
     # second extend at head is a no-op
     assert vi.extend_ivf_pq_index(spark, root) == meta
-    # deletion-vector delete refuses a further delta
+    # deletion-vector delete: the next extend tolerates it (r14 —
+    # pure-DELETE re-pin with the live-mask flag) and the search
+    # keeps the deleted ids out even at head == pin
     from lance_duckdb_spark.sources import lance_format as lf
 
     lf.delete_where(root, pc.field("vec_id") < 3, use_deletion_vectors=True)
-    with pytest.raises(lf.LanceDatasetError, match="deleted"):
-        vi.extend_ivf_pq_index(spark, root)
+    meta3 = vi.extend_ivf_pq_index(spark, root)
+    assert meta3["serve_live_mask"] is True
+    got3 = vi.ann_search_pq(
+        spark, root, _probes(spark, sf_dir), k_neighbors=TOP_K,
+        nprobe=8, refine=4, exclude_self=False,
+    ).collect()
+    assert got3
+    assert all(r.neighbor_id >= 3 for r in got3)

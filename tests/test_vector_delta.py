@@ -116,11 +116,16 @@ def test_rewrite_history_refuses_delta(spark, sf_dir, tmp_path):
         vi.extend_ivf_index(spark, root)
 
 
-def test_deletion_vector_delete_refuses_delta(spark, sf_dir, tmp_path):
-    """A deletion-vector delete keeps fragment file names but changes
-    deletion state — extend must refuse (base postings would serve
-    deleted rows as fresh), not silently re-pin the index."""
+def test_deletion_vector_delete_extend_serves_masked(spark, sf_dir, tmp_path):
+    """r14 (was: refuse): a deletion-vector delete keeps fragment
+    files but changes deletion state — the extend now TOLERATES it,
+    re-pins with ``serve_live_mask`` set, and every later search
+    masks the current deletion state even at head == pin (base
+    postings still carry the deleted ids — the leak that kept
+    extends strict through r13 is closed by the serving gate, not
+    by refusing the extend)."""
     import pyarrow.compute as pc
+    from pyspark.sql import functions as F
 
     root = str(tmp_path / "dv.lance")
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -129,8 +134,19 @@ def test_deletion_vector_delete_refuses_delta(spark, sf_dir, tmp_path):
     lf.delete_where(
         root, pc.field("vec_id") < 5, use_deletion_vectors=True
     )
-    with pytest.raises(lf.LanceDatasetError, match="deleted"):
-        vi.extend_ivf_index(spark, root)
+    meta = vi.extend_ivf_index(spark, root)  # pure-DELETE re-pin
+    assert meta["serve_live_mask"] is True
+    assert meta["dataset_version"] == lf.read_manifest(root).version
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    # head == pin now, yet the deleted ids must NOT come back
+    got = vi.ann_search(
+        spark, root, probes, k_neighbors=10, nprobe=8,
+        exclude_self=False,
+    ).collect()
+    assert got
+    assert all(r["neighbor_id"] >= 5 for r in got)
 
 
 def test_rebuild_reclaims_delta_dirs(spark, sf_dir, delta_root):
