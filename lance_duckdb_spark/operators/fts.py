@@ -776,6 +776,66 @@ def build_fts_index_for_dataset(
     return idx
 
 
+def extend_fts_index_for_dataset(spark: SparkSession, root: str) -> dict:
+    """O(appended docs) maintenance for the dataset-attached index —
+    the FTS twin of ``extend_ivf_index``'s r14 contract: fragments
+    appended since the indexed version are tokenized into a postings
+    delta (``extend_fts_index``'s append-only generations), the meta
+    re-pins to the head, and DELETION-ONLY history is tolerated (the
+    serving gate masks current deletion state; see
+    ``vector_index._require_extendable``). Rewrites refuse toward a
+    rebuild. The appended fragments are read with their own current
+    masks applied, so already-deleted rows never enter the delta."""
+    from ..sources import lance_format as lf
+    from ..sources.datasource import register
+    from ..sources.vector_index import _require_extendable
+
+    register(spark)
+    idx = os.path.join(root, FTS_DATASET_DIR)
+    meta = _read_fts_meta(idx)
+    if "dataset_version" not in meta:
+        raise lf.LanceDatasetError(
+            f"the FTS index at {idx!r} is not dataset-attached — "
+            "build it with build_fts_index_for_dataset"
+        )
+    head = lf.read_manifest(root)
+    if head.version == meta["dataset_version"]:
+        return meta
+    base = lf.read_manifest(root, meta["dataset_version"])
+    new_fragments, had_deletions = _require_extendable(
+        base, head, "build_fts_index_for_dataset"
+    )
+    live_mask = bool(meta.get("serve_live_mask")) or had_deletions
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    if new_fragments:
+        new_docs = (
+            spark.read.format("lance")
+            .option("version", str(head.version))
+            .option(
+                "fragment_files",
+                ",".join(f.file for f in new_fragments),
+            )
+            .load(root)
+            .select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(text_col).alias("text"),
+            )
+        )
+        extend_fts_index(spark, idx, new_docs)
+        # re-read: the extend published new generation dirs; restore
+        # the dataset-attachment keys explicitly in case the extend's
+        # meta rewrite did not carry them through
+        meta = _read_fts_meta(idx)
+    else:
+        meta = dict(meta)
+    meta["dataset_version"] = head.version
+    meta["id_col"], meta["text_col"] = id_col, text_col
+    if live_mask:
+        meta["serve_live_mask"] = True
+    _publish_fts_meta(idx, meta)
+    return meta
+
+
 def search_bm25_dataset(
     spark: SparkSession,
     root: str,
@@ -790,7 +850,9 @@ def search_bm25_dataset(
     serves as-is; deletion-only divergence serves the LIVE corpus
     (newly-masked doc ids anti-joined before the top-k; IDF/avgdl
     stay index-time per the Lucene deleted-docs contract); appends
-    refuse toward extend_fts_index; rewrites toward a rebuild;
+    refuse toward ``extend_fts_index_for_dataset`` (which also
+    tolerates deletion-only history — the full delete→append→extend
+    loop needs no rebuild); rewrites refuse toward a rebuild;
     ``allow_stale=True`` serves the indexed snapshot.
 
     ``filter`` (pre-filter semantics): a Spark SQL predicate over
@@ -812,6 +874,9 @@ def search_bm25_dataset(
     gate_meta = {
         "dataset_version": meta["dataset_version"],
         "id_col": meta["id_col"],
+        # carried through a deletion-tolerant extend: keeps the gate
+        # masking current deletion state even at head == pin
+        "serve_live_mask": meta.get("serve_live_mask", False),
     }
     excl = _staleness_gate(spark, root, gate_meta, allow_stale, "FTS")
     exclude = (

@@ -183,3 +183,53 @@ def test_match_bm25_sql_refusals(spark, sf_dir, docs_root):
         f"WHERE 'match_bm25(' <> 'x'",
     ).collect()[0]["n"]
     assert n > 0
+
+
+def test_fts_dataset_delete_append_extend_loop(spark, docs_root):
+    """The zero-rebuild curation loop for TEXT (r14 late): DELETE →
+    APPEND → extend_fts_index_for_dataset → search. Pre-extend
+    deleted docs stay dead at head == pin (serve_live_mask), the
+    appended docs become searchable through the postings delta, and
+    a further delete after the extend is masked too."""
+    from lance_duckdb_spark.operators.fts import (
+        extend_fts_index_for_dataset,
+    )
+
+    before = search_bm25_dataset(spark, docs_root, TERMS, k=10).collect()
+    victims = [int(r["doc_id"]) for r in before[:2]]
+    lance_sql(
+        spark,
+        f"DELETE FROM '{docs_root}' WHERE doc_id IN "
+        f"({', '.join(map(str, victims))})",
+    ).collect()
+    # append a doc stuffed with the query terms — must rank once
+    # the extend lands
+    spark.createDataFrame(
+        [(99_000_001, " ".join(TERMS * 8), "en")],
+        "doc_id long, text string, lang string",
+    ).write.format("lance").mode("append").save(docs_root)
+    with pytest.raises(StaleIndexError, match="appended"):
+        search_bm25_dataset(spark, docs_root, TERMS, k=10)
+    meta = extend_fts_index_for_dataset(spark, docs_root)
+    assert meta["serve_live_mask"] is True
+    got = search_bm25_dataset(spark, docs_root, TERMS, k=10).collect()
+    assert got
+    ids = [int(r["doc_id"]) for r in got]
+    assert all(v not in ids for v in victims)
+    assert 99_000_001 in ids
+    # delete the appended doc: masked on the next search
+    lance_sql(
+        spark, f"DELETE FROM '{docs_root}' WHERE doc_id = 99000001"
+    ).collect()
+    got2 = search_bm25_dataset(spark, docs_root, TERMS, k=10).collect()
+    ids2 = [int(r["doc_id"]) for r in got2]
+    assert 99_000_001 not in ids2
+    assert all(v not in ids2 for v in victims)
+    # a second extend over the delete-only history is a clean re-pin
+    meta2 = extend_fts_index_for_dataset(spark, docs_root)
+    assert meta2["serve_live_mask"] is True
+    ids3 = [
+        int(r["doc_id"])
+        for r in search_bm25_dataset(spark, docs_root, TERMS, k=10).collect()
+    ]
+    assert ids3 == ids2
