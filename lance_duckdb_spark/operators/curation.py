@@ -78,12 +78,21 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = _gram_rows(docs, ["source"], _word_ngrams(CONTAM_N), "gram")
     # no .distinct(): _gram_rows emits each doc's grams as a set, so
     # (bench_doc, gram) pairs are already unique — a distinct here is
-    # a pure no-op shuffle of the whole bench gram table
-    bench = grams.where(F.col("doc_id") % BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_doc"), "gram"
-    )
+    # a pure no-op shuffle of the whole bench gram table.
+    # The bench-doc filter runs BEFORE the Arrow shingling pass (r14
+    # optimization): ``doc_id % BENCH_MOD`` cannot push through the
+    # opaque mapInPandas, so deriving bench from ``grams`` re-ran the
+    # full-corpus shingler a second time and filtered 16/17 of its
+    # output away. Shingling only the bench slice emits identical
+    # (doc_id, gram) rows — grams_of depends on text alone.
+    bench = _gram_rows(
+        docs.where(F.col("doc_id") % BENCH_MOD == 0),
+        [],
+        _word_ngrams(CONTAM_N),
+        "gram",
+    ).select(F.col("doc_id").alias("bench_doc"), "gram")
     hits = (
-        grams.join(bench, "gram")
+        grams.join(F.broadcast(bench), "gram")
         .where(F.col("doc_id") != F.col("bench_doc"))
         .select("doc_id", "source", "gram")
         .distinct()

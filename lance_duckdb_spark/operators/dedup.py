@@ -127,12 +127,18 @@ def _gram_rows(
                 acc[out_col].extend(gs)
             yield pd.DataFrame(acc)
 
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    from .common import spread
+
+    # guarded spread (r14, the fts._spread discipline): round-robin
+    # repartition ONLY when the scan is under-partitioned for the
+    # session (driver parquet is one row group). The previous
+    # unconditional repartition shuffled the full text column even
+    # on a corpus already laid out across >= cores splits — a pure
+    # overhead exchange at scale. Output rows are per-doc and
+    # partitioning-independent, so results are unchanged.
+    return spread(
         docs.select("doc_id", *extra_cols, "text")
-        .repartition(max(32, par))
-        .mapInPandas(_run, schema)
-    )
+    ).mapInPandas(_run, schema)
 
 
 def _word3_grams(txt):
@@ -683,16 +689,29 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(os.path.dirname(root), exist_ok=True)
 
     docs = load(spark, sf_dir, "documents")
-    base = docs.where(F.col("doc_id") % 2 == 0)
-    batch = docs.where(F.col("doc_id") % 2 == 1)
+
+    # shingle the corpus ONCE and spill (r14 optimization): the
+    # store build (base = even doc_ids), the batch signatures (odd
+    # doc_ids) and the exact-Jaccard verification all consume the
+    # same per-doc shingle rows, but as three distinct plan subtrees
+    # they each re-ran the Arrow shingling pass — two full corpus
+    # shingles per call (base+batch for signatures, then all docs
+    # again inside verify_candidate_pairs). Filtering the one
+    # spilled frame by doc_id parity yields row-identical inputs
+    # (shingles are per-doc, independent of which other docs are in
+    # the frame), so every md5 lane and the oracle hash are
+    # unchanged. Same discipline as dedup_minhash_lsh.
+    shingled = spill_to_parquet(_shingle_df(docs), "shingles-inc")
+    base_sh = shingled.where(F.col("doc_id") % 2 == 0)
+    batch_sh = shingled.where(F.col("doc_id") % 2 == 1)
 
     # one-time (per corpus) signature build, persisted
-    _band_hashes(_minhash_signatures(_shingle_df(base))).write.format(
+    _band_hashes(_minhash_signatures(base_sh)).write.format(
         "lance"
     ).mode("overwrite").save(root)
 
     stored = spark.read.format("lance").load(root)
-    batch_bands = _band_hashes(_minhash_signatures(_shingle_df(batch)))
+    batch_bands = _band_hashes(_minhash_signatures(batch_sh))
     cand = (
         stored.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
         .join(
@@ -705,8 +724,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verification over the candidates only (inner
-    # joins restrict the shingle scan to candidate docs)
-    return verify_candidate_pairs(cand, docs)
+    # joins restrict the shingle scan to candidate docs); reuses the
+    # spilled shingle frame instead of re-shingling the corpus
+    return verify_candidate_pairs(cand, docs, shingled=shingled)
 
 
 def _pair_overlap(

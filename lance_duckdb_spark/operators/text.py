@@ -619,6 +619,17 @@ def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").cast("long").alias("w"),
         "quality",
     ).where(F.col("quality").isNotNull())
+    # the labeled frame feeds TWO consumers — the normal-equation
+    # training aggregate (.first() below) and the returned serving
+    # projection — and each subtree re-ran the Arrow word-count UDF
+    # over the whole corpus. Stage it once (r14 optimization; the
+    # oracle's WITH q AS MATERIALIZED is the same move): one Python
+    # pass, and both consumers read the narrow (doc_id, c, w,
+    # quality) parquet. Values are bit-exact through the roundtrip
+    # (longs + an already-rounded double).
+    from ..materialize import spill_to_parquet
+
+    q = spill_to_parquet(q, "probe-labels")
     yd = F.col("quality").cast("decimal(18,6)")
     s = q.agg(
         F.count(F.lit(1)).alias("n"),

@@ -76,7 +76,10 @@ def _read_store_meta(store_dir: str) -> dict | None:
 
 
 def build_rollup_store(
-    spark: SparkSession, sf_dir: str, store_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    max_h: int | None = None,
 ) -> None:
     """Materialize closed hours (everything before the open tail):
     per (hour, event_type) bigint count + decimal(18,2) partial sum,
@@ -98,9 +101,16 @@ def build_rollup_store(
     committed micro-batch regardless of its event hours). TAIL_HOURS
     (24h) IS the watermark here: rebuild at least daily, or rebuild
     whenever late data beyond it is possible — the driver query
-    rebuilds per call and is exact by construction."""
+    rebuilds per call and is exact by construction.
+
+    ``max_h`` (r14 optimization): a caller that has already computed
+    MAX(hour_idx) over the SAME immutable events table passes it in
+    to skip the re-scan (continuous_aggregate runs build+query
+    back-to-back; the second full-scan aggregate was pure repeat
+    work). None = compute here, the standalone contract."""
     hours = _hourly(spark, sf_dir)
-    max_h = _max_hour(hours).first()["max_h"]  # bounded 1-row collect
+    if max_h is None:
+        max_h = _max_hour(hours).first()["max_h"]  # bounded 1-row collect
     cutoff = None if max_h is None else max_h - TAIL_HOURS
     if cutoff is not None:
         (
@@ -128,7 +138,10 @@ def build_rollup_store(
 
 
 def rollup_query(
-    spark: SparkSession, sf_dir: str, store_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    max_h: int | None = None,
 ) -> DataFrame:
     """Last-7-days daily summary = pruned rollup partitions for the
     closed hours UNION the raw open tail, re-aggregated to days.
@@ -139,9 +152,14 @@ def rollup_query(
     cannot prune directories, which would silently re-read the full
     retention history (r4 review finding). With literals the store
     scan opens only the window's day partitions (plan-asserted in
-    tests/test_timeseries.py)."""
+    tests/test_timeseries.py).
+
+    ``max_h`` (r14 optimization, same contract as
+    build_rollup_store's): skip the MAX re-scan when the caller
+    already holds it for the same immutable events table."""
     hours = _hourly(spark, sf_dir)
-    max_h = _max_hour(hours).first()["max_h"]  # 1 row by construction
+    if max_h is None:
+        max_h = _max_hour(hours).first()["max_h"]  # 1 row by construction
     if max_h is None:
         # empty events: MAX() is NULL and the window arithmetic
         # would crash opaquely — serve the honest empty summary
@@ -205,8 +223,13 @@ def continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     store = os.path.join("/tmp/lance_duckdb_spark", tag, "rollup_store")
     shutil.rmtree(store, ignore_errors=True)
-    build_rollup_store(spark, sf_dir, store)
-    return rollup_query(spark, sf_dir, store)
+    # ONE max-hour collect feeds both the build cutoff and the query
+    # window (r14): events is immutable for the call's duration, so
+    # the value is identical — the second full-scan MAX aggregate
+    # was pure repeat work.
+    max_h = _max_hour(_hourly(spark, sf_dir)).first()["max_h"]
+    build_rollup_store(spark, sf_dir, store, max_h=max_h)
+    return rollup_query(spark, sf_dir, store, max_h=max_h)
 
 
 CONTINUOUS_AGGREGATE_SQL = f"""

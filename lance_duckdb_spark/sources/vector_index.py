@@ -895,7 +895,7 @@ def ann_search(
     still means "the indexed snapshot, deletes ignored"."""
     import numpy as np
 
-    from ..operators.similarity import cosine
+    from ..operators.similarity import _clamp1, _dot, norm
 
     meta = read_index_meta(root)
     live_excl = _staleness_gate(spark, root, meta, allow_stale, "IVF")
@@ -1007,16 +1007,32 @@ def ann_search(
         # deletion-aware serving: drop head-deleted ids BEFORE the
         # top-k window — results are the exact best-k over survivors
         post = post.join(live_excl, id_col, "left_anti")
+    dim = meta["dim"]
+    # norms projected BELOW the probe fan-out join (r14, the
+    # ann_topk_bruteforce discipline): an inlined cosine() holds
+    # THREE unrolled dim-term dots in the post-join projection —
+    # ~3x the generated code (janino-ceiling risk) and the two norm
+    # fans re-run per (probe, posting) pair. Here each posting row's
+    # norm is computed once below the join, each probe-bucket row's
+    # once on the tiny broadcast side, and the joined stage compiles
+    # ONE dot. Arithmetic unchanged: clamp(dot/(p_nrm*n_nrm)), same
+    # fold order, same operand order as cosine().
+    post = post.withColumn("__n_nrm", norm(column, dim))
+    probe_buckets = probe_buckets.withColumn(
+        "__p_nrm", norm("__probe_vec", dim)
+    )
     cands = post.join(F.broadcast(probe_buckets), "bucket_id")
     if exclude_self:
         cands = cands.where(F.col(id_col) != F.col("probe_id"))
     from pyspark.sql import Window
 
-    dim = meta["dim"]
     scored = cands.select(
         "probe_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine("__probe_vec", column, dim).alias("cos_sim"),
+        _clamp1(
+            _dot("__probe_vec", column, dim)
+            / (F.col("__p_nrm") * F.col("__n_nrm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
