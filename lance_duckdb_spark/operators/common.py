@@ -105,15 +105,19 @@ SQL_DOC_BUCKET = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT
 def spread(df, min_parts: int = 32):
     """Round-robin repartition ONLY when the input is under-
     partitioned for the session's parallelism (the driver testdata is
-    one parquet row group, so its scans start single-task). On a
-    corpus already laid out across >= min(parallelism, min_parts)
-    splits this is a no-op — the scan stays shuffle-free, keeping the
-    'one scan, no shuffle' ledger of the operators that call it true
-    on real data (r8 review finding)."""
-    if df.rdd.getNumPartitions() >= min_parts:
+    one parquet row group, so its scans start single-task). The
+    target is max(min_parts, defaultParallelism) — the fts._spread
+    guard: a scan yielding fewer splits than the session has cores
+    would serialize the CPU-heavy Python pass that always follows a
+    spread() call (r14 review: a fixed 32-split guard no-opped in
+    the 32 <= splits < cores band). On a corpus already laid out
+    across >= cores splits this is a no-op — the scan stays
+    shuffle-free, keeping the 'one scan, no shuffle' ledger of the
+    operators that call it true on real data (r8 review finding)."""
+    target = max(min_parts, df.sparkSession.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() >= target:
         return df
-    par = max(min_parts, df.sparkSession.sparkContext.defaultParallelism)
-    return df.repartition(par)
+    return df.repartition(target)
 
 
 def bulk_two_sixths_cuts(lo: int, hi: int) -> list[int]:

@@ -91,8 +91,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         _word_ngrams(CONTAM_N),
         "gram",
     ).select(F.col("doc_id").alias("bench_doc"), "gram")
+    # join strategy stays PLANNER-CHOSEN (r14 review): bench is
+    # corpus-proportional (every 17th doc's gram expansion), so a
+    # forced F.broadcast would trade AQE's graceful shuffle fallback
+    # for a hard 8 GB broadcast-relation failure at scale. With AQE
+    # on, the runtime size of the materialized bench exchange still
+    # converts this to a broadcast join whenever bench is actually
+    # small — the local win without the scale cliff.
     hits = (
-        grams.join(F.broadcast(bench), "gram")
+        grams.join(bench, "gram")
         .where(F.col("doc_id") != F.col("bench_doc"))
         .select("doc_id", "source", "gram")
         .distinct()

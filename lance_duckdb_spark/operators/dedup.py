@@ -98,8 +98,9 @@ def _gram_rows(
     lane and oracle hash is unchanged). ``grams_of(text)`` returns
     the doc's distinct-gram set, or falsy to drop the doc (NULL /
     too-short text — the oracles' length gates do the same). The
-    repartition spreads docs across all cores regardless of the
-    input file's row-group count (driver parquet is one row group).
+    guarded spread below fans an under-partitioned scan out to the
+    session's parallelism (driver parquet is one row group); a scan
+    already yielding >= cores splits runs shuffle-free.
     """
     import pandas as pd
 
