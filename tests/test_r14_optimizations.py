@@ -1,0 +1,160 @@
+"""Focused tests for the r14 optimization-pass internals: each change
+rearranged HOW an operator computes (pass/scan count, codegen shape)
+with a proof obligation that WHAT it computes is unchanged. These pin
+the equivalences the round doc claims (OPTIMIZATION_r14.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lance_duckdb_spark.materialize import spill_to_parquet
+from lance_duckdb_spark.operators import dedup, timeseries as ts
+from lance_duckdb_spark.operators.common import spread
+from lance_duckdb_spark.operators.curation import BENCH_MOD, CONTAM_N, _word_ngrams
+from lance_duckdb_spark.operators.similarity import _clamp1, _dot, cosine, norm
+from lance_duckdb_spark.tables import load
+
+
+# --- common.spread: guarded round-robin fan-out (r14 review fix) ----
+
+
+def test_spread_fans_out_underpartitioned(spark):
+    """A single-split scan (the driver-testdata shape) must fan out to
+    max(min_parts, defaultParallelism) so the Python pass behind it
+    uses every core."""
+    df = spark.range(0, 1000, 1, 1)
+    assert df.rdd.getNumPartitions() == 1
+    par = spark.sparkContext.defaultParallelism
+    out = spread(df)
+    assert out.rdd.getNumPartitions() == max(32, par)
+
+
+def test_spread_noop_when_well_partitioned(spark):
+    """At or above the target the input comes back untouched — no
+    shuffle is injected on a corpus already laid out across cores
+    (the 'one scan, no shuffle' ledger)."""
+    par = spark.sparkContext.defaultParallelism
+    target = max(32, par)
+    df = spark.range(0, 1000, 1, target)
+    out = spread(df)
+    assert out is df  # identity, not just same partition count
+
+
+def test_spread_respects_session_parallelism_band(spark):
+    """The r14 review case: 32 <= splits < defaultParallelism must
+    still repartition (the old fixed-32 guard no-opped here). Only
+    meaningful when the session has >32 cores; with <=32 cores the
+    32-split frame is already at target and must be left alone."""
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, 1, 32)
+    out = spread(df)
+    if par > 32:
+        assert out.rdd.getNumPartitions() == par
+    else:
+        assert out is df
+
+
+# --- dedup_incremental: one shingle pass feeds all three consumers --
+
+
+def test_verify_candidate_pairs_shared_shingle_identical(spark, sf_dir):
+    """verify_candidate_pairs(cand, docs, shingled=spilled) must be
+    row-identical (incl. the float jaccard) to the self-shingling
+    path — the r14 change threads dedup_incremental's one spilled
+    shingle frame through instead of re-shingling the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in docs.select("doc_id").orderBy("doc_id").limit(6).collect()]
+    pairs = [(ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))]
+    cand = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    base = dedup.verify_candidate_pairs(cand, docs).collect()
+    shingled = spill_to_parquet(dedup._shingle_df(docs), "r14-test-shingles")
+    shared = dedup.verify_candidate_pairs(cand, docs, shingled=shingled).collect()
+    assert [r.asDict() for r in base] == [r.asDict() for r in shared]
+
+
+# --- continuous_aggregate: one MAX(hour) collect threads through ----
+
+
+def test_rollup_max_h_threading_identical(spark, sf_dir, tmp_path):
+    """build_rollup_store/rollup_query with the caller-supplied max_h
+    must serve byte-identical rows to the standalone (max_h=None)
+    contract — continuous_aggregate computes MAX(hour_idx) once and
+    passes it to both."""
+    hours = ts._hourly(spark, sf_dir)
+    max_h = ts._max_hour(hours).first()["max_h"]
+
+    d_none = str(tmp_path / "rollup_none")
+    d_thread = str(tmp_path / "rollup_thread")
+    ts.build_rollup_store(spark, sf_dir, d_none)
+    ts.build_rollup_store(spark, sf_dir, d_thread, max_h=max_h)
+
+    served_none = ts.rollup_query(spark, sf_dir, d_none).collect()
+    served_thread = ts.rollup_query(spark, sf_dir, d_thread, max_h=max_h).collect()
+    assert [r.asDict() for r in served_none] == [r.asDict() for r in served_thread]
+
+
+# --- contamination_check: shingle only the bench slice --------------
+
+
+def test_gram_rows_slice_equivalence(spark, sf_dir):
+    """Shingling the doc_id % BENCH_MOD == 0 slice must emit exactly
+    the rows a post-shingle filter of the full corpus emits (grams
+    depend on text alone) — the r14 change runs the filter BELOW the
+    opaque mapInPandas instead of discarding 16/17 of its output."""
+    docs = load(spark, sf_dir, "documents")
+    gram = _word_ngrams(CONTAM_N)
+
+    full_then_filter = (
+        dedup._gram_rows(docs, [], gram, "gram")
+        .where(F.col("doc_id") % BENCH_MOD == 0)
+        .collect()
+    )
+    filter_then_gram = dedup._gram_rows(
+        docs.where(F.col("doc_id") % BENCH_MOD == 0), [], gram, "gram"
+    ).collect()
+    key = lambda r: (r.doc_id, r.gram)  # noqa: E731
+    assert sorted(full_then_filter, key=key) == sorted(filter_then_gram, key=key)
+
+
+# --- ann_search scored stage: staged norms == inlined cosine --------
+
+
+def test_staged_norm_scoring_bit_identical_to_cosine(spark, sf_dir):
+    """The r14 scored stage computes clamp(dot/(p_nrm*n_nrm)) with
+    norms projected below the join; it must be BIT-identical to the
+    inlined cosine() it replaced (same fold order, same operand
+    order) on real corpus vectors."""
+    dim = 64
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(12)
+    )
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("ida") < F.col("idb"))
+
+    staged = (
+        pairs.withColumn("__a_nrm", norm("va", dim))
+        .withColumn("__b_nrm", norm("vb", dim))
+        .select(
+            "ida",
+            "idb",
+            _clamp1(
+                _dot("va", "vb", dim) / (F.col("__a_nrm") * F.col("__b_nrm"))
+            ).alias("s"),
+        )
+        .orderBy("ida", "idb")
+        .collect()
+    )
+    inlined = (
+        pairs.select("ida", "idb", cosine("va", "vb", dim).alias("s"))
+        .orderBy("ida", "idb")
+        .collect()
+    )
+    assert len(staged) > 0
+    # bit-exact: == on python floats is exact equality of the doubles
+    assert [(r.ida, r.idb, r.s) for r in staged] == [
+        (r.ida, r.idb, r.s) for r in inlined
+    ]
