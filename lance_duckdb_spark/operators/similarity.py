@@ -1080,6 +1080,18 @@ def ann_ivf_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _ann_topk_filtered_exact(
         spark, sf_dir, pred=AFTER_DELETE_SURVIVOR_PRED
     )
+    # the served ids feed TWO consumers — the zero-deleted-ids audit
+    # below and _with_recall_flag's hit join — and as two distinct
+    # plan subtrees each re-ran the whole serve path (bucket-pruned
+    # posting scan, probe join, scored top-k window, live-mask
+    # anti-join). Spill the narrow (probe_id, neighbor_id) projection
+    # once (r14 optimization, the _with_recall_flag discipline): the
+    # serve subtree executes once, both consumers read the tiny
+    # parquet. Longs roundtrip bit-exactly; neither consumer reads
+    # any other column.
+    approx = spill_to_parquet(
+        approx.select("probe_id", "neighbor_id"), "afterdel-approx"
+    )
     # (b) is the deletion-aware contract itself: a single deleted id
     # in the served top-k means the live mask failed. Derived from
     # AFTER_DELETE_PRED (vec_id -> neighbor_id) so the audit can

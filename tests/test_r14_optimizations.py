@@ -158,3 +158,26 @@ def test_staged_norm_scoring_bit_identical_to_cosine(spark, sf_dir):
     assert [(r.ida, r.idb, r.s) for r in staged] == [
         (r.ida, r.idb, r.s) for r in inlined
     ]
+
+
+# --- ann_ivf_after_delete: serve subtree executes once -------------
+
+
+def test_after_delete_serve_subtree_not_duplicated(spark, sf_dir):
+    """The served-id frame feeds both the zero-deleted audit and the
+    recall hit join; before the r14 pass-2 fix the final plan held
+    the whole serve path (postings scan, probe join, top-k window)
+    TWICE. With the narrow id spill the returned plan must not
+    re-execute the serve subtree at all — no postings scan, and the
+    flag row still audits correctly."""
+    from lance_duckdb_spark.operators.similarity import ann_ivf_after_delete
+
+    df = ann_ivf_after_delete(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "postings" not in plan
+    rows = df.collect()
+    assert rows and all(r.after_delete_ok for r in rows)
