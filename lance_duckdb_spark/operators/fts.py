@@ -138,7 +138,21 @@ def fts_bm25(
     GLOBAL — the production filtered-search contract (the filter
     restricts candidates, it does not re-weigh the corpus)."""
     docs = load(spark, sf_dir, "documents")
-    tf = _term_freq(docs)
+    # tokenize + (doc_id, term) aggregate ONCE (r14 optimization):
+    # the tf subtree feeds FOUR plan branches — dl for the corpus
+    # stats, dl for the score join, the query-term slice for df, and
+    # the query-term slice for the components — and as distinct
+    # subtrees each re-ran the full tokenize pass and its shuffle
+    # (the before-plan shows documents.parquet scanned 4x with text).
+    # Spill tf once; every consumer reads the narrow
+    # (doc_id, term, tf) parquet. Counts are exact longs + strings
+    # through the roundtrip, so the scores (and the indexed path's
+    # bit-parity contract) are unchanged. "Direct variant
+    # re-tokenizes the corpus" still holds: once per call, per-call
+    # spill (uuid dir, swept at exit) — no cross-run reuse.
+    from ..materialize import spill_to_parquet
+
+    tf = spill_to_parquet(_term_freq(docs), "fts-tf")
     dl = _doc_len(tf)
     stats = _corpus_stats(dl)
     qtf = tf.where(F.col("term").isin(list(QUERY_TERMS)))

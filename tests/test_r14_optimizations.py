@@ -181,3 +181,27 @@ def test_after_delete_serve_subtree_not_duplicated(spark, sf_dir):
     assert "postings" not in plan
     rows = df.collect()
     assert rows and all(r.after_delete_ok for r in rows)
+
+
+# --- fts_bm25: tokenize once, four consumers read the tf spill -----
+
+
+def test_fts_bm25_tokenizes_once(spark, sf_dir):
+    """The tf subtree feeds four plan branches (dl for stats, dl for
+    the score join, query-term df, query-term components); before the
+    r14 pass-2 fix each re-ran the full tokenize pass (the before-
+    plan scans documents.parquet with text 4x). With the tf spill the
+    returned plan must hold NO tokenize (Generate/explode) and no
+    documents text scan — one tokenize, at spill time."""
+    from lance_duckdb_spark.operators.fts import fts_bm25
+
+    df = fts_bm25(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "fts-tf" in plan
+    assert "Generate" not in plan  # the explode/tokenize node
+    assert "documents.parquet" not in plan
+    assert len(df.collect()) > 0
