@@ -20,7 +20,7 @@ testing in a pipeline that must be re-runnable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -482,10 +482,21 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan."""
     docs = load(spark, sf_dir, "documents")
     per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
-    min_n = per_lang.agg(F.min("n_lang").alias("min_n"))
+    # min over the aggregate as a GLOBAL window, not
+    # crossJoin(broadcast(per_lang.agg(min))): the separate-aggregate
+    # shape re-ran the full per-lang count scan for the MIN branch
+    # (the join side's pushed IsNotNull(lang) broke exchange
+    # canonicalization, so neither ReuseExchange nor AQE stage reuse
+    # fired — two lang-column corpus scans per call). The window
+    # consumes the one aggregated frame (rows = #languages); the
+    # lang IS NOT NULL join filter cannot push below an unpartitioned
+    # window, so min_n still ranges over every group incl. a NULL
+    # lang group — same value as the oracle's scalar subquery.
     # integer division end-to-end: double-divide + cast diverges
     # between engines (Spark truncates, DuckDB rounds) at sf1 ratios
-    rates = per_lang.crossJoin(F.broadcast(min_n)).select(
+    rates = per_lang.withColumn(
+        "min_n", F.min("n_lang").over(Window.partitionBy())
+    ).select(
         "lang",
         F.expr("(10000 * min_n) div n_lang").alias("keep_bp"),
     )
@@ -539,9 +550,13 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus scan; at 100 TB this is a metadata-cheap filter."""
     docs = load(spark, sf_dir, "documents")
     per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
-    min_n = per_lang.agg(F.min("n_lang").alias("min_n"))
-    # rate = (n_min/n_l)^(1-0.5) = sqrt(n_min/n_l), in basis points
-    rates = per_lang.crossJoin(F.broadcast(min_n)).select(
+    # rate = (n_min/n_l)^(1-0.5) = sqrt(n_min/n_l), in basis points.
+    # min_n as a global window over the one aggregated frame — same
+    # dedup-the-aggregate-scan rationale as domain_mix above (the
+    # crossJoin(broadcast(agg)) shape ran the per-lang count twice).
+    rates = per_lang.withColumn(
+        "min_n", F.min("n_lang").over(Window.partitionBy())
+    ).select(
         "lang",
         "n_lang",
         F.floor(

@@ -36,7 +36,17 @@ from .common import SQL_FINGERPRINT, text_fingerprint
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    hashed = docs.select("doc_id", "source", text_fingerprint().alias("h"))
+    # fingerprint the text ONCE (r14 optimization): `hashed` feeds
+    # both the cluster aggregate and the per-doc join, and the two
+    # subtrees' exchanges differ by projection (the join side carries
+    # `source`), so ReuseExchange can NOT canonicalize them — the
+    # executed plan ran the text scan + md5 twice (0 ReusedExchange).
+    # Spill the narrow (doc_id, source, h) frame; both consumers read
+    # the tiny parquet (longs + strings roundtrip exactly).
+    hashed = spill_to_parquet(
+        docs.select("doc_id", "source", text_fingerprint().alias("h")),
+        "dedup-exact-h",
+    )
     clusters = hashed.groupBy("h").agg(
         F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id")
     )

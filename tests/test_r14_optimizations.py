@@ -205,3 +205,75 @@ def test_fts_bm25_tokenizes_once(spark, sf_dir):
     assert "Generate" not in plan  # the explode/tokenize node
     assert "documents.parquet" not in plan
     assert len(df.collect()) > 0
+
+
+# --- dedup_exact: fingerprint the text once ------------------------
+
+
+def test_dedup_exact_fingerprints_once(spark, sf_dir):
+    """`hashed` feeds the cluster aggregate and the per-doc join with
+    exchanges that differ by projection, so ReuseExchange cannot
+    canonicalize them — before the r14 pass-2 fix the executed plan
+    ran the text scan + md5 twice. With the narrow spill the returned
+    plan must not scan documents (text) at all."""
+    from lance_duckdb_spark.operators.dedup import dedup_exact
+
+    df = dedup_exact(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dedup-exact-h" in plan
+    assert "documents.parquet" not in plan
+    assert len(df.collect()) > 0
+
+
+# --- domain_mix / temperature_resample: min_n via global window ----
+
+
+def _final_plan(df):
+    df.collect()
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "== Final Plan ==" then "== Initial Plan ==" — keep
+    # only the part that actually executed
+    return ex.split("== Initial Plan ==")[0]
+
+
+def test_domain_mix_single_per_lang_scan(spark, sf_dir):
+    """min_n used to be a separate aggregate crossJoined back; the
+    join branch's pushed IsNotNull(lang) broke exchange
+    canonicalization, so the per-lang count scan executed twice
+    (neither ReuseExchange nor AQE stage reuse fired). With the
+    global-window MIN the executed plan must hold exactly two
+    documents scans: the kept-join corpus side + ONE lang
+    aggregate."""
+    from lance_duckdb_spark.operators.curation import (
+        domain_mix,
+        temperature_resample,
+    )
+
+    for fn in (domain_mix, temperature_resample):
+        plan = _final_plan(fn(spark, sf_dir))
+        assert plan.count("documents.parquet") == 2, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_window_min_matches_crossjoin_min(spark):
+    """The window formulation must attach the identical min to every
+    per-group row (incl. a NULL group, which the oracle's scalar
+    subquery also counts)."""
+    from pyspark.sql import Window
+
+    rows = [("en",), ("en",), ("de",), (None,), (None,), (None,)]
+    docs = spark.createDataFrame(rows, "lang string")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    via_window = per_lang.withColumn(
+        "min_n", F.min("n_lang").over(Window.partitionBy())
+    )
+    via_join = per_lang.crossJoin(
+        F.broadcast(per_lang.agg(F.min("n_lang").alias("min_n")))
+    )
+    a = sorted(via_window.collect(), key=repr)  # NULL lang unorderable
+    b = sorted(via_join.collect(), key=repr)
+    assert a == b
