@@ -9,7 +9,7 @@ one shuffle on user_id, then one on the small cohort/step matrix.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import US_PER_DAY, load
@@ -22,8 +22,18 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = ev.select(
         "user_id", F.expr(f"ts_us DIV {US_PER_DAY}").alias("day")
     ).distinct()
-    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    joined = days.join(first, "user_id").withColumn(
+    # cohort_day as a per-user window MIN over `days`, not a separate
+    # groupBy(min) joined back: the optimizer collapsed the join
+    # branch's distinct+min into a different aggregate
+    # (groupBy(user_id) directly over the scan), so the two subtrees
+    # never canonicalized and the executed plan scanned events TWICE
+    # and shuffled twice (r14 sweep). The window consumes the one
+    # distinct (user_id, day) frame — one events scan, one extra
+    # user_id exchange, identical rows (min over the same per-user
+    # day set the join attached).
+    joined = days.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    ).withColumn(
         "offset_days", (F.col("day") - F.col("cohort_day")).cast("int")
     )
     return (

@@ -699,8 +699,21 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deriving the side after the fp groupBy would make the audit
     # structurally zero and self-certifying (r5 review finding)
     tagged = docs.withColumn("split", side)
-    per = tagged.groupBy("fp", "source", "split").agg(
-        F.count(F.lit(1)).alias("n")
+    # r14: the "one scan the branches reuse" intent above had silently
+    # broken — the leak branch prunes `n`/`source` out of the
+    # aggregate, so the two consumers' exchanges no longer
+    # canonicalize and the executed plan ran the full text+md5
+    # fingerprint scan TWICE (verified: two FileScan [text,...] with
+    # zero reuse). Spill the narrow (fp, source, split, n) cluster
+    # frame — one fingerprint scan, both branches read the spill
+    # (strings + longs roundtrip exactly).
+    from ..materialize import spill_to_parquet
+
+    per = spill_to_parquet(
+        tagged.groupBy("fp", "source", "split").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "leakage-per",
     )
     leak = (
         per.groupBy("fp")

@@ -277,3 +277,40 @@ def test_window_min_matches_crossjoin_min(spark):
     a = sorted(via_window.collect(), key=repr)  # NULL lang unorderable
     b = sorted(via_join.collect(), key=repr)
     assert a == b
+
+
+# --- cohort_retention: one events scan via per-user window MIN ------
+
+
+def test_cohort_retention_single_events_scan(spark, sf_dir):
+    """The groupBy(min)+join-back shape let the optimizer collapse
+    the two branches into DIFFERENT aggregates over separate scans
+    (distinct(user,day) vs min-per-user straight off the scan), so
+    events was read twice. The window formulation must execute
+    exactly one events scan."""
+    from lance_duckdb_spark.operators.behavior import cohort_retention
+
+    plan = _final_plan(cohort_retention(spark, sf_dir))
+    assert plan.count("events.parquet") == 1
+
+
+# --- leakage_safe_split: one fingerprint scan via the per spill ----
+
+
+def test_leakage_safe_split_single_fingerprint_scan(spark, sf_dir):
+    """The leak-audit branch prunes columns out of the (fp, source,
+    split) aggregate, de-canonicalizing the exchange — the full
+    text+md5 fingerprint scan ran twice. With the spilled cluster
+    frame the returned plan must not scan documents at all (the
+    fingerprint pass executes once, at spill time)."""
+    from lance_duckdb_spark.operators.curation import leakage_safe_split
+
+    df = leakage_safe_split(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "leakage-per" in plan
+    assert "documents.parquet" not in plan
+    assert len(df.collect()) > 0
