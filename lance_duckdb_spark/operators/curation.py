@@ -478,8 +478,8 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (bp out of 10000), and membership is the same
     md5-hash rule as stratified_sample — reproducible across engines
     and re-runs, the property a re-materializable 100 TB corpus
-    needs. One tiny per-lang aggregate (explicitly broadcast), one
-    scan."""
+    needs. One per-lang aggregate (min attached via a global window
+    over the tiny aggregated frame), one corpus scan."""
     docs = load(spark, sf_dir, "documents")
     per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     # min over the aggregate as a GLOBAL window, not
@@ -546,8 +546,9 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(sqrt((1e8 * n_min) / n_l)) basis points — multiply,
     divide, sqrt and floor are all IEEE correctly-rounded, so both
     engines compute the identical integer threshold (1e8*n_min stays
-    exact below 2^53). One tiny per-lang aggregate broadcast back,
-    one corpus scan; at 100 TB this is a metadata-cheap filter."""
+    exact below 2^53). One per-lang aggregate (min via a global
+    window over the tiny aggregated frame), one corpus scan; at
+    100 TB this is a metadata-cheap filter."""
     docs = load(spark, sf_dir, "documents")
     per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     # rate = (n_min/n_l)^(1-0.5) = sqrt(n_min/n_l), in basis points.
@@ -668,9 +669,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, split) doc counts + cluster counts, plus the leakage
     audit — clusters spanning both sides — which MUST be zero.
 
-    One hash groupBy and one equi-join back on the fingerprint; at
-    100 TB the fingerprint is already materialized by the dedup
-    pass, making this a free rider on that shuffle."""
+    One fingerprint scan into one hash groupBy, spilled small (one
+    row per (cluster, source, split)) so the audit and the summary
+    both read it without re-running the scan; at 100 TB the
+    fingerprint is already materialized by the dedup pass, making
+    this a free rider on that shuffle."""
     
     docs = (
         load(spark, sf_dir, "documents")

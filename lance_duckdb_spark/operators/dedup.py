@@ -35,22 +35,25 @@ from .common import SQL_FINGERPRINT, text_fingerprint
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load(spark, sf_dir, "documents")
-    # fingerprint the text ONCE (r14 optimization): `hashed` feeds
-    # both the cluster aggregate and the per-doc join, and the two
-    # subtrees' exchanges differ by projection (the join side carries
-    # `source`), so ReuseExchange can NOT canonicalize them — the
-    # executed plan ran the text scan + md5 twice (0 ReusedExchange).
-    # Spill the narrow (doc_id, source, h) frame; both consumers read
-    # the tiny parquet (longs + strings roundtrip exactly).
-    hashed = spill_to_parquet(
-        docs.select("doc_id", "source", text_fingerprint().alias("h")),
-        "dedup-exact-h",
-    )
-    clusters = hashed.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id")
-    )
-    per_doc = hashed.join(clusters, "h")
+    # fingerprint the text ONCE (r14 optimization): the cluster
+    # aggregate (count + min per h) joined back onto `hashed` built
+    # two subtrees whose exchanges differ by projection, so
+    # ReuseExchange could not canonicalize them — the executed plan
+    # ran the text scan + md5 TWICE. Per-h window aggregates over the
+    # one hashed frame compute the same (n, keep_id) per row from ONE
+    # text scan and ONE exchange on h, lazily and with no disk. The
+    # explicit h-not-null filter preserves the inner join's NULL-h
+    # drop (md5 of a NULL text), exactly like the oracle's JOIN.
+    hashed = docs.select(
+        "doc_id", "source", text_fingerprint().alias("h")
+    ).where(F.col("h").isNotNull())
+    wh = Window.partitionBy("h")
+    per_doc = hashed.withColumn(
+        "n", F.count(F.lit(1)).over(wh)
+    ).withColumn("keep_id", F.min("doc_id").over(wh))
     return (
         per_doc.groupBy("source")
         .agg(

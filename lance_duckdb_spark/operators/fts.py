@@ -6,11 +6,18 @@ repo exposes Lance datasets to DuckDB; FTS is part of the same
 dataset-capability family as the `_indices/` vector support —
 rust/lib.rs dataset surface). Re-expressed Spark-first:
 
-- ``fts_bm25`` — the whole query as one declarative plan: tokenize →
-  term frequencies → BM25 score → top-k. Query-term filtering happens
-  BEFORE any aggregation, so only postings for the queried terms ever
-  shuffle; corpus statistics (N, avgdl) are one map-side-combined
-  integer aggregate broadcast as a 1-row dimension.
+- ``fts_bm25`` — the whole query as one plan: tokenize → term
+  frequencies → BM25 score → top-k. The (doc_id, term, tf) aggregate
+  is computed ONCE per call and staged to a parquet spill (r14: four
+  plan branches — doc-lengths ×2, query-term df, query-term score —
+  each re-ran the full tokenize as separate subtrees). The doc-length
+  branches need the FULL vocabulary (dl = Σ tf per doc), so the
+  full-vocab shuffle+write is the price of one tokenize; the
+  query-term branches then read the spill with the term filter pushed
+  to parquet. Corpus statistics (N, avgdl) are one integer aggregate
+  broadcast as a 1-row dimension. Spill lifecycle: one directory per
+  call, reclaimed by the local atexit sweep / purge_spill_root
+  (materialize.py contract).
 - ``build_fts_index`` / ``search_bm25`` — the production shape: a
   PERSISTED inverted index as parquet partitioned by a term-hash
   bucket, with df and doc-length denormalized onto each posting row

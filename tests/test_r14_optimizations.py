@@ -211,22 +211,24 @@ def test_fts_bm25_tokenizes_once(spark, sf_dir):
 
 
 def test_dedup_exact_fingerprints_once(spark, sf_dir):
-    """`hashed` feeds the cluster aggregate and the per-doc join with
-    exchanges that differ by projection, so ReuseExchange cannot
-    canonicalize them — before the r14 pass-2 fix the executed plan
-    ran the text scan + md5 twice. With the narrow spill the returned
-    plan must not scan documents (text) at all."""
+    """The cluster aggregate joined back onto `hashed` built two
+    subtrees whose exchanges differ by projection, so ReuseExchange
+    could not canonicalize them — before the r14 pass-2 fix the
+    executed plan ran the text scan + md5 twice. With the per-h
+    window aggregates the final plan must hold exactly ONE documents
+    scan and no join."""
     from lance_duckdb_spark.operators.dedup import dedup_exact
 
     df = dedup_exact(spark, sf_dir)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
+    df.collect()
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
     )
-    assert "dedup-exact-h" in plan
-    assert "documents.parquet" not in plan
-    assert len(df.collect()) > 0
+    assert final.count("documents.parquet") == 1
+    assert "Join" not in final
 
 
 # --- domain_mix / temperature_resample: min_n via global window ----
