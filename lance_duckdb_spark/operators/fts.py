@@ -7,17 +7,17 @@ dataset-capability family as the `_indices/` vector support —
 rust/lib.rs dataset surface). Re-expressed Spark-first:
 
 - ``fts_bm25`` — the whole query as one plan: tokenize → term
-  frequencies → BM25 score → top-k. The (doc_id, term, tf) aggregate
-  is computed ONCE per call and staged to a parquet spill (r14: four
-  plan branches — doc-lengths ×2, query-term df, query-term score —
-  each re-ran the full tokenize as separate subtrees). The doc-length
-  branches need the FULL vocabulary (dl = Σ tf per doc), so the
-  full-vocab shuffle+write is the price of one tokenize; the
-  query-term branches then read the spill with the term filter pushed
-  to parquet. Corpus statistics (N, avgdl) are one integer aggregate
-  broadcast as a 1-row dimension. Spill lifecycle: one directory per
-  call, reclaimed by the local atexit sweep / purge_spill_root
-  (materialize.py contract).
+  frequencies → BM25 score → top-k. Shape (r14, second iteration):
+  the only consumer of term-level tf is the QUERY-TERM slice (df +
+  score components), so the one explode is filtered to the query
+  terms below its aggregate and shuffles a sliver; doc length
+  (dl = Σ tf per doc = the token count) is a row-level array-size
+  projection — no explode, no vocabulary-wide shuffle, no spill.
+  Corpus statistics (N, avgdl) are one integer aggregate broadcast
+  as a 1-row dimension. (The first r14 iteration staged a full-vocab
+  tf spill; measured at sfd100 the vocab-wide shuffle+write was
+  slower than the duplicate tokenizes it removed — the aggregate is
+  avoidable, not shareable.)
 - ``build_fts_index`` / ``search_bm25`` — the production shape: a
   PERSISTED inverted index as parquet partitioned by a term-hash
   bucket, with df and doc-length denormalized onto each posting row
@@ -145,28 +145,63 @@ def fts_bm25(
     GLOBAL — the production filtered-search contract (the filter
     restricts candidates, it does not re-weigh the corpus)."""
     docs = load(spark, sf_dir, "documents")
-    # tokenize + (doc_id, term) aggregate ONCE (r14 optimization):
-    # the tf subtree feeds FOUR plan branches — dl for the corpus
-    # stats, dl for the score join, the query-term slice for df, and
-    # the query-term slice for the components — and as distinct
-    # subtrees each re-ran the full tokenize pass and its shuffle
-    # (the before-plan shows documents.parquet scanned 4x with text).
-    # Spill tf once; every consumer reads the narrow
-    # (doc_id, term, tf) parquet. Counts are exact longs + strings
-    # through the roundtrip, so the scores (and the indexed path's
-    # bit-parity contract) are unchanged. "Direct variant
-    # re-tokenizes the corpus" still holds: once per call, per-call
-    # spill (uuid dir, swept at exit) — no cross-run reuse.
+    # r14 optimization, second iteration. The full-vocabulary
+    # (doc_id, term, tf) aggregate was only ever consumed for dl =
+    # SUM(tf) per doc — and that is just the per-document token
+    # count, computable as a row-level projection with NO explode and
+    # NO shuffle. Only the query-term slice needs term-level tf, and
+    # its `term IN (...)` filter sits below the aggregate, so the one
+    # explode shuffles a 3-term sliver instead of the whole vocab.
+    # (The first r14 iteration spilled the full-vocab tf to parquet
+    # to deduplicate four tokenize subtrees; a same-container A/B at
+    # sfd100 measured the full-vocab shuffle+spill SLOWER than the
+    # shapes it replaced — the vocab-wide aggregate is avoidable
+    # work, not shareable work.) dl values are identical exact longs
+    # (token count == SUM(tf)); docs with zero tokens drop from dl
+    # exactly as they were absent from tf; every downstream
+    # expression is unchanged — scores and the indexed path's
+    # bit-parity contract are preserved (oracle-EXACT re-verified).
+    qtf = (
+        _tokens(docs)
+        .where(F.col("term").isin(list(QUERY_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), " "),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("dl"),
+        )
+        # empty/NULL-text docs have no tokens: absent from tf before,
+        # dropped here (size() yields 0, or NULL/-1 on NULL text —
+        # all fail `> 0`)
+        .where(F.col("dl") > 0)
+    )
+    # dl feeds TWO branches (corpus stats + the score join) which
+    # would each re-run the text-split scan; spill the narrow
+    # (doc_id, dl) long pairs once — unlike the retired full-vocab tf
+    # spill this is two longs per document, not the whole posting set
     from ..materialize import spill_to_parquet
 
-    tf = spill_to_parquet(_term_freq(docs), "fts-tf")
-    dl = _doc_len(tf)
+    dl = spill_to_parquet(dl, "fts-dl")
     stats = _corpus_stats(dl)
-    qtf = tf.where(F.col("term").isin(list(QUERY_TERMS)))
-    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window count over term ON the qtf frame itself: a
+    # separate dfreq aggregate + broadcast join-back would be a
+    # second plan branch re-running the tokenize (qtf rows are
+    # distinct (doc_id, term), so count-per-term over the window IS
+    # the document frequency — same exact long the join attached)
+    from pyspark.sql import Window as _W
+
+    qdf = qtf.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("term"))
+    )
     comp = (
-        qtf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        qdf.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", _score_expr().alias("comp"))
     )

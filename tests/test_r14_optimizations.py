@@ -183,28 +183,37 @@ def test_after_delete_serve_subtree_not_duplicated(spark, sf_dir):
     assert rows and all(r.after_delete_ok for r in rows)
 
 
-# --- fts_bm25: tokenize once, four consumers read the tf spill -----
+# --- fts_bm25: no vocabulary-wide aggregate, no spill ---------------
 
 
-def test_fts_bm25_tokenizes_once(spark, sf_dir):
-    """The tf subtree feeds four plan branches (dl for stats, dl for
-    the score join, query-term df, query-term components); before the
-    r14 pass-2 fix each re-ran the full tokenize pass (the before-
-    plan scans documents.parquet with text 4x). With the tf spill the
-    returned plan must hold NO tokenize (Generate/explode) and no
-    documents text scan — one tokenize, at spill time."""
+def test_fts_bm25_no_fullvocab_aggregate(spark, sf_dir):
+    """r14 second iteration: term-level tf is only needed for the
+    QUERY-TERM slice, and dl is a row-level token count — the plan
+    must hold exactly ONE explode (Generate), filtered to the query
+    terms BELOW its aggregate, no tf parquet spill, and at most two
+    documents scans (the query-term tokenize and the dl projection).
+    The sfd100 A/B showed the vocab-wide shuffle/spill was the
+    dominant avoidable cost."""
     from lance_duckdb_spark.operators.fts import fts_bm25
 
     df = fts_bm25(spark, sf_dir)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
+    rows = df.collect()
+    assert len(rows) > 0
+    final = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
     )
-    assert "fts-tf" in plan
-    assert "Generate" not in plan  # the explode/tokenize node
-    assert "documents.parquet" not in plan
-    assert len(df.collect()) > 0
+    assert "fts-tf" not in final  # no full-vocab spill staging
+    assert final.count("Generate") == 1  # one explode, query slice
+    # one tokenize scan + the dl projection (its two consumers read
+    # the narrow (doc_id, dl) spill, not the text column again)
+    assert final.count("documents.parquet") <= 2
+    assert "fts-dl" in final
+    # the explode output is filtered to the query terms before any
+    # aggregate: the full-vocab (doc_id, term) shuffle is gone
+    assert ("INSET" in final) or ("IN (" in final)
 
 
 # --- dedup_exact: fingerprint the text once ------------------------
