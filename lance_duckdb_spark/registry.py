@@ -472,25 +472,67 @@ _GREEN_R13 = {
     "stream_index_ingest",
 }
 
-# Queries whose HASHED OUTPUT changes in r14 go here (treated as
-# never-verified so they lead the window). None so far: the two new
-# r14 queries (ann_ivf_after_delete, lance_sql_ann) are new names,
-# which lead automatically by being in no _GREEN set.
-_RECHECK_R14: set = set()
+# r14 rotation history: _RECHECK_R14 was empty (the two new r14
+# queries — ann_ivf_after_delete, lance_sql_ann — led as new names);
+# hybrid_search_filtered led slot 1 as the one never-driver-checked
+# entry (r13 deferral), and tpch_q11/q12/q15 slipped to r15 at
+# 3-round staleness (the documented 53-for-50 exception). All of
+# those are now resolved: hybrid_search_filtered and both r14-new
+# queries are green in _GREEN_R14, and the three slips lead the r15
+# window via _RECHECK_R15 below.
 
-# r14 rotation note (r13 verdict item 1): the window's 50 slots are
-# claimed by 53 candidates — hybrid_search_filtered (the only entry
-# never driver-checked; MUST lead) + 2 new r14 queries + the 50
-# entries last green in r11 (the contract-edge tier). THREE r11
-# entries therefore slip to r15 at 3-round staleness — a deliberate,
-# documented exception to the <=2-round contract, chosen where the
-# local coverage is strongest: tpch_q11 / tpch_q12 / tpch_q15 are
-# pure-SQL single-statement queries (operators/tpch3.py) whose exact
-# hashes are re-verified every round by the full local driver sim
-# and by SF1_VALIDATION (both exact this round); they carry no
-# stateful dataset machinery that could drift. They are pinned just
-# after the r11 tier (positions 51-53) so they lead r15's stale tier.
-_SLIP_TO_R15 = {"tpch_q11", "tpch_q12", "tpch_q15"}
+# All 50 rows CORRECTNESS_r14 recorded — every one hash-exact (the
+# never-checked hybrid_search_filtered leading, the 2 r14-new
+# queries, then the 47 stalest r11-green entries).
+_GREEN_R14 = {
+    "ann_ivf", "ann_ivf_after_delete", "ann_ivf_indexed", "ann_ivf_pq",
+    "ann_sq8_indexed", "ann_sq8_topk", "anti_semi_joins",
+    "array_functions", "asof_join_events_orders", "char_entropy",
+    "chunk_documents", "contamination_bloom", "cross_source_overlap",
+    "doc_fingerprint", "domain_mix", "embedding_neardup_lsh",
+    "group_quantile_arrays", "hybrid_search_filtered",
+    "lance_cdc_deletes", "lance_describe_history",
+    "lance_merge_insert_values", "lance_sql_ann", "lance_sql_insert",
+    "lance_stats_pushdown", "lance_take", "lang_id", "pii_redact",
+    "pipeline_compose", "quality_score", "range_join_events",
+    "repetition_filter", "sequence_packing", "sessionize_events",
+    "sketch_distinct_rollup", "stream_fts_ingest", "text_normalize",
+    "token_count", "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q7",
+    "tpch_q8", "tpch_q9", "url_domain_stats", "window_rank_functions",
+}
+
+# r15 recheck tier (r14 VERDICT item 1): these LEAD the r15 window,
+# treated as never-verified. Not hash changes — the 14 query paths
+# the r14 optimizer RESTRUCTURED (hash-preserving by the local sim,
+# but never driver-oracle-checked in their new shape) plus the three
+# documented r14 slips (tpch_q11/q12/q15, pure-SQL, 3 rounds stale).
+# The r15-new lance_sql_fts (A22's owed match_bm25 driver debut)
+# leads alongside by being in no _GREEN set.
+_RECHECK_R15 = {
+    # r14-restructured, driver-unsampled in r14
+    "fts_bm25", "hybrid_search", "dedup_exact", "dedup_incremental",
+    "cohort_retention", "leakage_safe_split", "contamination_check",
+    "temperature_resample", "quality_linear_probe",
+    "continuous_aggregate", "fts_bm25_indexed", "ann_ivf_filtered",
+    "ngram_jaccard", "minhash_containment",
+    # r14's documented slips
+    "tpch_q11", "tpch_q12", "tpch_q15",
+}
+
+# r15 rotation note: window = the 17 _RECHECK_R15 entries +
+# lance_sql_fts (new) = 18 leading slots, then 32 of the 40 entries
+# last green in r12 (the stalest tier, at the contract's 2-round
+# edge) fill to 50. EIGHT r12-green entries therefore slip to r16 at
+# 3-round staleness — the same deliberate, documented exception as
+# r14's: sql_api_priority_matrix, string_agg_ordered and six
+# streaming jobs (stream_windowed_counts, session_window_native,
+# stream_sessionization, stream_sink_roundtrip, stream_dedup,
+# stream_stream_join) — all re-verified EXACT by the full local
+# driver sim every round, none touched by the r14/r15 optimizer.
+# Natural module order puts them at the r12 tier's tail (positions
+# 51-58); once _GREEN_R15 is folded in they become the stalest tier
+# and lead the r16 window automatically.
 
 
 def _rotate(merged: dict) -> dict:
@@ -499,21 +541,12 @@ def _rotate(merged: dict) -> dict:
     rounds = [
         _GREEN_R1, _GREEN_R2, _GREEN_R3, _GREEN_R4, _GREEN_R5, _GREEN_R6,
         _GREEN_R7, _GREEN_R8, _GREEN_R9, _GREEN_R10, _GREEN_R11,
-        _GREEN_R12, _GREEN_R13,
+        _GREEN_R12, _GREEN_R13, _GREEN_R14,
     ]
 
     def last_verified(k: str) -> float:
-        if k == "hybrid_search_filtered":
-            # the one entry never driver-checked (deferred from r13
-            # by the rotation contract) — the r13 verdict requires
-            # it to LEAD the r14 window in slot 1, ahead of the two
-            # r14-new queries (which are also never-verified but
-            # were at least judge-sim'd this round)
-            return -1
-        if k in _RECHECK_R14:
+        if k in _RECHECK_R15:
             return 0
-        if k in _SLIP_TO_R15:
-            return 11.5  # after the r11 tier — slots 51-53
         return max(
             (i + 1 for i, s in enumerate(rounds) if k in s), default=0
         )

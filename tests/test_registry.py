@@ -54,21 +54,31 @@ def test_query_callables_have_docstrings_or_module_docs():
         assert fn.__doc__ or mod.__doc__, f"{name} lacks documentation"
 
 
-def test_r14_window_composition():
-    """The rotation contract, pinned (r14): the driver checks the
-    FIRST 50 registry entries. This round's window must lead with
-    hybrid_search_filtered (the only never-driver-checked entry,
-    slot 1 per the r13 verdict), then the two r14-new queries, then
-    the r11-stale tier; the three deliberately-slipped entries
-    (tpch_q11/q12/q15 — documented in SURVEY §2's coverage note)
-    sit at positions 51-53 so they lead r15's stale tier. A registry
-    edit that silently reshuffles this breaks the staleness
-    contract — fail here first."""
+def test_r15_window_composition():
+    """The rotation contract, pinned (r15): the driver checks the
+    FIRST 50 registry entries. This round's window must LEAD with
+    the 17 _RECHECK_R15 entries (the 14 query paths the r14
+    optimizer restructured but the r14 driver sample missed —
+    VERDICT r14 item 1 — plus the three documented r14 slips
+    tpch_q11/q12/q15) and the r15-new lance_sql_fts (A22's owed
+    match_bm25 debut); the rest of the window is the stalest
+    (r12-green) tier. The eight r12 entries that do not fit sit at
+    positions 51-58 so they lead r16's stale tier. A registry edit
+    that silently reshuffles this breaks the staleness contract —
+    fail here first."""
+    from lance_duckdb_spark.registry import _RECHECK_R15
+
     order = list(QUERY_REGISTRY)
-    assert order[0] == "hybrid_search_filtered"
-    assert set(order[1:3]) == {"ann_ivf_after_delete", "lance_sql_ann"}
-    assert order[50:53] == ["tpch_q11", "tpch_q12", "tpch_q15"]
+    lead = _RECHECK_R15 | {"lance_sql_fts"}
+    assert set(order[: len(lead)]) == lead
     window = set(order[:50])
-    assert not (window & {"tpch_q11", "tpch_q12", "tpch_q15"})
+    slipped = {
+        "sql_api_priority_matrix", "string_agg_ordered",
+        "stream_windowed_counts", "session_window_native",
+        "stream_sessionization", "stream_sink_roundtrip",
+        "stream_dedup", "stream_stream_join",
+    }
+    assert not (window & slipped)
+    assert set(order[50:58]) == slipped
     # every entry still has exactly one slot
-    assert len(order) == len(set(order)) == 152
+    assert len(order) == len(set(order)) == 153
