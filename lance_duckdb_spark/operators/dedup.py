@@ -704,30 +704,37 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
 
-    # shingle the corpus ONCE and spill (r14 optimization): the
-    # store build (base = even doc_ids), the batch signatures (odd
-    # doc_ids) and the exact-Jaccard verification all consume the
-    # same per-doc shingle rows, but as three distinct plan subtrees
-    # they each re-ran the Arrow shingling pass — two full corpus
-    # shingles per call (base+batch for signatures, then all docs
-    # again inside verify_candidate_pairs). Filtering the one
-    # spilled frame by doc_id parity yields row-identical inputs
-    # (shingles are per-doc, independent of which other docs are in
-    # the frame), so every md5 lane and the oracle hash are
-    # unchanged. Same discipline as dedup_minhash_lsh.
-    shingled = spill_to_parquet(_shingle_df(docs), "shingles-inc")
-    base_sh = shingled.where(F.col("doc_id") % 2 == 0)
-    batch_sh = shingled.where(F.col("doc_id") % 2 == 1)
+    # r15 re-cut (r14 VERDICT item 5): spill the narrow MinHash BAND
+    # hashes — N_BANDS (doc_id, band_idx, band_hash) rows per doc —
+    # instead of the raw shingle frame. The r14 shape's shingle
+    # spill was a data-proportional parquet WRITE of the whole
+    # shingled corpus, and its own sfd100 A/B measured the write
+    # offsetting the Arrow passes it saved (wall-flat). The bands
+    # frame is the smallest artifact every signature consumer needs:
+    # ONE full-corpus shingle+signature pass at spill time; the
+    # store build (even doc_ids) and the batch probe (odd doc_ids)
+    # filter the spilled bands by parity — row-identical, because a
+    # doc's signature depends only on its own shingles (per-doc
+    # groupBy), never on which other docs share the frame. Every md5
+    # lane and the oracle hash are unchanged.
+    bands_all = spill_to_parquet(
+        _band_hashes(_minhash_signatures(_shingle_df(docs))), "bands-inc"
+    )
 
     # one-time (per corpus) signature build, persisted
-    _band_hashes(_minhash_signatures(base_sh)).write.format(
+    bands_all.where(F.col("doc_id") % 2 == 0).write.format(
         "lance"
     ).mode("overwrite").save(root)
 
     stored = spark.read.format("lance").load(root)
-    batch_bands = _band_hashes(_minhash_signatures(batch_sh))
-    cand = (
-        stored.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    batch_bands = bands_all.where(F.col("doc_id") % 2 == 1)
+    # candidates spilled once (tiny pairs frame): BOTH consumers —
+    # the candidate-doc id set below and the verification joins —
+    # would otherwise re-run the store⋈batch band join
+    cand = spill_to_parquet(
+        stored.select(
+            F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
+        )
         .join(
             batch_bands.select(
                 F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
@@ -735,12 +742,22 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["band_idx", "band_hash"],
         )
         .select("doc_a", "doc_b")
+        .distinct(),
+        "cand-inc",
+    )
+    # exact-Jaccard verification re-shingles ONLY candidate-pair
+    # docs: the semi-join sits BELOW the opaque Arrow shingling pass
+    # (a predicate cannot push through mapInPandas on its own), so
+    # verification is O(candidate docs), not O(corpus). Per-doc
+    # shingle sets are unchanged ⇒ identical jaccard doubles.
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # exact-Jaccard verification over the candidates only (inner
-    # joins restrict the shingle scan to candidate docs); reuses the
-    # spilled shingle frame instead of re-shingling the corpus
-    return verify_candidate_pairs(cand, docs, shingled=shingled)
+    return verify_candidate_pairs(
+        cand, docs.join(ids, "doc_id", "left_semi")
+    )
 
 
 def _pair_overlap(

@@ -7,17 +7,22 @@ dataset-capability family as the `_indices/` vector support —
 rust/lib.rs dataset surface). Re-expressed Spark-first:
 
 - ``fts_bm25`` — the whole query as one plan: tokenize → term
-  frequencies → BM25 score → top-k. Shape (r14, second iteration):
-  the only consumer of term-level tf is the QUERY-TERM slice (df +
-  score components), so the one explode is filtered to the query
-  terms below its aggregate and shuffles a sliver; doc length
-  (dl = Σ tf per doc = the token count) is a row-level array-size
-  projection — no explode, no vocabulary-wide shuffle, no spill.
+  frequencies → BM25 score → top-k. Shape (r14 second iteration +
+  r15 advice fix): the only consumer of term-level tf is the
+  QUERY-TERM slice (df + score components), so the one explode is
+  filtered to the query terms below its aggregate and shuffles a
+  sliver; that sliver (qtf) is spilled once and read by its two
+  consumers — a dfreq aggregate broadcast-joined back (distributed;
+  the r14 window-count form sorted each term's whole posting slice
+  in ONE task, a per-term skew wall at scale) and the score join.
+  Doc length (dl = Σ tf per doc = the token count) is a row-level
+  array-size projection — no explode, no vocabulary-wide shuffle.
   Corpus statistics (N, avgdl) are one integer aggregate broadcast
-  as a 1-row dimension. (The first r14 iteration staged a full-vocab
+  as a 1-row dimension. (The first r14 iteration staged a FULL-VOCAB
   tf spill; measured at sfd100 the vocab-wide shuffle+write was
   slower than the duplicate tokenizes it removed — the aggregate is
-  avoidable, not shareable.)
+  avoidable, not shareable. The query-term spill is the sliver, not
+  the vocabulary.)
 - ``build_fts_index`` / ``search_bm25`` — the production shape: a
   PERSISTED inverted index as parquet partitioned by a term-hash
   bucket, with df and doc-length denormalized onto each posting row
@@ -161,11 +166,21 @@ def fts_bm25(
     # exactly as they were absent from tf; every downstream
     # expression is unchanged — scores and the indexed path's
     # bit-parity contract are preserved (oracle-EXACT re-verified).
-    qtf = (
+    from ..materialize import spill_to_parquet
+
+    # qtf spilled once (r15, ADVICE r14): its TWO consumers — the
+    # dfreq aggregate and the score join — are distinct plan
+    # subtrees that would each re-run the tokenize explode, and the
+    # optimizer prunes their columns differently (df needs no tf),
+    # so the exchanges would not canonicalize (the dedup_exact
+    # lesson). The spill is O(query-term postings) of three narrow
+    # columns, written distributed.
+    qtf = spill_to_parquet(
         _tokens(docs)
         .where(F.col("term").isin(list(QUERY_TERMS)))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "fts-qtf",
     )
     dl = (
         docs.select(
@@ -186,22 +201,22 @@ def fts_bm25(
     # would each re-run the text-split scan; spill the narrow
     # (doc_id, dl) long pairs once — unlike the retired full-vocab tf
     # spill this is two longs per document, not the whole posting set
-    from ..materialize import spill_to_parquet
-
     dl = spill_to_parquet(dl, "fts-dl")
     stats = _corpus_stats(dl)
-    # df as a window count over term ON the qtf frame itself: a
-    # separate dfreq aggregate + broadcast join-back would be a
-    # second plan branch re-running the tokenize (qtf rows are
-    # distinct (doc_id, term), so count-per-term over the window IS
-    # the document frequency — same exact long the join attached)
-    from pyspark.sql import Window as _W
-
-    qdf = qtf.withColumn(
-        "df", F.count(F.lit(1)).over(_W.partitionBy("term"))
-    )
+    # df restored to a dfreq aggregate + broadcast join-back (r15,
+    # ADVICE r14): the r14 window COUNT over Window.partitionBy(term)
+    # shuffled the whole query-term posting slice into at most
+    # len(QUERY_TERMS) partitions and SORTED each term's slice in a
+    # single task — a per-term skew/parallelism wall as the corpus
+    # grows (§2.5). The aggregate keeps per-doc rows distributed
+    # (map-side partial count, ≤|terms| rows per task reach the
+    # wire) and the join-back broadcasts |terms| rows. qtf rows are
+    # distinct (doc_id, term), so COUNT per term IS the document
+    # frequency — the same exact long either way.
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     comp = (
-        qdf.join(dl, "doc_id")
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", _score_expr().alias("comp"))
     )

@@ -1623,6 +1623,36 @@ ORDER BY o_orderstatus
 """
 
 
+def _pruned_take(path: str, cols: list[str], phys: list[int]):
+    """Row-group-pruned positional take (r15, guide §6 point-read
+    posture): the previous ``pq.read_table(...).take(phys)`` decoded
+    the WHOLE fragment's columns to take a handful of positions.
+    Read the footer, map each physical position to its row group,
+    and decode ONLY the hit groups — IO proportional to row groups
+    hit, never to fragment size. ``phys`` is ascending (take_rows
+    builds it from sorted local positions by a monotone deletion
+    shift) and ``sel`` is emitted in phys order over the
+    concatenated hit groups, so the row order — and every byte — is
+    identical to the full-file take. Runs inside the fetch task."""
+    from bisect import bisect_right
+
+    from ..sources import iolayer as _iol
+
+    pf = _iol.parquet_file(path)
+    md = pf.metadata
+    offs = [0]
+    for g in range(md.num_row_groups):
+        offs.append(offs[-1] + md.row_group(g).num_rows)
+    hit = sorted({bisect_right(offs, p) - 1 for p in phys})
+    base = {}
+    run = 0
+    for g in hit:
+        base[g] = run - offs[g]
+        run += offs[g + 1] - offs[g]
+    sel = [base[bisect_right(offs, p) - 1] + p for p in phys]
+    return pf.read_row_groups(hit, columns=cols).take(sel)
+
+
 def take_rows(
     spark: SparkSession,
     root: str,
@@ -1731,13 +1761,13 @@ def take_rows(
                             p = lp + shift
                         out.append(p)
                     phys = out
-                from lance_duckdb_spark.sources import (
-                    iolayer as _iol2,
+                from lance_duckdb_spark.operators.lance_ops import (
+                    _pruned_take,
                 )
 
-                tbl = _iol2.read_parquet(
-                    os.path.join(root, file), columns=cols
-                ).take(phys)
+                tbl = _pruned_take(
+                    os.path.join(root, file), cols, phys
+                )
                 yield tbl.to_pandas()
 
     return tasks.mapInPandas(fetch, schema)

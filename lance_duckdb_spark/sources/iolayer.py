@@ -457,6 +457,18 @@ def read_parquet(path: str, columns=None, filters=None):
     return pq.read_table(local_path(path), columns=columns, filters=filters)
 
 
+def parquet_file(path: str):
+    """A ``pyarrow.parquet.ParquetFile`` over either scheme — the
+    footer-metadata handle for row-group-selective reads
+    (``read_row_groups``), so point reads decode only the row groups
+    they hit instead of the whole object."""
+    import pyarrow.parquet as pq
+
+    if is_pafs(path):
+        return pq.ParquetFile(_pafs_fs().open_input_file(_pafs_key(path)))
+    return pq.ParquetFile(local_path(path))
+
+
 def read_parquet_schema(path: str):
     import pyarrow.parquet as pq
 

@@ -187,13 +187,14 @@ def test_after_delete_serve_subtree_not_duplicated(spark, sf_dir):
 
 
 def test_fts_bm25_no_fullvocab_aggregate(spark, sf_dir):
-    """r14 second iteration: term-level tf is only needed for the
-    QUERY-TERM slice, and dl is a row-level token count — the plan
-    must hold exactly ONE explode (Generate), filtered to the query
-    terms BELOW its aggregate, no tf parquet spill, and at most two
-    documents scans (the query-term tokenize and the dl projection).
-    The sfd100 A/B showed the vocab-wide shuffle/spill was the
-    dominant avoidable cost."""
+    """r14 second iteration + r15 advice fix: term-level tf is only
+    needed for the QUERY-TERM slice (spilled once as fts-qtf; its
+    dfreq aggregate and the score join read the spill), and dl is a
+    row-level token count (spilled once as fts-dl). The RETURNED
+    plan must therefore hold NO explode, NO documents scan, NO
+    full-vocab tf spill, and no per-term window (the r14 window-df
+    sorted each term's posting slice in one task — the restored
+    dfreq aggregate + broadcast join-back keeps rows distributed)."""
     from lance_duckdb_spark.operators.fts import fts_bm25
 
     df = fts_bm25(spark, sf_dir)
@@ -206,14 +207,44 @@ def test_fts_bm25_no_fullvocab_aggregate(spark, sf_dir):
         .split("== Initial Plan ==")[0]
     )
     assert "fts-tf" not in final  # no full-vocab spill staging
-    assert final.count("Generate") == 1  # one explode, query slice
-    # one tokenize scan + the dl projection (its two consumers read
-    # the narrow (doc_id, dl) spill, not the text column again)
-    assert final.count("documents.parquet") <= 2
-    assert "fts-dl" in final
-    # the explode output is filtered to the query terms before any
-    # aggregate: the full-vocab (doc_id, term) shuffle is gone
-    assert ("INSET" in final) or ("IN (" in final)
+    assert final.count("Generate") == 0  # tokenize runs at spill time
+    assert final.count("documents.parquet") == 0
+    assert "fts-dl" in final and "fts-qtf" in final
+    assert "Window" not in final  # no single-task-per-term sort
+
+
+def test_fts_qtf_filter_below_aggregate(spark, sf_dir):
+    """The spill-time qtf subtree must filter the explode output to
+    the query terms BELOW its (doc_id, term) aggregate — the
+    full-vocab shuffle is gone. Tightened per r14 ADVICE: assert the
+    node ORDER (Aggregate above Filter above Generate in the printed
+    tree, i.e. filter applied first) and exactly one documents scan,
+    not just that an IN appears somewhere."""
+    from lance_duckdb_spark.operators.fts import QUERY_TERMS, _tokens
+    from lance_duckdb_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    qtf = (
+        _tokens(docs)
+        .where(F.col("term").isin(list(QUERY_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qtf.collect()
+    final = (
+        qtf._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("documents.parquet") == 1
+    i_agg = final.find("HashAggregate")
+    i_flt = max(final.find("INSET"), final.find("IN ("))
+    i_gen = final.find("Generate")
+    assert i_agg != -1 and i_flt != -1 and i_gen != -1
+    # top-down tree print: parent first — aggregate above the term
+    # filter, filter above the explode it consumes
+    assert i_agg < i_flt < i_gen
 
 
 # --- dedup_exact: fingerprint the text once ------------------------
